@@ -1,0 +1,32 @@
+"""ophois_ray — a Ray-Data-native street-graph + spatial-join engine.
+
+Reimplements the semantics of the reference engine (ophois v0.3.0, a
+single-threaded Rust CLI) as lazy ``ray.data.Dataset`` pipelines of
+vectorized ``map_batches`` over zero-copy Arrow batches, plus a
+from-scratch spatial-join / tiling layer (quadtree cell index, kNN snap,
+skew-aware repartition, checkpoint/resume) over Common-Crawl-style web
+pages, and the dedup / similarity / text-analysis operators a
+large-scale training-data pipeline needs.
+
+Module map (SURVEY.md §7.1):
+  geo         G1-G3 vectorized geometry kernels + shortest-round-trip strings
+  oracle      single-process reference-parity graph kernels (test oracle +
+              per-component map_groups worker)
+  graphio     .graph text <-> (nodes, edges) Datasets, parquet writers
+  graphops    dedup (D1/D2), degree, coord joins, metrics (M1-M5)
+  components  connected components (label propagation + driver union-find)
+  discretize  D0 distributed edge discretization
+  osm         P1-P4 OSM XML scan/parse chain + synthetic OSM generator
+  cells       from-scratch quadtree cell index (u64 ids, k-ring, covers)
+  pages       P6 HTML->text extractor (actor pool + oracle), P7 geotagger
+  spatial     cell equi-join, kNN snap, skew salting
+  checkpoint  per-tile manifest, atomic writes, resume
+  dedup       exact / MinHash-LSH / SimHash / n-gram / embedding near-dup
+  textstats   lang-id, quality scoring, token counts, fingerprints
+  similarity  brute-force + LSH-bucketed cosine ANN
+  multimodal  binary-column decode/feature plumbing (decode stubbed)
+  pipelines   composed end-to-end pipelines
+  datagen     deterministic synthetic pages / OSM generators
+"""
+
+__version__ = "0.1.0"

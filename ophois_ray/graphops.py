@@ -1,0 +1,295 @@
+"""Core distributed graph table ops: dedup (D1/D2), degrees, coordinate
+joins, metrics (M1-M5). All hot paths are vectorized map_batches; the
+only shuffles are the dedup/degree groupbys, each preceded by a
+per-batch partial combine so the exchange moves pre-aggregated rows.
+
+Reference semantics implemented here:
+  D1 node dedup, first-wins by id        (src/graph.rs:82-89,124)
+  D2 undirected edge dedup, canonical    (src/graph.rs:93-96, utils.rs:1-7)
+  M1 order_size "{nodes} {edges}"        (src/metrics.rs:55-57)
+  M2 degree histogram                    (src/metrics.rs:26-33)
+  M3 length histogram (trunc metres)     (src/metrics.rs:35-53)
+  M4 sorted "bucket count" lines         (src/metrics.rs:59-67)
+  M5 metrics files under an out dir      (src/metrics.rs:8-24,69-75)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from ray.data.aggregate import Count, Min, Sum
+
+from . import geo
+from .joins import DEFAULT_BROADCAST_CAP, hash_join, put_index
+
+# ------------------------------------------------------------------ dedup
+
+_PACK_SEP = "\x01"
+
+
+def dedup_nodes(nodes):
+    """D1: first-wins dedup by node id (reference graph.rs:82-89).
+
+    "First" = minimum ``seq`` (file rank + line number). Implemented as
+    one groupby-min over a packed ``seq|lat_str|lon_str`` string so the
+    winning row's payload rides through the aggregation — no join-back,
+    one shuffle, no per-group Python.
+    """
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        packed = (
+            df["seq"].map("{:020d}".format)
+            + _PACK_SEP
+            + df["lat_str"].astype(str)
+            + _PACK_SEP
+            + df["lon_str"].astype(str)
+        )
+        return pd.DataFrame({"id": df["id"], "packed": packed})
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["packed"].str.split(_PACK_SEP, expand=True)
+        lat_str = parts[1]
+        lon_str = parts[2]
+        return pd.DataFrame(
+            {
+                "id": df["id"],
+                "lat_str": lat_str,
+                "lon_str": lon_str,
+                "lat": lat_str.astype(np.float64),
+                "lon": lon_str.astype(np.float64),
+                "seq": parts[0].astype(np.int64),
+            }
+        )
+
+    packed = nodes.map_batches(pack, batch_format="pandas")
+    mins = packed.groupby("id").aggregate(Min("packed", alias_name="packed"))
+    return mins.map_batches(unpack, batch_format="pandas")
+
+
+def canonicalize_edges(edges):
+    """Orient every edge u < v lexicographically (utils.rs:1-7) and drop
+    self-loops; keeps any extra columns."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(dtype=object)
+        v = df["v"].to_numpy(dtype=object)
+        swap = u > v
+        uu = np.where(swap, v, u)
+        vv = np.where(swap, u, v)
+        out = df.copy()
+        out["u"] = uu
+        out["v"] = vv
+        return out[uu != vv]
+
+    return edges.map_batches(fn, batch_format="pandas")
+
+
+def dedup_edges(edges, *, canonicalize: bool = True):
+    """D2: undirected edge dedup (reference graph.rs:93-96).
+
+    Canonicalize then exact-dedup = per-batch drop_duplicates (partial)
+    followed by a groupby on (u, v) — the partial combine keeps the
+    shuffle small. Output schema: u, v.
+    """
+    if canonicalize:
+        edges = canonicalize_edges(edges)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["u", "v"]].drop_duplicates()
+
+    distinct = (
+        edges.map_batches(partial, batch_format="pandas")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+    return distinct
+
+
+# ---------------------------------------------------------------- degrees
+
+
+def node_degrees(edges):
+    """(id, degree) over canonical deduped edges — both endpoints of each
+    undirected edge count (reference degree = neighbours len,
+    graph.rs:146-152). Partial value_counts per batch, then a sum
+    groupby over the (much smaller) partials."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([df["u"].to_numpy(object), df["v"].to_numpy(object)])
+        vc = pd.Series(ids).value_counts()
+        return pd.DataFrame({"id": vc.index.to_numpy(object), "cnt": vc.to_numpy()})
+
+    partials = edges.map_batches(explode, batch_format="pandas")
+    return (
+        partials.groupby("id")
+        .aggregate(Sum("cnt", alias_name="degree"))
+    )
+
+
+def degree_histogram(nodes, edges) -> dict[int, int]:
+    """M2: degree -> node count, including degree-0 isolates (nodes with
+    no incident edge). Histogram is tiny -> assembled on the driver."""
+    deg = node_degrees(edges)
+    hist_ds = deg.groupby("degree").aggregate(Count(alias_name="n_nodes"))
+    hist = {
+        int(r["degree"]): int(r["n_nodes"]) for r in hist_ds.iter_rows()
+    }
+    n_nodes = nodes.count()
+    n_with_edges = sum(hist.values())
+    isolates = n_nodes - n_with_edges
+    if isolates > 0:
+        hist[0] = hist.get(0, 0) + isolates
+    return dict(sorted(hist.items()))
+
+
+# ----------------------------------------------------------- coord joins
+
+
+class _CoordAttacher:
+    """Actor-pool stage: holds the broadcast node index (fetched once per
+    actor) and stamps endpoint coordinates onto edge batches."""
+
+    def __init__(self, index_ref):
+        import ray
+
+        self.index = ray.get(index_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        idx = self.index
+        u = df["u"].to_numpy(object)
+        v = df["v"].to_numpy(object)
+        df = df.copy()
+        df["u_lat"] = idx.lookup(u, "lat")
+        df["u_lon"] = idx.lookup(u, "lon")
+        df["v_lat"] = idx.lookup(v, "lat")
+        df["v_lon"] = idx.lookup(v, "lon")
+        return df
+
+
+class _CoordAttacherDrop(_CoordAttacher):
+    """Variant that drops edges with a dangling endpoint (engine policy
+    for refs to missing nodes — the reference would panic,
+    graph.rs:148; SURVEY.md §7.4)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        idx = self.index
+        u = df["u"].to_numpy(object)
+        v = df["v"].to_numpy(object)
+        ula, fu = idx.lookup_with_mask(u, "lat")
+        ulo, _ = idx.lookup_with_mask(u, "lon")
+        vla, fv = idx.lookup_with_mask(v, "lat")
+        vlo, _ = idx.lookup_with_mask(v, "lon")
+        ok = fu & fv
+        df = df.copy()
+        df["u_lat"], df["u_lon"], df["v_lat"], df["v_lon"] = ula, ulo, vla, vlo
+        return df[ok]
+
+
+def attach_coords(
+    edges,
+    nodes,
+    *,
+    method: str = "broadcast",
+    drop_dangling: bool = False,
+    concurrency: int = 4,
+    cap: int = DEFAULT_BROADCAST_CAP,
+):
+    """Join edge endpoints to node coordinates -> adds u_lat/u_lon/v_lat/v_lon.
+
+    method="broadcast" (default): nodes table is ray.put once, looked up
+    per batch via searchsorted — zero shuffle; right for city-scale node
+    tables (cap rows). method="shuffle": two bucketed hash joins — the
+    unbounded-scale path.
+    """
+    if method == "broadcast":
+        ref = put_index(nodes, "id", ["lat", "lon"], cap=cap)
+        cls = _CoordAttacherDrop if drop_dangling else _CoordAttacher
+        return edges.map_batches(
+            cls,
+            batch_format="pandas",
+            fn_constructor_args=(ref,),
+            concurrency=(1, concurrency),
+        )
+    coords = nodes.select_columns(["id", "lat", "lon"])
+    step1 = hash_join(
+        edges,
+        coords.map_batches(
+            lambda df: df.rename(columns={"id": "u", "lat": "u_lat", "lon": "u_lon"}),
+            batch_format="pandas",
+        ),
+        "u",
+    )
+    return hash_join(
+        step1,
+        coords.map_batches(
+            lambda df: df.rename(columns={"id": "v", "lat": "v_lat", "lon": "v_lon"}),
+            batch_format="pandas",
+        ),
+        "v",
+    )
+
+
+def edge_lengths(edges_with_coords):
+    """Adds length_m (haversine, src/geo.rs:7-17) to coord-attached edges."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["length_m"] = geo.haversine_m(
+            df["u_lat"].to_numpy(), df["u_lon"].to_numpy(),
+            df["v_lat"].to_numpy(), df["v_lon"].to_numpy(),
+        )
+        return df
+
+    return edges_with_coords.map_batches(fn, batch_format="pandas")
+
+
+def length_histogram(edges, nodes, **attach_kw) -> dict[int, int]:
+    """M3: trunc(metres) -> edge count (reference metrics.rs:35-53,
+    u32 truncation at :47)."""
+    withc = edge_lengths(attach_coords(edges, nodes, **attach_kw))
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["length_m"].to_numpy().astype(np.int64)  # trunc toward zero (>=0)
+        vc = pd.Series(b).value_counts()
+        return pd.DataFrame({"bucket": vc.index.to_numpy(), "cnt": vc.to_numpy()})
+
+    hist_ds = (
+        withc.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("cnt", alias_name="n_edges"))
+    )
+    return {int(r["bucket"]): int(r["n_edges"]) for r in hist_ds.iter_rows()}
+
+
+# ---------------------------------------------------------------- metrics
+
+
+def order_size(nodes, edges) -> str:
+    """M1: "{nodes} {edges}" (reference metrics.rs:55-57)."""
+    return f"{nodes.count()} {edges.count()}"
+
+
+def sort_and_stringify(hist: dict[int, int]) -> str:
+    """M4 (reference metrics.rs:59-67)."""
+    return "".join(f"{k} {v}\n" for k, v in sorted(hist.items()))
+
+
+def emit_metrics(nodes, edges, param: str, outdir: str = "./ophois_metrics", **attach_kw):
+    """M5: write order_size_{param} / degrees_{param} / lengths_{param}
+    text files (reference metrics.rs:8-24, values_to_file :69-75).
+    Returns the three values as Python objects as well."""
+    os.makedirs(outdir, exist_ok=True)
+    osz = order_size(nodes, edges)
+    deg = degree_histogram(nodes, edges)
+    lens = length_histogram(edges, nodes, **attach_kw)
+    with open(os.path.join(outdir, f"order_size_{param}"), "w") as f:
+        f.write(osz)
+    with open(os.path.join(outdir, f"degrees_{param}"), "w") as f:
+        f.write(sort_and_stringify(deg))
+    with open(os.path.join(outdir, f"lengths_{param}"), "w") as f:
+        f.write(sort_and_stringify(lens))
+    return osz, deg, lens

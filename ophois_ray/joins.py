@@ -1,0 +1,172 @@
+"""Join strategies for Dataset pipelines (SURVEY.md §2.8).
+
+The reference does every lookup through an in-RAM HashMap
+(src/graph.rs:138-140); distributed, each lookup becomes either
+
+- a **broadcast join**: the small side is materialized once into the
+  object store (``ray.put``) as sorted numpy arrays and every map task
+  binary-searches it (zero shuffle). Default whenever the small side
+  fits a worker heap (cap configurable).
+- a **bucketed hash join**: both sides get a deterministic
+  ``bucket = hash(key) % B`` column, are unioned with a side tag and
+  co-grouped with ``groupby(bucket).map_groups`` where a pandas merge
+  joins the two sides. One all-to-all shuffle; B bounds per-task
+  memory. This is the 100 TB path and the skew-salting hook lives at
+  the bucket column.
+
+Key hashing uses ``pandas.util.hash_array`` — deterministic across
+processes (unlike Python ``hash`` under PYTHONHASHSEED).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+DEFAULT_BROADCAST_CAP = 5_000_000  # rows
+
+
+def stable_hash(values) -> np.ndarray:
+    """Deterministic uint64 hash of an array of keys."""
+    arr = np.asarray(values)
+    if arr.dtype == object or arr.dtype.kind in "US":
+        return pd.util.hash_array(arr.astype(object))
+    return pd.util.hash_array(arr)
+
+
+class BroadcastIndex:
+    """Sorted-array lookup table shared via the object store.
+
+    Build once on the driver from a small Dataset; workers ``ray.get``
+    it once per actor and answer vectorized lookups with searchsorted.
+    """
+
+    def __init__(self, keys: np.ndarray, columns: dict[str, np.ndarray]):
+        order = np.argsort(keys, kind="stable")
+        self.keys = keys[order]
+        self.columns = {name: col[order] for name, col in columns.items()}
+
+    @classmethod
+    def from_dataset(cls, ds, key: str, value_cols: list[str], cap: int = DEFAULT_BROADCAST_CAP):
+        tbl = _dataset_to_table(ds, [key] + value_cols)
+        n = tbl.num_rows
+        if n > cap:
+            raise ValueError(
+                f"broadcast side has {n} rows > cap {cap}; use hash_join instead"
+            )
+        keys = np.asarray(tbl[key].to_pandas())
+        cols = {c: np.asarray(tbl[c].to_pandas()) for c in value_cols}
+        return cls(keys, cols)
+
+    def lookup(self, query_keys, col: str):
+        """Values for query_keys; missing keys raise KeyError."""
+        q = np.asarray(query_keys)
+        idx = np.searchsorted(self.keys, q)
+        idx_clipped = np.minimum(idx, len(self.keys) - 1)
+        found = self.keys[idx_clipped] == q
+        if not found.all():
+            missing = q[~found][:3]
+            raise KeyError(f"keys not in broadcast index, e.g. {missing!r}")
+        return self.columns[col][idx_clipped]
+
+    def contains(self, query_keys) -> np.ndarray:
+        q = np.asarray(query_keys)
+        if len(self.keys) == 0:
+            return np.zeros(len(q), dtype=bool)
+        idx = np.minimum(np.searchsorted(self.keys, q), len(self.keys) - 1)
+        return self.keys[idx] == q
+
+    def lookup_with_mask(self, query_keys, col: str):
+        """(values, found_mask); missing keys get the first value (masked out)."""
+        q = np.asarray(query_keys)
+        idx = np.minimum(np.searchsorted(self.keys, q), max(len(self.keys) - 1, 0))
+        found = self.keys[idx] == q if len(self.keys) else np.zeros(len(q), dtype=bool)
+        return self.columns[col][idx], found
+
+
+def _dataset_to_table(ds, columns=None) -> pa.Table:
+    """Materialize a (small) Dataset to one Arrow table on the driver."""
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    parts = []
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        parts.append(batch)
+    if not parts:
+        return pa.table({c: [] for c in (columns or [])})
+    return pa.concat_tables(parts, promote_options="default")
+
+
+def put_index(ds, key: str, value_cols: list[str], cap: int = DEFAULT_BROADCAST_CAP):
+    """Materialize + broadcast a BroadcastIndex; returns the ObjectRef."""
+    return ray.put(BroadcastIndex.from_dataset(ds, key, value_cols, cap))
+
+
+def hash_join(
+    left,
+    right,
+    on,
+    *,
+    how: str = "inner",
+    num_buckets: int = 64,
+    left_suffix: str = "",
+    right_suffix: str = "_r",
+):
+    """Bucketed hash join of two Datasets on column(s) ``on``.
+
+    Both sides are tagged, bucketed by a deterministic hash of the key,
+    unioned (schemas aligned with nulls) and co-grouped; a pandas merge
+    inside ``map_groups`` joins each bucket. One shuffle; memory per
+    task bounded by the largest bucket — raise ``num_buckets`` (or salt
+    the key upstream) for skewed keys.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    rvalue = [c for c in rcols if c not in keys]
+    # columns that collide get the right suffix
+    rename_r = {c: (c + right_suffix if c in lcols else c) for c in rvalue}
+    out_rcols = list(rename_r.values())
+
+    def prep(side, rename):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.rename(columns=rename)
+            h = stable_hash(df[keys[0]].to_numpy())
+            for k in keys[1:]:
+                h = h ^ (stable_hash(df[k].to_numpy()) * np.uint64(0x9E3779B97F4A7C15))
+            df["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+            df["__side"] = side
+            return df
+
+        return fn
+
+    l_tagged = left.map_batches(prep(0, {}), batch_format="pandas")
+    r_tagged = right.map_batches(prep(1, rename_r), batch_format="pandas")
+
+    # align schemas for union: add each other's missing columns as nulls
+    l_only = [c for c in lcols if c not in keys]
+    def pad(cols_to_add):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            for c in cols_to_add:
+                if c not in df.columns:
+                    df[c] = None
+            return df
+        return fn
+
+    l_tagged = l_tagged.map_batches(pad(out_rcols), batch_format="pandas")
+    r_tagged = r_tagged.map_batches(pad(l_only), batch_format="pandas")
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lf = df[df["__side"] == 0][keys + l_only]
+        rf = df[df["__side"] == 1][keys + out_rcols]
+        merged = lf.merge(rf, on=keys, how=how)
+        return merged
+
+    return (
+        l_tagged.union(r_tagged)
+        .groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )

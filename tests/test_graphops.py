@@ -1,0 +1,163 @@
+"""Distributed graph table ops vs reference goldens and the oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ophois_ray import graphio, graphops
+from ophois_ray.oracle import OracleGraph
+from tests.conftest import load_fixture_text
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def cailles_tables():
+    text = load_fixture_text("cailles.graph")
+    nodes, edges = graphio.graph_from_text(text)
+    nodes = graphops.dedup_nodes(nodes)
+    edges = graphops.dedup_edges(edges)
+    return nodes.materialize(), edges.materialize()
+
+
+def test_read_graph_counts(cailles_tables):
+    nodes, edges = cailles_tables
+    assert nodes.count() == 26
+    assert edges.count() == 30
+
+
+def test_read_graph_from_file(fixtures_dir):
+    nodes, edges = graphio.read_graph(str(fixtures_dir / "cailles.graph"))
+    nodes = graphops.dedup_nodes(nodes)
+    edges = graphops.dedup_edges(edges)
+    assert nodes.count() == 26
+    assert edges.count() == 30
+
+
+def test_node_verbatim_strings(cailles_tables):
+    nodes, _ = cailles_tables
+    df = nodes.to_pandas().set_index("id")
+    # verbatim coordinate literals survive (reference graph.rs:104-110)
+    assert df.loc["2576426850", "lat_str"] == "48.8274242"
+    assert df.loc["2576426850", "lon_str"] == "2.3486471"
+    assert df.loc["2576426850", "lat"] == 48.8274242
+
+
+def test_dedup_nodes_first_wins(ray_session):
+    text = "a␟1.0␟2.0\na␟9.9␟9.9\nb␟1.1␟2.1\na␟b\nb␟a"
+    nodes, edges = graphio.graph_from_text(text)
+    out = graphops.dedup_nodes(nodes).to_pandas().set_index("id")
+    assert out.loc["a", "lat_str"] == "1.0"  # first occurrence wins (graph.rs:82)
+    assert len(out) == 2
+    e = graphops.dedup_edges(edges).to_pandas()
+    assert len(e) == 1  # both orientations collapse to one undirected edge
+    assert tuple(e.iloc[0][["u", "v"]]) == ("a", "b")
+
+
+def test_canonical_orientation(ray_session):
+    # lexicographic: "10" < "9" (reference utils.rs:1-7)
+    import ray.data
+
+    edges = ray.data.from_items([{"u": "9", "v": "10"}, {"u": "10", "v": "9"}])
+    out = graphops.dedup_edges(edges).to_pandas()
+    assert len(out) == 1
+    assert tuple(out.iloc[0][["u", "v"]]) == ("10", "9")
+
+
+def test_bad_arity_strict_raises(ray_session):
+    with pytest.raises(Exception):
+        nodes, _ = graphio.graph_from_text("a␟b␟c␟d")
+        nodes.count()
+
+
+def test_degree_histogram(cailles_tables):
+    nodes, edges = cailles_tables
+    hist = graphops.degree_histogram(nodes, edges)
+    assert hist == {1: 5, 2: 12, 3: 5, 4: 4}  # metrics.rs:84
+
+
+def test_degree_histogram_counts_isolates(ray_session):
+    import ray.data
+
+    nodes = ray.data.from_items(
+        [
+            {"id": "a", "lat_str": "0", "lon_str": "0", "lat": 0.0, "lon": 0.0, "seq": 0},
+            {"id": "b", "lat_str": "0", "lon_str": "1", "lat": 0.0, "lon": 1.0, "seq": 1},
+            {"id": "c", "lat_str": "1", "lon_str": "0", "lat": 1.0, "lon": 0.0, "seq": 2},
+        ]
+    )
+    edges = ray.data.from_items([{"u": "a", "v": "b"}])
+    assert graphops.degree_histogram(nodes, edges) == {0: 1, 1: 2}
+
+
+def test_length_histogram_broadcast(cailles_tables):
+    nodes, edges = cailles_tables
+    hist = graphops.length_histogram(edges, nodes)
+    expected = {
+        1: 5, 2: 3, 3: 1, 4: 5, 5: 2, 6: 2, 8: 2, 10: 1, 11: 1, 12: 1,
+        14: 1, 15: 2, 18: 1, 22: 1, 34: 1, 87: 1,
+    }
+    assert hist == expected  # metrics.rs:95-112
+
+
+def test_length_histogram_shuffle_join(cailles_tables):
+    nodes, edges = cailles_tables
+    hist = graphops.length_histogram(edges, nodes, method="shuffle")
+    assert hist[87] == 1 and sum(hist.values()) == 30
+
+
+def test_order_size(cailles_tables):
+    nodes, edges = cailles_tables
+    assert graphops.order_size(nodes, edges) == "26 30"  # metrics.rs:122
+
+
+def test_emit_metrics_files(cailles_tables, tmp_path):
+    nodes, edges = cailles_tables
+    osz, deg, lens = graphops.emit_metrics(nodes, edges, "simplify=10", str(tmp_path))
+    assert (tmp_path / "order_size_simplify=10").read_text() == "26 30"
+    assert (
+        tmp_path / "degrees_simplify=10"
+    ).read_text() == "1 5\n2 12\n3 5\n4 4\n"  # metrics.rs:129
+    assert (tmp_path / "lengths_simplify=10").read_text().startswith("1 5\n2 3\n")
+
+
+def test_attach_coords_drop_dangling(ray_session):
+    import ray.data
+
+    nodes = ray.data.from_items(
+        [{"id": "a", "lat_str": "0", "lon_str": "0", "lat": 0.0, "lon": 0.0, "seq": 0}]
+    )
+    edges = ray.data.from_items([{"u": "a", "v": "missing"}])
+    out = graphops.attach_coords(edges, nodes, drop_dangling=True)
+    assert out.count() == 0
+    with pytest.raises(Exception):
+        graphops.attach_coords(edges, nodes, drop_dangling=False).materialize()
+
+
+def test_write_graph_roundtrip(cailles_tables, tmp_path):
+    nodes, edges = cailles_tables
+    path = str(tmp_path / "out.graph")
+    graphio.write_graph(nodes, edges, path)
+    g = OracleGraph.from_text(open(path, encoding="utf-8").read())
+    assert g.order_size() == "26 30"
+    ref = OracleGraph.from_text(load_fixture_text("cailles.graph"))
+    assert set(g.show_lines()) == set(ref.show_lines())
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import ray.data
+    from ophois_ray.joins import hash_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame({"k": rng.randint(0, 50, 200), "x": rng.randn(200)})
+    right = pd.DataFrame({"k": np.arange(40), "y": np.arange(40) * 2})
+    got = (
+        hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right), "k")
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k").sort_values(["k", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "x", "y"]], exp[["k", "x", "y"]], check_dtype=False
+    )

@@ -1,0 +1,209 @@
+"""From-scratch hierarchical lat/lon cell index (no geo libraries exist
+in this environment — SURVEY.md §7.4). H3/S2-*like* by contract:
+fixed-resolution u64 cell ids, parent/child hierarchy, k-ring
+neighbourhoods, segment covering — but a plain equirectangular quadtree,
+fully deterministic and dependency-free.
+
+Cell id layout (64-bit):   cell = (res << 58) | (ix << 29) | iy
+  res in [0, 29]   ix = floor((lon+180)/360 * 2^res)  (clamped)
+  iy = floor((lat+ 90)/180 * 2^res)                    (clamped)
+
+The encoding deliberately avoids bit interleaving so the id is
+reproducible in ANSI SQL for the DuckDB oracle cross-check:
+  res*576460752303423488 + floor((lon+180.0)/360.0 * 2^res)*536870912
+      + floor((lat+90.0)/180.0 * 2^res)
+(same IEEE double op order -> bit-identical results; + and * and /
+are exactly-rounded so no libm variance is involved).
+
+k_ring wraps longitudinally (ix mod 2^res) and clamps at the poles
+(iy outside range dropped) — documented partitioning assumption for the
+spatial join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 29
+_RES_SHIFT = 58
+_IX_SHIFT = 29
+_IX_MASK = (1 << 29) - 1
+
+
+def cell_of(lat, lon, res: int):
+    """Vectorized cell id (int64) for lat/lon arrays at resolution res."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = np.float64(1 << res)
+    # op order mirrored exactly in the SQL oracle — do not refactor
+    ix = np.floor((lon + 180.0) / 360.0 * n)
+    iy = np.floor((lat + 90.0) / 180.0 * n)
+    ix = np.clip(ix, 0, (1 << res) - 1).astype(np.int64)
+    iy = np.clip(iy, 0, (1 << res) - 1).astype(np.int64)
+    return (np.int64(res) << _RES_SHIFT) | (ix << _IX_SHIFT) | iy
+
+
+def decode(cell):
+    """cell id -> (res, ix, iy); vectorized."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell >> _RES_SHIFT
+    ix = (cell >> _IX_SHIFT) & _IX_MASK
+    iy = cell & _IX_MASK
+    return res, ix, iy
+
+
+def encode(res, ix, iy):
+    res = np.asarray(res, dtype=np.int64)
+    ix = np.asarray(ix, dtype=np.int64)
+    iy = np.asarray(iy, dtype=np.int64)
+    return (res << _RES_SHIFT) | (ix << _IX_SHIFT) | iy
+
+
+def cell_center(cell):
+    """(lat, lon) of cell center; vectorized."""
+    res, ix, iy = decode(cell)
+    n = (np.int64(1) << res).astype(np.float64)
+    lon = (ix.astype(np.float64) + 0.5) / n * 360.0 - 180.0
+    lat = (iy.astype(np.float64) + 0.5) / n * 180.0 - 90.0
+    return lat, lon
+
+
+def cell_size_deg(res: int) -> tuple[float, float]:
+    """(lat_extent, lon_extent) of one cell in degrees."""
+    n = float(1 << res)
+    return 180.0 / n, 360.0 / n
+
+
+def parent(cell, steps: int = 1):
+    """Parent cell `steps` resolutions up; vectorized."""
+    res, ix, iy = decode(cell)
+    new_res = res - steps
+    if np.any(new_res < 0):
+        raise ValueError("parent below resolution 0")
+    return encode(new_res, ix >> steps, iy >> steps)
+
+
+def parent_to(cell, res: int):
+    """Ancestor cell at an absolute resolution ``res``; vectorized."""
+    cres, ix, iy = decode(cell)
+    steps = cres - np.int64(res)
+    if np.any(steps < 0):
+        raise ValueError("parent_to above the cell's own resolution")
+    return encode(np.int64(res), ix >> steps, iy >> steps)
+
+
+def children(cell) -> np.ndarray:
+    """The 4 children of a scalar cell at res+1."""
+    res, ix, iy = decode(np.int64(cell))
+    if res >= MAX_RES:
+        raise ValueError("children above MAX_RES")
+    out = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            out.append(int(encode(res + 1, (ix << 1) | dx, (iy << 1) | dy)))
+    return np.array(out, dtype=np.int64)
+
+
+def k_ring(cell, k: int = 1) -> np.ndarray:
+    """All cells within Chebyshev distance k of a scalar cell (incl. it).
+
+    Wraps in x (longitude); drops out-of-range y (poles).
+    """
+    res, ix, iy = decode(np.int64(cell))
+    res, ix, iy = int(res), int(ix), int(iy)
+    n = 1 << res
+    out = []
+    for dy in range(-k, k + 1):
+        y = iy + dy
+        if not 0 <= y < n:
+            continue
+        for dx in range(-k, k + 1):
+            x = (ix + dx) % n
+            out.append(int(encode(res, x, y)))
+    return np.array(sorted(set(out)), dtype=np.int64)
+
+
+def k_ring_many(cells: np.ndarray, k: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized k-ring expansion of an array of cells.
+
+    Returns (row_index, ring_cell): row_index[i] says which input row
+    ring_cell[i] expands. Interior-safe fast path: builds the (2k+1)^2
+    offsets with numpy; x wraps, out-of-range y dropped.
+    """
+    cells = np.asarray(cells, dtype=np.int64)
+    res, ix, iy = decode(cells)
+    if len(cells) == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    n = (np.int64(1) << res)
+    side = 2 * k + 1
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    dx = np.tile(np.repeat(offs, side), len(cells))
+    dy = np.tile(np.tile(offs, side), len(cells))
+    rows = np.repeat(np.arange(len(cells), dtype=np.int64), side * side)
+    x = (ix[rows] + dx) % n[rows]
+    y = iy[rows] + dy
+    ok = (y >= 0) & (y < n[rows])
+    return rows[ok], encode(res[rows[ok]], x[ok], y[ok])
+
+
+def cells_covering_segment(lat1, lon1, lat2, lon2, res: int, pad: int = 0):
+    """Cells traversed by planar segments; vectorized over edge arrays.
+
+    Samples each segment at half-cell steps (guaranteed to visit every
+    crossed cell of an axis-aligned grid when step <= cell_size/2),
+    optionally padded with a `pad`-ring around each visited cell.
+    Returns (edge_index, cell) arrays.
+    """
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lat2 = np.asarray(lat2, dtype=np.float64)
+    lon2 = np.asarray(lon2, dtype=np.float64)
+    dlat_cell, dlon_cell = cell_size_deg(res)
+    span = np.maximum(
+        np.abs(lat2 - lat1) / dlat_cell, np.abs(lon2 - lon1) / dlon_cell
+    )
+    steps = (np.ceil(span * 2).astype(np.int64) + 1).clip(1, None)
+    edge_idx = np.repeat(np.arange(len(steps), dtype=np.int64), steps + 1)
+    # t = i/steps per edge, i = 0..steps
+    i_local = np.concatenate([np.arange(s + 1, dtype=np.int64) for s in steps]) if len(steps) else np.array([], dtype=np.int64)
+    t = i_local / steps[edge_idx]
+    lat = lat1[edge_idx] + t * (lat2[edge_idx] - lat1[edge_idx])
+    lon = lon1[edge_idx] + t * (lon2[edge_idx] - lon1[edge_idx])
+    cells = cell_of(lat, lon, res)
+    # dedup (edge_idx, cell) pairs
+    order = np.lexsort((cells, edge_idx))
+    ei, ce = edge_idx[order], cells[order]
+    keep = np.ones(len(ei), dtype=bool)
+    keep[1:] = (ei[1:] != ei[:-1]) | (ce[1:] != ce[:-1])
+    ei, ce = ei[keep], ce[keep]
+    if pad > 0:
+        rows, ring = k_ring_many(ce, pad)
+        ei2, ce2 = ei[rows], ring
+        order = np.lexsort((ce2, ei2))
+        ei2, ce2 = ei2[order], ce2[order]
+        keep = np.ones(len(ei2), dtype=bool)
+        keep[1:] = (ei2[1:] != ei2[:-1]) | (ce2[1:] != ce2[:-1])
+        return ei2[keep], ce2[keep]
+    return ei, ce
+
+
+def oracle_sql_cell_expr(lat_expr: str, lon_expr: str, res: int) -> str:
+    """ANSI-SQL expression computing cell_of identically (DuckDB oracle).
+
+    Mirrors the numpy op order exactly; clamping via LEAST/GREATEST.
+    """
+    n = 1 << res
+    nm1 = n - 1
+    ix = (
+        f"LEAST(GREATEST(FLOOR(({lon_expr} + 180.0) / 360.0 * {n}.0), 0), {nm1})"
+    )
+    iy = (
+        f"LEAST(GREATEST(FLOOR(({lat_expr} + 90.0) / 180.0 * {n}.0), 0), {nm1})"
+    )
+    return (
+        f"(CAST({res} AS BIGINT) * {1 << _RES_SHIFT}"
+        f" + CAST({ix} AS BIGINT) * {1 << _IX_SHIFT}"
+        f" + CAST({iy} AS BIGINT))"
+    )

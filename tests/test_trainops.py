@@ -1,0 +1,193 @@
+"""Training-data operators: dedup family, text stats, similarity search,
+multimodal plumbing — over the driver testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from ophois_ray import dedup, multimodal, similarity, textstats
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet").materialize()
+
+
+@pytest.fixture(scope="module")
+def embeds():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet").materialize()
+
+
+def test_exact_dedup_counts(docs):
+    out = dedup.exact_dedup(docs).to_pandas()
+    full = docs.to_pandas()
+    assert len(out) == full["text"].nunique()
+    assert out["n_copies"].sum() == len(full)
+    # keeper is the smallest doc_id of each group
+    grp = full.groupby("text")["doc_id"].min().sort_values().to_numpy()
+    assert sorted(out["keep_id"]) == sorted(grp)
+    kept = dedup.exact_dedup_filter(docs).to_pandas()
+    assert len(kept) == len(out)
+
+
+def test_minhash_detects_planted_near_dups(docs):
+    full = docs.to_pandas()
+    base = full.iloc[0]["text"]
+    # plant two near-identical copies of doc 0
+    planted = pd.DataFrame(
+        {
+            "doc_id": [100001, 100002],
+            "text": [base + " tail", base + " tailx"],
+            "lang": ["en", "en"],
+            "source": ["p", "p"],
+            "n_chars": [len(base) + 5, len(base) + 6],
+        }
+    )
+    ds = ray.data.from_pandas(pd.concat([full, planted], ignore_index=True))
+    groups = dedup.minhash_near_dup_groups(ds, threshold=0.7)
+    gmap = dict(zip(groups["id"], groups["group"]))
+    assert 100001 in gmap and 100002 in gmap and 0 in gmap
+    assert gmap[100001] == gmap[100002] == gmap[0]
+
+
+def test_jaccard_exact():
+    a = dedup._shingle_hashes("abcdefgh", 3)
+    assert dedup.jaccard(a, a) == 1.0
+    b = dedup._shingle_hashes("zzzzzzzz", 3)
+    assert dedup.jaccard(a, b) == 0.0
+
+
+def test_simhash_near_dup(docs):
+    full = docs.to_pandas().head(50)
+    base = full.iloc[0]["text"]
+    toks = base.split()
+    toks[len(toks) // 2] = "perturbed"
+    planted = pd.DataFrame(
+        {"doc_id": [200001], "text": [" ".join(toks)], "lang": ["en"],
+         "source": ["p"], "n_chars": [1]}
+    )
+    ds = ray.data.from_pandas(pd.concat([full, planted], ignore_index=True))
+    pairs = dedup.simhash_near_dup_pairs(ds, max_hamming=8)
+    hit = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 200001)]
+    assert len(hit) == 1
+    assert hit.iloc[0]["hamming"] <= 8
+
+
+def test_embedding_near_dup(embeds):
+    full = embeds.to_pandas()
+    v = np.asarray(full.iloc[0]["embedding"], dtype=np.float64)
+    near = v + 0.001
+    planted = pd.DataFrame({"vec_id": [900001], "embedding": [near.tolist()], "label": [0]})
+    ds = ray.data.from_pandas(pd.concat([full, planted], ignore_index=True))
+    pairs = dedup.embedding_near_dup_pairs(ds, threshold=0.999)
+    hit = pairs[(pairs["id_a"] == full.iloc[0]["vec_id"]) & (pairs["id_b"] == 900001)]
+    assert len(hit) == 1
+
+
+def test_token_count_matches_duckdb(docs):
+    import duckdb
+
+    got = (
+        textstats.token_count(docs)
+        .select_columns(["doc_id", "n_tokens"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'),
+            x -> x != '')) AS n_tokens
+            FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"""
+    ).df()
+    assert (got["n_tokens"].to_numpy() == exp["n_tokens"].to_numpy()).all()
+
+
+def test_quality_and_langid(docs):
+    q = textstats.quality_score(docs).to_pandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    lid = textstats.lang_id(docs).to_pandas()
+    assert set(lid["lang_pred"]) <= set(textstats.STOPWORDS) | {"und"}
+    en_text = ray.data.from_items(
+        [{"doc_id": 1, "text": "the cat and the dog went to the house of it"}]
+    )
+    assert textstats.lang_id(en_text).to_pandas()["lang_pred"].iloc[0] == "en"
+
+
+def test_fingerprint_deterministic_and_edit_robust(docs):
+    fp = textstats.fingerprint(docs).to_pandas().sort_values("doc_id")
+    fp2 = textstats.fingerprint(docs).to_pandas().sort_values("doc_id")
+    assert (fp["doc_hash"].to_numpy() == fp2["doc_hash"].to_numpy()).all()
+    # kgram_min is usually invariant to a suffix edit; doc_hash is not
+    t = docs.to_pandas().iloc[0]["text"]
+    one = ray.data.from_items([{"doc_id": 0, "text": t}, {"doc_id": 1, "text": t + " zz"}])
+    f = textstats.fingerprint(one).to_pandas()
+    assert f["doc_hash"].nunique() == 2
+
+
+def test_brute_force_topk_exact(embeds):
+    full = embeds.to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in full["embedding"]])
+    queries = mat[:3] + 0.01
+    got = similarity.brute_force_topk(embeds, queries, k=5)
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    qunit = queries / np.linalg.norm(queries, axis=1)[:, None]
+    sims = qunit @ unit.T
+    for qi in range(3):
+        order = np.lexsort((full["vec_id"].to_numpy(), -sims[qi]))[:5]
+        exp_ids = full["vec_id"].to_numpy()[order]
+        got_ids = got[got["query_id"] == qi].sort_values("rank")["vec_id"].to_numpy()
+        assert (got_ids == exp_ids).all()
+
+
+def test_lsh_topk_recall(embeds):
+    full = embeds.to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in full["embedding"]])
+    queries = mat[:5]
+    exact = similarity.brute_force_topk(embeds, queries, k=5)
+    approx = similarity.lsh_topk(embeds, queries, k=5, n_planes=6, multiprobe=2)
+    # self-match must always be found (query == a stored vector)
+    for qi in range(5):
+        ids = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert full["vec_id"].iloc[qi] in ids
+    # loose recall bound vs exact
+    inter = 0
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        inter += len(e & a)
+    assert inter >= 13  # >= ~50% recall on 25 slots
+
+
+def test_multimodal_plumbing():
+    media = ray.data.from_pandas(multimodal.synthetic_media_table(32))
+    decoded = multimodal.decode_images(media, mode="fake", concurrency=2)
+    feats = multimodal.pooled_features(decoded).to_pandas()
+    assert len(feats) == 32
+    assert all(len(f) == 48 for f in feats["features"])  # 3*4*4
+    # deterministic across runs
+    feats2 = multimodal.pooled_features(
+        multimodal.decode_images(ray.data.from_pandas(multimodal.synthetic_media_table(32)),
+                                 mode="fake", concurrency=2)
+    ).to_pandas()
+    a = np.stack(feats.sort_values("media_id")["features"].to_list())
+    b = np.stack(feats2.sort_values("media_id")["features"].to_list())
+    assert np.array_equal(a, b)
+    # real mode is an explicit stub
+    with pytest.raises(Exception):
+        multimodal.decode_images(media, mode="real").materialize()
+
+
+def test_frame_sample():
+    media = ray.data.from_pandas(multimodal.synthetic_media_table(8))
+    sampled = multimodal.frame_sample(media, every_n=10).to_pandas()
+    src = multimodal.synthetic_media_table(8)
+    expected = sum((n + 9) // 10 for n in src["n_frames"])
+    assert len(sampled) == expected
+    assert (sampled["frame_idx"] % 10 == 0).all()

@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the ophois_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself before importing this module: nothing
+here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship pipeline on /root/testdata/sf0.001: pages
+  derived from the documents table (input_hint schema) are extracted
+  (actor pool), geotagged, url-deduped and kNN-snapped to a synthetic
+  street graph; returns the snapped Dataset.
+- ``queries()`` — one callable per implemented operator family from
+  SURVEY.md §2 (see ophois_ray/queries.py for the catalog).
+- ``oracle_sql()`` — DuckDB statements mirroring the SQL-expressible
+  queries op-for-op (identical IEEE op order; integer outputs).
 """
 
 from __future__ import annotations
@@ -20,25 +20,19 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    from ophois_ray import pipelines
+
+    return pipelines.flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ophois_ray import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.catalog()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ophois_ray import queries as q
+
+    return q.sql_catalog()

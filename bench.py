@@ -1,0 +1,307 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipeline (graph build + page->edge kNN spatial
+join over a generated Common-Crawl-style pages table sized by the sf of
+$GRAFT_SF_DIR) plus the query catalog at $GRAFT_SF_DIR, then print ONE
+JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "pages": n, "pages_per_sec": r}
+
+--scaling: run the headline pipeline in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the SAME input (page cache warmed) and
+print both throughputs plus efficiency = (T8/T32)/(32/8).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: pages rows per unit scale factor (sf0.1 -> 200k pages, ~2 KB html each)
+PAGES_PER_SF = 2_000_000
+OSM_GRID = 40  # per hotspot city -> ~3*40*40 nodes, ~3*2*40*39 edges
+
+# catalog entries timed in the per-round bench (skip the double-slow ones)
+BENCH_QUERIES = [
+    "edge_dedup",
+    "degree_histogram",
+    "cell_assign",
+    "spatial_cell_join",
+    "nn_snap_planar",
+    "haversine_km_hist",
+    "q1_returnflag",
+    "join_cust_nation_region",
+    "events_window",
+    "doc_token_count",
+    "doc_exact_dedup",
+    "minhash_near_dup",
+    "embed_topk",
+]
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _cache_dir(sf: float) -> str:
+    return f"/tmp/ophois_bench_cache/sf{sf}"
+
+
+def prepare_inputs(sf: float, mult: int = 1, tag: str = "pages"):
+    """Generate (once, cached) the pages shards + street OSM for this sf."""
+    from ophois_ray import datagen, osm
+
+    root = _cache_dir(sf)
+    pages_dir = os.path.join(root, tag)
+    osm_dir = os.path.join(root, "osm")
+    n_pages = max(2000, int(PAGES_PER_SF * sf) * mult)
+    os.makedirs(pages_dir, exist_ok=True)
+    # shard count fixed per (sf, mult) — MUST NOT depend on NUM_CPUS or
+    # the two scaling levels would silently get different inputs
+    datagen.write_pages(
+        pages_dir, n_pages, n_shards=64 * mult, seed=42,
+        n_paragraphs=100, words_per_paragraph=60,  # ~40 KB html per page
+    )
+    if not os.path.isdir(osm_dir) or not os.listdir(osm_dir):
+        os.makedirs(osm_dir, exist_ok=True)
+        for i, (hlat, hlon, _) in enumerate(datagen.HOTSPOTS):
+            xml, _, _ = osm.synthetic_city(
+                seed=200 + i, center_lat=hlat, center_lon=hlon,
+                grid=OSM_GRID, spacing_deg=0.0004,
+            )
+            xml = xml.replace('id="1', f'id="{i + 1}1').replace('ref="1', f'ref="{i + 1}1')
+            xml = xml.replace('id="9', f'id="{i + 1}9').replace('ref="9', f'ref="{i + 1}9')
+            xml = xml.replace('id="8', f'id="{i + 1}8').replace('ref="8', f'ref="{i + 1}8')
+            with open(os.path.join(osm_dir, f"city_{i}.osm"), "w", encoding="utf-8") as f:
+                f.write(xml)
+    return pages_dir, osm_dir, n_pages
+
+
+def headline(pages_dir: str, osm_dir: str) -> dict:
+    """Graph build + page clean-up + kNN snap; returns timing + counts."""
+    import ray.data
+
+    from ophois_ray import pages, pipelines, spatial
+
+    t0 = time.monotonic()
+    # street graph = the broadcast small side -> driver-local assembly
+    # (per-tile bounded at scale; pipelines.build_graph is the
+    # beyond-driver-memory path)
+    ewc = pipelines.build_graph_local(osm_dir)
+    t_graph = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    # dedup first; winner scan uses a reader-pruned (url, warc_ts)
+    # source; the filter pass fuses with extract/geotag/snap into ONE
+    # streaming pass — override_num_blocks=#files keeps the read free of
+    # a SplitBlocks op, which would break operator fusion and round-trip
+    # the full html table through the object store (measured 5x)
+    n_files = len([f for f in os.listdir(pages_dir) if f.endswith(".parquet")])
+    pg = pages.dedup_pages(
+        ray.data.read_parquet(pages_dir, override_num_blocks=n_files),
+        key_source=ray.data.read_parquet(pages_dir, columns=["url", "warc_ts"]),
+    )
+    pg = pages.extract_text(pg, concurrency=NUM_CPUS, batch_size=512)
+    pg = pages.filter_geotagged(pages.geotag(pg)).select_columns(["url", "lat", "lon"])
+    # res matched to edge spacing (~0.0004 deg): ~2-3 edges/cell keeps
+    # candidate sets ~30/page; ring=1 bounds the snap radius to ~1 cell
+    snapped, lineage = spatial.knn_snap_broadcast(
+        pg, ewc, res=19, ring=1, concurrency=NUM_CPUS
+    )
+    n_snapped = snapped.count()
+    t_join = time.monotonic() - t1
+    return {
+        "sec": t_graph + t_join,
+        "sec_graph": t_graph,
+        "sec_join": t_join,
+        "n_snapped": n_snapped,
+        "n_edges": lineage["n_edges"],
+        "n_edge_cells": lineage["n_edge_cells"],
+    }
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = _sf_of(SF_DIR)
+    pages_dir, osm_dir, n_pages = prepare_inputs(sf)
+    _warmup(sf, osm_dir, pages_dir)
+    head = headline(pages_dir, osm_dir)
+
+    from ophois_ray import queries as qmod
+
+    cat = qmod.catalog()
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        res = cat[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "end-to-end joined pages/sec (graph build + page->edge kNN spatial join)",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / head["sec"], 1),
+        "headline_detail": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in head.items()},
+    }
+    ray.shutdown()
+    return out
+
+
+def _warmup(sf: float, osm_dir: str, pages_dir: str) -> None:
+    """Untimed warm-up: spin up Ray workers / import the libraries /
+    touch the page files so the timed run measures steady-state
+    throughput (compute + shuffle), not process spawn."""
+    import ray
+    import ray.data
+
+    from ophois_ray import datagen
+
+    # spawn + import-warm the full worker pool: a fresh session pays
+    # ~1-2 s of imports per worker, and a tiny pipeline only spawns a
+    # few workers — the first big task wave would eat the rest inside
+    # the timed section otherwise
+    @ray.remote
+    def _import_warm():
+        import numpy, pandas, pyarrow  # noqa: F401
+
+        import ophois_ray.pages  # noqa: F401
+
+        return 0
+
+    ray.get([_import_warm.remote() for _ in range(NUM_CPUS * 2)])
+
+    warm_dir = os.path.join(_cache_dir(sf), "pages_warm")
+    datagen.write_pages(warm_dir, 2000, n_shards=2, seed=7)
+    headline(warm_dir, osm_dir)
+    # OS page cache: actually read the bytes (a Dataset count() only
+    # touches parquet metadata)
+    for f in sorted(os.listdir(pages_dir)):
+        with open(os.path.join(pages_dir, f), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+
+def run_scaling():
+    """Same job, same input, fresh processes at 8 and 32 CPUs.
+
+    The scaling input is 4x the per-round pages table so per-page
+    compute dominates fixed per-process costs — the regime the 100 TB
+    deployment lives in; both levels read the identical files.
+    """
+    import subprocess
+
+    sf = _sf_of(SF_DIR)
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            OPHOIS_BENCH_HEADLINE_ONLY="1",
+            OPHOIS_BENCH_SCALING_MULT="4",
+            OPHOIS_BENCH_REPEATS="3",  # min-of-3 filters host interference
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "sf": sf,
+                "pages": results[32]["pages"],
+                "sec_8": t8,
+                "sec_32": t32,
+                "runs_8": results[8].get("runs"),
+                "runs_32": results[32].get("runs"),
+                "pages_per_sec_8": results[8]["pages_per_sec"],
+                "pages_per_sec_32": results[32]["pages_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+def run_headline_only() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sf = _sf_of(SF_DIR)
+    mult = int(os.environ.get("OPHOIS_BENCH_SCALING_MULT", "1"))
+    repeats = int(os.environ.get("OPHOIS_BENCH_REPEATS", "1"))
+    tag = "pages" if mult == 1 else f"pages{mult}x"
+    pages_dir, osm_dir, n_pages = prepare_inputs(sf, mult=mult, tag=tag)
+    _warmup(sf, osm_dir, pages_dir)
+    runs = [headline(pages_dir, osm_dir)["sec"] for _ in range(repeats)]
+    best = min(runs)
+    out = {
+        "metric": "headline only",
+        "value": round(best, 3),
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / best, 1),
+        "runs": [round(r, 3) for r in runs],
+    }
+    ray.shutdown()
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif os.environ.get("OPHOIS_BENCH_HEADLINE_ONLY"):
+        print(json.dumps(run_headline_only()))
+    else:
+        print(json.dumps(run_bench()))

@@ -138,12 +138,14 @@ def connected_components_labelprop(nodes, edges, max_rounds: int = 50, num_bucke
             lambda df: pd.DataFrame({"id": df["dst"], "comp": df["comp"]}),
             batch_format="pandas",
         )
-        new_labels = (
-            labels.union(msgs)
-            .groupby("id")
-            .aggregate(Min("comp", alias_name="comp"))
-            .materialize()
-        )
+        from .joins import grouped_apply
+
+        new_labels = grouped_apply(
+            labels.union(msgs),
+            "id",
+            lambda df: df.groupby("id", as_index=False)["comp"].min(),
+            num_buckets=num_buckets,
+        ).materialize()
         new_sig = signature(new_labels)
         labels = new_labels
         if new_sig == sig:

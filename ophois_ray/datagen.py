@@ -92,8 +92,16 @@ def generate_pages_shard(
     *,
     dup_frac: float = 0.01,
     no_coord_frac: float = 0.03,
+    n_paragraphs: int = 1,
+    words_per_paragraph: int = 12,
 ) -> pa.Table:
-    """One deterministic shard of the pages table."""
+    """One deterministic shard of the pages table.
+
+    ``n_paragraphs`` x ``words_per_paragraph`` sizes the html body —
+    tests use the small default; benches use ~20 x 60 for realistic
+    Common-Crawl-ish page weights (~10 KB) so per-page compute, not
+    fixed overhead, dominates throughput measurements.
+    """
     rng = np.random.RandomState(seed + shard)
     base = shard * n_rows
     idx = np.arange(base, base + n_rows)
@@ -109,12 +117,24 @@ def generate_pages_shard(
     lat, lon, has = _coords_for(rng, n_rows, no_coord_frac)
     langs = LANGS[rng.randint(0, len(LANGS), n_rows)]
 
+    # one vectorized draw for every body word in the shard
+    wpp = words_per_paragraph
+    word_idx = rng.randint(0, len(_WORDS), size=(n_rows, n_paragraphs, wpp))
+    tmpl_idx = rng.randint(0, len(_TEMPLATES), n_rows)
+    noise_n = rng.randint(0, 10**6, n_rows)
+    title_idx = rng.randint(0, len(_WORDS), size=(n_rows, 3))
+    words_flat = _WORDS[word_idx]
+
     htmls = []
     for i in range(n_rows):
-        t = _TEMPLATES[int(rng.randint(0, len(_TEMPLATES)))]
-        body = " ".join(_WORDS[rng.randint(0, len(_WORDS), 12)])
-        title = " ".join(_WORDS[rng.randint(0, len(_WORDS), 3)])
-        noise = f"n{int(rng.randint(0, 10**6))}"
+        t = _TEMPLATES[int(tmpl_idx[i])]
+        paras = words_flat[i]
+        if n_paragraphs == 1:
+            body = " ".join(paras[0])
+        else:
+            body = "</p><p>".join(" ".join(p) for p in paras)
+        title = " ".join(_WORDS[title_idx[i]])
+        noise = f"n{int(noise_n[i])}"
         coords_p = (
             f"<p>location coords {lat[i]:.7f},{lon[i]:.7f} here</p>" if has[i] else ""
         )

@@ -17,7 +17,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ray.data.aggregate import Min
 
 from .joins import BroadcastIndex, stable_hash
 
@@ -38,12 +37,16 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pd.DataFrame({"content_hash": h, "keep_id": df[id_col], "n": 1})
 
     hashed = ds.map_batches(hash_batch, batch_format="pandas")
-    from ray.data.aggregate import Count
+    from .joins import grouped_apply
 
-    return (
-        hashed.groupby("content_hash")
-        .aggregate(Min("keep_id", alias_name="keep_id"), Count(alias_name="n_copies"))
-    )
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("content_hash", as_index=False).agg(
+            keep_id=("keep_id", "min"), n_copies=("n", "sum")
+        )
+        g["n_copies"] = g["n_copies"].astype(np.int64)
+        return g
+
+    return grouped_apply(hashed, "content_hash", agg)
 
 
 def exact_dedup_filter(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -150,18 +153,22 @@ def minhash_lsh_candidates(
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    cand = banded.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    from .joins import grouped_apply
 
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [pairs(g) for _, g in df.groupby(["band", "bucket"], sort=False)]
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pairs(df)
+        )
 
-    from ray.data.aggregate import Count
-
-    return (
-        cand.map_batches(dedup_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
+    cand = grouped_apply(banded, ["band", "bucket"], bucket_pairs, num_buckets=32)
+    return grouped_apply(
+        cand,
+        ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(),
+        drop_partial=lambda df: df.drop_duplicates(),
     )
 
 
@@ -309,7 +316,13 @@ def simhash_near_dup_pairs(
         m = ham <= max_hamming
         return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m], "hamming": ham[m]})
 
-    out = banded.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas").to_pandas()
+    from .joins import grouped_apply
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [pairs(g) for _, g in df.groupby(["band", "bucket"], sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else pairs(df)
+
+    out = grouped_apply(banded, ["band", "bucket"], bucket_pairs, num_buckets=32).to_pandas()
     return out.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -368,5 +381,11 @@ def embedding_near_dup_pairs(
         m = cs >= threshold
         return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m], "cosine": cs[m]})
 
-    out = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
+    from .joins import grouped_apply
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [pairs(g) for _, g in df.groupby("bucket", sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else pairs(df)
+
+    out = grouped_apply(bucketed, "bucket", bucket_pairs, num_buckets=32).to_pandas()
     return out.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)

@@ -20,10 +20,8 @@ import os
 import numpy as np
 import pandas as pd
 
-from ray.data.aggregate import Count, Min, Sum
-
 from . import geo
-from .joins import DEFAULT_BROADCAST_CAP, hash_join, put_index
+from .joins import DEFAULT_BROADCAST_CAP, grouped_apply, hash_join, put_index
 
 # ------------------------------------------------------------------ dedup
 
@@ -65,7 +63,11 @@ def dedup_nodes(nodes):
         )
 
     packed = nodes.map_batches(pack, batch_format="pandas")
-    mins = packed.groupby("id").aggregate(Min("packed", alias_name="packed"))
+    mins = grouped_apply(
+        packed,
+        "id",
+        lambda df: df.groupby("id", as_index=False)["packed"].min(),
+    )
     return mins.map_batches(unpack, batch_format="pandas")
 
 
@@ -96,17 +98,12 @@ def dedup_edges(edges, *, canonicalize: bool = True):
     """
     if canonicalize:
         edges = canonicalize_edges(edges)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["u", "v"]].drop_duplicates()
-
-    distinct = (
-        edges.map_batches(partial, batch_format="pandas")
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
+    return grouped_apply(
+        edges,
+        ["u", "v"],
+        lambda df: df[["u", "v"]].drop_duplicates(),
+        drop_partial=lambda df: df[["u", "v"]].drop_duplicates(),
     )
-    return distinct
 
 
 # ---------------------------------------------------------------- degrees
@@ -121,23 +118,32 @@ def node_degrees(edges):
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         ids = np.concatenate([df["u"].to_numpy(object), df["v"].to_numpy(object)])
         vc = pd.Series(ids).value_counts()
-        return pd.DataFrame({"id": vc.index.to_numpy(object), "cnt": vc.to_numpy()})
+        return pd.DataFrame(
+            {"id": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)}
+        )
 
     partials = edges.map_batches(explode, batch_format="pandas")
-    return (
-        partials.groupby("id")
-        .aggregate(Sum("cnt", alias_name="degree"))
-    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("id", as_index=False)["cnt"].sum()
+        return g.rename(columns={"cnt": "degree"}).astype({"degree": np.int64})
+
+    return grouped_apply(partials, "id", merge)
 
 
 def degree_histogram(nodes, edges) -> dict[int, int]:
     """M2: degree -> node count, including degree-0 isolates (nodes with
     no incident edge). Histogram is tiny -> assembled on the driver."""
     deg = node_degrees(edges)
-    hist_ds = deg.groupby("degree").aggregate(Count(alias_name="n_nodes"))
-    hist = {
-        int(r["degree"]): int(r["n_nodes"]) for r in hist_ds.iter_rows()
-    }
+
+    def vc(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["degree"].value_counts()
+        return pd.DataFrame({"degree": c.index.to_numpy(np.int64), "n": c.to_numpy(np.int64)})
+
+    hist: dict[int, int] = {}
+    for batch in deg.map_batches(vc, batch_format="pandas").iter_batches(batch_format="pandas"):
+        for d, n in zip(batch["degree"], batch["n"]):
+            hist[int(d)] = hist.get(int(d), 0) + int(n)
     n_nodes = nodes.count()
     n_with_edges = sum(hist.values())
     isolates = n_nodes - n_with_edges
@@ -255,14 +261,18 @@ def length_histogram(edges, nodes, **attach_kw) -> dict[int, int]:
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         b = df["length_m"].to_numpy().astype(np.int64)  # trunc toward zero (>=0)
         vc = pd.Series(b).value_counts()
-        return pd.DataFrame({"bucket": vc.index.to_numpy(), "cnt": vc.to_numpy()})
+        return pd.DataFrame(
+            {"bucket": vc.index.to_numpy(np.int64), "cnt": vc.to_numpy(np.int64)}
+        )
 
-    hist_ds = (
-        withc.map_batches(bucketize, batch_format="pandas")
-        .groupby("bucket")
-        .aggregate(Sum("cnt", alias_name="n_edges"))
-    )
-    return {int(r["bucket"]): int(r["n_edges"]) for r in hist_ds.iter_rows()}
+    # histograms are tiny: merge the per-batch partials on the driver
+    hist: dict[int, int] = {}
+    for batch in (
+        withc.map_batches(bucketize, batch_format="pandas").iter_batches(batch_format="pandas")
+    ):
+        for b, n in zip(batch["bucket"], batch["cnt"]):
+            hist[int(b)] = hist.get(int(b), 0) + int(n)
+    return hist
 
 
 # ---------------------------------------------------------------- metrics

@@ -1,0 +1,173 @@
+"""Composed end-to-end pipelines (SURVEY.md §3 engine lifecycle).
+
+- build_graph: OSM XML -> deduped (nodes, edges) with dangling-edge policy
+- simplify_graph / discretize_graph: the reference pipeline stages
+- pages_from_documents: deterministic pages table (input_hint schema)
+  derived from the driver's ``documents`` testdata — url/warc_ts/html/
+  text/lang with hotspot-skewed coordinates embedded in the html
+- flagship: the north-star pipeline — build street graph, clean pages
+  (extract -> geotag -> dedup), kNN-snap pages to nearest edge
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from . import components, discretize as _discretize, graphops, osm, pages, spatial
+from .datagen import HOTSPOTS
+
+
+def build_graph(osm_path, *, drop_dangling: bool = True):
+    """read OSM -> dedup nodes/edges -> (nodes, edges_with_coords)."""
+    nodes, edges = osm.read_osm_xml(osm_path)
+    nodes = graphops.dedup_nodes(nodes).materialize()
+    edges = graphops.dedup_edges(edges)
+    ewc = graphops.attach_coords(edges, nodes, drop_dangling=drop_dangling).materialize()
+    return nodes, ewc
+
+
+def build_graph_local(osm_path) -> pd.DataFrame:
+    """Small-side fast path: parse the OSM shards on the driver into a
+    coord-attached canonical edge DataFrame (u, v, u_lat..v_lon).
+
+    The street graph is the BROADCAST side of the pages join — per tile
+    it is bounded (a city ~1e5-1e6 edges), so driver assembly + object
+    store broadcast is the right shape; the distributed build_graph
+    covers graphs beyond driver memory. Semantics identical to
+    build_graph (first-wins node dedup, canonical edge dedup, dangling
+    edges dropped)."""
+    files = (
+        [os.path.join(osm_path, f) for f in sorted(os.listdir(osm_path)) if f.endswith(".osm")]
+        if os.path.isdir(osm_path)
+        else [osm_path]
+    )
+    ids, lats, lons, us, vs = [], [], [], [], []
+    for path in files:
+        text = open(path, encoding="utf-8").read()
+        for el in osm.format_elements(text):
+            if el.startswith("<node"):
+                m = osm._NODE_RE.search(el)
+                if m:
+                    ids.append(m.group(1))
+                    lats.append(m.group(2))
+                    lons.append(m.group(3))
+            elif el.startswith("<way"):
+                refs = osm._ND_REF_RE.findall(el)
+                us.extend(refs[:-1])
+                vs.extend(refs[1:])
+    nodes = pd.DataFrame({"id": ids, "lat_str": lats, "lon_str": lons})
+    nodes = nodes.drop_duplicates(subset=["id"], keep="first")
+    nodes["lat"] = nodes["lat_str"].astype(np.float64)
+    nodes["lon"] = nodes["lon_str"].astype(np.float64)
+    e = pd.DataFrame({"u": us, "v": vs})
+    swap = e["u"] > e["v"]
+    e.loc[swap, ["u", "v"]] = e.loc[swap, ["v", "u"]].to_numpy()
+    e = e[e["u"] != e["v"]].drop_duplicates()
+    coords = nodes.set_index("id")
+    e = e[e["u"].isin(coords.index) & e["v"].isin(coords.index)]  # drop dangling
+    e["u_lat"] = coords["lat"].reindex(e["u"]).to_numpy()
+    e["u_lon"] = coords["lon"].reindex(e["u"]).to_numpy()
+    e["v_lat"] = coords["lat"].reindex(e["v"]).to_numpy()
+    e["v_lon"] = coords["lon"].reindex(e["v"]).to_numpy()
+    return e.reset_index(drop=True)
+
+
+def simplify_graph(nodes, edges, delta: float, *, metrics_dir: str | None = None):
+    n2, e2 = components.simplify(nodes, edges, delta)
+    if metrics_dir:
+        graphops.emit_metrics(n2, e2, f"simplify={delta}", metrics_dir)
+    return n2, e2
+
+
+def discretize_graph(nodes, edges, delta: float, *, metrics_dir: str | None = None):
+    n2, e2 = _discretize.discretize(nodes, edges, delta)
+    if metrics_dir:
+        n2, e2 = n2.materialize(), e2.materialize()
+        graphops.emit_metrics(n2, e2, f"discretize={delta}", metrics_dir)
+    return n2, e2
+
+
+_PAGE_TEMPLATE = (
+    "<html><head><title>doc {doc_id}</title><script>var t=1;</script></head>"
+    "<body><p>{text}</p><p>location coords {lat},{lon} here</p></body></html>"
+)
+
+
+def pages_from_documents(sf_dir: str):
+    """Derive a pages table of exactly the input_hint shape from the
+    driver's documents.parquet, deterministically: coordinates come from
+    a seeded per-doc hash placed around the datagen hotspots (Zipf-ish
+    skew), ~1/32 of docs get no coordinates."""
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def to_pages(df: pd.DataFrame) -> pd.DataFrame:
+        doc_id = df["doc_id"].to_numpy(np.int64)
+        h = (doc_id * np.int64(2654435761)) % np.int64(2**31)
+        spot = h % 4  # 3 hotspots + background band
+        base = np.array([(la, lo) for la, lo, _ in HOTSPOTS] + [(46.0, 3.0)])
+        lat0 = base[spot, 0]
+        lon0 = base[spot, 1]
+        lat = lat0 + ((h // 7) % 1000) / 1000.0 * 0.02 - 0.01
+        lon = lon0 + ((h // 11) % 1000) / 1000.0 * 0.03 - 0.015
+        has = (h % 32) != 0
+        htmls = []
+        for i in range(len(df)):
+            if has[i]:
+                body = _PAGE_TEMPLATE.format(
+                    doc_id=doc_id[i], text=df["text"].iloc[i],
+                    lat=f"{lat[i]:.7f}", lon=f"{lon[i]:.7f}",
+                )
+            else:
+                body = (
+                    f"<html><body><p>{df['text'].iloc[i]}</p></body></html>"
+                )
+            htmls.append(body.encode())
+        import pyarrow as pa
+
+        ts = (np.int64(1_600_000_000_000_000) + doc_id * 1_000_000).astype("datetime64[us]")
+        return pa.table(
+            {
+                "url": pa.array([f"doc://{d}" for d in doc_id], type=pa.string()),
+                "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+                "html": pa.array(htmls, type=pa.binary()),
+                "text": pa.array(
+                    [pages.oracle_extract_text(b) for b in htmls], type=pa.string()
+                ),
+                "lang": pa.array(df["lang"].to_numpy(object), type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(to_pages, batch_format="pandas")
+
+
+def flagship(sf_dir: str, *, res: int = 11, ring: int = 1, delta: float | None = None):
+    """The headline pipeline: synthetic city street graph (around the
+    pages hotspots) + pages clean-up + kNN snap of every geotagged page
+    to its nearest street edge. Returns the snapped Dataset."""
+    import tempfile
+
+    osm_dir = os.path.join(tempfile.gettempdir(), "ophois_ray_flagship_osm")
+    if not os.path.isdir(osm_dir) or not os.listdir(osm_dir):
+        os.makedirs(osm_dir, exist_ok=True)
+        for i, (hlat, hlon, _) in enumerate(HOTSPOTS):
+            xml, _, _ = osm.synthetic_city(
+                seed=100 + i, center_lat=hlat, center_lon=hlon, grid=14,
+                spacing_deg=0.0015,
+            )
+            xml = xml.replace('id="1', f'id="{i + 1}1').replace('ref="1', f'ref="{i + 1}1')
+            xml = xml.replace('id="9', f'id="{i + 1}9').replace('ref="9', f'ref="{i + 1}9')
+            xml = xml.replace('id="8', f'id="{i + 1}8').replace('ref="8', f'ref="{i + 1}8')
+            with open(os.path.join(osm_dir, f"city_{i}.osm"), "w", encoding="utf-8") as f:
+                f.write(xml)
+    nodes, ewc = build_graph(osm_dir)
+    pg = pages_from_documents(sf_dir).materialize()
+    pg = pages.dedup_pages(pg)
+    pg = pages.extract_text(pg, concurrency=4)  # actor-pool re-extract (P6)
+    pg = pages.filter_geotagged(pages.geotag(pg)).select_columns(["url", "lat", "lon"])
+    snapped, lineage = spatial.knn_snap_broadcast(pg, ewc, res=res, ring=ring)
+    return snapped

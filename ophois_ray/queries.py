@@ -1,0 +1,689 @@
+"""Driver-contract query catalog: every operator family from SURVEY.md
+§2 expressed over the driver's TPC-H-ish testdata tables, each paired
+(where SQL-expressible) with a DuckDB oracle statement that mirrors the
+engine's arithmetic op-for-op so value hashes match bit-exactly.
+
+Numeric-parity rules used throughout (documented divergences none):
+- outputs are int64 / strings wherever possible; float results appear
+  only where both sides compute them with identical IEEE op order,
+- libm-variant functions (sin/cos/atan2) only feed coarse integer
+  buckets (100 km), never raw float outputs,
+- nearest-neighbour ranking uses planar squared distance (exact ops)
+  with (dist, id) tiebreaks, never haversine.
+
+Synthetic coordinates for graph/spatial queries are derived from
+integer keys: lat(k, a) = CAST(k*a % 180 AS DOUBLE) - 90.0 + 0.25 and
+lon(k, b) likewise over 360 — integer modulo then exactly-rounded float
+ops, bit-identical in numpy and DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ray.data.aggregate import Count, Min, Sum
+
+from . import cells, geo, graphops
+from .joins import BroadcastIndex
+
+RES_ASSIGN = 12
+RES_JOIN = 6
+
+
+def _t(sf_dir: str, name: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _coords_from_key(k: np.ndarray, a: int, b: int):
+    lat = (k * a % 180).astype(np.float64) - 90.0 + 0.25
+    lon = (k * b % 360).astype(np.float64) - 180.0 + 0.25
+    return lat, lon
+
+
+def _sql_coords(key: str, a: int, b: int) -> tuple[str, str]:
+    return (
+        f"CAST({key} * {a} % 180 AS DOUBLE) - 90.0 + 0.25",
+        f"CAST({key} * {b} % 360 AS DOUBLE) - 180.0 + 0.25",
+    )
+
+
+# --------------------------------------------------------------- graph ops
+
+
+def q_edge_dedup(sf_dir: str):
+    """D2 canonical edge dedup with multiplicity over lineitem pairs."""
+    li = _t(sf_dir, "lineitem").select_columns(["l_partkey", "l_suppkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": df["l_partkey"].astype(str).to_numpy(object),
+                "v": df["l_suppkey"].astype(str).to_numpy(object),
+            }
+        )
+
+    edges = graphops.canonicalize_edges(li.map_batches(to_edges, batch_format="pandas"))
+    from .joins import grouped_apply
+
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["u", "v"], as_index=False).size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return grouped_apply(edges, ["u", "v"], count_pairs)
+
+
+SQL_EDGE_DEDUP = """
+SELECT least(CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR)) AS u,
+       greatest(CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR)) AS v,
+       count(*) AS n
+FROM lineitem
+WHERE CAST(l_partkey AS VARCHAR) != CAST(l_suppkey AS VARCHAR)
+GROUP BY 1, 2
+"""
+
+
+def q_node_first_wins(sf_dir: str):
+    """D1 first-wins dedup semantics: min sequence key per node id."""
+    orders = _t(sf_dir, "orders").select_columns(["o_custkey", "o_orderkey"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"o_custkey": "id", "o_orderkey": "first_key"})
+
+    from .joins import grouped_apply
+
+    return grouped_apply(
+        orders.map_batches(prep, batch_format="pandas"),
+        "id",
+        lambda df: df.groupby("id", as_index=False)["first_key"].min(),
+    )
+
+
+SQL_NODE_FIRST_WINS = (
+    "SELECT o_custkey AS id, min(o_orderkey) AS first_key FROM orders GROUP BY o_custkey"
+)
+
+
+def q_degree_histogram(sf_dir: str):
+    """M2 degree histogram over the distinct canonical lineitem graph."""
+    edges = graphops.dedup_edges(
+        _t(sf_dir, "lineitem").map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "u": df["l_partkey"].astype(str).to_numpy(object),
+                    "v": df["l_suppkey"].astype(str).to_numpy(object),
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+    deg = graphops.node_degrees(edges)
+    return deg.groupby("degree").aggregate(Count(alias_name="n_nodes"))
+
+
+SQL_DEGREE_HISTOGRAM = """
+WITH e AS (
+  SELECT DISTINCT least(CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR)) AS u,
+                  greatest(CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR)) AS v
+  FROM lineitem
+  WHERE CAST(l_partkey AS VARCHAR) != CAST(l_suppkey AS VARCHAR)
+), arcs AS (SELECT u AS id FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT id, count(*) AS degree FROM arcs GROUP BY id)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+# -------------------------------------------------------------- cell index
+
+
+def q_cell_assign(sf_dir: str):
+    """Point-in-cell assignment at res 12 over synthetic customer coords."""
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 7, 13)
+        return pd.DataFrame({"c_custkey": k, "cell": cells.cell_of(lat, lon, RES_ASSIGN)})
+
+    return cust.map_batches(fn, batch_format="pandas")
+
+
+def _sql_cell_assign() -> str:
+    lat, lon = _sql_coords("c_custkey", 7, 13)
+    expr = cells.oracle_sql_cell_expr(lat, lon, RES_ASSIGN)
+    return f"SELECT c_custkey, {expr} AS cell FROM customer"
+
+
+def q_cell_hist_topk(sf_dir: str):
+    """Hot-cell report: top 20 cells by point count at res 6."""
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 7, 13)
+        return pd.DataFrame({"cell": cells.cell_of(lat, lon, RES_JOIN)})
+
+    hist = (
+        cust.map_batches(fn, batch_format="pandas")
+        .groupby("cell")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return (
+        hist.sort_values(["n", "cell"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+def _sql_cell_hist_topk() -> str:
+    lat, lon = _sql_coords("c_custkey", 7, 13)
+    expr = cells.oracle_sql_cell_expr(lat, lon, RES_JOIN)
+    return (
+        f"SELECT cell, count(*) AS n FROM (SELECT {expr} AS cell FROM customer) "
+        f"GROUP BY cell ORDER BY n DESC, cell LIMIT 20"
+    )
+
+
+# ------------------------------------------------------------ joins / snap
+
+
+def q_spatial_cell_join(sf_dir: str):
+    """Cell-to-cell equi-join: customer x supplier pairs per shared res-6
+    cell (the hash-partitioned spatial join shape)."""
+    from .joins import hash_join
+
+    def cust_cells(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 7, 13)
+        return pd.DataFrame({"cell": cells.cell_of(lat, lon, RES_JOIN), "c_custkey": k})
+
+    def supp_cells(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["s_suppkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 11, 17)
+        return pd.DataFrame({"cell": cells.cell_of(lat, lon, RES_JOIN), "s_suppkey": k})
+
+    c = _t(sf_dir, "customer").select_columns(["c_custkey"]).map_batches(
+        cust_cells, batch_format="pandas"
+    )
+    s = _t(sf_dir, "supplier").select_columns(["s_suppkey"]).map_batches(
+        supp_cells, batch_format="pandas"
+    )
+    joined = hash_join(c, s, "cell", num_buckets=16)
+    return joined.groupby("cell").aggregate(Count(alias_name="n_pairs"))
+
+
+def _sql_spatial_cell_join() -> str:
+    clat, clon = _sql_coords("c_custkey", 7, 13)
+    slat, slon = _sql_coords("s_suppkey", 11, 17)
+    cexpr = cells.oracle_sql_cell_expr(clat, clon, RES_JOIN)
+    sexpr = cells.oracle_sql_cell_expr(slat, slon, RES_JOIN)
+    return f"""
+WITH c AS (SELECT {cexpr} AS cell FROM customer),
+     s AS (SELECT {sexpr} AS cell FROM supplier)
+SELECT c.cell AS cell, count(*) AS n_pairs FROM c JOIN s ON c.cell = s.cell GROUP BY 1
+"""
+
+
+def q_nn_snap_planar(sf_dir: str):
+    """Nearest supplier per customer by planar squared distance
+    (broadcast small side; ties -> smallest s_suppkey)."""
+    supp = _t(sf_dir, "supplier").select_columns(["s_suppkey"]).to_pandas()
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    slat, slon = _coords_from_key(sk, 11, 17)
+
+    import ray
+
+    ref = ray.put((sk, slat, slon))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        s_ids, s_lat, s_lon = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        k = df["c_custkey"].to_numpy(np.int64)
+        clat, clon = _coords_from_key(k, 7, 13)
+        dlat = clat[:, None] - s_lat[None, :]
+        dlon = clon[:, None] - s_lon[None, :]
+        sq = dlat * dlat + dlon * dlon
+        best = np.argmin(sq, axis=1)  # first min = smallest id (pre-sorted)
+        return pd.DataFrame({"c_custkey": k, "nn_suppkey": s_ids[best]})
+
+    return _t(sf_dir, "customer").select_columns(["c_custkey"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def _sql_nn_snap_planar() -> str:
+    clat, clon = _sql_coords("c_custkey", 7, 13)
+    slat, slon = _sql_coords("s_suppkey", 11, 17)
+    return f"""
+WITH d AS (
+  SELECT c_custkey, s_suppkey,
+         (({clat}) - ({slat})) * (({clat}) - ({slat}))
+       + (({clon}) - ({slon})) * (({clon}) - ({slon})) AS sq
+  FROM customer CROSS JOIN supplier
+), r AS (
+  SELECT c_custkey, s_suppkey,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY sq, s_suppkey) AS rn
+  FROM d
+)
+SELECT c_custkey, s_suppkey AS nn_suppkey FROM r WHERE rn = 1
+"""
+
+
+def q_haversine_km_hist(sf_dir: str):
+    """G1 haversine over synthetic coords -> 100 km histogram (coarse
+    integer buckets so libm 1-ulp variance cannot flip a bucket on this
+    data — verified empirically)."""
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 7, 13)
+        d = geo.haversine_m(lat, lon, 48.0, 2.0)
+        vc = pd.Series((d / 100000.0).astype(np.int64)).value_counts()
+        return pd.DataFrame({"bucket": vc.index.to_numpy(), "cnt": vc.to_numpy()})
+
+    return (
+        cust.map_batches(fn, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+
+
+def _sql_haversine_km_hist() -> str:
+    lat, lon = _sql_coords("c_custkey", 7, 13)
+    return f"""
+WITH pts AS (SELECT {lat} AS lat, {lon} AS lon FROM customer),
+h AS (
+  SELECT sin(radians(48.0 - lat) / 2.0) * sin(radians(48.0 - lat) / 2.0)
+       + sin(radians(2.0 - lon) / 2.0) * sin(radians(2.0 - lon) / 2.0)
+         * cos(radians(lat)) * cos(radians(48.0)) AS a
+  FROM pts
+)
+SELECT CAST(FLOOR(6371008.7714 * 2.0 * atan2(sqrt(a), sqrt(1.0 - a)) / 100000.0) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM h GROUP BY bucket
+"""
+
+
+# ----------------------------------------------------------- aggregations
+
+
+def q_q1_returnflag(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with per-batch partial combine."""
+    li = _t(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", lambda s: int(s.astype(np.int64).sum())),
+            n=("l_quantity", "size"),
+        )
+        g["sum_qty"] = g["sum_qty"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n", alias_name="n"))
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_join_cust_nation_region(sf_dir: str):
+    """Broadcast dimension join chain -> customers per region."""
+    nation = _t(sf_dir, "nation").to_pandas()
+    region = _t(sf_dir, "region").to_pandas()
+    nmap = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    import ray
+
+    ref = ray.put(
+        BroadcastIndex(
+            nmap["n_nationkey"].to_numpy(np.int64),
+            {"r_name": nmap["r_name"].to_numpy(object)},
+        )
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        idx = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        rn = idx.lookup(df["c_nationkey"].to_numpy(np.int64), "r_name")
+        vc = pd.Series(rn).value_counts()
+        return pd.DataFrame({"r_name": vc.index.to_numpy(object), "cnt": vc.to_numpy()})
+
+    return (
+        _t(sf_dir, "customer").select_columns(["c_nationkey"])
+        .map_batches(fn, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Sum("cnt", alias_name="n_cust"))
+    )
+
+
+SQL_JOIN_CNR = """
+SELECT r_name, count(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1 h event-time window per event type (streaming-shaped
+    workload expressed as a grouped aggregate; ordering assumption: none
+    needed for counts)."""
+    ev = _t(sf_dir, "events").select_columns(["event_type", "ts", "user_id"])
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        wid = (us // 1000) // 3600000
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "window_id": wid.astype(np.int64),
+             "user_id": df["user_id"]}
+        )
+
+    w = ev.map_batches(windows, batch_format="pandas")
+    from .joins import grouped_apply
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "window_id"], as_index=False).agg(
+            n=("user_id", "size"), n_users=("user_id", "nunique")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    # one shuffle: all rows of a (type, window) group land in one bucket
+    return grouped_apply(w, ["event_type", "window_id"], agg, num_buckets=32)
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type, epoch_ms(ts) // 3600000 AS window_id,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------------------- documents
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    from . import dedup as _dedup
+
+    docs = _t(sf_dir, "documents")
+    distinct = _dedup.exact_dedup(docs)
+    return pd.DataFrame(
+        {"n_total": [docs.count()], "n_unique": [distinct.count()]}
+    ).astype(np.int64)
+
+
+SQL_DOC_EXACT_DEDUP = (
+    "SELECT count(*) AS n_total, count(DISTINCT text) AS n_unique FROM documents"
+)
+
+
+def q_doc_token_count(sf_dir: str):
+    from . import textstats
+
+    return textstats.token_count(_t(sf_dir, "documents")).select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+SQL_DOC_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_lang_counts(sf_dir: str):
+    docs = _t(sf_dir, "documents").select_columns(["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            cnt=("n_chars", "size"), chars=("n_chars", "sum")
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["chars"] = g["chars"].astype(np.int64)
+        return g
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("cnt", alias_name="n"), Sum("chars", alias_name="total_chars"))
+    )
+
+
+SQL_DOC_LANG_COUNTS = """
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_quality_features(sf_dir: str):
+    from . import textstats
+
+    return textstats.quality_features(_t(sf_dir, "documents")).select_columns(
+        ["doc_id", "n_chars_actual", "n_upper", "n_sentenceish"]
+    )
+
+
+SQL_DOC_QUALITY = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+       CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT) AS n_sentenceish
+FROM documents
+"""
+
+
+# -------------------------------------------- rows-only (non-SQL) queries
+
+
+def q_minhash_near_dup(sf_dir: str):
+    from . import dedup as _dedup
+
+    return _dedup.minhash_near_dup_groups(_t(sf_dir, "documents"), threshold=0.8)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from . import dedup as _dedup
+
+    return _dedup.simhash_near_dup_pairs(_t(sf_dir, "documents"), max_hamming=3)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from . import dedup as _dedup
+
+    return _dedup.embedding_near_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.98)
+
+
+def q_embed_topk(sf_dir: str):
+    from . import similarity
+
+    emb = _t(sf_dir, "embeddings")
+    head = emb.take(3)
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in head])
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from . import textstats
+
+    return textstats.fingerprint(_t(sf_dir, "documents")).select_columns(
+        ["doc_id", "doc_hash", "kgram_min"]
+    )
+
+
+def q_lang_id_counts(sf_dir: str):
+    from . import textstats
+
+    return (
+        textstats.lang_id(_t(sf_dir, "documents"))
+        .groupby("lang_pred")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _testdata_graph(sf_dir: str):
+    """Synthetic street-like graph from testdata keys: part/supplier
+    nodes with derived coords, lineitem edges."""
+    li = _t(sf_dir, "lineitem").select_columns(["l_partkey", "l_suppkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": ("p" + df["l_partkey"].astype(str)).to_numpy(object),
+                "v": ("s" + df["l_suppkey"].astype(str)).to_numpy(object),
+            }
+        )
+
+    edges = graphops.dedup_edges(li.map_batches(to_edges, batch_format="pandas"))
+
+    def part_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 7, 13)
+        # squeeze into a city-sized box so delta-based contraction triggers
+        lat = 48.0 + lat / 18000.0
+        lon = 2.0 + lon / 36000.0
+        return pd.DataFrame(
+            {
+                "id": ("p" + df["p_partkey"].astype(str)).to_numpy(object),
+                "lat_str": [repr(x) for x in lat],
+                "lon_str": [repr(x) for x in lon],
+                "lat": lat,
+                "lon": lon,
+                "seq": k,
+            }
+        )
+
+    def supp_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["s_suppkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 11, 17)
+        lat = 48.0 + lat / 18000.0
+        lon = 2.0 + lon / 36000.0
+        return pd.DataFrame(
+            {
+                "id": ("s" + df["s_suppkey"].astype(str)).to_numpy(object),
+                "lat_str": [repr(x) for x in lat],
+                "lon_str": [repr(x) for x in lon],
+                "lat": lat,
+                "lon": lon,
+                "seq": k,
+            }
+        )
+
+    nodes = (
+        _t(sf_dir, "part").select_columns(["p_partkey"])
+        .map_batches(part_nodes, batch_format="pandas")
+        .union(
+            _t(sf_dir, "supplier").select_columns(["s_suppkey"])
+            .map_batches(supp_nodes, batch_format="pandas")
+        )
+    )
+    return nodes.materialize(), edges.materialize()
+
+
+def q_graph_simplify(sf_dir: str):
+    """Full reference simplify over the testdata-derived graph; returns
+    the surviving per-node degrees (deterministic)."""
+    from . import components
+
+    nodes, edges = _testdata_graph(sf_dir)
+    n2, e2 = components.simplify(nodes, edges, 100.0)
+    deg = graphops.node_degrees(e2.materialize()).to_pandas()
+    return deg.sort_values("id").reset_index(drop=True)
+
+
+def q_graph_discretize(sf_dir: str):
+    """Discretize the testdata-derived graph; returns order/size plus
+    interpolated-node count."""
+    from . import discretize as _disc
+
+    nodes, edges = _testdata_graph(sf_dir)
+    n2, e2 = _disc.discretize(nodes, edges, 200.0)
+    n2 = n2.materialize()
+    e2 = e2.materialize()
+    n_interp = n2.map_batches(
+        lambda df: pd.DataFrame({"x": [int(df["id"].astype(str).str.contains(":").sum())]}),
+        batch_format="pandas",
+    ).to_pandas()["x"].sum()
+    return pd.DataFrame(
+        {
+            "n_nodes": [n2.count()],
+            "n_edges": [e2.count()],
+            "n_interpolated": [int(n_interp)],
+        }
+    ).astype(np.int64)
+
+
+def q_knn_pages_snap(sf_dir: str):
+    """The flagship: pages derived from documents kNN-snapped to the
+    synthetic street graph; returns (url, u, v, rank) rows."""
+    from . import pipelines
+
+    return pipelines.flagship(sf_dir).select_columns(["url", "u", "v", "rank"])
+
+
+# -------------------------------------------------------------- catalogs
+
+
+def catalog():
+    return {
+        "edge_dedup": q_edge_dedup,
+        "node_first_wins": q_node_first_wins,
+        "degree_histogram": q_degree_histogram,
+        "cell_assign": q_cell_assign,
+        "cell_hist_topk": q_cell_hist_topk,
+        "spatial_cell_join": q_spatial_cell_join,
+        "nn_snap_planar": q_nn_snap_planar,
+        "haversine_km_hist": q_haversine_km_hist,
+        "q1_returnflag": q_q1_returnflag,
+        "join_cust_nation_region": q_join_cust_nation_region,
+        "events_window": q_events_window,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_count": q_doc_token_count,
+        "doc_lang_counts": q_doc_lang_counts,
+        "doc_quality_features": q_doc_quality_features,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embed_topk": q_embed_topk,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_id_counts": q_lang_id_counts,
+        "graph_simplify": q_graph_simplify,
+        "graph_discretize": q_graph_discretize,
+        "knn_pages_snap": q_knn_pages_snap,
+    }
+
+
+def sql_catalog():
+    return {
+        "edge_dedup": SQL_EDGE_DEDUP,
+        "node_first_wins": SQL_NODE_FIRST_WINS,
+        "degree_histogram": SQL_DEGREE_HISTOGRAM,
+        "cell_assign": _sql_cell_assign(),
+        "cell_hist_topk": _sql_cell_hist_topk(),
+        "spatial_cell_join": _sql_spatial_cell_join(),
+        "nn_snap_planar": _sql_nn_snap_planar(),
+        "haversine_km_hist": _sql_haversine_km_hist(),
+        "q1_returnflag": SQL_Q1,
+        "join_cust_nation_region": SQL_JOIN_CNR,
+        "events_window": SQL_EVENTS_WINDOW,
+        "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+        "doc_token_count": SQL_DOC_TOKEN_COUNT,
+        "doc_lang_counts": SQL_DOC_LANG_COUNTS,
+        "doc_quality_features": SQL_DOC_QUALITY,
+    }

@@ -34,7 +34,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ray.data.aggregate import Count
 
 from . import cells, geo
 from .joins import stable_hash
@@ -55,9 +54,21 @@ def assign_cells(ds, res: int, lat_col: str = "lat", lon_col: str = "lon", out_c
 
 def page_cell_counts(pages_with_cell):
     """cell -> page count (the skew pre-pass; small result)."""
-    return (
-        pages_with_cell.groupby("cell")
-        .aggregate(Count(alias_name="n_pages"))
+    from .joins import grouped_apply
+
+    def vc(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cell"].value_counts()
+        return pd.DataFrame(
+            {"cell": c.index.to_numpy(np.int64), "n_pages": c.to_numpy(np.int64)}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False)["n_pages"].sum()
+        g["n_pages"] = g["n_pages"].astype(np.int64)
+        return g
+
+    return grouped_apply(
+        pages_with_cell.map_batches(vc, batch_format="pandas"), "cell", merge
     )
 
 
@@ -224,7 +235,13 @@ def knn_snap(
             }
         )
 
-    candidates = tagged.groupby("key").map_groups(per_cell, batch_format="pandas")
+    from .joins import grouped_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [per_cell(g) for _, g in df.groupby("key", sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else _empty_candidates()
+
+    candidates = grouped_apply(tagged, "key", per_bucket, num_buckets=64)
 
     if k == 1:
         result = _nearest_packmin(candidates)
@@ -263,7 +280,11 @@ def knn_snap(
             }
         )
 
-    result = candidates.groupby("url").map_groups(topk, batch_format="pandas")
+    def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [topk(g) for _, g in df.groupby("url", sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else topk(df.head(0))
+
+    result = grouped_apply(candidates, "url", topk_bucket, num_buckets=64)
     return result, lineage
 
 
@@ -294,12 +315,12 @@ def _nearest_packmin(candidates):
         ]
         return pd.DataFrame({"url": df["url"], "packed": np.array(packed, dtype=object)})
 
-    from ray.data.aggregate import Min
+    from .joins import grouped_apply
 
-    winners = (
-        candidates.map_batches(pack, batch_format="pandas")
-        .groupby("url")
-        .aggregate(Min("packed", alias_name="packed"))
+    winners = grouped_apply(
+        candidates.map_batches(pack, batch_format="pandas"),
+        "url",
+        lambda df: df.groupby("url", as_index=False)["packed"].min(),
     )
 
     def unpack(df: pd.DataFrame) -> pd.DataFrame:
@@ -361,6 +382,216 @@ def _empty_candidates() -> pd.DataFrame:
             "blon": pd.Series(dtype=np.float64),
         }
     )
+
+
+class _CellEdgeIndex:
+    """CSR index: cell id -> the edges covering it, plus edge coords.
+
+    Built once on the driver from the (small) edge table, shared via the
+    object store; every page batch answers k-ring candidate lookups with
+    two searchsorted calls — zero shuffle.
+    """
+
+    def __init__(self, edges_df: pd.DataFrame, res: int):
+        # sort edges by (u, v) so integer edge rank == lexicographic
+        # tiebreak order (keeps the hot loop free of object-array sorts)
+        edges_df = edges_df.sort_values(["u", "v"], kind="stable").reset_index(drop=True)
+        ei, ce = cells.cells_covering_segment(
+            edges_df["u_lat"].to_numpy(), edges_df["u_lon"].to_numpy(),
+            edges_df["v_lat"].to_numpy(), edges_df["v_lon"].to_numpy(),
+            res,
+        )
+        order = np.argsort(ce, kind="stable")
+        self.cells_sorted = ce[order]
+        self.edge_idx = ei[order]
+        # unique cells + CSR offsets
+        self.ucells, starts = np.unique(self.cells_sorted, return_index=True)
+        self.starts = starts
+        self.ends = np.append(starts[1:], len(self.cells_sorted))
+        self.u = edges_df["u"].to_numpy(object)
+        self.v = edges_df["v"].to_numpy(object)
+        self.alat = edges_df["u_lat"].to_numpy(np.float64)
+        self.alon = edges_df["u_lon"].to_numpy(np.float64)
+        self.blat = edges_df["v_lat"].to_numpy(np.float64)
+        self.blon = edges_df["v_lon"].to_numpy(np.float64)
+        self.res = res
+
+    def candidates(self, page_cells: np.ndarray, ring: int):
+        """(page_row, edge_idx) candidate pairs for each page's k-ring.
+
+        Vectorized over ring OFFSETS ((2r+1)^2 searchsorted passes), not
+        over pages. Pairs may repeat when an edge covers several ring
+        cells of the same page; callers dedup via min-reduction anyway.
+        """
+        res, ix, iy = cells.decode(page_cells)
+        n = (np.int64(1) << res)
+        rows_out = []
+        edges_out = []
+        for dy in range(-ring, ring + 1):
+            for dx in range(-ring, ring + 1):
+                x = (ix + dx) % n
+                y = iy + dy
+                ok = (y >= 0) & (y < n)
+                qcells = cells.encode(res[ok], x[ok], y[ok])
+                rows = np.flatnonzero(ok)
+                pos = np.searchsorted(self.ucells, qcells)
+                pos_c = np.minimum(pos, max(len(self.ucells) - 1, 0))
+                hit = (
+                    (self.ucells[pos_c] == qcells)
+                    if len(self.ucells)
+                    else np.zeros(len(qcells), dtype=bool)
+                )
+                if not hit.any():
+                    continue
+                h_rows = rows[hit]
+                s = self.starts[pos_c[hit]]
+                e = self.ends[pos_c[hit]]
+                counts = e - s
+                pr = np.repeat(h_rows, counts)
+                # ragged gather of slices [s_i, e_i) without a Python loop
+                total = int(counts.sum())
+                if total == 0:
+                    continue
+                base = np.repeat(s, counts)
+                local = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+                rows_out.append(pr)
+                edges_out.append(self.edge_idx[base + local])
+        if not rows_out:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        return np.concatenate(rows_out), np.concatenate(edges_out)
+
+
+#: per-worker-process cache of fetched CellEdgeIndex objects, keyed by
+#: ObjectRef hex — Ray reuses worker processes across tasks, so each
+#: worker pays the (already zero-copy-ish local) fetch once while the
+#: stage scales as elastic stateless tasks with no pool cold-start.
+_INDEX_CACHE: dict = {}
+
+
+def _get_index(index_ref):
+    import ray
+
+    if not isinstance(index_ref, ray.ObjectRef):
+        return index_ref
+    key = index_ref.hex()
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = ray.get(index_ref)
+    return _INDEX_CACHE[key]
+
+
+class _BroadcastSnapper:
+    """Snap kernel for the broadcast kNN path (k=1); used as a stateless
+    map_batches function via functools.partial (see knn_snap_broadcast)."""
+
+    def __init__(self, index_ref, ring: int, res: int):
+        self.idx = _get_index(index_ref)
+        self.ring = ring
+        self.res = res
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        idx = self.idx
+        plat = df["lat"].to_numpy(np.float64)
+        plon = df["lon"].to_numpy(np.float64)
+        pcells = cells.cell_of(plat, plon, self.res)
+        rows, eidx = idx.candidates(pcells, self.ring)
+        if len(rows) == 0:
+            return _empty_snap()
+        sq = geo.point_segment_sqdist(
+            plat[rows], plon[rows],
+            idx.alat[eidx], idx.alon[eidx], idx.blat[eidx], idx.blon[eidx],
+        )
+        # per-page min with deterministic (sqdist, u, v) tiebreak: edges
+        # are pre-sorted by (u, v) so the integer index IS the tiebreak
+        order = np.lexsort((eidx, sq, rows))
+        r_s, e_s, sq_s = rows[order], eidx[order], sq[order]
+        first = np.ones(len(r_s), dtype=bool)
+        first[1:] = r_s[1:] != r_s[:-1]
+        r_f, e_f, sq_f = r_s[first], e_s[first], sq_s[first]
+        # closest point -> haversine metres
+        alat, alon = idx.alat[e_f], idx.alon[e_f]
+        blat, blon = idx.blat[e_f], idx.blon[e_f]
+        dlat, dlon = blat - alat, blon - alon
+        seg_sq = dlat * dlat + dlon * dlon
+        num = (plat[r_f] - alat) * dlat + (plon[r_f] - alon) * dlon
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(seg_sq > 0, num / np.where(seg_sq > 0, seg_sq, 1.0), 0.0)
+        t = np.clip(t, 0.0, 1.0)
+        dist_m = geo.haversine_m(plat[r_f], plon[r_f], alat + t * dlat, alon + t * dlon)
+        return pd.DataFrame(
+            {
+                "url": df["url"].to_numpy(object)[r_f],
+                "lat": plat[r_f],
+                "lon": plon[r_f],
+                "cell": pcells[r_f],
+                "u": idx.u[e_f],
+                "v": idx.v[e_f],
+                "sqdist": sq_f,
+                "dist_m": np.asarray(dist_m, dtype=np.float64).reshape(-1),
+                "rank": np.int64(0),
+            }
+        )
+
+
+def _empty_snap() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "url": pd.Series(dtype=object), "lat": pd.Series(dtype=np.float64),
+            "lon": pd.Series(dtype=np.float64), "cell": pd.Series(dtype=np.int64),
+            "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
+            "sqdist": pd.Series(dtype=np.float64), "dist_m": pd.Series(dtype=np.float64),
+            "rank": pd.Series(dtype=np.int64),
+        }
+    )
+
+
+def knn_snap_broadcast(
+    pages,
+    edges_with_coords,
+    *,
+    res: int,
+    ring: int = 1,
+    concurrency: int = 8,
+    batch_size: int = 8192,
+    edge_cap: int = 20_000_000,
+):
+    """Zero-shuffle nearest-edge snap: the edge table (the small side of
+    a pages x street-graph join at any realistic scale — bounded per
+    tile) is built into a broadcast cell->edges CSR index; each page
+    batch resolves its k-ring candidates with vectorized searchsorted
+    and reduces to the nearest edge in-batch. Same semantics as
+    knn_snap(k=1); use knn_snap when the edge side exceeds ``edge_cap``.
+
+    Returns (result_ds, lineage).
+    """
+    if isinstance(edges_with_coords, pd.DataFrame):
+        edges_df = edges_with_coords[["u", "v", "u_lat", "u_lon", "v_lat", "v_lon"]]
+    else:
+        from .joins import _dataset_to_table
+
+        edges_df = _dataset_to_table(
+            edges_with_coords, ["u", "v", "u_lat", "u_lon", "v_lat", "v_lon"]
+        ).to_pandas()
+    if len(edges_df) > edge_cap:
+        raise ValueError(f"edge side {len(edges_df)} > cap {edge_cap}; use knn_snap")
+    index = _CellEdgeIndex(edges_df, res)
+    import ray
+
+    ref = ray.put(index)
+    lineage = {
+        "res": res,
+        "ring": ring,
+        "k": 1,
+        "strategy": "broadcast",
+        "n_edges": int(len(edges_df)),
+        "n_edge_cells": int(len(index.ucells)),
+    }
+    def snap_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return _BroadcastSnapper(ref, ring, res)(df)
+
+    result = pages.map_batches(
+        snap_batch, batch_format="pandas", batch_size=batch_size
+    )
+    return result, lineage
 
 
 def cell_join_counts(pages, res: int):

@@ -175,6 +175,29 @@ def test_knn_snap_salting_exercised(snap_inputs):
     assert (a["u"] == b["u"]).all() and (a["v"] == b["v"]).all()
 
 
+def test_knn_broadcast_matches_shuffle(snap_inputs):
+    # the zero-shuffle broadcast path must agree with the co-group path
+    # and with brute force at full coverage
+    pg_ds, eg_ds, eg = snap_inputs
+    b, lin = spatial.knn_snap_broadcast(pg_ds, eg_ds, res=5, ring=1)
+    assert lin["strategy"] == "broadcast"
+    got = b.to_pandas().sort_values("url").reset_index(drop=True)
+    exp = _brute_force_nn(pg_ds.to_pandas(), eg).sort_values("url").reset_index(drop=True)
+    assert len(got) == len(exp)
+    merged = got.merge(exp, on="url", suffixes=("", "_exp"))
+    assert (merged["u"] == merged["u_exp"]).all()
+    assert (merged["v"] == merged["v_exp"]).all()
+    assert np.allclose(merged["sqdist"], merged["sqdist_exp"], rtol=0, atol=0)
+    # and at partial coverage it matches the shuffle path exactly
+    s, _ = spatial.knn_snap(pg_ds, eg_ds, res=9, k=1, ring=1, hot_threshold=10**9)
+    b2, _ = spatial.knn_snap_broadcast(pg_ds, eg_ds, res=9, ring=1)
+    a = s.to_pandas().sort_values("url").reset_index(drop=True)
+    c = b2.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(a) == len(c)
+    assert (a["u"].to_numpy() == c["u"].to_numpy()).all()
+    assert (a["sqdist"].to_numpy() == c["sqdist"].to_numpy()).all()
+
+
 def test_knn_topk(snap_inputs):
     pg_ds, eg_ds, eg = snap_inputs
     result, _ = spatial.knn_snap(pg_ds, eg_ds, res=9, k=3, ring=1, hot_threshold=500)

@@ -167,7 +167,39 @@ def flagship(sf_dir: str, *, res: int = 11, ring: int = 1, delta: float | None =
     nodes, ewc = build_graph(osm_dir)
     pg = pages_from_documents(sf_dir).materialize()
     pg = pages.dedup_pages(pg)
-    pg = pages.extract_text(pg, concurrency=4)  # actor-pool re-extract (P6)
+    pg = pages.extract_text(pg, concurrency=4)  # re-extract (P6)
     pg = pages.filter_geotagged(pages.geotag(pg)).select_columns(["url", "lat", "lon"])
     snapped, lineage = spatial.knn_snap_broadcast(pg, ewc, res=res, ring=ring)
     return snapped
+
+
+def geospatial_join_checkpointed(
+    sf_dir: str,
+    outdir: str,
+    *,
+    res: int = 11,
+    ring: int = 1,
+    tile_res: int = 6,
+    fingerprint: str | None = None,
+    fail_tiles=None,
+):
+    """The flagship with the S8 checkpoint sink: kNN-snap results are
+    written one atomic parquet directory per coarse tile plus a lineage
+    manifest; a rerun (same fingerprint) skips completed tiles entirely.
+
+    Returns (manifest_records_written, outdir). A killed run resumes by
+    calling this again with the same arguments (north-rule resume gate).
+    """
+    from . import checkpoint as ckpt
+
+    if fingerprint is None:
+        fingerprint = f"flagship:{os.path.basename(sf_dir.rstrip('/'))}:res={res}:ring={ring}"
+    snapped = flagship(sf_dir, res=res, ring=ring)
+    records = ckpt.checkpointed_write(
+        snapped,
+        outdir,
+        tile_res=tile_res,
+        fingerprint=fingerprint,
+        fail_tiles=fail_tiles,
+    )
+    return records, outdir

@@ -274,6 +274,50 @@ SELECT c_custkey, s_suppkey AS nn_suppkey FROM r WHERE rn = 1
 """
 
 
+def q_knn_cell_snap(sf_dir: str):
+    """The cell-index kNN snap itself, oracle-checked: customers snap to
+    their nearest supplier (as zero-length street segments) through the
+    full broadcast cell machinery at a resolution whose 1-ring covers
+    the globe (res=1: 2x2 cells, x wraps, y clamps) — so the result must
+    equal the exact brute-force nearest neighbour, which IS SQL-expressible
+    (planar sqdist + (dist, id) tiebreak)."""
+    from . import spatial
+
+    supp = _t(sf_dir, "supplier").select_columns(["s_suppkey"]).to_pandas()
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    slat, slon = _coords_from_key(sk, 11, 17)
+    edges_df = pd.DataFrame(
+        {
+            "u": [f"s{k:09d}" for k in sk],  # zero-padded: string rank == id rank
+            "v": [f"t{k:09d}" for k in sk],
+            "u_lat": slat,
+            "u_lon": slon,
+            "v_lat": slat,
+            "v_lon": slon,
+        }
+    )
+
+    def to_points(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 7, 13)
+        return pd.DataFrame({"url": k.astype(str), "lat": lat, "lon": lon})
+
+    points = _t(sf_dir, "customer").select_columns(["c_custkey"]).map_batches(
+        to_points, batch_format="pandas"
+    )
+    snapped, _ = spatial.knn_snap_broadcast(points, edges_df, res=1, ring=1)
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["url"].astype(np.int64),
+                "nn_suppkey": df["u"].str.slice(1).astype(np.int64),
+            }
+        )
+
+    return snapped.map_batches(unpack, batch_format="pandas")
+
+
 def q_haversine_km_hist(sf_dir: str):
     """G1 haversine over synthetic coords -> 100 km histogram (coarse
     integer buckets so libm 1-ulp variance cannot flip a bucket on this
@@ -649,6 +693,7 @@ def catalog():
         "cell_hist_topk": q_cell_hist_topk,
         "spatial_cell_join": q_spatial_cell_join,
         "nn_snap_planar": q_nn_snap_planar,
+        "knn_cell_snap": q_knn_cell_snap,
         "haversine_km_hist": q_haversine_km_hist,
         "q1_returnflag": q_q1_returnflag,
         "join_cust_nation_region": q_join_cust_nation_region,
@@ -678,6 +723,7 @@ def sql_catalog():
         "cell_hist_topk": _sql_cell_hist_topk(),
         "spatial_cell_join": _sql_spatial_cell_join(),
         "nn_snap_planar": _sql_nn_snap_planar(),
+        "knn_cell_snap": _sql_nn_snap_planar(),  # full-coverage cell kNN == exact NN
         "haversine_km_hist": _sql_haversine_km_hist(),
         "q1_returnflag": SQL_Q1,
         "join_cust_nation_region": SQL_JOIN_CNR,

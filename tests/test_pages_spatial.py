@@ -267,3 +267,32 @@ def test_checkpointed_write_and_resume(snap_inputs, tmp_path):
     # changed fingerprint invalidates completed tiles
     recs2 = ckpt.checkpointed_write(result, outdir, tile_res=6, fingerprint="fp-v2")
     assert {r["tile"] for r in recs2} == all_tiles
+
+
+def test_geospatial_join_checkpointed_resume(tmp_path):
+    from ophois_ray import pipelines
+
+    out = str(tmp_path / "ckpt")
+    sf = "/root/testdata/sf0.001"
+    # discover the tiles by a dry run into a scratch dir
+    recs, _ = pipelines.geospatial_join_checkpointed(sf, str(tmp_path / "probe"))
+    tiles = sorted(r["tile"] for r in recs)
+    assert len(tiles) >= 1
+    victim = tiles[-1]
+    # killed run: victim tile fails
+    import pytest as _pytest
+
+    if len(tiles) > 1:
+        with _pytest.raises(Exception):
+            pipelines.geospatial_join_checkpointed(sf, out, fail_tiles={victim})
+        done = {r["tile"] for r in ckpt.load_manifest(out).values() if isinstance(r, dict)}
+    # resume completes only the missing tiles, full output equals probe
+    recs2, _ = pipelines.geospatial_join_checkpointed(sf, out)
+    import ray.data
+
+    back = ckpt.read_checkpointed(out).to_pandas().sort_values("url").reset_index(drop=True)
+    probe = ckpt.read_checkpointed(str(tmp_path / "probe")).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(back) == len(probe)
+    assert (back["u"] == probe["u"]).all()
+    # idempotent rerun: nothing left
+    assert pipelines.geospatial_join_checkpointed(sf, out)[0] == []

@@ -4,26 +4,35 @@ store so a killed ray job resumes without recomputing completed tiles").
 
 Layout:
   outdir/
-    manifest.jsonl            one line per completed tile (append-only)
+    manifest.jsonl            lineage log (append-only; healed on resume)
     tile=<cell>/part-0.parquet
+    tile=<cell>/_MANIFEST.json  durable per-tile completion marker
 
 Write protocol per tile (inside the distributed group task):
-  write to tile=<cell>.__tmp_<pid>/ -> fsync -> atomic os.replace to
-  tile=<cell>/. A retried/duplicate task re-replaces the same directory
-  with identical content (idempotent). The driver appends manifest rows
-  only after the distributed phase returns, so a crash mid-phase leaves
-  at most finished-but-unrecorded tiles, which rerun idempotently.
+  write parquet + the _MANIFEST.json marker (fingerprint, row counts,
+  wall time) to tile=<cell>.__tmp_<pid>/, fsync the marker, then promote
+  atomically: move any existing tile dir aside (os.replace to a unique
+  .__old suffix), os.replace the tmp dir into place, delete the old dir.
+  Because the marker travels INSIDE the renamed directory, a tile is
+  durably "done" the instant its task finishes — a driver kill at any
+  later point loses nothing. A retried/duplicate task re-promotes the
+  same content (idempotent).
 
-Resume = anti-join of the tile work list against manifest entries with
-matching input fingerprint (driver-side set difference on the small
-manifest, per SURVEY.md §2.8).
+Resume = directory scan for tiles whose marker matches the input
+fingerprint (the markers, not the driver-appended manifest, are the
+source of truth — the manifest is lineage/metrics and is healed from
+markers on the next run). Anti-join of the tile work list against that
+set (driver-side set difference on the small tile list, SURVEY.md §2.8).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import time
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -32,9 +41,11 @@ import pyarrow.parquet as pq
 
 from . import cells
 
+_MARKER = "_MANIFEST.json"
+
 
 def load_manifest(outdir: str) -> dict[int, dict]:
-    """tile -> latest manifest record."""
+    """tile -> latest manifest record (lineage log, NOT the resume truth)."""
     path = os.path.join(outdir, "manifest.jsonl")
     done: dict[int, dict] = {}
     if os.path.exists(path):
@@ -55,12 +66,43 @@ def append_manifest(outdir: str, records: list[dict]) -> None:
         os.fsync(f.fileno())
 
 
+def _read_marker(tile_dir: str) -> dict | None:
+    try:
+        with open(os.path.join(tile_dir, _MARKER), encoding="utf-8") as f:
+            return json.load(f)
+    except (FileNotFoundError, NotADirectoryError, json.JSONDecodeError):
+        return None
+
+
+def scan_tiles(outdir: str, fingerprint: str | None = None) -> dict[int, dict]:
+    """tile -> durable completion record, from the per-tile markers.
+
+    Only fully-promoted tile directories carry a marker, so this survives
+    a driver kill at any point (the crash-resume gate). ``fingerprint``
+    filters out tiles written for a different input."""
+    found: dict[int, dict] = {}
+    for tdir in glob.glob(os.path.join(outdir, "tile=*")):
+        base = os.path.basename(tdir)
+        if ".__tmp_" in base or ".__old_" in base:
+            continue
+        rec = _read_marker(tdir)
+        if rec is None or rec.get("status") != "done":
+            continue
+        if fingerprint is not None and rec.get("input_fingerprint") != fingerprint:
+            continue
+        found[int(rec["tile"])] = rec
+    return found
+
+
 def completed_tiles(outdir: str, fingerprint: str) -> set[int]:
-    return {
-        t
-        for t, rec in load_manifest(outdir).items()
-        if rec.get("status") == "done" and rec.get("input_fingerprint") == fingerprint
-    }
+    return set(scan_tiles(outdir, fingerprint))
+
+
+def _clean_stale_dirs(outdir: str) -> None:
+    """Remove leftover tmp/old dirs from a killed run (driver-side, once)."""
+    for pat in ("tile=*.__tmp_*", "tile=*.__old_*"):
+        for d in glob.glob(os.path.join(outdir, pat)):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def checkpointed_write(
@@ -73,7 +115,7 @@ def checkpointed_write(
     fail_tiles: set[int] | None = None,
 ):
     """Write ``ds`` partitioned by coarse tile (parent of ``cell_col`` at
-    ``tile_res``), skipping tiles already recorded as done for the same
+    ``tile_res``), skipping tiles already durably completed for the same
     input fingerprint. Returns the list of manifest records written this
     run (empty list = everything was already done).
 
@@ -81,7 +123,21 @@ def checkpointed_write(
     the test hook for the kill/resume gate.
     """
     os.makedirs(outdir, exist_ok=True)
-    done = completed_tiles(outdir, fingerprint)
+    _clean_stale_dirs(outdir)
+    done_recs = scan_tiles(outdir, fingerprint)
+    done = set(done_recs)
+
+    # Heal the lineage log: a killed run leaves durable markers that were
+    # never appended to manifest.jsonl; record them now (status preserved,
+    # flagged as recovered) so the log reflects every completed tile.
+    manifest = load_manifest(outdir)
+    orphans = [
+        {**rec, "recovered": True}
+        for t, rec in sorted(done_recs.items())
+        if t not in manifest or manifest[t].get("input_fingerprint") != fingerprint
+    ]
+    if orphans:
+        append_manifest(outdir, orphans)
 
     def add_tile(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -105,30 +161,38 @@ def checkpointed_write(
             raise RuntimeError(f"injected failure for tile {tile}")
         start = time.monotonic()
         final_dir = os.path.join(outdir, f"tile={tile}")
-        tmp_dir = final_dir + f".__tmp_{os.getpid()}"
+        token = uuid.uuid4().hex[:12]
+        tmp_dir = final_dir + f".__tmp_{token}"
         os.makedirs(tmp_dir, exist_ok=True)
         out = group.drop(columns=["__tile"]).sort_values(
             list(group.columns.drop("__tile"))[:2]
         )
         tbl = pa.Table.from_pandas(out, preserve_index=False)
         pq.write_table(tbl, os.path.join(tmp_dir, "part-0.parquet"))
-        if os.path.exists(final_dir):
-            import shutil
-
-            shutil.rmtree(final_dir)
+        rec = {
+            "tile": tile,
+            "status": "done",
+            "rows_in": len(group),
+            "rows_out": len(out),
+            "input_fingerprint": fingerprint,
+            "wall_s": time.monotonic() - start,
+        }
+        marker_path = os.path.join(tmp_dir, _MARKER)
+        with open(marker_path, "w", encoding="utf-8") as f:
+            json.dump(rec, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        # atomic promotion: move the old dir aside first (rename over a
+        # non-empty dir fails on POSIX), then rename tmp into place
+        aside = final_dir + f".__old_{token}"
+        try:
+            os.replace(final_dir, aside)
+        except FileNotFoundError:
+            aside = None
         os.replace(tmp_dir, final_dir)
-        return pd.DataFrame(
-            [
-                {
-                    "tile": tile,
-                    "status": "done",
-                    "rows_in": len(group),
-                    "rows_out": len(out),
-                    "input_fingerprint": fingerprint,
-                    "wall_s": time.monotonic() - start,
-                }
-            ]
-        )
+        if aside is not None:
+            shutil.rmtree(aside, ignore_errors=True)
+        return pd.DataFrame([rec])
 
     records_df = (
         tiled.groupby("__tile").map_groups(write_tile, batch_format="pandas").to_pandas()
@@ -138,16 +202,27 @@ def checkpointed_write(
     return records
 
 
-def read_checkpointed(outdir: str):
-    """Read back every completed tile as one Dataset."""
+def read_checkpointed(outdir: str, fingerprint: str | None = None):
+    """Read back every durably completed tile as one Dataset.
+
+    With ``fingerprint`` given, only tiles whose marker matches are read
+    (stale tiles from an older input are skipped). Without it, all tiles
+    must agree on one fingerprint — a mixed directory raises instead of
+    silently blending two inputs' outputs."""
     import ray.data
 
-    manifest = load_manifest(outdir)
-    paths = []
-    for t, rec in sorted(manifest.items()):
-        if rec.get("status") == "done":
-            tdir = os.path.join(outdir, f"tile={t}")
-            paths.extend(
-                os.path.join(tdir, f) for f in sorted(os.listdir(tdir)) if f.endswith(".parquet")
+    found = scan_tiles(outdir, fingerprint)
+    if fingerprint is None:
+        fps = {rec.get("input_fingerprint") for rec in found.values()}
+        if len(fps) > 1:
+            raise ValueError(
+                f"{outdir} holds tiles from {len(fps)} different input "
+                f"fingerprints {sorted(map(str, fps))}; pass fingerprint= to select one"
             )
+    paths = []
+    for t, _rec in sorted(found.items()):
+        tdir = os.path.join(outdir, f"tile={t}")
+        paths.extend(
+            os.path.join(tdir, f) for f in sorted(os.listdir(tdir)) if f.endswith(".parquet")
+        )
     return ray.data.read_parquet(paths)

@@ -234,7 +234,8 @@ def test_checkpointed_write_and_resume(snap_inputs, tmp_path):
     )
     assert len(all_tiles) >= 2
 
-    # first run: inject failure on one tile
+    # first run: inject failure on one tile (simulated kill mid-job —
+    # the driver never gets to append manifest.jsonl)
     victim = max(all_tiles)
     with pytest.raises(Exception):
         ckpt.checkpointed_write(
@@ -242,16 +243,25 @@ def test_checkpointed_write_and_resume(snap_inputs, tmp_path):
         )
     done_after_fail = ckpt.completed_tiles(outdir, fp)
     assert victim not in done_after_fail
+    # the kill must NOT lose the tiles that did finish: their durable
+    # per-tile markers survive even though manifest.jsonl was never written
+    assert done_after_fail  # non-vacuous: completed tiles survived the kill
+    assert done_after_fail <= all_tiles - {victim}
 
-    # resume: only missing tiles are written, previous outputs untouched
+    # resume: exactly the missing tiles are written, previous outputs untouched
     mtimes = {
         t: os.path.getmtime(os.path.join(outdir, f"tile={t}", "part-0.parquet"))
         for t in done_after_fail
     }
     recs = ckpt.checkpointed_write(result, outdir, tile_res=6, fingerprint=fp)
     written = {r["tile"] for r in recs}
+    assert written == all_tiles - done_after_fail  # zero recomputation
     assert victim in written
-    assert written.isdisjoint(done_after_fail)  # zero recomputation
+    assert written.isdisjoint(done_after_fail)
+    # lineage log healed: every tile now recorded in manifest.jsonl
+    manifest = ckpt.load_manifest(outdir)
+    assert set(manifest) >= all_tiles
+    assert all(manifest[t]["input_fingerprint"] == fp for t in all_tiles)
     for t, m in mtimes.items():
         assert os.path.getmtime(os.path.join(outdir, f"tile={t}", "part-0.parquet")) == m
 

@@ -64,6 +64,10 @@ class BroadcastIndex:
     def lookup(self, query_keys, col: str):
         """Values for query_keys; missing keys raise KeyError."""
         q = np.asarray(query_keys)
+        if len(self.keys) == 0:
+            if len(q) == 0:
+                return self.columns[col]
+            raise KeyError(f"empty broadcast index; keys not found, e.g. {q[:3]!r}")
         idx = np.searchsorted(self.keys, q)
         idx_clipped = np.minimum(idx, len(self.keys) - 1)
         found = self.keys[idx_clipped] == q

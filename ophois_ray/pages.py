@@ -213,6 +213,50 @@ def _packed_key(df: pd.DataFrame) -> np.ndarray:
     )
 
 
+def _build_winner_arrays_impl(*tables):
+    """Assemble the sorted winner broadcast from merged winner blocks.
+
+    Runs as a Ray task (never on the driver): returns (a) sorted
+    fixed-width numpy url array + int64 win_ts array — deserialization
+    on each worker is a buffer read, lookups are one searchsorted per
+    batch — and (b) the tiny {url: win_ts} dict of urls whose minimum
+    timestamp is shared by >1 row (the pass-A2 tie set)."""
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return (np.array([], dtype=str), np.array([], dtype=np.int64)), {}
+    tbl = pa.concat_tables(live, promote_options="default")
+    urls = np.asarray(tbl["url"].to_pandas(), dtype=str)
+    ts = np.asarray(tbl["win_ts"].to_pandas(), dtype=np.int64)
+    n_at_win = np.asarray(tbl["n_at_win"].to_pandas(), dtype=np.int64)
+    order = np.argsort(urls, kind="stable")
+    urls, ts, n_at_win = urls[order], ts[order], n_at_win[order]
+    tied = n_at_win > 1
+    return (urls, ts), {str(u): int(t) for u, t in zip(urls[tied], ts[tied])}
+
+
+def _get_build_winner_task():
+    import ray
+
+    global _BUILD_WINNER_TASK
+    if _BUILD_WINNER_TASK is None:
+        _BUILD_WINNER_TASK = ray.remote(num_returns=2)(_build_winner_arrays_impl)
+    return _BUILD_WINNER_TASK
+
+
+_BUILD_WINNER_TASK = None
+
+
+class _BuildWinnerProxy:
+    """Late-bound ray.remote wrapper (library code must not import-time
+    touch an uninitialised Ray)."""
+
+    def options(self, **kw):
+        return _get_build_winner_task().options(**kw)
+
+
+_build_winner_broadcast = _BuildWinnerProxy()
+
+
 def dedup_pages(pages, *, strategy: str = "broadcast", num_buckets: int = 64,
                 key_source=None):
     """D4: keep one row per url — earliest warc_ts, ties broken by the
@@ -225,13 +269,16 @@ def dedup_pages(pages, *, strategy: str = "broadcast", num_buckets: int = 64,
     Defaults to ``pages``.
 
     strategy="broadcast" (default): pass A scans ONLY (url, warc_ts) —
-    columns pruned at the parquet read — and merges per-batch partial
-    minima into a driver dict; urls whose minimum timestamp is shared by
-    several rows (rare in a real crawl) get an extra scan that
-    tie-breaks on the html content hash. Pass B broadcast-filters and
-    FUSES with the downstream extract/geotag task stages into a single
-    streaming pass. The html payload is never shuffled. Right up to
-    driver-memory url cardinality (~1e8); beyond that use
+    columns pruned at the parquet read — combines per-batch partial
+    minima, merges them with a distributed int-hash-bucket groupby, and
+    assembles the sorted winner arrays inside a Ray task (the driver
+    only ever sees the tiny tied-url set, so pass A scales with the
+    cluster). Urls whose minimum timestamp is shared by several rows
+    (rare in a real crawl) get an extra scan that tie-breaks on the
+    html content hash. Pass B broadcast-filters and FUSES with the
+    downstream extract/geotag task stages into a single streaming pass.
+    The html payload is never shuffled. Right up to worker-heap url
+    cardinality (~1e8 for the broadcast arrays); beyond that use
     strategy="shuffle".
 
     strategy="shuffle": canonical hash-partition of full rows by url +
@@ -287,36 +334,48 @@ def dedup_pages(pages, *, strategy: str = "broadcast", num_buckets: int = 64,
             }
         )
 
+    # distributed merge of the per-batch partials: every url hashes to one
+    # int bucket (joins.grouped_apply), so per-bucket min/tie-count is
+    # exact. The driver never holds per-batch partials — the sorted
+    # broadcast arrays are assembled inside a Ray task from the merged
+    # blocks (the old driver-side iter_batches+concat+merge here was a
+    # ~30 s parallelism-independent section, the round-1 scaling ceiling).
+    from .joins import grouped_apply
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("url", as_index=False).agg(win_ts=("min_ts", "min"))
+        m = df.merge(g, on="url")
+        at = m[m["min_ts"].to_numpy() == m["win_ts"].to_numpy()]
+        n = at.groupby("url", as_index=False).agg(n_at_win=("n_at_min", "sum"))
+        return g.merge(n, on="url")
+
     src = key_source if key_source is not None else pages
-    parts = []
-    for batch in (
-        src.select_columns(["url", "warc_ts"])
-        .map_batches(partial_ts, batch_format="pyarrow")
-        .iter_batches(batch_format="pandas")
-    ):
-        parts.append(batch)
-    allp = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
-        {"url": [], "min_ts": [], "n_at_min": []}
+    partials = src.select_columns(["url", "warc_ts"]).map_batches(
+        partial_ts, batch_format="pyarrow"
     )
-    gm = allp.groupby("url", as_index=False).agg(win_ts=("min_ts", "min"))
-    merged = allp.merge(gm, on="url")
-    at_global = merged[merged["min_ts"] == merged["win_ts"]]
-    ties = at_global.groupby("url")["n_at_min"].sum()
-    tie_urls = set(ties[ties > 1].index)
-    # broadcast as sorted fixed-width numpy arrays: deserialization is a
-    # buffer read (an 800k-entry python dict costs seconds per worker to
-    # unpickle) and lookups are one vectorized searchsorted per batch
-    order = np.argsort(gm["url"].to_numpy())
-    win_urls = gm["url"].to_numpy(dtype=str)[order]
-    win_ts_arr = gm["win_ts"].to_numpy(np.int64)[order]
-    win_ts = dict(zip(gm["url"], gm["win_ts"].astype(np.int64)))  # for pass A2 only
+    winners = grouped_apply(
+        partials, "url", merge_bucket, num_buckets=num_buckets
+    ).materialize()
+
+    import ray
+
+    refs = winners.to_arrow_refs()
+    if refs:
+        winner_ref, ties_ref = _build_winner_broadcast.options(num_returns=2).remote(
+            *refs
+        )
+        tie_win_ts = ray.get(ties_ref)  # {url: win_ts} for tied urls only (tiny)
+    else:
+        winner_ref = ray.put((np.array([], dtype=str), np.array([], dtype=np.int64)))
+        tie_win_ts = {}
+    tie_urls = set(tie_win_ts)
 
     # ---- pass A2 (rare): html-hash tie-break among exact-ts ties ----
     tie_winner: dict = {}
     if tie_urls:
         import ray as _ray
 
-        tie_ref = _ray.put((tie_urls, win_ts))
+        tie_ref = _ray.put((tie_urls, tie_win_ts))
 
         def tie_keys(t: "pa.Table") -> "pa.Table":
             t_urls, t_win = _fetch_cached(tie_ref)
@@ -345,13 +404,12 @@ def dedup_pages(pages, *, strategy: str = "broadcast", num_buckets: int = 64,
                 if prev is None or p < prev:
                     tie_winner[u] = p
 
-    import ray
-
-    ref = ray.put((win_urls, win_ts_arr, tie_winner))
+    tie_winner_ref = ray.put(tie_winner)
 
     # ---- pass B: filter; fuses with downstream task stages ----
     def keep(t: "pa.Table") -> "pa.Table":
-        w_urls, w_ts, w_tie = _fetch_cached(ref)
+        w_urls, w_ts = _fetch_cached(winner_ref)
+        w_tie = _fetch_cached(tie_winner_ref)
         urls = np.asarray(t["url"].to_pylist(), dtype=str)
         ts = t["warc_ts"].cast(pa.int64()).to_numpy()
         pos = np.searchsorted(w_urls, urls)

@@ -24,6 +24,8 @@ is the same algorithm the reference runs, pinned to deterministic order.
 
 from __future__ import annotations
 
+from collections import Counter
+
 import numpy as np
 import pandas as pd
 
@@ -33,6 +35,7 @@ from .joins import BroadcastIndex, hash_join, stable_hash
 from .oracle import OracleGraph
 
 DEFAULT_LOCAL_CAP = 50_000_000  # edges
+DEFAULT_TASK_CAP = 2_000_000  # max nodes of one component in one map_groups task
 
 
 class _UnionFind:
@@ -86,12 +89,18 @@ def connected_components_local(nodes, edges, cap: int = DEFAULT_LOCAL_CAP) -> di
 
 
 def connected_components_labelprop(nodes, edges, max_rounds: int = 50, num_buckets: int = 64):
-    """Distributed hash-min label propagation -> Dataset (id, comp).
+    """Distributed hash-min label propagation WITH POINTER JUMPING ->
+    Dataset (id, comp).
 
-    Round: every arc forwards its source's current label to its target;
-    new label = min(own, incoming). Convergence detected via a
-    deterministic signature (sum of hash(id||label)); street graphs
-    converge in tens of rounds (diameter-bound).
+    Round: every arc forwards its source's current label to its target
+    (neighbour messages), AND every node jumps to its label's label
+    (label(label(v)) — pointer doubling through the label links); new
+    label = min of all. Plain hash-min alone needs O(diameter) rounds —
+    street graphs are chain-heavy, so a city component can be thousands
+    of rounds (and a 50-round cap would silently return wrong labels);
+    the jump term contracts label chains exponentially, giving
+    O(log diameter) rounds. Convergence detected via a deterministic
+    signature (xor of hash(id||label)).
     """
     labels = nodes.select_columns(["id"]).map_batches(
         lambda df: pd.DataFrame({"id": df["id"], "comp": df["id"]}),
@@ -138,14 +147,40 @@ def connected_components_labelprop(nodes, edges, max_rounds: int = 50, num_bucke
             lambda df: pd.DataFrame({"id": df["dst"], "comp": df["comp"]}),
             batch_format="pandas",
         )
+        # pointer jump: comp2 = label(label(v)) — join labels with itself
+        # on the label column (labels always contain every id, and a
+        # label is itself a node id)
+        jump = hash_join(
+            labels.map_batches(
+                lambda df: pd.DataFrame({"id": df["id"], "jid": df["comp"]}),
+                batch_format="pandas",
+            ),
+            labels.map_batches(
+                lambda df: pd.DataFrame({"jid": df["id"], "comp": df["comp"]}),
+                batch_format="pandas",
+            ),
+            "jid",
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda df: pd.DataFrame({"id": df["id"], "comp": df["comp"]}),
+            batch_format="pandas",
+        )
         from .joins import grouped_apply
 
-        new_labels = grouped_apply(
-            labels.union(msgs),
-            "id",
-            lambda df: df.groupby("id", as_index=False)["comp"].min(),
-            num_buckets=num_buckets,
-        ).materialize()
+        # repartition: map_groups emits one block per bucket and union
+        # sums block counts, so without coalescing the label table's
+        # block count multiplies ~4x per round (measured: round times
+        # 1.8s -> 27s by round 3 from per-block overhead alone)
+        new_labels = (
+            grouped_apply(
+                labels.union(msgs).union(jump),
+                "id",
+                lambda df: df.groupby("id", as_index=False)["comp"].min(),
+                num_buckets=num_buckets,
+            )
+            .repartition(min(num_buckets, 16))
+            .materialize()
+        )
         new_sig = signature(new_labels)
         labels = new_labels
         if new_sig == sig:
@@ -208,6 +243,364 @@ def _get(ref):
     return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
 
+# ------------------------------------------------- distributed H3 (scale path)
+
+
+def _double_step(T, num_buckets: int):
+    """One pointer-doubling round over the walker jump table.
+
+    Rows whose value arc matches another row's key arc jump to that
+    row's value (2^r -> 2^(r+1) steps); rows whose value arc has a
+    non-degree-2 head match nothing (such arcs are never keys) and are
+    absorbed — ``moved`` False forever after."""
+    from .joins import grouped_apply
+
+    def as_left(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"jq": df["vq"], "jp": df["vp"], "a": df["kq"], "b": df["kp"], "side": 0}
+        )
+
+    def as_right(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"jq": df["kq"], "jp": df["kp"], "a": df["vq"], "b": df["vp"], "side": 1}
+        )
+
+    u = T.map_batches(as_left, batch_format="pandas").union(
+        T.map_batches(as_right, batch_format="pandas")
+    )
+
+    def step_fn(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["side"] == 0]
+        r = df[df["side"] == 1][["jq", "jp", "a", "b"]].rename(
+            columns={"a": "na", "b": "nb"}
+        )
+        m = l.merge(r, on=["jq", "jp"], how="left")
+        hit = m["na"].notna().to_numpy()
+        vq = np.where(hit, m["na"].to_numpy(object), m["jq"].to_numpy(object))
+        vp = np.where(hit, m["nb"].to_numpy(object), m["jp"].to_numpy(object))
+        return pd.DataFrame(
+            {"kq": m["a"], "kp": m["b"], "vq": vq, "vp": vp, "moved": hit}
+        )
+
+    return grouped_apply(u, ["jq", "jp"], step_fn, num_buckets=num_buckets)
+
+
+def _resolve_chains_local(s, n1, n2) -> set:
+    """Driver-side exact chain resolution of the degree-2 snapshot:
+    walk every maximal S-chain to its two non-S terminals. Returns the
+    canonical (min, max) terminal pairs; loops on one junction
+    (ta == tb) and pure S-cycles contribute nothing — identical
+    semantics to the pointer-doubling readout."""
+    nbr = {si: (a, b) for si, a, b in zip(s, n1, n2)}
+    visited: set = set()
+    out: set = set()
+    for start in nbr:
+        if start in visited:
+            continue
+        chain = {start}
+        ends = []
+        cyc = False
+        for direction in (0, 1):
+            prev = start
+            cur = nbr[start][direction]
+            while cur in nbr:
+                if cur in chain:
+                    cyc = True
+                    break
+                chain.add(cur)
+                a, b = nbr[cur]
+                nxt = b if a == prev else a
+                prev, cur = cur, nxt
+            if cyc:
+                break
+            ends.append(cur)
+        visited |= chain
+        if cyc:
+            continue
+        ta, tb = ends
+        if ta != tb:
+            out.add((min(ta, tb), max(ta, tb)))
+    return out
+
+
+def _h3_rewrite_local(nodes, edges, s_pairs):
+    """Small-|S| H3 rewrite: chains resolved on the driver, graph
+    rewritten with broadcast filters — zero shuffles beyond the degree
+    snapshot the caller already took. The chain edges that duplicate a
+    surviving edge (reference contains_link guard) are found with one
+    streaming membership scan of the pruned (u, v) columns."""
+    import ray
+
+    sp = s_pairs.to_pandas()
+    chain = _resolve_chains_local(
+        sp["s"].to_numpy(object), sp["n1"].to_numpy(object), sp["n2"].to_numpy(object)
+    )
+    s_ref = ray.put(frozenset(sp["s"]))
+    c_ref = ray.put(frozenset(chain))
+
+    def dup_scan(df: pd.DataFrame) -> pd.DataFrame:
+        sset = _get(s_ref)
+        cset = _get(c_ref)
+        keep = [
+            (u, v)
+            for u, v in zip(df["u"], df["v"])
+            if u not in sset and v not in sset and (min(u, v), max(u, v)) in cset
+        ]
+        return pd.DataFrame(
+            {
+                "u": np.array([p[0] for p in keep], dtype=object),
+                "v": np.array([p[1] for p in keep], dtype=object),
+            }
+        )
+
+    dup = (
+        edges.select_columns(["u", "v"])
+        .map_batches(dup_scan, batch_format="pandas")
+        .to_pandas()
+        if chain
+        else pd.DataFrame({"u": [], "v": []})
+    )
+    dup_pairs = {(min(u, v), max(u, v)) for u, v in zip(dup["u"], dup["v"])}
+    new_pairs = sorted(chain - dup_pairs)
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        sset = _get(s_ref)
+        m = np.array([u not in sset and v not in sset for u, v in zip(df["u"], df["v"])])
+        if len(m) == 0:
+            return df[["u", "v"]]
+        return df[m][["u", "v"]]
+
+    edges_out = edges.select_columns(["u", "v"]).map_batches(
+        survivors, batch_format="pandas"
+    )
+    if new_pairs:
+        chain_df = pd.DataFrame(
+            {
+                "u": np.array([p[0] for p in new_pairs], dtype=object),
+                "v": np.array([p[1] for p in new_pairs], dtype=object),
+            }
+        )
+        edges_out = edges_out.union(ray.data.from_pandas(chain_df))
+
+    def node_survivors(df: pd.DataFrame) -> pd.DataFrame:
+        sset = _get(s_ref)
+        m = np.array([i not in sset for i in df["id"]])
+        if len(m) == 0:
+            return df
+        return df[m]
+
+    nodes_out = nodes.map_batches(node_survivors, batch_format="pandas")
+    return nodes_out.materialize(), edges_out.materialize()
+
+
+def remove_degree_two_nodes_distributed(
+    nodes,
+    edges,
+    *,
+    num_buckets: int = 64,
+    max_rounds: int = 40,
+    local_cap: int = 5_000_000,
+):
+    """H3 ``remove_degree_two_nodes`` (reference heuristics.rs:80-91) as
+    a distributed dataflow — exact, not approximate.
+
+    The reference pass snapshots the degree-2 set S once and replaces
+    each member sequentially. That pass is CONFLUENT: every maximal
+    chain of S-nodes contracts to one edge between its two non-S
+    terminals regardless of processing order; a chain whose terminals
+    coincide (a loop hung on one junction) and a pure S-cycle vanish
+    without adding an edge; an added edge that duplicates a surviving
+    edge (or another chain's edge) is dropped by the reference's
+    contains_link guard. So the result is fully determined by
+    chain -> (terminal, terminal) resolution, which parallelizes.
+
+    HYBRID: the degree-2 snapshot S is computed distributed (one
+    hash-bucket shuffle over the arc table — the only pass that touches
+    every edge). When |S| <= ``local_cap`` the chain walk itself runs on
+    the driver (S is the small side: the snapshot is 3 ids per degree-2
+    node, ~100 bytes — 5M nodes is ~500 MB) and the graph rewrite is
+    pure broadcast map_batches with ZERO further shuffles. Above the
+    cap, directed-walker pointer doubling takes over: the jump table
+    keys every arc (q -> p) whose head p is in S to the arc one step
+    down the chain; each round composes the table with itself
+    (2^r -> 2^(r+1) steps, one hash-bucket shuffle per round), so a
+    chain of length L resolves in ceil(log2 L) rounds. Rows still
+    moving after ``max_rounds`` (2^40 steps) are S-cycles and are
+    discarded. Set ``local_cap=0`` to force the distributed loop (the
+    pure-distributed tests do). Partitioning assumption: none beyond
+    hash(key) — chains may span any number of blocks/nodes.
+
+    Returns (nodes_out, edges_out) with the input schemas preserved.
+    """
+    from .joins import grouped_apply
+
+    def to_arcs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(
+                    [df["u"].to_numpy(object), df["v"].to_numpy(object)]
+                ),
+                "dst": np.concatenate(
+                    [df["v"].to_numpy(object), df["u"].to_numpy(object)]
+                ),
+            }
+        )
+
+    arcs = edges.select_columns(["u", "v"]).map_batches(to_arcs, batch_format="pandas")
+
+    # snapshot: degree-2 nodes with their (sorted) neighbour pair
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["src", "dst"], kind="stable")
+        size = df.groupby("src", sort=False)["dst"].transform("size")
+        d2 = df[size.to_numpy() == 2]
+        g = d2.groupby("src", sort=False)["dst"].agg(["first", "last"])
+        return pd.DataFrame(
+            {
+                "s": g.index.to_numpy(object),
+                "n1": g["first"].to_numpy(object),
+                "n2": g["last"].to_numpy(object),
+            }
+        )
+
+    s_pairs = grouped_apply(arcs, "src", pairs_fn, num_buckets=num_buckets).materialize()
+    n_s = s_pairs.count()
+    if n_s == 0:
+        return nodes, edges
+
+    if n_s <= local_cap:
+        return _h3_rewrite_local(nodes, edges, s_pairs)
+
+    # init: every arc into an S node maps to the arc one step onward
+    arcs_in = hash_join(
+        arcs.map_batches(
+            lambda df: df.rename(columns={"dst": "s"}), batch_format="pandas"
+        ),
+        s_pairs,
+        "s",
+        num_buckets=num_buckets,
+    )
+
+    def init_fn(df: pd.DataFrame) -> pd.DataFrame:
+        nxt = np.where(
+            df["n1"].to_numpy(object) == df["src"].to_numpy(object),
+            df["n2"].to_numpy(object),
+            df["n1"].to_numpy(object),
+        )
+        return pd.DataFrame(
+            {"kq": df["src"], "kp": df["s"], "vq": df["s"], "vp": nxt, "moved": True}
+        )
+
+    T = arcs_in.map_batches(init_fn, batch_format="pandas").materialize()
+
+    # a chain's walkers sit at EVERY distance 1..L from their terminal,
+    # so while any chain walker is unabsorbed, each doubling round
+    # absorbs at least one more — the moving count strictly decreases.
+    # When it stops decreasing (but isn't 0), every remaining mover is
+    # an S-cycle: stop instead of spinning to max_rounds.
+    prev_moved = None
+    for _ in range(max_rounds):
+        # coalesce each round: iterated map_groups outputs otherwise
+        # multiply the block count (and per-block overhead) every round
+        T = _double_step(T, num_buckets).repartition(min(num_buckets, 16)).materialize()
+        moved = (
+            T.map_batches(
+                lambda df: pd.DataFrame({"n": [int(df["moved"].sum())]}),
+                batch_format="pandas",
+            )
+            .to_pandas()["n"]
+            .sum()
+        )
+        if moved == 0 or moved == prev_moved:
+            break
+        prev_moved = moved
+
+    # readout: each S node resolves its two walkers to chain terminals
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s": np.concatenate([df["s"].to_numpy(object)] * 2),
+                "n": np.concatenate(
+                    [df["n1"].to_numpy(object), df["n2"].to_numpy(object)]
+                ),
+            }
+        )
+
+    sides = s_pairs.map_batches(explode, batch_format="pandas")
+    walker = T.map_batches(
+        lambda df: pd.DataFrame(
+            {"s": df["kq"], "n": df["kp"], "t": df["vp"], "cyc": df["moved"]}
+        ),
+        batch_format="pandas",
+    )
+    j = hash_join(sides, walker, ["s", "n"], how="left", num_buckets=num_buckets)
+
+    def chain_fn(df: pd.DataFrame) -> pd.DataFrame:
+        # unmatched walker (t null) = neighbour n is itself the terminal;
+        # matched-with-cyc = this chain is an S-cycle -> no output edge
+        t = np.where(df["t"].notna().to_numpy(), df["t"].to_numpy(object), df["n"].to_numpy(object))
+        bad = df["cyc"].fillna(False).infer_objects(copy=False).astype(bool).to_numpy()
+        dd = pd.DataFrame({"s": df["s"].to_numpy(object), "t": t, "bad": bad})
+        g = dd.groupby("s", sort=False).agg(
+            t1=("t", "min"), t2=("t", "max"), bad=("bad", "any")
+        )
+        keep = (~g["bad"]) & (g["t1"] != g["t2"])
+        out = g[keep]
+        return pd.DataFrame(
+            {"u": out["t1"].to_numpy(object), "v": out["t2"].to_numpy(object)}
+        )
+
+    chain_edges = grouped_apply(j, "s", chain_fn, num_buckets=num_buckets)
+
+    # surviving edges: both endpoints outside S
+    s_mark = s_pairs.map_batches(
+        lambda df: pd.DataFrame({"s": df["s"], "__m": 1}), batch_format="pandas"
+    ).materialize()
+
+    def _drop_matched(col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["__m"].isna()][["u", "v"]]
+
+        return fn
+
+    e1 = hash_join(
+        edges.select_columns(["u", "v"]),
+        s_mark.map_batches(lambda df: df.rename(columns={"s": "u"}), batch_format="pandas"),
+        "u",
+        how="left",
+        num_buckets=num_buckets,
+    ).map_batches(_drop_matched("u"), batch_format="pandas")
+    e2 = hash_join(
+        e1,
+        s_mark.map_batches(lambda df: df.rename(columns={"s": "v"}), batch_format="pandas"),
+        "v",
+        how="left",
+        num_buckets=num_buckets,
+    ).map_batches(_drop_matched("v"), batch_format="pandas")
+
+    # union + canonical dedup (a chain edge can duplicate a surviving
+    # edge or another chain's edge — the reference's contains_link guard)
+    all_edges = grouped_apply(
+        e2.union(chain_edges),
+        ["u", "v"],
+        lambda df: df.drop_duplicates(subset=["u", "v"]),
+        num_buckets=num_buckets,
+    )
+
+    nodes_out = hash_join(
+        nodes,
+        s_mark.map_batches(lambda df: df.rename(columns={"s": "id"}), batch_format="pandas"),
+        "id",
+        how="left",
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda df: df[df["__m"].isna()].drop(columns=["__m"]), batch_format="pandas"
+    )
+    # contracted outputs are small and consumed repeatedly (labelling,
+    # grouping, metrics) — pin them so each consumer doesn't re-run the
+    # readout joins
+    return nodes_out.materialize(), all_edges.materialize()
+
+
 # ------------------------------------------------- per-component contraction
 
 _NODE_KIND, _EDGE_KIND = 0, 1
@@ -242,41 +635,11 @@ def _tag_for_group(nodes_l, edges_l):
     )
 
 
-def contract_components(nodes, edges, delta: float, *, cap: int = DEFAULT_LOCAL_CAP):
-    """Run the contraction chain H3 -> H4 -> H6 (remove_degree_two_nodes,
-    remove_under_delta_nodes, remove_under_delta_links — reference
-    main.rs:68-71 minus H1) independently on every connected component,
-    in parallel, via groupby(comp).map_groups with the oracle kernel.
-
-    Returns (nodes_out, edges_out) Datasets. Contraction never crosses a
-    component boundary (all rewrites stay inside one component), so the
-    parallelism is exact, not approximate.
-    """
-    labels = connected_components_local(nodes, edges, cap=cap)
-    import ray
-
-    label_idx = ray.put(
-        BroadcastIndex(
-            np.array(list(labels.keys()), dtype=object),
-            {"comp": np.array(list(labels.values()), dtype=object)},
-        )
-    )
-
-    def attach_node(df: pd.DataFrame) -> pd.DataFrame:
-        idx = _get(label_idx)
-        df = df.copy()
-        df["comp"] = idx.lookup(df["id"].to_numpy(object), "comp")
-        return df
-
-    def attach_edge(df: pd.DataFrame) -> pd.DataFrame:
-        idx = _get(label_idx)
-        df = df.copy()
-        df["comp"] = idx.lookup(df["u"].to_numpy(object), "comp")
-        return df
-
-    nodes_l = nodes.map_batches(attach_node, batch_format="pandas")
-    edges_l = edges.map_batches(attach_edge, batch_format="pandas")
-
+def _contract_grouped(nodes_l, edges_l, delta: float, *, skip_h3: bool):
+    """groupby(comp).map_groups with the oracle kernel on labelled
+    (nodes_l, edges_l). ``skip_h3`` when degree-2 contraction already ran
+    distributed (the H3 result has no new ids, so pre/post labels agree
+    and H4 -> H6 per component is exactly the reference chain's tail)."""
     tagged = _tag_for_group(nodes_l, edges_l)
 
     def contract(group: pd.DataFrame) -> pd.DataFrame:
@@ -287,7 +650,8 @@ def contract_components(nodes, edges, delta: float, *, cap: int = DEFAULT_LOCAL_
             g.insert_node(a, b, c)
         for a, b in zip(erows["a"], erows["b"]):
             g.insert_edge(a, b)
-        g.remove_degree_two_nodes()
+        if not skip_h3:
+            g.remove_degree_two_nodes()
         g.remove_under_delta_nodes(delta)
         g.remove_under_delta_links(delta)
         comp = group["comp"].iloc[0]
@@ -301,7 +665,115 @@ def contract_components(nodes, edges, delta: float, *, cap: int = DEFAULT_LOCAL_
 
     # contraction output is a small fraction of the input; materialize so
     # the two kind-filters below don't re-run the shuffle twice.
-    result = tagged.groupby("comp").map_groups(contract, batch_format="pandas").materialize()
+    return tagged.groupby("comp").map_groups(contract, batch_format="pandas").materialize()
+
+
+def contract_components(
+    nodes,
+    edges,
+    delta: float,
+    *,
+    method: str = "local",
+    cap: int = DEFAULT_LOCAL_CAP,
+    task_cap: int = DEFAULT_TASK_CAP,
+    num_buckets: int = 64,
+):
+    """Run the contraction chain H3 -> H4 -> H6 (remove_degree_two_nodes,
+    remove_under_delta_nodes, remove_under_delta_links — reference
+    main.rs:68-71 minus H1) independently on every connected component,
+    in parallel, via groupby(comp).map_groups with the oracle kernel.
+
+    Scale guard: a component larger than ``task_cap`` nodes does not fit
+    one map_groups task, so its dominant pass — degree-2 chain
+    contraction, the bulk of any real street graph — first runs as the
+    exact distributed dataflow (``remove_degree_two_nodes_distributed``,
+    pointer doubling) and only the contracted remainder goes through the
+    per-component kernel for H4/H6. ``method="labelprop"`` takes that
+    distributed route unconditionally and labels components with the
+    distributed hash-min propagation (no driver union-find anywhere);
+    ``method="local"`` uses the driver union-find and auto-upgrades to
+    the distributed H3 when the guard trips.
+
+    Returns (nodes_out, edges_out) Datasets. Contraction never crosses a
+    component boundary (all rewrites stay inside one component), so the
+    parallelism is exact, not approximate.
+    """
+    import ray
+
+    skip_h3 = False
+    if method == "labelprop":
+        n1, e1 = remove_degree_two_nodes_distributed(
+            nodes, edges, num_buckets=num_buckets
+        )
+        nodes, edges = n1.materialize(), e1.materialize()
+        skip_h3 = True
+        from .joins import grouped_apply
+
+        labels_ds = connected_components_labelprop(
+            nodes, edges, num_buckets=min(num_buckets, 8)
+        )
+        hist = grouped_apply(
+            labels_ds,
+            "comp",
+            lambda df: df.groupby("comp", as_index=False).agg(n=("id", "size")),
+            num_buckets=min(num_buckets, 8),
+        ).to_pandas()
+        if len(hist) and hist["n"].max() > task_cap:
+            raise ValueError(
+                f"component with {int(hist['n'].max())} nodes remains after "
+                f"distributed degree-2 contraction (> task_cap {task_cap}); "
+                "H4/H6 fixpoints are whole-component rewrites — raise task_cap "
+                "or pre-partition the graph"
+            )
+        nodes_l = hash_join(nodes, labels_ds, "id", num_buckets=num_buckets)
+        edges_l = hash_join(
+            edges,
+            labels_ds.map_batches(
+                lambda df: df.rename(columns={"id": "u"}), batch_format="pandas"
+            ),
+            "u",
+            num_buckets=num_buckets,
+        )
+        result = _contract_grouped(nodes_l, edges_l, delta, skip_h3=True)
+    else:
+        labels = connected_components_local(nodes, edges, cap=cap)
+        sizes = Counter(labels.values())
+        if sizes and max(sizes.values()) > task_cap:
+            n1, e1 = remove_degree_two_nodes_distributed(
+                nodes, edges, num_buckets=num_buckets
+            )
+            nodes, edges = n1.materialize(), e1.materialize()
+            skip_h3 = True
+            labels = connected_components_local(nodes, edges, cap=cap)
+            sizes = Counter(labels.values())
+            if sizes and max(sizes.values()) > task_cap:
+                raise ValueError(
+                    f"component with {max(sizes.values())} nodes remains after "
+                    f"distributed degree-2 contraction (> task_cap {task_cap}); "
+                    "raise task_cap or pre-partition the graph"
+                )
+        label_idx = ray.put(
+            BroadcastIndex(
+                np.array(list(labels.keys()), dtype=object),
+                {"comp": np.array(list(labels.values()), dtype=object)},
+            )
+        )
+
+        def attach_node(df: pd.DataFrame) -> pd.DataFrame:
+            idx = _get(label_idx)
+            df = df.copy()
+            df["comp"] = idx.lookup(df["id"].to_numpy(object), "comp")
+            return df
+
+        def attach_edge(df: pd.DataFrame) -> pd.DataFrame:
+            idx = _get(label_idx)
+            df = df.copy()
+            df["comp"] = idx.lookup(df["u"].to_numpy(object), "comp")
+            return df
+
+        nodes_l = nodes.map_batches(attach_node, batch_format="pandas")
+        edges_l = edges.map_batches(attach_edge, batch_format="pandas")
+        result = _contract_grouped(nodes_l, edges_l, delta, skip_h3=skip_h3)
 
     nodes_out = result.map_batches(
         lambda df: pd.DataFrame(
@@ -328,11 +800,19 @@ def contract_components(nodes, edges, delta: float, *, cap: int = DEFAULT_LOCAL_
     return nodes_out, edges_out
 
 
-def simplify(nodes, edges, delta: float, *, method: str = "local"):
+def simplify(
+    nodes,
+    edges,
+    delta: float,
+    *,
+    method: str = "local",
+    task_cap: int = DEFAULT_TASK_CAP,
+):
     """Full reference `simplify` composition (main.rs:66-74):
     largest component -> degree-2 contraction -> under-delta node removal
     -> under-delta link contraction. Metrics are the caller's concern
     (graphops.emit_metrics), matching the reference's order where metrics
-    run after the rewrites."""
+    run after the rewrites. ``method="labelprop"`` runs every stage
+    distributed (no driver union-find / single-task component)."""
     n1, e1 = largest_component(nodes, edges, method=method)
-    return contract_components(n1, e1, delta)
+    return contract_components(n1, e1, delta, method=method, task_cap=task_cap)

@@ -112,6 +112,111 @@ def test_contract_parallel_components_independent():
     assert graph_counts(n2, e2) == (oracle.n_nodes(), oracle.n_edges())
 
 
+H3_TOPOLOGY = "\n".join(
+    # every shape the one-snapshot degree-2 pass must handle:
+    #   j1-c1-c2-c3-c4-j2   long chain  -> contracts to j1-j2 (dups existing)
+    #   j1-j2               direct edge -> survives
+    #   j1-p1-j2            parallel chain -> duplicate j1-j2, dropped
+    #   j1-L1-L2-j1         loop on one junction -> vanishes, no self-edge
+    #   r1-r2-r3-r4-r1      pure degree-2 cycle -> vanishes entirely
+    #   x1, x2              leaves off j1 (degree 1, untouched)
+    [
+        "j1␟48.0␟2.0", "j2␟48.01␟2.0",
+        "c1␟48.001␟2.0", "c2␟48.002␟2.0", "c3␟48.003␟2.0", "c4␟48.004␟2.0",
+        "p1␟48.005␟2.001",
+        "L1␟48.0␟2.001", "L2␟48.0␟2.002",
+        "r1␟49.0␟3.0", "r2␟49.001␟3.0", "r3␟49.001␟3.001", "r4␟49.0␟3.001",
+        "x1␟48.0␟1.999", "x2␟48.0␟1.998",
+        "j1␟c1", "c1␟c2", "c2␟c3", "c3␟c4", "c4␟j2",
+        "j1␟j2", "j1␟p1", "p1␟j2",
+        "j1␟L1", "L1␟L2", "L2␟j1",
+        "r1␟r2", "r2␟r3", "r3␟r4", "r4␟r1",
+        "j1␟x1", "j1␟x2",
+    ]
+)
+
+
+def _graph_sets(nodes, edges):
+    ids = sorted(r["id"] for r in nodes.select_columns(["id"]).iter_rows())
+    es = sorted((r["u"], r["v"]) for r in edges.select_columns(["u", "v"]).iter_rows())
+    return ids, es
+
+
+def test_distributed_h3_matches_oracle_topology():
+    nodes, edges = graphio.graph_from_text(H3_TOPOLOGY)
+    nodes = graphops.dedup_nodes(nodes).materialize()
+    edges = graphops.dedup_edges(edges).materialize()
+    # local_cap=0 forces the pure pointer-doubling dataflow (no driver
+    # chain walk anywhere)
+    n2, e2 = components.remove_degree_two_nodes_distributed(
+        nodes, edges, num_buckets=4, max_rounds=10, local_cap=0
+    )
+    oracle = OracleGraph.from_text(H3_TOPOLOGY)
+    oracle.remove_degree_two_nodes()
+    ids, es = _graph_sets(n2, e2)
+    assert ids == sorted(oracle.coords)
+    assert es == oracle.undirected_edges()
+    assert ids == ["j1", "j2", "x1", "x2"]
+    assert es == [("j1", "j2"), ("j1", "x1"), ("j1", "x2")]
+
+
+def test_distributed_h3_matches_oracle_fixtures():
+    # cailles through the forced pointer-doubling path, test_bfs through
+    # the hybrid driver-chain-walk fast path — both must match the oracle
+    for name, cap in (("cailles.graph", 0), ("test_bfs.graph", 5_000_000)):
+        nodes, edges = tables_from(name)
+        n2, e2 = components.remove_degree_two_nodes_distributed(
+            nodes, edges, num_buckets=4, local_cap=cap
+        )
+        oracle = OracleGraph.from_text(load_fixture_text(name))
+        oracle.remove_degree_two_nodes()
+        ids, es = _graph_sets(n2, e2)
+        assert ids == sorted(oracle.coords)
+        assert es == oracle.undirected_edges()
+
+
+def test_contract_labelprop_matches_oracle():
+    # the fully distributed path (no driver union-find): distributed H3
+    # + labelprop labels + per-component H4/H6 kernel
+    nodes, edges = tables_from("cailles.graph")
+    n2, e2 = components.contract_components(nodes, edges, 10.0, method="labelprop")
+    oracle = OracleGraph.from_text(load_fixture_text("cailles.graph"))
+    oracle.remove_degree_two_nodes()
+    oracle.remove_under_delta_nodes(10.0)
+    oracle.remove_under_delta_links(10.0)
+    assert graph_counts(n2, e2) == (oracle.n_nodes(), oracle.n_edges())
+    assert degrees_from_tables(n2.materialize(), e2.materialize()) == {
+        n: oracle.degree(n) for n in oracle.coords
+    }
+
+
+def test_contract_task_cap_guard_forces_distributed_h3():
+    # a component above task_cap triggers the distributed-H3 fallback on
+    # the local path; the result must be identical to the oracle chain
+    nodes, edges = tables_from("cailles.graph")
+    # cailles is 26 nodes pre-H3 and 14 post-H3: cap 20 trips the guard
+    # on entry and is satisfied after the distributed contraction
+    n2, e2 = components.contract_components(nodes, edges, 10.0, task_cap=20)
+    oracle = OracleGraph.from_text(load_fixture_text("cailles.graph"))
+    oracle.remove_degree_two_nodes()
+    oracle.remove_under_delta_nodes(10.0)
+    oracle.remove_under_delta_links(10.0)
+    assert graph_counts(n2, e2) == (oracle.n_nodes(), oracle.n_edges())
+    assert degrees_from_tables(n2.materialize(), e2.materialize()) == {
+        n: oracle.degree(n) for n in oracle.coords
+    }
+
+
+def test_simplify_labelprop_full_composition():
+    nodes, edges = tables_from("test_bfs.graph")
+    n2, e2 = components.simplify(nodes, edges, 10.0, method="labelprop")
+    oracle = OracleGraph.from_text(load_fixture_text("test_bfs.graph")).simplify(10.0)
+    assert graph_counts(n2, e2) == (oracle.n_nodes(), oracle.n_edges())
+    assert degrees_from_tables(n2.materialize(), e2.materialize()) == {
+        n: oracle.degree(n) for n in oracle.coords
+    }
+
+
 def test_discretize_golden():  # discretize.rs:54-104
     from tests.test_oracle import DISCRETIZE_EXPECTED
 

@@ -6,19 +6,26 @@ shuffles are the hash-bucket groupbys; candidate verification joins the
 
 Scale notes (documented per operator): bucket groupbys are
 hash-partitioned on content-derived keys so they scale horizontally;
-the final union-find over verified duplicate PAIRS runs on the driver —
-the pair set is tiny relative to the corpus (near-dup rate bound), the
-standard design until pair counts approach memory, at which point the
-label-propagation components from components.py take over.
+pair verification hash-joins candidate pairs to their texts and runs
+inside map_batches (no driver text materialization); hot LSH buckets
+are recursively band/plane-split instead of quadratic all-pairs; the
+final grouping of verified pairs union-finds on the driver while the
+pair set is small (near-dup rate bound) and switches to the
+label-propagation components from components.py beyond that
+(``pairs_to_groups``).
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
 
 
 from .joins import BroadcastIndex, stable_hash
+
+_LOG = logging.getLogger("ophois_ray.dedup")
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -172,6 +179,117 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_verified_pairs(
+    ds,
+    cand,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    num_buckets: int = 32,
+):
+    """Exact n-gram Jaccard verification of LSH candidate pairs, fully
+    distributed: the (id_a, id_b) pairs hash-join the corpus texts twice
+    (once per side) and each joined row verifies inside map_batches —
+    no driver text materialization, no candidate-set size cap. Returns
+    a Dataset (id_a, id_b, jaccard) of pairs >= threshold."""
+    from .joins import hash_join
+
+    docs = ds.map_batches(
+        lambda df: df[[id_col, text_col]].rename(
+            columns={id_col: "id", text_col: "__t"}
+        ),
+        batch_format="pandas",
+    )
+    j1 = hash_join(
+        cand.map_batches(
+            lambda df: df.rename(columns={"id_a": "id"}), batch_format="pandas"
+        ),
+        docs,
+        "id",
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda df: df.rename(columns={"id": "id_a", "__t": "__ta", "id_b": "id"}),
+        batch_format="pandas",
+    )
+    j2 = hash_join(j1, docs, "id", num_buckets=num_buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.array(
+            [
+                jaccard(_shingle_hashes(ta, shingle_k), _shingle_hashes(tb, shingle_k))
+                for ta, tb in zip(df["__ta"], df["__t"])
+            ],
+            dtype=np.float64,
+        )
+        m = jac >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": df["id_a"].to_numpy()[m],
+                "id_b": df["id"].to_numpy()[m],
+                "jaccard": jac[m],
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
+def pairs_to_groups(verified, *, driver_pair_cap: int = 5_000_000):
+    """Connected duplicate groups from verified (id_a, id_b) pairs.
+    Group label = smallest member id.
+
+    Pairs are tiny relative to the corpus (near-dup rate bound): below
+    ``driver_pair_cap`` they union-find on the driver; above it the
+    distributed hash-min label propagation (components.py) takes over —
+    both produce the identical min-id labels. Returns pandas
+    (id, group) for every member of a group of size >= 2."""
+    n_pairs = verified.count()
+    if n_pairs == 0:
+        return pd.DataFrame(
+            {"id": pd.Series(dtype=np.int64), "group": pd.Series(dtype=np.int64)}
+        )
+    if n_pairs <= driver_pair_cap:
+        pairs = verified.select_columns(["id_a", "id_b"]).to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for ia, ib in zip(pairs["id_a"], pairs["id_b"]):
+            ra, rb = find(ia), find(ib)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members = sorted({i for p in zip(pairs["id_a"], pairs["id_b"]) for i in p})
+        return pd.DataFrame({"id": members, "group": [find(i) for i in members]})
+
+    # distributed grouping: nodes = distinct pair members, edges = pairs
+    from .components import connected_components_labelprop
+    from .joins import grouped_apply
+
+    edges = verified.map_batches(
+        lambda df: pd.DataFrame({"u": df["id_a"], "v": df["id_b"]}),
+        batch_format="pandas",
+    )
+    nodes = grouped_apply(
+        verified.map_batches(
+            lambda df: pd.DataFrame(
+                {"id": np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()])}
+            ),
+            batch_format="pandas",
+        ),
+        "id",
+        lambda df: df.drop_duplicates(),
+        drop_partial=lambda df: df.drop_duplicates(),
+    )
+    labels = connected_components_labelprop(nodes, edges, num_buckets=16)
+    out = labels.to_pandas().rename(columns={"comp": "group"})
+    return out.sort_values("id").reset_index(drop=True)
+
+
 def minhash_near_dup_groups(
     ds,
     *,
@@ -182,68 +300,24 @@ def minhash_near_dup_groups(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 7,
-    broadcast_cap: int = 2_000_000,
+    driver_pair_cap: int = 5_000_000,
 ):
-    """Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard
-    verification -> connected duplicate groups.
-
-    Returns a pandas DataFrame (id, group) for every document in a
-    near-dup group of size >= 2. Verification broadcasts the texts of
-    candidate ids only (small by construction); the pair union-find runs
-    on the driver (see module docstring for the scale story).
-    """
+    """Full near-dup pipeline: LSH candidates -> distributed exact
+    n-gram Jaccard verification (hash-join pairs to texts, verify in
+    map_batches) -> connected duplicate groups (driver union-find under
+    ``driver_pair_cap`` verified pairs, distributed label propagation
+    above it). Returns pandas (id, group) for every document in a
+    near-dup group of size >= 2 — the output is small by construction
+    even when the corpus is not."""
     cand = minhash_lsh_candidates(
         ds, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
         num_perm=num_perm, bands=bands, seed=seed,
-    ).to_pandas()
-    if len(cand) == 0:
-        return pd.DataFrame({"id": pd.Series(dtype=np.int64), "group": pd.Series(dtype=np.int64)})
-    cand_ids = np.unique(np.concatenate([cand["id_a"].to_numpy(), cand["id_b"].to_numpy()]))
-    if len(cand_ids) > broadcast_cap:
-        raise ValueError("candidate set exceeds broadcast cap; shard the verify stage")
-
-    import ray
-
-    id_ref = ray.put(set(cand_ids.tolist()))
-
-    def texts_of(df: pd.DataFrame) -> pd.DataFrame:
-        wanted = ray.get(id_ref) if isinstance(id_ref, ray.ObjectRef) else id_ref
-        sub = df[[id_col, text_col]][df[id_col].isin(wanted)]
-        return sub.rename(columns={id_col: "id", text_col: "text"})
-
-    texts = ds.map_batches(texts_of, batch_format="pandas").to_pandas()
-    text_by_id = dict(zip(texts["id"], texts["text"]))
-
-    # verify pairs (vectorized set ops per pair)
-    sh_cache: dict = {}
-
-    def sh(i):
-        if i not in sh_cache:
-            sh_cache[i] = _shingle_hashes(text_by_id[i], shingle_k)
-        return sh_cache[i]
-
-    keep = [
-        (ia, ib)
-        for ia, ib in zip(cand["id_a"], cand["id_b"])
-        if jaccard(sh(ia), sh(ib)) >= threshold
-    ]
-    if not keep:
-        return pd.DataFrame({"id": pd.Series(dtype=cand_ids.dtype), "group": pd.Series(dtype=cand_ids.dtype)})
-
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for ia, ib in keep:
-        ra, rb = find(ia), find(ib)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    members = sorted({i for p in keep for i in p})
-    return pd.DataFrame({"id": members, "group": [find(i) for i in members]})
+    )
+    verified = minhash_verified_pairs(
+        ds, cand, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, threshold=threshold,
+    ).materialize()
+    return pairs_to_groups(verified, driver_pair_cap=driver_pair_cap)
 
 
 # ------------------------------------------------------------------ simhash
@@ -278,12 +352,101 @@ def simhash(ds, text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount of a uint64 array."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def _ham_pairs_recursive(
+    ids: np.ndarray,
+    sh: np.ndarray,
+    free_bits: list[int],
+    max_hamming: int,
+    cap: int,
+    out: list,
+) -> None:
+    """Emit hamming<=max_hamming pairs of (ids, sh) without ever doing
+    all-pairs on a group larger than ``cap``.
+
+    Pigeonhole recursion: the group already agrees on every bit outside
+    ``free_bits``; a qualifying pair has <= max_hamming mismatches, all
+    inside the free bits, so splitting the free bits into
+    (max_hamming+1) sub-bands guarantees the pair collides exactly on
+    at least one sub-band — recurse into each sub-band's buckets.
+    Duplicated discoveries are dropped by the caller's dedup. When
+    fewer than max_hamming+1 free bits remain, EVERY pair qualifies
+    (pairwise hamming <= #free_bits <= max_hamming): an over-cap group
+    there is a genuinely quadratic near-identical cluster, emitted as a
+    min-id star (hub pairs only) with a lineage log line — group
+    membership is fully recoverable from the star."""
+    n = len(ids)
+    if n < 2:
+        return
+    if n <= cap:
+        ia, ib = np.triu_indices(n, k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = _popcount64(x)
+        m = ham <= max_hamming
+        a, b = ids[ia][m], ids[ib][m]  # canonical id_a < id_b (recursed
+        # groups arrive key-sorted, not id-sorted)
+        out.append((np.minimum(a, b), np.maximum(a, b), ham[m]))
+        return
+    if len(free_bits) < max_hamming + 1:
+        _LOG.info(
+            "simhash: near-identical cluster of %d docs emitted as star "
+            "(free_bits=%d <= max_hamming=%d)", n, len(free_bits), max_hamming
+        )
+        hub = int(np.argmin(ids))
+        x = sh[hub] ^ sh
+        ham = _popcount64(x)
+        rest = np.arange(n) != hub
+        out.append((np.full(n - 1, ids[hub]), ids[rest], ham[rest]))
+        return
+    n_sub = max_hamming + 1
+    chunks = np.array_split(np.asarray(free_bits, dtype=np.int64), n_sub)
+    for chunk in chunks:
+        if len(chunk) == 0:
+            continue
+        key = np.zeros(n, dtype=np.uint64)
+        for j, bit in enumerate(chunk):
+            key |= ((sh >> np.uint64(bit)) & np.uint64(1)) << np.uint64(j)
+        remaining = [b for b in free_bits if b not in set(chunk.tolist())]
+        order = np.argsort(key, kind="stable")
+        key_s, ids_s, sh_s = key[order], ids[order], sh[order]
+        bounds = np.flatnonzero(np.diff(key_s)) + 1
+        for lo, hi in zip(
+            np.concatenate([[0], bounds]), np.concatenate([bounds, [n]])
+        ):
+            if hi - lo >= 2:
+                _ham_pairs_recursive(
+                    ids_s[lo:hi], sh_s[lo:hi], remaining, max_hamming, cap, out
+                )
+
+
 def simhash_near_dup_pairs(
-    ds, *, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 2000,
 ):
     """SimHash near-dup: band the 64 bits into 4x16-bit keys (any pair
     within hamming distance 3 collides on >= 1 band), groupby bucket,
     verify hamming distance exactly. Returns pandas (id_a, id_b, hamming).
+
+    Hot buckets (> ``bucket_cap`` members — e.g. the all-zeros band of
+    short/empty texts at web scale) never do all-pairs: they recurse by
+    pigeonhole band-splitting over the still-free bits
+    (``_ham_pairs_recursive``), which preserves exact recall down to
+    near-identical clusters; those are emitted star-shaped with a
+    lineage log line instead of quadratically.
     """
     with_sh = simhash(ds, text_col)
 
@@ -303,18 +466,27 @@ def simhash_near_dup_pairs(
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=["id"]).sort_values("id")
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+             "hamming": pd.Series(dtype=np.int64)}
+        )
         if len(g) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
-                 "hamming": pd.Series(dtype=np.int64)}
-            )
+            return empty
         ids = g["id"].to_numpy()
         sh = g["simhash"].to_numpy(np.int64).view(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
-        m = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m], "hamming": ham[m]})
+        band = int(g["band"].iloc[0])
+        free = [b for b in range(64) if not (16 * band <= b < 16 * (band + 1))]
+        chunks: list = []
+        _ham_pairs_recursive(ids, sh, free, max_hamming, bucket_cap, chunks)
+        if not chunks:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([c[0] for c in chunks]),
+                "id_b": np.concatenate([c[1] for c in chunks]),
+                "hamming": np.concatenate([c[2] for c in chunks]),
+            }
+        ).drop_duplicates(subset=["id_a", "id_b"])
 
     from .joins import grouped_apply
 
@@ -329,6 +501,60 @@ def simhash_near_dup_pairs(
 # ------------------------------------------------------- embedding near-dup
 
 
+#: per-worker cache of hyperplane matrices keyed (seed, dim, n_planes) —
+#: per-worker state, built once, never regenerated per batch
+_PLANES_CACHE: dict = {}
+
+
+def _planes_for(seed: int, d: int, n_planes: int) -> np.ndarray:
+    key = (seed, d, n_planes)
+    if key not in _PLANES_CACHE:
+        rng = np.random.RandomState(seed)
+        _PLANES_CACHE[key] = rng.normal(size=(d, n_planes))
+    return _PLANES_CACHE[key]
+
+
+def _cos_pairs_recursive(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    threshold: float,
+    cap: int,
+    seed: int,
+    depth: int,
+    out: list,
+) -> None:
+    """Emit within-bucket cosine pairs without all-pairs beyond ``cap``:
+    an over-cap bucket is split by one extra deterministic hyperplane
+    (seeded by depth) and both halves recurse — effectively more LSH
+    planes for hot regions of the embedding space. A qualifying pair
+    straddles one extra split with probability ~ arccos(threshold)/pi
+    (< 6% per split at threshold 0.95); each split is logged as lineage.
+    """
+    n = len(ids)
+    if n < 2:
+        return
+    if n <= cap or depth > 60:
+        sim = vecs @ vecs.T
+        ia, ib = np.triu_indices(n, k=1)
+        cs = sim[ia, ib]
+        m = cs >= threshold
+        a, b = ids[ia][m], ids[ib][m]
+        out.append((np.minimum(a, b), np.maximum(a, b), cs[m]))
+        return
+    d = vecs.shape[1]
+    plane = _planes_for(seed + 100_003 * (depth + 1), d, 1)[:, 0]
+    side = (vecs @ plane) >= 0
+    _LOG.info(
+        "embedding LSH: hot bucket of %d vectors split at depth %d "
+        "(%d / %d)", n, depth, int(side.sum()), int((~side).sum())
+    )
+    for mask in (side, ~side):
+        if mask.sum() >= 2:
+            _cos_pairs_recursive(
+                ids[mask], vecs[mask], threshold, cap, seed, depth + 1, out
+            )
+
+
 def embedding_near_dup_pairs(
     ds,
     *,
@@ -338,21 +564,25 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     seed: int = 13,
     dim: int | None = None,
+    bucket_cap: int = 4000,
 ):
     """Embedding-cosine near-dup via random-hyperplane LSH buckets.
 
     Vectors whose signs agree on all n_planes hyperplanes land in the
     same bucket; within-bucket exact cosine >= threshold pairs are
     emitted. Approximate by design (pairs split across buckets are
-    missed — raise n_planes' complement or multiprobe for recall);
-    deterministic given the seed. Returns pandas (id_a, id_b, cosine).
+    missed — raise recall with fewer planes or multiprobe);
+    deterministic given the seed. Buckets beyond ``bucket_cap`` (hot
+    regions — 2^n_planes buckets fill linearly with corpus size) are
+    recursively split by extra deterministic hyperplanes instead of
+    doing quadratic all-pairs; every split is logged as lineage.
+    Returns pandas (id_a, id_b, cosine).
     """
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
         d = vecs.shape[1]
-        rng = np.random.RandomState(seed)
-        planes = rng.normal(size=(d, n_planes))
+        planes = _planes_for(seed, d, n_planes)
         signs = (vecs @ planes) >= 0
         bucket = np.zeros(len(vecs), dtype=np.int64)
         for i in range(n_planes):
@@ -368,18 +598,25 @@ def embedding_near_dup_pairs(
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=["id"]).sort_values("id")
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+             "cosine": pd.Series(dtype=np.float64)}
+        )
         if len(g) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
-                 "cosine": pd.Series(dtype=np.float64)}
-            )
+            return empty
         vecs = np.stack(g["vec"].to_list())
         ids = g["id"].to_numpy()
-        sim = vecs @ vecs.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        cs = sim[ia, ib]
-        m = cs >= threshold
-        return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m], "cosine": cs[m]})
+        chunks: list = []
+        _cos_pairs_recursive(ids, vecs, threshold, bucket_cap, seed, 0, chunks)
+        if not chunks:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([c[0] for c in chunks]),
+                "id_b": np.concatenate([c[1] for c in chunks]),
+                "cosine": np.concatenate([c[2] for c in chunks]),
+            }
+        )
 
     from .joins import grouped_apply
 

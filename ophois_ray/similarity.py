@@ -5,13 +5,13 @@
   partial top-k, driver merge of the tiny partials. One streaming pass,
   zero shuffle.
 - lsh_topk: the scale path — random-hyperplane signature buckets with
-  multiprobe (flip each bit); candidates searched exactly within
-  probed buckets. Approximate; recall rises with n_probe planes.
+  multiprobe (flip each bit); candidates scored exactly within probed
+  buckets via per-batch partial top-k (same shape as the brute path —
+  only n_query x k rows per task reach the driver). Approximate;
+  recall rises with multiprobe depth.
 """
 
 from __future__ import annotations
-
-import heapq
 
 import numpy as np
 import pandas as pd
@@ -40,14 +40,20 @@ class _BruteScorer:
         ids = df[self.id_col].to_numpy()
         sims = self.q @ vecs.T  # (n_query, n_batch)
         k = min(self.k, sims.shape[1])
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        # deterministic (cosine desc, vec_id asc) tiebreak INSIDE the
+        # batch: argpartition alone resolves boundary ties by row order,
+        # which depends on block arrival
+        out_v, out_c = [], []
+        for qi in range(sims.shape[0]):
+            order = np.lexsort((ids, -sims[qi]))[:k]
+            out_v.append(ids[order])
+            out_c.append(sims[qi][order])
         qidx = np.repeat(np.arange(sims.shape[0]), k)
-        vidx = part.ravel()
         return pd.DataFrame(
             {
                 "query_id": qidx.astype(np.int64),
-                "vec_id": ids[vidx],
-                "cosine": sims[qidx, vidx],
+                "vec_id": np.concatenate(out_v),
+                "cosine": np.concatenate(out_c),
             }
         )
 
@@ -80,6 +86,74 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10, vec_col: str = "em
     )
 
 
+class _IntScorer:
+    """Actor-pool stage for the ORACLE-EXACT integer top-k: embeddings
+    quantized floor(x * 2^shift) to int64 on both engines; scores are
+    exact int64 dot products (64 dims x 21-bit components < 2^63), so
+    ranking is bit-reproducible in ANSI SQL — no float summation order
+    anywhere."""
+
+    def __init__(self, query_ref, vec_col: str, id_col: str, k: int, shift: int):
+        import ray
+
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = np.floor(np.asarray(q, dtype=np.float64) * (1 << shift)).astype(np.int64)
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+        self.shift = shift
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in df[self.vec_col]])
+            * (1 << self.shift)
+        ).astype(np.int64)
+        ids = df[self.id_col].to_numpy()
+        scores = self.q @ vecs.T  # exact int64
+        k = min(self.k, scores.shape[1])
+        out_v, out_s = [], []
+        for qi in range(scores.shape[0]):
+            order = np.lexsort((ids, -scores[qi]))[:k]
+            out_v.append(ids[order])
+            out_s.append(scores[qi][order])
+        qidx = np.repeat(np.arange(scores.shape[0]), k)
+        return pd.DataFrame(
+            {
+                "query_id": qidx.astype(np.int64),
+                "vec_id": np.concatenate(out_v),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+
+def quantized_topk(ds, queries: np.ndarray, *, k: int = 10, vec_col: str = "embedding",
+                   id_col: str = "vec_id", shift: int = 20, concurrency: int = 4,
+                   batch_size: int = 4096) -> pd.DataFrame:
+    """Exact integer-arithmetic inner-product top-k (see _IntScorer).
+    Returns pandas (query_id, vec_id, score, rank) with the
+    deterministic (score desc, vec_id asc) tiebreak — bit-identical to
+    the DuckDB mirror in queries.py."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(
+        _IntScorer,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        fn_constructor_args=(qref, vec_col, id_col, k, shift),
+    ).to_pandas()
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        out.append(grp.assign(rank=np.arange(len(grp), dtype=np.int64)))
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, vec_col: str = "embedding",
              id_col: str = "vec_id", n_planes: int = 8, seed: int = 13,
              multiprobe: int = 1) -> pd.DataFrame:
@@ -87,8 +161,11 @@ def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, vec_col: str = "embedding"
     signature; each query probes its own bucket plus every bucket within
     `multiprobe` sign flips, then scores candidates exactly.
 
-    At cluster scale the buckets are the shuffle key (groupby bucket)
-    and queries are broadcast; here candidates stream back per batch.
+    Zero-shuffle: queries + probe table broadcast once; every batch
+    emits only its n_query x k partial winners (deterministic
+    (cosine desc, vec_id asc) tiebreak) and the driver merges the tiny
+    partials — the same scaling shape as brute_force_topk, minus the
+    non-probed candidates it never scores.
     """
     queries = _unit(np.asarray(queries, dtype=np.float64))
     d = queries.shape[1]
@@ -115,16 +192,27 @@ def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, vec_col: str = "embedding"
                 for j in range(i + 1, n_planes)
             }
         probe_sets.append(probes)
-    wanted = set().union(*probe_sets) if probe_sets else set()
+    # query-id x signature probe table: row qi True at every bucket qi
+    # probes (2^n_planes kept small — the LSH design point)
+    n_sigs = 1 << n_planes
+    probe_tbl = np.zeros((len(queries), n_sigs), dtype=bool)
+    for qi, probes in enumerate(probe_sets):
+        probe_tbl[qi, list(probes)] = True
 
     import ray
 
-    qref = ray.put((queries, planes, sorted(wanted)))
+    qref = ray.put((queries, planes, probe_tbl))
 
     class Scorer:
+        """Per-batch partial top-k per query (the same shape as
+        _BruteScorer): candidates outside a query's probed buckets are
+        masked to -inf, survivors are ranked with the deterministic
+        (cosine desc, vec_id asc) tiebreak, and only n_query x k tiny
+        partial rows leave the task — never raw candidates."""
+
         def __init__(self):
-            q, pl, want = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
-            self.q, self.planes, self.want = q, pl, np.array(want, dtype=np.int64)
+            q, pl, tbl = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+            self.q, self.planes, self.tbl = q, pl, tbl
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             vecs = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]]))
@@ -132,34 +220,54 @@ def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, vec_col: str = "embedding"
             sig = np.zeros(len(vecs), dtype=np.int64)
             for i in range(n_planes):
                 sig |= s[:, i].astype(np.int64) << i
-            m = np.isin(sig, self.want)
+            any_probe = self.tbl.any(axis=0)
+            m = any_probe[sig]
+            empty = pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int64),
+                 "vec_id": pd.Series(dtype=df[id_col].dtype),
+                 "cosine": pd.Series(dtype=np.float64)}
+            )
             if not m.any():
-                return pd.DataFrame(
-                    {"vec_id": pd.Series(dtype=df[id_col].dtype),
-                     "sig": pd.Series(dtype=np.int64),
-                     "cos": pd.Series(dtype=object)}
-                )
+                return empty
             cand = vecs[m]
-            sims = self.q @ cand.T
+            cand_ids = df[id_col].to_numpy()[m]
+            cand_sig = sig[m]
+            sims = self.q @ cand.T  # (n_query, n_cand)
+            valid = self.tbl[:, cand_sig]  # (n_query, n_cand)
+            sims = np.where(valid, sims, -np.inf)
+            out_q, out_v, out_c = [], [], []
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                nvalid = int(valid[qi].sum())
+                if nvalid == 0:
+                    continue
+                kk = min(k, nvalid)
+                order = np.lexsort((cand_ids, -row))[:kk]
+                out_q.append(np.full(kk, qi, dtype=np.int64))
+                out_v.append(cand_ids[order])
+                out_c.append(row[order])
+            if not out_q:
+                return empty
             return pd.DataFrame(
                 {
-                    "vec_id": df[id_col].to_numpy()[m],
-                    "sig": sig[m],
-                    "cos": [sims[:, i] for i in range(cand.shape[0])],
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cosine": np.concatenate(out_c),
                 }
             )
 
-    cands = ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
-    rows = []
-    for qi in range(len(queries)):
-        probes = probe_sets[qi]
-        heap: list = []
-        for vid, sig, cos in zip(cands["vec_id"], cands["sig"], cands["cos"]):
-            if int(sig) in probes:
-                heapq.heappush(heap, (-float(cos[qi]), vid))
-        got = []
-        while heap and len(got) < k:
-            c, vid = heapq.heappop(heap)
-            got.append((qi, vid, -c, len(got)))
-        rows.extend(got)
-    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine", "rank"])
+    partials = ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        out.append(grp.assign(rank=np.arange(len(grp), dtype=np.int64)))
+    if not out:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype=np.int64), "vec_id": pd.Series(dtype=np.int64),
+             "cosine": pd.Series(dtype=np.float64), "rank": pd.Series(dtype=np.int64)}
+        )
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )

@@ -36,3 +36,13 @@ def oracle_sql() -> dict[str, str]:
     from ophois_ray import queries as q
 
     return q.sql_catalog()
+
+
+def no_oracle_reasons() -> dict[str, str]:
+    """Documentation hook (not part of the driver contract): why each
+    rows-only query has no SQL mirror — seeded LSH banding, float
+    summation order, or procedural graph fixpoints; see
+    ophois_ray/queries.py::no_oracle_reasons."""
+    from ophois_ray import queries as q
+
+    return q.no_oracle_reasons()

@@ -549,9 +549,20 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
+    """Embedding near-dup with planted duplicates: every vec_id < 40 gets
+    an exact copy at id + 1_000_000 (cosine exactly 1.0), so the driver
+    exercise is non-vacuous at every SF — natural random vectors yield
+    ~zero pairs at threshold 0.98, which previously made this row test
+    nothing."""
     from . import dedup as _dedup
 
-    return _dedup.embedding_near_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.98)
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df["vec_id"] < 40].copy()
+        dup["vec_id"] = dup["vec_id"] + 1_000_000
+        return pd.concat([df, dup], ignore_index=True)
+
+    planted = _t(sf_dir, "embeddings").map_batches(plant, batch_format="pandas")
+    return _dedup.embedding_near_dup_pairs(planted, threshold=0.98)
 
 
 def q_embed_topk(sf_dir: str):
@@ -563,12 +574,79 @@ def q_embed_topk(sf_dir: str):
     return similarity.brute_force_topk(emb, queries, k=10)
 
 
+def q_embed_topk_int(sf_dir: str):
+    """Oracle-exact similarity top-k: floor-quantized (2^20) integer
+    inner product, ranked (score desc, vec_id asc) — every arithmetic op
+    is exact in both numpy int64 and DuckDB BIGINT, so the driver hash
+    matches bit-for-bit (the float-cosine variant q_embed_topk stays
+    rows-only: float matmul summation order is engine-specific)."""
+    from . import similarity
+
+    emb = _t(sf_dir, "embeddings")
+    qdf = (
+        emb.map_batches(lambda df: df[df["vec_id"] < 3], batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    return similarity.quantized_topk(emb, queries, k=10, shift=20)
+
+
+SQL_EMBED_TOPK_INT = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 3
+), v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vv
+  FROM embeddings
+), s AS (
+  SELECT q.query_id, v.vec_id,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * vv[i])) AS BIGINT) AS score
+  FROM q CROSS JOIN v
+), r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) - 1 AS rank
+  FROM s
+)
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank < 10
+"""
+
+
 def q_doc_fingerprint(sf_dir: str):
     from . import textstats
 
     return textstats.fingerprint(_t(sf_dir, "documents")).select_columns(
         ["doc_id", "doc_hash", "kgram_min"]
     )
+
+
+# the fingerprint is defined over Unicode code points precisely so this
+# mirror exists: DuckDB folds the same Horner recurrence with a HUGEINT
+# accumulator (intermediates < 2^70 < 2^127) and min()s the k-gram
+# hashes over every window position; docs shorter than k fall back to
+# the whole-text hash on both sides.
+SQL_DOC_FINGERPRINT = """
+WITH cp AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '(?s).'), x -> CAST(unicode(x) AS HUGEINT)) AS cps
+  FROM documents
+), dh AS (
+  SELECT doc_id, cps,
+         CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), cps),
+              (acc, b) -> (acc * 257 + b + 1) % 2305843009213693951) AS BIGINT) AS doc_hash
+  FROM cp
+), kg AS (
+  SELECT doc_id,
+         CAST(min(list_reduce(list_prepend(CAST(0 AS HUGEINT), cps[i:i+7]),
+              (acc, b) -> (acc * 257 + b + 1) % 2305843009213693951)) AS BIGINT) AS kgram_min
+  FROM dh, UNNEST(range(1, len(cps) - 6)) AS t(i)
+  GROUP BY doc_id
+)
+SELECT dh.doc_id, dh.doc_hash, COALESCE(kg.kgram_min, dh.doc_hash) AS kgram_min
+FROM dh LEFT JOIN kg ON dh.doc_id = kg.doc_id
+"""
 
 
 def q_lang_id_counts(sf_dir: str):
@@ -579,6 +657,38 @@ def q_lang_id_counts(sf_dir: str):
         .groupby("lang_pred")
         .aggregate(Count(alias_name="n"))
     )
+
+
+def _sql_lang_id_counts() -> str:
+    """Generated from textstats.STOPWORDS so SQL and engine can never
+    drift: per-language stopword hit count over lowered [a-zA-Z']+
+    tokens; winner = first language in sorted order reaching the max
+    (the engine's strict `score > best` scan), 'und' when all zero."""
+    from .textstats import STOPWORDS, _LANGS
+
+    scores = ", ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        + f"], x))) AS s_{lang}"
+        for lang in _LANGS
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANGS) + ")"
+    case = (
+        "CASE WHEN best = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in _LANGS)
+        + " END"
+    )
+    return f"""
+WITH t AS (
+  SELECT list_transform(regexp_extract_all(text, '[a-zA-Z'']+'), x -> lower(x)) AS toks
+  FROM documents
+), s AS (
+  SELECT {scores} FROM t
+), p AS (
+  SELECT {best} AS best, * FROM s
+)
+SELECT {case} AS lang_pred, count(*) AS n FROM p GROUP BY 1
+"""
 
 
 def _testdata_graph(sf_dir: str):
@@ -706,6 +816,7 @@ def catalog():
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "embed_topk": q_embed_topk,
+        "embed_topk_int": q_embed_topk_int,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id_counts": q_lang_id_counts,
         "graph_simplify": q_graph_simplify,
@@ -732,4 +843,50 @@ def sql_catalog():
         "doc_token_count": SQL_DOC_TOKEN_COUNT,
         "doc_lang_counts": SQL_DOC_LANG_COUNTS,
         "doc_quality_features": SQL_DOC_QUALITY,
+        "embed_topk_int": SQL_EMBED_TOPK_INT,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "lang_id_counts": _sql_lang_id_counts(),
+    }
+
+
+def no_oracle_reasons():
+    """Why each remaining rows-only query has no SQL mirror (the driver
+    records 'no_oracle'; this documents the cause per query)."""
+    return {
+        "minhash_near_dup": (
+            "output depends on seeded 64-permutation MinHash band "
+            "collisions; the banding is not expressible as set-based SQL "
+            "(correctness covered by planted-duplicate pytest fixtures)"
+        ),
+        "simhash_pairs": (
+            "64-bit SimHash bit-voting over token hashes "
+            "(pandas.util.hash_array) has no SQL equivalent; verified by "
+            "planted near-identical texts in pytest"
+        ),
+        "embedding_near_dup": (
+            "float cosine threshold: numpy matmul summation order is not "
+            "reproducible in SQL; exercised non-vacuously via planted "
+            "exact duplicates (cosine 1.0) — see q_embedding_near_dup"
+        ),
+        "embed_topk": (
+            "float cosine ranking (see embed_topk_int for the "
+            "oracle-exact integer variant of the same operator)"
+        ),
+        "graph_simplify": (
+            "iterative whole-graph fixpoint (degree-2 contraction, "
+            "under-delta rewrites with generated merge ids) — inherently "
+            "procedural; gated instead by reference goldens + the "
+            "sequential oracle kernel in pytest"
+        ),
+        "graph_discretize": (
+            "generates interpolated node chains with float-repr string "
+            "ids; gated by reference goldens (bitwise coord strings) in "
+            "pytest"
+        ),
+        "knn_pages_snap": (
+            "full flagship pipeline over generated pages (HTML extract + "
+            "geotag + kNN snap); the kNN ranking itself is oracle-checked "
+            "by knn_cell_snap/nn_snap_planar; end-to-end gated by pytest "
+            "row/byte-parity fixtures"
+        ),
     }

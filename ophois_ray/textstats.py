@@ -123,31 +123,34 @@ _FP_MOD = np.uint64((1 << 61) - 1)
 _FP_BASE = np.uint64(257)
 
 
-def _poly_hash_bytes(data: bytes) -> int:
-    """Polynomial rolling hash of a byte string mod 2^61-1 (deterministic,
-    order-sensitive — a document fingerprint)."""
+def _poly_hash_codepoints(cps) -> int:
+    """Polynomial rolling hash of a code-point sequence mod 2^61-1
+    (deterministic, order-sensitive — a document fingerprint). Defined
+    over Unicode code points, not utf-8 bytes, so the identical value is
+    computable in ANSI SQL (DuckDB list_reduce over unicode(ch) with a
+    HUGEINT accumulator — see queries.SQL_DOC_FINGERPRINT)."""
     mod = int(_FP_MOD)
     base = int(_FP_BASE)
     acc = 0
-    for b in data:
+    for b in cps:
         acc = (acc * base + b + 1) % mod
     return acc
 
 
-def _rolling_kgram_min(data: bytes, k: int = 8) -> int:
+def _rolling_kgram_min(cps, k: int = 8) -> int:
     """Minimum over all k-gram polynomial hashes (rabin fingerprint
     winnow-min): robust to local edits, deterministic."""
-    if len(data) < k:
-        return _poly_hash_bytes(data)
+    if len(cps) < k:
+        return _poly_hash_codepoints(cps)
     mod = int(_FP_MOD)
     base = int(_FP_BASE)
     basek = pow(base, k - 1, mod)
     h = 0
-    for b in data[:k]:
+    for b in cps[:k]:
         h = (h * base + b + 1) % mod
     best = h
-    for i in range(k, len(data)):
-        h = ((h - (data[i - k] + 1) * basek) * base + data[i] + 1) % mod
+    for i in range(k, len(cps)):
+        h = ((h - (cps[i - k] + 1) * basek) * base + cps[i] + 1) % mod
         if h < best:
             best = h
     return best
@@ -155,14 +158,16 @@ def _rolling_kgram_min(data: bytes, k: int = 8) -> int:
 
 def fingerprint(ds, text_col: str = "text", k: int = 8):
     """Adds doc_hash (full-text rolling hash) and kgram_min (minimum
-    k-gram hash) int64 columns."""
+    k-gram hash) int64 columns, both over Unicode code points."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        enc = [t.encode() if isinstance(t, str) else b"" for t in df[text_col]]
-        df["doc_hash"] = np.array([_poly_hash_bytes(e) for e in enc], dtype=np.uint64).astype(
-            np.int64
-        )
+        enc = [
+            [ord(c) for c in t] if isinstance(t, str) else [] for t in df[text_col]
+        ]
+        df["doc_hash"] = np.array(
+            [_poly_hash_codepoints(e) for e in enc], dtype=np.uint64
+        ).astype(np.int64)
         df["kgram_min"] = np.array(
             [_rolling_kgram_min(e, k) for e in enc], dtype=np.uint64
         ).astype(np.int64)

@@ -151,10 +151,15 @@ def k_ring_many(cells: np.ndarray, k: int = 1) -> tuple[np.ndarray, np.ndarray]:
 def cells_covering_segment(lat1, lon1, lat2, lon2, res: int, pad: int = 0):
     """Cells traversed by planar segments; vectorized over edge arrays.
 
-    Samples each segment at half-cell steps (guaranteed to visit every
-    crossed cell of an axis-aligned grid when step <= cell_size/2),
-    optionally padded with a `pad`-ring around each visited cell.
-    Returns (edge_index, cell) arrays.
+    Samples each segment at half-cell steps. NOTE the covering is
+    APPROXIMATE: a segment that clips a cell corner for less than half a
+    cell-step of parameter length can have both adjacent samples outside
+    that cell, so corner-clipped cells may be missed (up to one cell per
+    crossing). Consumers must therefore query with ring >= 1 (as
+    knn_snap does) or pass ``pad >= 1``; an exact covering would need a
+    grid-crossing walk (Amanatides-Woo DDA), which ring-1 lookups make
+    unnecessary here. Returns (edge_index, cell) arrays, optionally
+    padded with a `pad`-ring around each visited cell.
     """
     lat1 = np.asarray(lat1, dtype=np.float64)
     lon1 = np.asarray(lon1, dtype=np.float64)

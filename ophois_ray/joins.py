@@ -207,8 +207,12 @@ def hash_join(
     r_tagged = r_tagged.map_batches(pad(l_only), batch_format="pandas")
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lf = df[df["__side"] == 0][keys + l_only]
-        rf = df[df["__side"] == 1][keys + out_rcols]
+        # the union pads each side's missing columns with None, which
+        # forces the co-grouped block to object dtype — restore per-side
+        # native dtypes or pandas refuses to merge int keys with
+        # object-of-int keys
+        lf = df[df["__side"] == 0][keys + l_only].infer_objects()
+        rf = df[df["__side"] == 1][keys + out_rcols].infer_objects()
         merged = lf.merge(rf, on=keys, how=how)
         return merged
 

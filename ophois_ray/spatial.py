@@ -202,7 +202,16 @@ def knn_snap(
 
     def per_cell(group: pd.DataFrame) -> pd.DataFrame:
         pg = group[group["side"] == _PAGE_SIDE]
-        eg = group[group["side"] == _EDGE_SIDE].drop_duplicates(subset=["u", "v"])
+        # sort edges by (u, v) so the COLUMN INDEX is the tiebreak rank:
+        # a stable row-wise argsort on sqdist then resolves equal
+        # distances to the smaller (u, v) — candidates tied at the k-th
+        # boundary are truncated deterministically (argpartition resolved
+        # such ties by block-arrival order)
+        eg = (
+            group[group["side"] == _EDGE_SIDE]
+            .drop_duplicates(subset=["u", "v"])
+            .sort_values(["u", "v"], kind="stable")
+        )
         if len(pg) == 0 or len(eg) == 0:
             return _empty_candidates()
         plat = pg["plat"].to_numpy()[:, None]
@@ -213,10 +222,7 @@ def knn_snap(
         blon = eg["blon"].to_numpy()[None, :]
         sq = geo.point_segment_sqdist(plat, plon, alat, alon, blat, blon)
         kk = min(k, sq.shape[1])
-        # per page: k smallest, deterministic tiebreak via argsort on
-        # (sqdist, u, v) handled downstream; here take k by sqdist then
-        # stable order on (u, v) via lexsort for ties
-        part = np.argpartition(sq, kk - 1, axis=1)[:, :kk]
+        part = np.argsort(sq, axis=1, kind="stable")[:, :kk]
         rows = np.repeat(np.arange(sq.shape[0]), kk)
         cols = part.ravel()
         return pd.DataFrame(
@@ -288,59 +294,49 @@ def knn_snap(
     return result, lineage
 
 
-_PACK_SEP = "\x01"
-
-
 def _nearest_packmin(candidates):
-    """k=1 fast path: global nearest per url without per-group Python.
+    """k=1 fast path: global nearest per url, loop-free.
 
-    Packs (sqdist-as-sortable-hex, u, v, payload) into one string and
-    takes a groupby-min — the IEEE bit pattern of a non-negative float64
-    is monotonic, so string order == numeric order. Fully vectorized;
-    one shuffle over (url, packed) rows.
-    """
-
-    def pack(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"url": pd.Series(dtype=object), "packed": pd.Series(dtype=object)})
-        bits = df["sqdist"].to_numpy(np.float64).view(np.uint64)
-        packed = [
-            f"{b:016x}{_PACK_SEP}{u}{_PACK_SEP}{v}{_PACK_SEP}"
-            f"{plat!r}{_PACK_SEP}{plon!r}{_PACK_SEP}{int(hc)}{_PACK_SEP}"
-            f"{alat!r}{_PACK_SEP}{alon!r}{_PACK_SEP}{blat!r}{_PACK_SEP}{blon!r}"
-            for b, u, v, plat, plon, hc, alat, alon, blat, blon in zip(
-                bits, df["u"], df["v"], df["plat"], df["plon"], df["home_cell"],
-                df["alat"], df["alon"], df["blat"], df["blon"]
-            )
-        ]
-        return pd.DataFrame({"url": df["url"], "packed": np.array(packed, dtype=object)})
-
+    Each hash bucket (all candidates of a url land in one bucket) is
+    reduced with a NUMERIC lexsort — (factorized url code, sqdist) — so
+    the hot path never compares object arrays; only rows exactly tied
+    with their url's minimum sqdist (duplicate coordinates) go through
+    an object (u, v) tiebreak, and only those rows. Replaces the former
+    per-candidate f-string pack (a Python loop over hundreds of millions
+    of candidates at bench scale)."""
     from .joins import grouped_apply
 
-    winners = grouped_apply(
-        candidates.map_batches(pack, batch_format="pandas"),
-        "url",
-        lambda df: df.groupby("url", as_index=False)["packed"].min(),
-    )
-
-    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+    def winner_bucket(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return pd.DataFrame(
-                {c: pd.Series(dtype=t) for c, t in [
-                    ("url", object), ("lat", np.float64), ("lon", np.float64),
-                    ("cell", np.int64), ("u", object), ("v", object),
-                    ("sqdist", np.float64), ("dist_m", np.float64), ("rank", np.int64)]}
+            return _final_empty()
+        codes, _ = pd.factorize(df["url"], sort=False)
+        sq = df["sqdist"].to_numpy(np.float64)
+        order = np.lexsort((sq, codes))
+        d = df.iloc[order]
+        c = codes[order]
+        sq_s = sq[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        grp_of = np.cumsum(first) - 1
+        min_sq = sq_s[first]
+        tied = sq_s == min_sq[grp_of]
+        d2 = d[tied]
+        g2 = grp_of[tied]
+        if len(d2) > len(min_sq):  # some url has >1 row at its min sqdist
+            order2 = np.lexsort(
+                (d2["v"].to_numpy(object), d2["u"].to_numpy(object), g2)
             )
-        parts = df["packed"].str.split(_PACK_SEP, expand=True)
-        sqd = np.array(
-            [np.uint64(int(x, 16)) for x in parts[0]], dtype=np.uint64
-        ).view(np.float64)
-        plat = parts[3].astype(np.float64).to_numpy()
-        plon = parts[4].astype(np.float64).to_numpy()
-        alat = parts[6].astype(np.float64).to_numpy()
-        alon = parts[7].astype(np.float64).to_numpy()
-        blat = parts[8].astype(np.float64).to_numpy()
-        blon = parts[9].astype(np.float64).to_numpy()
+            d2 = d2.iloc[order2]
+            g2 = g2[order2]
+        keep = np.ones(len(d2), dtype=bool)
+        keep[1:] = g2[1:] != g2[:-1]
+        win = d2[keep]
+        plat = win["plat"].to_numpy(np.float64)
+        plon = win["plon"].to_numpy(np.float64)
+        alat = win["alat"].to_numpy(np.float64)
+        alon = win["alon"].to_numpy(np.float64)
+        blat = win["blat"].to_numpy(np.float64)
+        blon = win["blon"].to_numpy(np.float64)
         dlat = blat - alat
         dlon = blon - alon
         seg_sq = dlat * dlat + dlon * dlon
@@ -351,19 +347,28 @@ def _nearest_packmin(candidates):
         dist_m = geo.haversine_m(plat, plon, alat + t * dlat, alon + t * dlon)
         return pd.DataFrame(
             {
-                "url": df["url"],
+                "url": win["url"].to_numpy(object),
                 "lat": plat,
                 "lon": plon,
-                "cell": parts[5].astype(np.int64).to_numpy(),
-                "u": parts[1].to_numpy(object),
-                "v": parts[2].to_numpy(object),
-                "sqdist": sqd,
+                "cell": win["home_cell"].to_numpy(np.int64),
+                "u": win["u"].to_numpy(object),
+                "v": win["v"].to_numpy(object),
+                "sqdist": win["sqdist"].to_numpy(np.float64),
                 "dist_m": np.asarray(dist_m, dtype=np.float64).reshape(-1),
                 "rank": np.int64(0),
             }
         )
 
-    return winners.map_batches(unpack, batch_format="pandas")
+    return grouped_apply(candidates, "url", winner_bucket, num_buckets=64)
+
+
+def _final_empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {c: pd.Series(dtype=t) for c, t in [
+            ("url", object), ("lat", np.float64), ("lon", np.float64),
+            ("cell", np.int64), ("u", object), ("v", object),
+            ("sqdist", np.float64), ("dist_m", np.float64), ("rank", np.int64)]}
+    )
 
 
 def _empty_candidates() -> pd.DataFrame:

@@ -90,9 +90,31 @@ class ExtractText:
         s = _html.unescape(s)
         return " ".join(s.split())
 
+    # The 4 strip passes in Arrow RE2 kernels (C++, zero-copy from the
+    # object store) instead of Python re over to_pylist() — byte-parity
+    # with oracle_extract_text verified per pattern (the pytest
+    # byte-identity gate); only the entity-unescape + whitespace
+    # normalize tail stays per-row (both C-accelerated, and unescape's
+    # callback only fires on matched entities).
+    _ARROW_PASSES = (
+        r"(?s)<!--.*?-->",
+        r"(?si)<script\b.*?</script\s*>",
+        r"(?si)<style\b.*?</style\s*>",
+        r"<[^>]*>",
+    )
+
     def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        col = batch[self.in_col]
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            col = pc.cast(col, pa.large_string() if pa.types.is_large_binary(col.type) else pa.string())
+        for pat in self._ARROW_PASSES:
+            col = pc.replace_substring_regex(col, pattern=pat, replacement=" ")
         texts = pa.array(
-            [self._one(x) for x in batch[self.in_col].to_pylist()], type=pa.string()
+            [" ".join(_html.unescape(s).split()) if s is not None else None
+             for s in col.to_pylist()],
+            type=pa.string(),
         )
         if self.out_col in batch.schema.names:
             batch = batch.drop_columns([self.out_col])
@@ -139,16 +161,19 @@ def geotag(pages, text_col: str = "text"):
     Adds float64 ``lat``/``lon`` columns (NaN when absent)."""
 
     def fn(t: "pa.Table") -> "pa.Table":
-        texts = t[text_col].to_pylist()
-        lats = np.full(len(texts), np.nan)
-        lons = np.full(len(texts), np.nan)
-        for i, s in enumerate(texts):
-            m = _COORD_RE.search(s) if isinstance(s, str) else None
-            if m:
-                lats[i] = float(m.group(1))
-                lons[i] = float(m.group(2))
-        return t.append_column("lat", pa.array(lats)).append_column(
-            "lon", pa.array(lons)
+        import pyarrow.compute as pc
+
+        # RE2 leftmost-match == Python re.search; cast of the matched
+        # decimal strings is correctly rounded in both engines
+        m = pc.extract_regex(
+            t[text_col],
+            pattern=r"coords (?P<lat>-?\d+\.\d+),(?P<lon>-?\d+\.\d+)",
+        )
+        lat = pc.cast(pc.struct_field(m, "lat"), pa.float64())
+        lon = pc.cast(pc.struct_field(m, "lon"), pa.float64())
+        nan = pa.scalar(float("nan"), type=pa.float64())
+        return t.append_column("lat", pc.fill_null(lat, nan)).append_column(
+            "lon", pc.fill_null(lon, nan)
         )
 
     return pages.map_batches(fn, batch_format="pyarrow")

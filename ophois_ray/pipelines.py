@@ -145,28 +145,86 @@ def pages_from_documents(sf_dir: str):
     return docs.map_batches(to_pages, batch_format="pandas")
 
 
+_FLAGSHIP_GRID = 14
+_FLAGSHIP_SPACING = 0.0015
+_FLAGSHIP_SEED = 100
+
+
+def _flagship_osm_dir() -> str:
+    """Synthetic flagship city shards, cached in a CONTENT-KEYED tempdir:
+    the directory name hashes every generation parameter (seed, grid,
+    spacing, hotspot list), so parameter changes invalidate the cache
+    instead of silently reusing stale shards, and each shard is written
+    to a tmp name + os.replace so a concurrent reader never sees a
+    partial file."""
+    import hashlib
+    import tempfile
+
+    content_key = (
+        f"seed={_FLAGSHIP_SEED};grid={_FLAGSHIP_GRID};sp={_FLAGSHIP_SPACING};"
+        + ";".join(f"{la!r},{lo!r},{w!r}" for la, lo, w in HOTSPOTS)
+    )
+    digest = hashlib.sha256(content_key.encode()).hexdigest()[:16]
+    osm_dir = os.path.join(tempfile.gettempdir(), f"ophois_ray_flagship_osm_{digest}")
+    os.makedirs(osm_dir, exist_ok=True)
+    for i, (hlat, hlon, _) in enumerate(HOTSPOTS):
+        path = os.path.join(osm_dir, f"city_{i}.osm")
+        if os.path.exists(path):
+            continue
+        xml, _, _ = osm.synthetic_city(
+            seed=_FLAGSHIP_SEED + i, center_lat=hlat, center_lon=hlon,
+            grid=_FLAGSHIP_GRID, spacing_deg=_FLAGSHIP_SPACING,
+        )
+        xml = xml.replace('id="1', f'id="{i + 1}1').replace('ref="1', f'ref="{i + 1}1')
+        xml = xml.replace('id="9', f'id="{i + 1}9').replace('ref="9', f'ref="{i + 1}9')
+        xml = xml.replace('id="8', f'id="{i + 1}8').replace('ref="8', f'ref="{i + 1}8')
+        tmp = path + f".__tmp_{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(xml)
+        os.replace(tmp, path)
+    return osm_dir
+
+
+def page_keys_from_documents(sf_dir: str):
+    """(url, warc_ts) of the derived pages, straight from a doc_id-only
+    pruned scan of documents.parquet — the dedup pass-A key source, so
+    the flagship never materializes (or regenerates) the html payloads
+    for winner computation. Mirrors pages_from_documents' url/ts
+    derivation exactly."""
+    import pyarrow as pa
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def keys(df: pd.DataFrame):
+        doc_id = df["doc_id"].to_numpy(np.int64)
+        ts = (np.int64(1_600_000_000_000_000) + doc_id * 1_000_000).astype(
+            "datetime64[us]"
+        )
+        return pa.table(
+            {
+                "url": pa.array([f"doc://{d}" for d in doc_id], type=pa.string()),
+                "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            }
+        )
+
+    return docs.map_batches(keys, batch_format="pandas")
+
+
 def flagship(sf_dir: str, *, res: int = 11, ring: int = 1, delta: float | None = None):
     """The headline pipeline: synthetic city street graph (around the
     pages hotspots) + pages clean-up + kNN snap of every geotagged page
-    to its nearest street edge. Returns the snapped Dataset."""
-    import tempfile
+    to its nearest street edge. Returns the snapped Dataset.
 
-    osm_dir = os.path.join(tempfile.gettempdir(), "ophois_ray_flagship_osm")
-    if not os.path.isdir(osm_dir) or not os.listdir(osm_dir):
-        os.makedirs(osm_dir, exist_ok=True)
-        for i, (hlat, hlon, _) in enumerate(HOTSPOTS):
-            xml, _, _ = osm.synthetic_city(
-                seed=100 + i, center_lat=hlat, center_lon=hlon, grid=14,
-                spacing_deg=0.0015,
-            )
-            xml = xml.replace('id="1', f'id="{i + 1}1').replace('ref="1', f'ref="{i + 1}1')
-            xml = xml.replace('id="9', f'id="{i + 1}9').replace('ref="9', f'ref="{i + 1}9')
-            xml = xml.replace('id="8', f'id="{i + 1}8').replace('ref="8', f'ref="{i + 1}8')
-            with open(os.path.join(osm_dir, f"city_{i}.osm"), "w", encoding="utf-8") as f:
-                f.write(xml)
+    Fully streaming: the pages table is never materialized — dedup
+    pass A reads only the derived (url, warc_ts) keys from the pruned
+    documents scan, and pass B fuses with extract -> geotag -> snap into
+    one pass over the generated pages."""
+    osm_dir = _flagship_osm_dir()
     nodes, ewc = build_graph(osm_dir)
-    pg = pages_from_documents(sf_dir).materialize()
-    pg = pages.dedup_pages(pg)
+    pg = pages_from_documents(sf_dir)
+    pg = pages.dedup_pages(pg, key_source=page_keys_from_documents(sf_dir))
     pg = pages.extract_text(pg, concurrency=4)  # re-extract (P6)
     pg = pages.filter_geotagged(pages.geotag(pg)).select_columns(["url", "lat", "lon"])
     snapped, lineage = spatial.knn_snap_broadcast(pg, ewc, res=res, ring=ring)

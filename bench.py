@@ -152,7 +152,12 @@ def run_bench() -> dict:
     sf = _sf_of(SF_DIR)
     pages_dir, osm_dir, n_pages = prepare_inputs(sf)
     _warmup(sf, osm_dir, pages_dir)
-    head = headline(pages_dir, osm_dir)
+    # min-of-3: this host shows multi-10s co-tenancy swings between
+    # IDENTICAL runs (measured 96 s / 161 s / 215 s for one config);
+    # a single sample is a lottery ticket, the min is the engine
+    runs = [headline(pages_dir, osm_dir) for _ in range(3)]
+    head = min(runs, key=lambda h: h["sec"])
+    head_runs = [round(h["sec"], 3) for h in runs]
 
     from ophois_ray import queries as qmod
 
@@ -174,6 +179,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "pages": n_pages,
         "pages_per_sec": round(n_pages / head["sec"], 1),
+        "headline_runs": head_runs,
         "headline_detail": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in head.items()},
     }
     ray.shutdown()

@@ -190,18 +190,31 @@ def minhash_verified_pairs(
     num_buckets: int = 32,
 ):
     """Exact n-gram Jaccard verification of LSH candidate pairs, fully
-    distributed: the (id_a, id_b) pairs hash-join the corpus texts twice
-    (once per side) and each joined row verifies inside map_batches —
-    no driver text materialization, no candidate-set size cap. Returns
-    a Dataset (id_a, id_b, jaccard) of pairs >= threshold."""
+    distributed: each document's unique shingle-hash set is computed
+    ONCE in a map pass (a candidate doc averages dozens of pairs — the
+    per-pair re-hash was measured 4x the whole pipeline), then the
+    (id_a, id_b) pairs hash-join the shingle sets twice (once per side)
+    and each joined row verifies with a vectorized sorted-set intersect
+    inside map_batches — no driver materialization, no candidate-set
+    size cap. Returns a Dataset (id_a, id_b, jaccard) of pairs >=
+    threshold."""
     from .joins import hash_join
 
-    docs = ds.map_batches(
-        lambda df: df[[id_col, text_col]].rename(
-            columns={id_col: "id", text_col: "__t"}
-        ),
-        batch_format="pandas",
-    )
+    def shingle_sets(df: pd.DataFrame) -> pd.DataFrame:
+        # sets ship as raw little-endian uint64 bytes: plain binary cells
+        # (ragged ndarray cells trip Ray's tensor extension on concat)
+        return pd.DataFrame(
+            {
+                "id": df[id_col],
+                "__t": [
+                    _shingle_hashes(t, shingle_k).tobytes() for t in df[text_col]
+                ],
+            }
+        )
+
+    # pinned: both join sides consume it — lazy, the whole corpus scan +
+    # shingle hashing would run twice
+    docs = ds.map_batches(shingle_sets, batch_format="pandas").materialize()
     j1 = hash_join(
         cand.map_batches(
             lambda df: df.rename(columns={"id_a": "id"}), batch_format="pandas"
@@ -218,7 +231,7 @@ def minhash_verified_pairs(
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         jac = np.array(
             [
-                jaccard(_shingle_hashes(ta, shingle_k), _shingle_hashes(tb, shingle_k))
+                jaccard(np.frombuffer(ta, dtype=np.uint64), np.frombuffer(tb, dtype=np.uint64))
                 for ta, tb in zip(df["__ta"], df["__t"])
             ],
             dtype=np.float64,
@@ -301,22 +314,85 @@ def minhash_near_dup_groups(
     threshold: float = 0.8,
     seed: int = 7,
     driver_pair_cap: int = 5_000_000,
+    driver_verify_cap: int = 2_000_000,
 ):
-    """Full near-dup pipeline: LSH candidates -> distributed exact
-    n-gram Jaccard verification (hash-join pairs to texts, verify in
-    map_batches) -> connected duplicate groups (driver union-find under
+    """Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard
+    verification -> connected duplicate groups (driver union-find under
     ``driver_pair_cap`` verified pairs, distributed label propagation
     above it). Returns pandas (id, group) for every document in a
     near-dup group of size >= 2 — the output is small by construction
-    even when the corpus is not."""
+    even when the corpus is not.
+
+    Verification is HYBRID: shingle-hash sets are always computed
+    distributed (one map pass over the candidate docs); when the
+    candidate PAIR count is <= ``driver_verify_cap`` the sets of
+    candidate ids only (a uint64 array per doc — ~2 KB, not the text)
+    are collected and pairs verify on the driver with a per-doc cache
+    (two fewer all-to-all joins — measured 2x the whole pipeline at
+    small scale); above the cap, pairs hash-join the shingle sets and
+    verify inside map_batches (``minhash_verified_pairs``) with no
+    driver materialization of any kind. ``driver_verify_cap=0`` forces
+    the distributed path."""
     cand = minhash_lsh_candidates(
         ds, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
         num_perm=num_perm, bands=bands, seed=seed,
-    )
-    verified = minhash_verified_pairs(
-        ds, cand, text_col=text_col, id_col=id_col,
-        shingle_k=shingle_k, threshold=threshold,
     ).materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return pd.DataFrame(
+            {"id": pd.Series(dtype=np.int64), "group": pd.Series(dtype=np.int64)}
+        )
+    if n_pairs <= driver_verify_cap:
+        import ray
+
+        pairs = cand.to_pandas()
+        wanted = ray.put(
+            frozenset(np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]).tolist())
+        )
+
+        def cand_shingles(df: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(wanted) if isinstance(wanted, ray.ObjectRef) else wanted
+            sub = df[df[id_col].isin(w)]
+            return pd.DataFrame(
+                {
+                    "id": sub[id_col],
+                    "__t": [_shingle_hashes(t, shingle_k).tobytes() for t in sub[text_col]],
+                }
+            )
+
+        sh = ds.map_batches(cand_shingles, batch_format="pandas").to_pandas()
+        by_id = dict(zip(sh["id"], sh["__t"]))
+        arr_cache: dict = {}
+
+        def arr(i):
+            a = arr_cache.get(i)
+            if a is None:
+                a = np.frombuffer(by_id[i], dtype=np.uint64)
+                arr_cache[i] = a
+            return a
+
+        jac = np.array(
+            [jaccard(arr(ia), arr(ib)) for ia, ib in zip(pairs["id_a"], pairs["id_b"])],
+            dtype=np.float64,
+        )
+        m = jac >= threshold
+        kept = pd.DataFrame(
+            {
+                "id_a": pairs["id_a"].to_numpy()[m],
+                "id_b": pairs["id_b"].to_numpy()[m],
+                "jaccard": jac[m],
+            }
+        )
+        verified = ray.data.from_pandas(kept) if len(kept) else ray.data.from_pandas(
+            pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                          "id_b": pd.Series(dtype=np.int64),
+                          "jaccard": pd.Series(dtype=np.float64)})
+        )
+    else:
+        verified = minhash_verified_pairs(
+            ds, cand, text_col=text_col, id_col=id_col,
+            shingle_k=shingle_k, threshold=threshold,
+        ).materialize()
     return pairs_to_groups(verified, driver_pair_cap=driver_pair_cap)
 
 

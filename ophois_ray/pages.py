@@ -90,20 +90,23 @@ class ExtractText:
         s = _html.unescape(s)
         return " ".join(s.split())
 
-    # The 4 strip passes in Arrow RE2 kernels (C++, zero-copy from the
-    # object store) instead of Python re over to_pylist() — byte-parity
-    # with oracle_extract_text verified per pattern (the pytest
-    # byte-identity gate); only the entity-unescape + whitespace
-    # normalize tail stays per-row (both C-accelerated, and unescape's
-    # callback only fires on matched entities).
+    # The same 4 strip passes as Arrow RE2 kernels. MEASURED SLOWER than
+    # the Python loop on this corpus (0.42 s vs 0.29 s per 512 x 37 KB
+    # pages: RE2's lazy-quantifier simulation loses to CPython sre's
+    # backtracking scan here), so the default __call__ keeps the
+    # per-row compiled-re path — which is embarrassingly parallel and
+    # fuses identically. Kept selectable for corpora where RE2 wins
+    # (entity-light, tag-dense pages); byte-parity with
+    # oracle_extract_text holds for both (pytest byte-identity gate).
     _ARROW_PASSES = (
         r"(?s)<!--.*?-->",
         r"(?si)<script\b.*?</script\s*>",
         r"(?si)<style\b.*?</style\s*>",
         r"<[^>]*>",
     )
+    use_arrow = False
 
-    def __call__(self, batch: "pa.Table") -> "pa.Table":
+    def _call_arrow(self, batch: "pa.Table") -> "pa.Table":
         import pyarrow.compute as pc
 
         col = batch[self.in_col]
@@ -115,6 +118,16 @@ class ExtractText:
             [" ".join(_html.unescape(s).split()) if s is not None else None
              for s in col.to_pylist()],
             type=pa.string(),
+        )
+        if self.out_col in batch.schema.names:
+            batch = batch.drop_columns([self.out_col])
+        return batch.append_column(self.out_col, texts)
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        if self.use_arrow:
+            return self._call_arrow(batch)
+        texts = pa.array(
+            [self._one(x) for x in batch[self.in_col].to_pylist()], type=pa.string()
         )
         if self.out_col in batch.schema.names:
             batch = batch.drop_columns([self.out_col])

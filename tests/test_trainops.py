@@ -54,6 +54,13 @@ def test_minhash_detects_planted_near_dups(docs):
     gmap = dict(zip(groups["id"], groups["group"]))
     assert 100001 in gmap and 100002 in gmap and 0 in gmap
     assert gmap[100001] == gmap[100002] == gmap[0]
+    # the distributed verify path (pairs hash-join shingle sets, verify
+    # in map_batches; no driver collection) must find identical groups
+    groups_d = dedup.minhash_near_dup_groups(ds, threshold=0.7, driver_verify_cap=0)
+    pd.testing.assert_frame_equal(
+        groups.sort_values("id").reset_index(drop=True),
+        groups_d.sort_values("id").reset_index(drop=True),
+    )
 
 
 def test_jaccard_exact():

@@ -248,6 +248,79 @@ def minhash_verified_pairs(
     return j2.map_batches(verify, batch_format="pandas")
 
 
+def ngram_jaccard_pairs(
+    ds,
+    cand,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    prefix: int | None = None,
+    num_buckets: int = 32,
+):
+    """Exact character k-gram Jaccard over given candidate (id_a, id_b)
+    pairs — the UNHASHED variant of the MinHash verifier, defined on
+    distinct k-gram STRINGS so the value is reproducible in ANSI SQL
+    (DuckDB list_distinct/list_filter mirror; hashed shingles would add
+    an astronomically-unlikely-but-nonzero collision term). ``prefix``
+    truncates each text first (bounds the SQL mirror's quadratic
+    list_contains cost). Same distributed shape as
+    minhash_verified_pairs: per-doc gram sets computed once, pairs
+    hash-join the sets, Jaccard = one int/int division (bit-exact in
+    both engines). Returns a Dataset (id_a, id_b, inter, uni, jaccard).
+    """
+    from .joins import hash_join
+
+    def gram_sets(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t in df[text_col]:
+            s = t if isinstance(t, str) else ""
+            if prefix is not None:
+                s = s[:prefix]
+            if len(s) < k:
+                grams = {s} if s else set()
+            else:
+                grams = {s[i : i + k] for i in range(len(s) - k + 1)}
+            out.append(sorted(grams))
+        return pd.DataFrame({"id": df[id_col], "__g": ["\x00".join(g) for g in out]})
+
+    docs = ds.map_batches(gram_sets, batch_format="pandas").materialize()
+    j1 = hash_join(
+        cand.map_batches(
+            lambda df: df.rename(columns={"id_a": "id"}), batch_format="pandas"
+        ),
+        docs,
+        "id",
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda df: df.rename(columns={"id": "id_a", "__g": "__ga", "id_b": "id"}),
+        batch_format="pandas",
+    )
+    j2 = hash_join(j1, docs, "id", num_buckets=num_buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        inter = np.empty(len(df), dtype=np.int64)
+        uni = np.empty(len(df), dtype=np.int64)
+        for i, (ga, gb) in enumerate(zip(df["__ga"], df["__g"])):
+            a = set(ga.split("\x00")) if ga else set()
+            b = set(gb.split("\x00")) if gb else set()
+            ni = len(a & b)
+            inter[i] = ni
+            uni[i] = len(a) + len(b) - ni
+        jac = np.where(uni > 0, inter / np.maximum(uni, 1), 1.0)
+        return pd.DataFrame(
+            {
+                "id_a": df["id_a"].to_numpy(),
+                "id_b": df["id"].to_numpy(),
+                "inter": inter,
+                "uni": uni,
+                "jaccard": jac,
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
 def pairs_to_groups(verified, *, driver_pair_cap: int = 5_000_000):
     """Connected duplicate groups from verified (id_a, id_b) pairs.
     Group label = smallest member id.

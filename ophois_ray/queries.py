@@ -614,6 +614,66 @@ SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <
 """
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact character-8-gram Jaccard of each doc_id < 40 against a
+    planted perturbed copy (first 10 chars replaced, id + 1_000_000),
+    over the first 400 chars — the n-gram-Jaccard dedup verifier as its
+    own oracle-checked query: distinct-gram sets and the single int/int
+    division are bit-reproducible in SQL (see SQL_NGRAM_JACCARD)."""
+    from . import dedup as _dedup
+
+    docs = _t(sf_dir, "documents")
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df["doc_id"] < 40].copy()
+        dup["text"] = ["Q" * 10 + (t[10:] if isinstance(t, str) else "") for t in dup["text"]]
+        dup["doc_id"] = dup["doc_id"] + 1_000_000
+        return pd.concat([df, dup], ignore_index=True)
+
+    planted = docs.map_batches(plant, batch_format="pandas")
+    cand = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "id_a": df[df["doc_id"] < 40]["doc_id"].to_numpy(np.int64),
+                "id_b": df[df["doc_id"] < 40]["doc_id"].to_numpy(np.int64) + 1_000_000,
+            }
+        ),
+        batch_format="pandas",
+    )
+    return _dedup.ngram_jaccard_pairs(planted, cand, k=8, prefix=400)
+
+
+SQL_NGRAM_JACCARD = """
+WITH base AS (
+  SELECT doc_id, substr(text, 1, 400) AS s FROM documents WHERE doc_id < 40
+), copy AS (
+  SELECT doc_id, substr('QQQQQQQQQQ' || substr(text, 11), 1, 400) AS s
+  FROM documents WHERE doc_id < 40
+), g AS (
+  SELECT doc_id, CASE WHEN len(s) >= 8
+      THEN list_distinct(list_transform(range(1, len(s) - 6), i -> substr(s, i, 8)))
+      ELSE CASE WHEN len(s) > 0 THEN [s] ELSE [] END END AS grams
+  FROM base
+), gc AS (
+  SELECT doc_id, CASE WHEN len(s) >= 8
+      THEN list_distinct(list_transform(range(1, len(s) - 6), i -> substr(s, i, 8)))
+      ELSE CASE WHEN len(s) > 0 THEN [s] ELSE [] END END AS grams
+  FROM copy
+), j AS (
+  SELECT g.doc_id AS id_a, gc.doc_id + 1000000 AS id_b,
+         len(list_filter(g.grams, x -> list_contains(gc.grams, x))) AS inter,
+         len(g.grams) + len(gc.grams) AS total
+  FROM g JOIN gc ON g.doc_id = gc.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(total - inter AS BIGINT) AS uni,
+       CASE WHEN total - inter = 0 THEN 1.0
+            ELSE CAST(inter AS DOUBLE) / CAST(total - inter AS DOUBLE) END AS jaccard
+FROM j
+"""
+
+
 def q_doc_fingerprint(sf_dir: str):
     from . import textstats
 
@@ -817,6 +877,7 @@ def catalog():
         "embedding_near_dup": q_embedding_near_dup,
         "embed_topk": q_embed_topk,
         "embed_topk_int": q_embed_topk_int,
+        "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id_counts": q_lang_id_counts,
         "graph_simplify": q_graph_simplify,
@@ -844,6 +905,7 @@ def sql_catalog():
         "doc_lang_counts": SQL_DOC_LANG_COUNTS,
         "doc_quality_features": SQL_DOC_QUALITY,
         "embed_topk_int": SQL_EMBED_TOPK_INT,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "lang_id_counts": _sql_lang_id_counts(),
     }

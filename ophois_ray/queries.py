@@ -918,7 +918,9 @@ def no_oracle_reasons():
         "minhash_near_dup": (
             "output depends on seeded 64-permutation MinHash band "
             "collisions; the banding is not expressible as set-based SQL "
-            "(correctness covered by planted-duplicate pytest fixtures)"
+            "(correctness covered by planted-duplicate pytest fixtures; "
+            "the exact-Jaccard verifier itself IS oracle-checked via the "
+            "ngram_jaccard query)"
         ),
         "simhash_pairs": (
             "64-bit SimHash bit-voting over token hashes "

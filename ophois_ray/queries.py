@@ -851,6 +851,271 @@ def q_knn_pages_snap(sf_dir: str):
     return pipelines.flagship(sf_dir).select_columns(["url", "u", "v", "rank"])
 
 
+# ------------------------------------------- round-2 breadth additions
+
+
+def q_events_sessionize(sf_dir: str):
+    """Streaming-window sessionization (the weblog/training-data shape of
+    X4): per-user sessions split at >30 min idle gaps, one hash-bucket
+    shuffle then a fully vectorized window kernel per bucket (sort +
+    diff + cumsum + bincount — no per-row python). Ties on identical
+    timestamps are broken by event_id, mirrored in the SQL window
+    ORDER BY."""
+    ev = _t(sf_dir, "events").select_columns(["user_id", "event_id", "ts"])
+    GAP_US = 1_800_000_000  # 30 min
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "event_id": df["event_id"].to_numpy(np.int64),
+             "us": us.to_numpy()}
+        )
+
+    from .joins import grouped_apply
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": np.array([], dtype=np.int64),
+                 "n_sessions": np.array([], dtype=np.int64),
+                 "max_session_events": np.array([], dtype=np.int64)}
+            )
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        us = df["us"].to_numpy()
+        brk = np.empty(len(df), dtype=bool)
+        brk[0] = True
+        brk[1:] = (uid[1:] != uid[:-1]) | ((us[1:] - us[:-1]) > GAP_US)
+        sid = np.cumsum(brk)  # 1-based session id across the bucket
+        sess_len = np.bincount(sid)[1:]
+        sess_user = uid[brk]
+        s = pd.DataFrame({"user_id": sess_user, "n": sess_len})
+        g = s.groupby("user_id", as_index=False).agg(
+            n_sessions=("n", "size"), max_session_events=("n", "max")
+        )
+        g["n_sessions"] = g["n_sessions"].astype(np.int64)
+        g["max_session_events"] = g["max_session_events"].astype(np.int64)
+        return g
+
+    return grouped_apply(
+        ev.map_batches(to_us, batch_format="pandas"), "user_id", sessions,
+        num_buckets=32,
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), l AS (
+  SELECT user_id, us, event_id,
+         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+  FROM e
+), b AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM l
+), s AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+), c AS (
+  SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n) AS BIGINT) AS max_session_events
+FROM c GROUP BY user_id
+"""
+
+
+def q_customers_no_orders(sf_dir: str):
+    """J5 as a first-class query: broadcast ANTI-join (the resume
+    skip-list shape) — customers with no order, counted per nation.
+    The distinct order-key side is built distributed (per-batch unique +
+    grouped distinct), shipped once via ray.put, and probed per batch
+    with searchsorted. Partitioning assumption: the DISTINCT key set
+    fits a worker heap (at 100 TB use the bucketed hash_join anti
+    variant per key range). The order side is filtered to
+    o_totalprice > 300000 (a reader-pushed row filter) so the anti set
+    is non-empty at every SF — unfiltered, every customer has an order
+    and the row would be vacuous."""
+    from . import joins
+
+    orders = _t(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    idx_ref = joins.put_index(
+        orders.map_batches(
+            lambda df: pd.DataFrame(
+                {"k": np.unique(
+                    df.loc[df["o_totalprice"].to_numpy() > 300000.0, "o_custkey"]
+                    .to_numpy(np.int64)
+                )}
+            ),
+            batch_format="pandas",
+        ),
+        "k",
+        [],
+    )
+
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_nationkey"])
+
+    def anti_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .pages import _fetch_cached
+
+        idx = _fetch_cached(idx_ref)
+        keep = ~idx.contains(df["c_custkey"].to_numpy(np.int64))
+        g = (
+            df.loc[keep]
+            .groupby("c_nationkey", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pd.DataFrame(
+            {"c_nationkey": g["c_nationkey"].to_numpy(np.int64),
+             "n": g["n"].to_numpy(np.int64)}
+        )
+
+    return (
+        cust.map_batches(anti_partial, batch_format="pandas")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+)
+GROUP BY 1
+"""
+
+
+def q_vocab_topk(sf_dir: str):
+    """Global vocabulary top-k (the vocab-building sweep of a training
+    corpus): per-batch partial token counts (vectorized split + explode
+    + value_counts), hash-bucket combine, then a top-20 by
+    (count DESC, token ASC). The pre-aggregation means the shuffle
+    carries one row per (batch, distinct-token), never one per token
+    occurrence."""
+    docs = _t(sf_dir, "documents").select_columns(["text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split().explode().dropna().value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    from .joins import grouped_apply
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = grouped_apply(
+        docs.map_batches(partial_counts, batch_format="pandas"), "token", combine
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(20)
+
+
+SQL_VOCAB_TOPK = r"""
+SELECT t AS token, count(*) AS n
+FROM (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS t
+  FROM documents
+)
+GROUP BY t
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+def q_edge_midpoint(sf_dir: str):
+    """G2/G3 over synthetic supplier-key edges: planar midpoint
+    ((a+b)/2) and quarter-point lerp (a + 0.25*(b-a)) — pure IEEE
+    +,-,*,/ in the exact op order of geo.midpoint/geo.lerp
+    (src/geo.rs:19-31), so the float outputs hash-match the SQL mirror
+    bit-for-bit."""
+    sup = _t(sf_dir, "supplier").select_columns(["s_suppkey"])
+
+    def mid(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["s_suppkey"].to_numpy(np.int64)
+        lat1, lon1 = _coords_from_key(k, 7, 13)
+        lat2, lon2 = _coords_from_key(k, 11, 17)
+        mlat, mlon = geo.midpoint(lat1, lon1, lat2, lon2)
+        qlat, qlon = geo.lerp(lat1, lon1, lat2, lon2, 0.25)
+        return pd.DataFrame(
+            {"s_suppkey": k, "mid_lat": mlat, "mid_lon": mlon,
+             "q_lat": qlat, "q_lon": qlon}
+        )
+
+    return sup.map_batches(mid, batch_format="pandas")
+
+
+def _sql_edge_midpoint() -> str:
+    lat1, lon1 = _sql_coords("s_suppkey", 7, 13)
+    lat2, lon2 = _sql_coords("s_suppkey", 11, 17)
+    return f"""
+SELECT s_suppkey,
+       (({lat1}) + ({lat2})) / 2.0 AS mid_lat,
+       (({lon1}) + ({lon2})) / 2.0 AS mid_lon,
+       ({lat1}) + 0.25 * (({lat2}) - ({lat1})) AS q_lat,
+       ({lon1}) + 0.25 * (({lon2}) - ({lon1})) AS q_lon
+FROM supplier
+"""
+
+
+def q_doc_len_deciles(sf_dir: str):
+    """Exact distributed percentiles (quantile_disc semantics) of the
+    document length distribution: per-batch value histograms combine to
+    one tiny (value, count) table — the full sort a naive percentile
+    needs never happens; the driver cumsums ~thousands of rows. Index
+    convention: element at ceil(q*n)-1 of the sorted multiset, which is
+    DuckDB's quantile_disc."""
+    docs = _t(sf_dir, "documents").select_columns(["n_chars"])
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n_chars"].value_counts()
+        return pd.DataFrame(
+            {"v": vc.index.to_numpy(np.int64), "cnt": vc.to_numpy(np.int64)}
+        )
+
+    hist = (
+        docs.map_batches(partial_hist, batch_format="pandas")
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort("v")
+        .to_pandas()
+    )
+    vals = hist["v"].to_numpy(np.int64)
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for k in range(1, 10):
+        idx = int(np.ceil(np.float64(k) / 10.0 * n)) - 1
+        pos = int(np.searchsorted(cum, idx + 1))
+        out[f"p{k}0"] = np.array([vals[pos]], dtype=np.int64)
+    return pd.DataFrame(out)
+
+
+SQL_DOC_LEN_DECILES = """
+SELECT
+  CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS p10,
+  CAST(quantile_disc(n_chars, 0.2) AS BIGINT) AS p20,
+  CAST(quantile_disc(n_chars, 0.3) AS BIGINT) AS p30,
+  CAST(quantile_disc(n_chars, 0.4) AS BIGINT) AS p40,
+  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+  CAST(quantile_disc(n_chars, 0.6) AS BIGINT) AS p60,
+  CAST(quantile_disc(n_chars, 0.7) AS BIGINT) AS p70,
+  CAST(quantile_disc(n_chars, 0.8) AS BIGINT) AS p80,
+  CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
+FROM documents
+"""
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -880,6 +1145,11 @@ def catalog():
         "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id_counts": q_lang_id_counts,
+        "events_sessionize": q_events_sessionize,
+        "customers_no_orders": q_customers_no_orders,
+        "vocab_topk": q_vocab_topk,
+        "edge_midpoint": q_edge_midpoint,
+        "doc_len_deciles": q_doc_len_deciles,
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
@@ -908,6 +1178,11 @@ def sql_catalog():
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "lang_id_counts": _sql_lang_id_counts(),
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
+        "vocab_topk": SQL_VOCAB_TOPK,
+        "edge_midpoint": _sql_edge_midpoint(),
+        "doc_len_deciles": SQL_DOC_LEN_DECILES,
     }
 
 

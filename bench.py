@@ -116,9 +116,13 @@ def headline(pages_dir: str, osm_dir: str) -> dict:
     n_files = len([f for f in os.listdir(pages_dir) if f.endswith(".parquet")])
     pg = pages.dedup_pages(
         ray.data.read_parquet(pages_dir, override_num_blocks=n_files),
-        key_source=ray.data.read_parquet(pages_dir, columns=["url", "warc_ts"]),
+        key_source=ray.data.read_parquet(
+            pages_dir, columns=["url", "warc_ts"], override_num_blocks=n_files
+        ),
     )
-    pg = pages.extract_text(pg, concurrency=NUM_CPUS, batch_size=512)
+    # no explicit batch_size/concurrency here: either poisons Read->Map
+    # fusion for the whole chain (html would round-trip the object store)
+    pg = pages.extract_text(pg)
     pg = pages.filter_geotagged(pages.geotag(pg)).select_columns(["url", "lat", "lon"])
     # res matched to edge spacing (~0.0004 deg): ~2-3 edges/cell keeps
     # candidate sets ~30/page; ring=1 bounds the snap radius to ~1 cell

@@ -144,7 +144,7 @@ def _task_extract(t: "pa.Table") -> "pa.Table":
     return _TASK_EXTRACTOR(t)
 
 
-def extract_text(pages, *, concurrency: int = 8, batch_size: int = 1024,
+def extract_text(pages, *, concurrency: int = 8, batch_size: int | None = None,
                  use_actors: bool = False):
     """P6 distributed: html -> text.
 
@@ -155,17 +155,22 @@ def extract_text(pages, *, concurrency: int = 8, batch_size: int = 1024,
     pool on a fresh cluster. ``use_actors=True`` runs the identical
     class as an actor pool, the right shape when a real extractor holds
     per-actor state that must not be rebuilt (models, dictionaries).
+
+    ``batch_size`` defaults to None because an EXPLICIT batch_size (or
+    concurrency) anywhere in a task chain poisons Read->Map operator
+    fusion for the whole chain (measured: the full html table then
+    round-trips the object store once — a page-fault storm at high
+    parallelism). Leave unset whenever this stage follows a read.
     """
     if use_actors:
         return pages.map_batches(
             ExtractText,
             batch_format="pyarrow",
-            batch_size=batch_size,
+            batch_size=batch_size or 1024,
             concurrency=(1, concurrency),
         )
-    return pages.map_batches(
-        _task_extract, batch_format="pyarrow", batch_size=batch_size
-    )
+    kw = {"batch_size": batch_size} if batch_size is not None else {}
+    return pages.map_batches(_task_extract, batch_format="pyarrow", **kw)
 
 
 def geotag(pages, text_col: str = "text"):
@@ -266,10 +271,28 @@ def _build_winner_arrays_impl(*tables):
     urls = np.asarray(tbl["url"].to_pandas(), dtype=str)
     ts = np.asarray(tbl["win_ts"].to_pandas(), dtype=np.int64)
     n_at_win = np.asarray(tbl["n_at_win"].to_pandas(), dtype=np.int64)
-    order = np.argsort(urls, kind="stable")
+    # exact per-url merge of partials that may still repeat a url across
+    # blocks ((min_ts, n_at_min) is a semigroup, so any partial grouping
+    # upstream is legal): sort by (url, ts); a url's winner row is the
+    # first of its run, and its tie count is the (url, min_ts) pair-group
+    # sum — all vectorized, no per-row python.
+    order = np.lexsort((ts, urls))
     urls, ts, n_at_win = urls[order], ts[order], n_at_win[order]
-    tied = n_at_win > 1
-    return (urls, ts), {str(u): int(t) for u, t in zip(urls[tied], ts[tied])}
+    first = np.empty(len(urls), dtype=bool)
+    first[0] = True
+    first[1:] = urls[1:] != urls[:-1]
+    starts = np.flatnonzero(first)
+    pair_first = first.copy()
+    pair_first[1:] |= ts[1:] != ts[:-1]
+    pair_starts = np.flatnonzero(pair_first)
+    pair_sums = np.add.reduceat(n_at_win, pair_starts)
+    win_urls = urls[starts]
+    win_ts = ts[starts]
+    n_win = pair_sums[np.searchsorted(pair_starts, starts)]
+    tied = n_win > 1
+    return (win_urls, win_ts), {
+        str(u): int(t) for u, t in zip(win_urls[tied], win_ts[tied])
+    }
 
 
 def _get_build_winner_task():
@@ -308,10 +331,11 @@ def dedup_pages(pages, *, strategy: str = "broadcast", num_buckets: int = 64,
 
     strategy="broadcast" (default): pass A scans ONLY (url, warc_ts) —
     columns pruned at the parquet read — combines per-batch partial
-    minima, merges them with a distributed int-hash-bucket groupby, and
-    assembles the sorted winner arrays inside a Ray task (the driver
-    only ever sees the tiny tied-url set, so pass A scales with the
-    cluster). Urls whose minimum timestamp is shared by several rows
+    minima, shrinks them with one width-sized repartition + per-block
+    combine (exact: (min_ts, n_at_min) is a semigroup), and assembles
+    the sorted winner arrays inside a Ray task that performs the final
+    per-url merge (the driver only ever sees the tiny tied-url set, so
+    pass A scales with the cluster). Urls whose minimum timestamp is shared by several rows
     (rare in a real crawl) get an extra scan that tie-breaks on the
     html content hash. Pass B broadcast-filters and FUSES with the
     downstream extract/geotag task stages into a single streaming pass.
@@ -372,15 +396,19 @@ def dedup_pages(pages, *, strategy: str = "broadcast", num_buckets: int = 64,
             }
         )
 
-    # distributed merge of the per-batch partials: every url hashes to one
-    # int bucket (joins.grouped_apply), so per-bucket min/tie-count is
-    # exact. The driver never holds per-batch partials — the sorted
-    # broadcast arrays are assembled inside a Ray task from the merged
-    # blocks (the old driver-side iter_batches+concat+merge here was a
-    # ~30 s parallelism-independent section, the round-1 scaling ceiling).
-    from .joins import grouped_apply
+    # distributed combine of the per-batch partials: (min_ts, n_at_min)
+    # per url is a semigroup, so one repartition + per-block combine is
+    # exact under ANY row grouping — the final winner-array task re-merges
+    # urls that still straddle blocks. This deliberately avoids a
+    # key-partitioned groupby here: Ray's sort shuffle over many small
+    # partial blocks measured ~7 s of parallelism-INDEPENDENT barrier +
+    # scheduling cost at every scale (the round-1 scaling ceiling), while
+    # a width-sized repartition over the tiny pre-aggregated rows costs
+    # ~0.3 s. The driver never holds partials; the sorted broadcast
+    # arrays are assembled inside a Ray task.
+    import ray
 
-    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def combine_block(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("url", as_index=False).agg(win_ts=("min_ts", "min"))
         m = df.merge(g, on="url")
         at = m[m["min_ts"].to_numpy() == m["win_ts"].to_numpy()]
@@ -391,13 +419,12 @@ def dedup_pages(pages, *, strategy: str = "broadcast", num_buckets: int = 64,
     partials = src.select_columns(["url", "warc_ts"]).map_batches(
         partial_ts, batch_format="pyarrow"
     )
-    winners = grouped_apply(
-        partials, "url", merge_bucket, num_buckets=num_buckets
-    ).materialize()
+    width = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    combined = partials.repartition(width).map_batches(
+        combine_block, batch_format="pandas"
+    )
 
-    import ray
-
-    refs = winners.to_arrow_refs()
+    refs = combined.to_arrow_refs()
     if refs:
         winner_ref, ties_ref = _build_winner_broadcast.options(num_returns=2).remote(
             *refs

@@ -556,7 +556,7 @@ def knn_snap_broadcast(
     res: int,
     ring: int = 1,
     concurrency: int = 8,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
     edge_cap: int = 20_000_000,
 ):
     """Zero-shuffle nearest-edge snap: the edge table (the small side of
@@ -593,9 +593,11 @@ def knn_snap_broadcast(
     def snap_batch(df: pd.DataFrame) -> pd.DataFrame:
         return _BroadcastSnapper(ref, ring, res)(df)
 
-    result = pages.map_batches(
-        snap_batch, batch_format="pandas", batch_size=batch_size
-    )
+    # batch_size stays None unless the caller forces it: an explicit
+    # batch_size anywhere in the task chain poisons Read->Map fusion
+    # (the html table would round-trip the object store — measured).
+    kw = {"batch_size": batch_size} if batch_size is not None else {}
+    result = pages.map_batches(snap_batch, batch_format="pandas", **kw)
     return result, lineage
 
 

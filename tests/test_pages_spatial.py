@@ -76,6 +76,54 @@ def test_dedup_pages_first_wins(pages_ds):
     assert (got["warc_ts"] == exp.sort_index()["warc_ts"]).all()
 
 
+def test_dedup_pages_cross_block_dups_and_ts_ties():
+    """Urls duplicated ACROSS input blocks, including exact-min-ts ties
+    (winner = smaller html content hash): exercises the semigroup
+    combine + vectorized final merge in _build_winner_arrays_impl and
+    the rare pass-A2 tie-break scan."""
+    t = pd.Timestamp
+    blocks = [
+        pd.DataFrame({
+            "url": ["a", "b", "c"],
+            "warc_ts": [t("2024-01-05"), t("2024-01-02"), t("2024-01-01")],
+            "html": [b"<p>a-late</p>", b"<p>b1</p>", b"<p>c</p>"],
+        }),
+        pd.DataFrame({
+            "url": ["a", "b"],
+            "warc_ts": [t("2024-01-03"), t("2024-01-09")],
+            "html": [b"<p>a-tie-x</p>", b"<p>b2</p>"],
+        }),
+        pd.DataFrame({
+            "url": ["a"],
+            "warc_ts": [t("2024-01-03")],  # exact tie with block 2
+            "html": [b"<p>a-tie-y</p>"],
+        }),
+    ]
+    ds = ray.data.from_pandas(blocks)
+    got = pages.dedup_pages(ds).to_pandas().set_index("url").sort_index()
+    assert list(got.index) == ["a", "b", "c"]
+    assert got.loc["b", "warc_ts"] == t("2024-01-02")
+    assert got.loc["c", "html"] == b"<p>c</p>"
+    # the tied url "a": earliest ts 2024-01-03 shared by two rows; the
+    # winner is the one whose packed (ts, content-hash) key is smaller —
+    # same rule as the sequential pandas oracle below
+    full = pd.concat(blocks, ignore_index=True)
+    full["__packed"] = pages._packed_key(full)
+    exp = (
+        full.sort_values(["url", "__packed"], kind="stable")
+        .drop_duplicates(subset=["url"], keep="first")
+        .set_index("url")
+    )
+    assert got.loc["a", "html"] == exp.loc["a", "html"]
+    assert (got["warc_ts"] == exp["warc_ts"]).all()
+    # shuffle strategy agrees on every winner
+    got_sh = (
+        pages.dedup_pages(ds, strategy="shuffle").to_pandas()
+        .set_index("url").sort_index()
+    )
+    assert (got_sh["html"] == got["html"]).all()
+
+
 def _brute_force_nn(pg: pd.DataFrame, eg: pd.DataFrame) -> pd.DataFrame:
     sq = geo.point_segment_sqdist(
         pg["lat"].to_numpy()[:, None], pg["lon"].to_numpy()[:, None],

@@ -553,7 +553,16 @@ def q_embedding_near_dup(sf_dir: str):
     an exact copy at id + 1_000_000 (cosine exactly 1.0), so the driver
     exercise is non-vacuous at every SF — natural random vectors yield
     ~zero pairs at threshold 0.98, which previously made this row test
-    nothing."""
+    nothing.
+
+    ORACLE-CHECKED against a DuckDB all-pairs cosine join: the output is
+    the integer (id_a, id_b) pair set only (no float cosine column — the
+    two engines' dot-product op orders differ in ulps, the pair SET does
+    not). LSH recall is exact here by construction: planted duplicates
+    are bit-identical vectors, hence identical hyperplane signatures,
+    hence always co-bucketed; natural pairs top out at cosine ~0.6
+    (measured at sf0.01 and sf0.1) — far from the 0.98 threshold, so no
+    borderline pair can differ between the engines."""
     from . import dedup as _dedup
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
@@ -562,7 +571,24 @@ def q_embedding_near_dup(sf_dir: str):
         return pd.concat([df, dup], ignore_index=True)
 
     planted = _t(sf_dir, "embeddings").map_batches(plant, batch_format="pandas")
-    return _dedup.embedding_near_dup_pairs(planted, threshold=0.98)
+    pairs = _dedup.embedding_near_dup_pairs(planted, threshold=0.98)
+    out = pairs[["id_a", "id_b"]].copy()
+    out["id_a"] = out["id_a"].astype(np.int64)
+    out["id_b"] = out["id_b"].astype(np.int64)
+    return out
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH planted AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 40
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+"""
 
 
 def q_embed_topk(sf_dir: str):
@@ -1183,6 +1209,7 @@ def sql_catalog():
         "vocab_topk": SQL_VOCAB_TOPK,
         "edge_midpoint": _sql_edge_midpoint(),
         "doc_len_deciles": SQL_DOC_LEN_DECILES,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     }
 
 
@@ -1201,11 +1228,6 @@ def no_oracle_reasons():
             "64-bit SimHash bit-voting over token hashes "
             "(pandas.util.hash_array) has no SQL equivalent; verified by "
             "planted near-identical texts in pytest"
-        ),
-        "embedding_near_dup": (
-            "float cosine threshold: numpy matmul summation order is not "
-            "reproducible in SQL; exercised non-vacuously via planted "
-            "exact duplicates (cosine 1.0) — see q_embedding_near_dup"
         ),
         "embed_topk": (
             "float cosine ranking (see embed_topk_int for the "

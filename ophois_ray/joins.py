@@ -221,3 +221,93 @@ def hash_join(
         .groupby("__bucket")
         .map_groups(join_bucket, batch_format="pandas")
     )
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    how: str = "left",
+    num_buckets: int = 64,
+    right_suffix: str = "_r",
+):
+    """Distributed as-of join — the event-stream/time-series join Ray
+    Data has no primitive for: each left row picks the single right row
+    with the greatest ``on`` <= its own (direction="backward"; "forward"
+    = smallest >=) within the same ``by`` group.
+
+    Composition: both sides hash-co-partition by ``by`` into
+    ``num_buckets`` int buckets (ONE shuffle, same shape as hash_join);
+    each co-grouped bucket runs a vectorized ``pandas.merge_asof`` over
+    its sorted slice. ``how="inner"`` drops left rows with no match
+    (exactly DuckDB ``ASOF JOIN``); "left" keeps them with nulls.
+
+    Partitioning assumption: all rows of one ``by`` group land in one
+    task (required — an as-of match may cross any time split), so the
+    largest group's rows must fit a worker; salt-splitting is NOT
+    applicable here, raise ``num_buckets`` for many-group skew instead.
+    DETERMINISM: the right side must be unique per (by, on) — with
+    duplicate right timestamps ``merge_asof`` keeps whichever sorts
+    last — so pre-aggregate duplicates away (see q_events_asof_join).
+    """
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    rvalue = [c for c in rcols if c not in (by, on)]
+    rename_r = {c: (c + right_suffix if c in lcols else c) for c in rvalue}
+    out_rcols = list(rename_r.values())
+
+    def prep(side, rename):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.rename(columns=rename)
+            h = stable_hash(df[by].to_numpy())
+            df["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+            df["__side"] = side
+            return df
+
+        return fn
+
+    l_tagged = left.map_batches(prep(0, {}), batch_format="pandas")
+    r_tagged = right.map_batches(prep(1, rename_r), batch_format="pandas")
+
+    l_val = [c for c in lcols if c not in (by, on)]
+
+    def pad(cols_to_add):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            for c in cols_to_add:
+                if c not in df.columns:
+                    df[c] = None
+            return df
+
+        return fn
+
+    l_tagged = l_tagged.map_batches(pad(out_rcols), batch_format="pandas")
+    r_tagged = r_tagged.map_batches(pad(l_val), batch_format="pandas")
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lf = df[df["__side"] == 0][lcols].infer_objects()
+        rf = df[df["__side"] == 1][[by, on] + out_rcols].infer_objects()
+        if len(lf) == 0:
+            out = lf.copy()
+            for c in out_rcols:
+                out[c] = None
+            return out
+        if len(rf) == 0:
+            out = lf.copy()
+            for c in out_rcols:
+                out[c] = None
+            return out if how == "left" else out.iloc[0:0]
+        lf = lf.sort_values([on, by], kind="mergesort")
+        rf = rf.sort_values([on, by], kind="mergesort")
+        m = pd.merge_asof(lf, rf, on=on, by=by, direction=direction)
+        if how == "inner" and out_rcols:
+            m = m[m[out_rcols[0]].notna()]
+        return m
+
+    return (
+        l_tagged.union(r_tagged)
+        .groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )

@@ -1142,6 +1142,71 @@ FROM documents
 """
 
 
+def q_events_asof_join(sf_dir: str):
+    """As-of join (joins.asof_join): each purchase event picks the most
+    recent click at-or-before it by the same user — the event-stream
+    attribution join. Right side is pre-deduplicated to max event_id per
+    (user_id, us) so the as-of winner is unique; all outputs are int64,
+    mirrored exactly by DuckDB's native ASOF JOIN."""
+    from .joins import asof_join, grouped_apply
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(np.int64),
+             "user_id": df["user_id"].to_numpy(np.int64),
+             "us": us.to_numpy(),
+             "event_type": df["event_type"].to_numpy(object)}
+        )
+
+    ev = ev.map_batches(to_us, batch_format="pandas")
+    left = ev.filter(lambda r: r["event_type"] == "purchase").select_columns(
+        ["event_id", "user_id", "us"]
+    )
+    clicks = ev.filter(lambda r: r["event_type"] == "click").select_columns(
+        ["event_id", "user_id", "us"]
+    )
+
+    def dedup_right(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "us"], as_index=False).agg(
+            r_event_id=("event_id", "max")
+        )
+        g["r_event_id"] = g["r_event_id"].astype(np.int64)
+        return g
+
+    right = grouped_apply(clicks, "user_id", dedup_right)
+
+    out = asof_join(left, right, on="us", by="user_id", how="inner")
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(np.int64),
+             "user_id": df["user_id"].to_numpy(np.int64),
+             "us": df["us"].to_numpy(np.int64),
+             "r_event_id": df["r_event_id"].to_numpy(np.int64)}
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events
+), L AS (
+  SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'
+), R0 AS (
+  SELECT user_id, us, max(event_id) AS r_event_id
+  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.us, r.r_event_id
+FROM L l ASOF JOIN R0 r ON l.user_id = r.user_id AND l.us >= r.us
+"""
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -1176,6 +1241,7 @@ def catalog():
         "vocab_topk": q_vocab_topk,
         "edge_midpoint": q_edge_midpoint,
         "doc_len_deciles": q_doc_len_deciles,
+        "events_asof_join": q_events_asof_join,
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
@@ -1210,6 +1276,7 @@ def sql_catalog():
         "edge_midpoint": _sql_edge_midpoint(),
         "doc_len_deciles": SQL_DOC_LEN_DECILES,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     }
 
 

@@ -161,3 +161,57 @@ def test_hash_join_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got[["k", "x", "y"]], exp[["k", "x", "y"]], check_dtype=False
     )
+
+
+def test_asof_join_matches_pandas(ray_session):
+    import ray.data
+    from ophois_ray.joins import asof_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {
+            "g": rng.randint(0, 12, 300),
+            "t": rng.randint(0, 1000, 300).astype(np.int64),
+            "x": np.arange(300),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "g": rng.randint(0, 12, 150),
+            "t": rng.randint(0, 1000, 150).astype(np.int64),
+            "y": np.arange(150) * 3,
+        }
+    ).drop_duplicates(["g", "t"])
+
+    for direction in ("backward", "forward"):
+        for how in ("left", "inner"):
+            got = (
+                asof_join(
+                    ray.data.from_pandas(left),
+                    ray.data.from_pandas(right),
+                    on="t",
+                    by="g",
+                    direction=direction,
+                    how=how,
+                    num_buckets=5,
+                )
+                .to_pandas()
+                .sort_values(["g", "t", "x"])
+                .reset_index(drop=True)
+            )
+            exp = pd.merge_asof(
+                left.sort_values(["t", "g"], kind="mergesort"),
+                right.sort_values(["t", "g"], kind="mergesort"),
+                on="t",
+                by="g",
+                direction=direction,
+            )
+            if how == "inner":
+                exp = exp[exp["y"].notna()]
+            exp = exp.sort_values(["g", "t", "x"]).reset_index(drop=True)
+            assert len(got) == len(exp), (direction, how)
+            for c in ("g", "t", "x"):
+                assert (got[c].to_numpy() == exp[c].to_numpy()).all(), (direction, how, c)
+            gy = pd.to_numeric(got["y"]).to_numpy(np.float64, na_value=np.nan)
+            ey = exp["y"].to_numpy(np.float64, na_value=np.nan)
+            assert np.array_equal(gy, ey, equal_nan=True), (direction, how)

@@ -1,0 +1,323 @@
+"""Point-in-polygon joins, zonal statistics and raster<->vector
+conversion — the remaining spatial primitives the north rule names
+(H3/S2-like index: cells.py; kNN: spatial.py; this module adds the
+polygon layer). No geo libraries exist in this environment, so the
+geometry is from scratch: planar lat/lon, even-odd (crossing-number)
+point-in-polygon with the half-open edge rule, a cell-granular
+prefilter over the same quadtree index the rest of the engine uses.
+
+Scale design (100 TB side):
+- The polygon set is the SMALL side: built once on the driver into
+  flat numpy arrays (edges in CSR by polygon + a sorted cell->polygon
+  prefilter table), shipped via ``ray.put`` once and cached per worker
+  process (`_fetch_cached` pattern, same as spatial._INDEX_CACHE) —
+  the big point table streams through stateless fused map tasks with
+  ZERO shuffle.
+- Candidate pruning is cell-granular: each polygon's bbox is covered
+  with index cells at ``prefilter_res``; a point only runs the exact
+  edge test against polygons whose covering contains the point's cell
+  (two searchsorted calls per batch, like the kNN index).
+- The exact test is fully vectorized: candidate (point, polygon) pairs
+  expand to (pair, edge) rows via CSR arithmetic, one boolean crossing
+  kernel, np.add.at parity reduction. No Python per-row loop.
+- The crossing kernel uses only exactly-rounded IEEE ops (+,-,*,/ and
+  comparisons) in a FIXED order mirrored by ``oracle_sql_pip_edges``
+  -> results are bit-identical to the DuckDB oracle (same exactness
+  discipline as cells.oracle_sql_cell_expr).
+
+Determinism / edge rule: an edge (y1,x1)-(y2,x2) crosses the upward
+ray from point (py,px) iff (y1 > py) != (y2 > py) AND
+px < (x2 - x1) * (py - y1) / (y2 - y1) + x1. The half-open rule makes
+shared vertices count once; horizontal edges never cross and are
+DROPPED at build time (both here and in the SQL mirror, so the
+division is always well-defined). Points exactly ON a boundary follow
+the strict-< rule identically in both engines (same FP ops), so the
+match stays exact even in degenerate cases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import cells
+
+__all__ = [
+    "PolygonIndex",
+    "point_in_polygon_join",
+    "zonal_stats",
+    "polygonize_raster",
+    "oracle_sql_pip_edges",
+]
+
+
+class PolygonIndex:
+    """Broadcast-side polygon set: CSR edge arrays + cell prefilter.
+
+    ``polys``: dict {poly_id(int) -> [(lat, lon), ...]} — open rings
+    (the closing edge back to vertex 0 is added automatically).
+    """
+
+    def __init__(self, polys: dict[int, list[tuple[float, float]]],
+                 prefilter_res: int = 4):
+        pids, y1, x1, y2, x2 = [], [], [], [], []
+        bb = []  # (pid, lat_min, lat_max, lon_min, lon_max)
+        for pid in sorted(polys):
+            ring = polys[pid]
+            if len(ring) < 3:
+                raise ValueError(f"polygon {pid} has <3 vertices")
+            la = np.array([p[0] for p in ring], dtype=np.float64)
+            lo = np.array([p[1] for p in ring], dtype=np.float64)
+            bb.append((pid, la.min(), la.max(), lo.min(), lo.max()))
+            nla, nlo = np.roll(la, -1), np.roll(lo, -1)
+            keep = la != nla  # horizontal edges never cross the ray
+            pids.append(np.full(int(keep.sum()), pid, dtype=np.int64))
+            y1.append(la[keep]); x1.append(lo[keep])
+            y2.append(nla[keep]); x2.append(nlo[keep])
+        self.edge_pid = np.concatenate(pids) if pids else np.array([], np.int64)
+        self.y1 = np.concatenate(y1) if y1 else np.array([], np.float64)
+        self.x1 = np.concatenate(x1) if x1 else np.array([], np.float64)
+        self.y2 = np.concatenate(y2) if y2 else np.array([], np.float64)
+        self.x2 = np.concatenate(x2) if x2 else np.array([], np.float64)
+        # CSR by polygon (edge_pid is built sorted by pid)
+        self.poly_ids, starts = np.unique(self.edge_pid, return_index=True)
+        self.estarts = starts
+        self.eends = np.append(starts[1:], len(self.edge_pid))
+        # cell prefilter: every cell covered by each polygon's bbox
+        self.res = prefilter_res
+        pc, pp = [], []
+        dlat, dlon = cells.cell_size_deg(prefilter_res)
+        for pid, la0, la1, lo0, lo1 in bb:
+            # pad by one cell each side: sampling at exactly cell-size
+            # steps can round across a cell boundary by 1 ulp; the ring
+            # guarantees the prefilter NEVER drops a true containment
+            las = np.arange(la0 - dlat, la1 + 2 * dlat, dlat).clip(-90.0, 90.0)
+            los = np.arange(lo0 - dlon, lo1 + 2 * dlon, dlon).clip(-180.0, 180.0)
+            grid_lat = np.repeat(las, len(los))
+            grid_lon = np.tile(los, len(las))
+            cset = np.unique(cells.cell_of(grid_lat, grid_lon, prefilter_res))
+            pc.append(cset)
+            pp.append(np.full(len(cset), pid, dtype=np.int64))
+        allc = np.concatenate(pc) if pc else np.array([], np.int64)
+        allp = np.concatenate(pp) if pp else np.array([], np.int64)
+        order = np.lexsort((allp, allc))
+        self.cell_sorted = allc[order]
+        self.cell_pid = allp[order]
+        self.ucells, cs = np.unique(self.cell_sorted, return_index=True)
+        self.cstarts = cs
+        self.cends = np.append(cs[1:], len(self.cell_sorted))
+
+    def _candidates(self, lat: np.ndarray, lon: np.ndarray):
+        """(point_row, poly_id) candidate pairs via the cell prefilter."""
+        if len(self.ucells) == 0 or len(lat) == 0:
+            return np.array([], np.int64), np.array([], np.int64)
+        pcell = cells.cell_of(lat, lon, self.res)
+        pos = np.searchsorted(self.ucells, pcell)
+        pos_c = np.minimum(pos, len(self.ucells) - 1)
+        hit = self.ucells[pos_c] == pcell
+        rows = np.flatnonzero(hit)
+        s = self.cstarts[pos_c[hit]]
+        e = self.cends[pos_c[hit]]
+        counts = e - s
+        total = int(counts.sum())
+        if total == 0:
+            return np.array([], np.int64), np.array([], np.int64)
+        pr = np.repeat(rows, counts)
+        base = np.repeat(s, counts)
+        local = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        return pr, self.cell_pid[base + local]
+
+    def join(self, lat, lon):
+        """Exact inner point-in-polygon join.
+
+        Returns (point_row, poly_id) for every containment pair,
+        sorted by (point_row, poly_id). Overlapping polygons yield one
+        pair each.
+        """
+        lat = np.asarray(lat, dtype=np.float64)
+        lon = np.asarray(lon, dtype=np.float64)
+        prow, ppid = self._candidates(lat, lon)
+        if len(prow) == 0:
+            return prow, ppid
+        # expand candidate pairs -> (pair, edge) rows via polygon CSR
+        pslot = np.searchsorted(self.poly_ids, ppid)
+        s = self.estarts[pslot]
+        counts = self.eends[pslot] - s
+        total = int(counts.sum())
+        pair_idx = np.repeat(np.arange(len(prow)), counts)
+        base = np.repeat(s, counts)
+        local = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        ei = base + local
+        py = lat[prow][pair_idx]
+        px = lon[prow][pair_idx]
+        y1, x1 = self.y1[ei], self.x1[ei]
+        y2, x2 = self.y2[ei], self.x2[ei]
+        # crossing kernel — op order mirrored in oracle_sql_pip_edges
+        cross = ((y1 > py) != (y2 > py)) & (
+            px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        )
+        parity = np.zeros(len(prow), dtype=np.int64)
+        np.add.at(parity, pair_idx, cross.astype(np.int64))
+        inside = (parity % 2) == 1
+        order = np.lexsort((ppid[inside], prow[inside]))
+        return prow[inside][order], ppid[inside][order]
+
+
+# per-worker cache of fetched PolygonIndex objects (Ray reuses worker
+# processes; each pays the local zero-copy-ish fetch once)
+_POLY_CACHE: dict = {}
+
+
+def _get_poly(ref):
+    import ray
+
+    if not isinstance(ref, ray.ObjectRef):
+        return ref
+    key = ref.hex()
+    if key not in _POLY_CACHE:
+        _POLY_CACHE[key] = ray.get(ref)
+    return _POLY_CACHE[key]
+
+
+def point_in_polygon_join(ds, polys, *, lat_col: str = "lat",
+                          lon_col: str = "lon", keep_cols=None,
+                          out_col: str = "poly_id",
+                          prefilter_res: int = 4):
+    """Inner-join every point row to each polygon containing it.
+
+    ``polys`` is a {poly_id -> ring} dict or a prebuilt PolygonIndex.
+    Broadcast once (ray.put), streamed zero-shuffle through stateless
+    fused map tasks; output keeps ``keep_cols`` (default: all input
+    columns) plus ``out_col``.
+    """
+    import ray
+
+    idx = polys if isinstance(polys, PolygonIndex) else PolygonIndex(
+        polys, prefilter_res=prefilter_res)
+    ref = ray.put(idx)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        pidx = _get_poly(ref)
+        rows, pid = pidx.join(
+            df[lat_col].to_numpy(np.float64), df[lon_col].to_numpy(np.float64)
+        )
+        cols = keep_cols if keep_cols is not None else list(df.columns)
+        out = df.iloc[rows][cols].reset_index(drop=True)
+        out[out_col] = pid
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def zonal_stats(ds, polys, *, lat_col: str = "lat", lon_col: str = "lon",
+                value_col: str | None = None, prefilter_res: int = 4):
+    """Vector<-raster zonal statistics: per-polygon point count (and
+    int64 sum of ``value_col`` if given) over a streaming point table.
+
+    Scale shape: each batch emits at most one partial row per polygon
+    (P rows, P = |polygons| — tiny), so the final per-polygon combine
+    shuffles P x n_blocks rows, never the points. Returns a pandas
+    DataFrame (poly_id, n_points[, sum_value]) sorted by poly_id.
+    """
+    from .joins import grouped_apply
+
+    pairs = point_in_polygon_join(
+        ds, polys, lat_col=lat_col, lon_col=lon_col,
+        keep_cols=[value_col] if value_col else [],
+        prefilter_res=prefilter_res,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("poly_id", as_index=False)
+        if value_col:
+            out = g.agg(n_points=("poly_id", "size"),
+                        sum_value=(value_col, "sum"))
+            out["sum_value"] = out["sum_value"].astype(np.int64)
+        else:
+            out = g.agg(n_points=("poly_id", "size"))
+        out["n_points"] = out["n_points"].astype(np.int64)
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        agg = {"n_points": ("n_points", "sum")}
+        if value_col:
+            agg["sum_value"] = ("sum_value", "sum")
+        out = df.groupby("poly_id", as_index=False).agg(**agg)
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = pairs.map_batches(partial, batch_format="pandas")
+    return (
+        grouped_apply(partials, "poly_id", merge)
+        .to_pandas()
+        .sort_values("poly_id")
+        .reset_index(drop=True)
+    )
+
+
+def polygonize_raster(cell_counts, threshold: int):
+    """Raster->vector: group 4-connected active raster cells (count >=
+    threshold) into regions labeled by their minimum cell id.
+
+    ``cell_counts``: Dataset or DataFrame with int64 (cell, n) — the
+    rasterization itself is the existing distributed groupby(cell)
+    count (spatial.page_cell_counts / queries.q_cell_hist_topk shape).
+
+    Partitioning assumption: the ACTIVE RASTER (not the data) fits the
+    driver — it is bounded by 4^res cells regardless of input scale,
+    which is the whole point of rasterizing first (res 12 ~ 16.8M cells
+    max; typical thresholds keep it far smaller). Adjacency is 4-ring
+    within the grid, NO longitudinal wrap (mirrors the SQL oracle's
+    integer ix/iy arithmetic). Returns DataFrame (cell, region) sorted
+    by cell.
+    """
+    if isinstance(cell_counts, pd.DataFrame):
+        df = cell_counts[cell_counts["n"] >= threshold]
+    else:
+        df = cell_counts.filter(expr=f"n >= {int(threshold)}").to_pandas()
+    cell = np.sort(df["cell"].to_numpy(np.int64))
+    if len(cell) == 0:
+        return pd.DataFrame({"cell": cell, "region": cell})
+    res, ix, iy = cells.decode(cell)
+    # neighbor edges: right (ix+1) and up (iy+1) into the active set
+    edges = []
+    for nx, ny in ((ix + 1, iy), (ix, iy + 1)):
+        ncell = cells.encode(res, nx, ny)
+        pos = np.searchsorted(cell, ncell)
+        pos_c = np.minimum(pos, len(cell) - 1)
+        hit = cell[pos_c] == ncell
+        edges.append((np.flatnonzero(hit), pos_c[hit]))
+    ea = np.concatenate([a for a, _ in edges])
+    eb = np.concatenate([b for _, b in edges])
+    # min-label propagation with pointer doubling (vectorized; raster-
+    # bounded, converges in O(log diameter) rounds)
+    label = np.arange(len(cell), dtype=np.int64)
+    while True:
+        prev = label.copy()
+        np.minimum.at(label, ea, label[eb])
+        np.minimum.at(label, eb, label[ea])
+        label = label[label]  # pointer doubling
+        if np.array_equal(label, prev):
+            break
+    return pd.DataFrame({"cell": cell, "region": cell[label]})
+
+
+def oracle_sql_pip_edges(polys: dict[int, list[tuple[float, float]]]) -> str:
+    """VALUES clause of polygon edges mirroring PolygonIndex exactly:
+    (pid, y1, x1, y2, x2) per non-horizontal edge, closing ring
+    included, floats via repr (shortest round-trip -> DuckDB parses
+    the identical double). Consumers apply the crossing predicate
+      (y1 > lat) != (y2 > lat)
+      AND lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+    and keep points with odd crossing count per pid.
+    """
+    rows = []
+    for pid in sorted(polys):
+        ring = polys[pid]
+        for i in range(len(ring)):
+            (la, lo), (nla, nlo) = ring[i], ring[(i + 1) % len(ring)]
+            if la == nla:
+                continue
+            rows.append(f"({pid}, {la!r}, {lo!r}, {nla!r}, {nlo!r})")
+    return "(VALUES " + ", ".join(rows) + ") AS e(pid, y1, x1, y2, x2)"

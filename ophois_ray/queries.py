@@ -1193,6 +1193,148 @@ def q_events_asof_join(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _demo_polygons() -> dict[int, list[tuple[float, float]]]:
+    """Seeded star-convex polygons for the point-in-polygon oracle
+    queries. Generated ONCE per call in the driver process and embedded
+    verbatim in both the Ray broadcast index and (via repr round-trip)
+    the DuckDB edge VALUES, so libm variance in sin/cos cannot split
+    the two sides."""
+    rng = np.random.RandomState(451)
+    polys: dict[int, list[tuple[float, float]]] = {}
+    for pid in range(8):
+        cx = float(rng.uniform(-140.0, 140.0))
+        cy = float(rng.uniform(-55.0, 55.0))
+        ang = np.sort(rng.uniform(0.0, 2.0 * np.pi, int(rng.randint(4, 9))))
+        r = rng.uniform(8.0, 35.0, len(ang))
+        polys[pid] = [
+            (float(cy + r[i] * np.sin(a)), float(cx + r[i] * np.cos(a)))
+            for i, a in enumerate(ang)
+        ]
+    return polys
+
+
+def _cust_points(sf_dir: str):
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 7, 13)
+        return pd.DataFrame({"c_custkey": k, "lat": lat, "lon": lon})
+
+    return cust.map_batches(fn, batch_format="pandas")
+
+
+def q_point_in_polygon(sf_dir: str):
+    """Point-in-polygon inner join (polygons.point_in_polygon_join):
+    each synthetic customer point against 8 seeded polygons, broadcast
+    index + cell prefilter, exact even-odd crossing kernel mirrored
+    op-for-op by the SQL crossing-number oracle."""
+    from .polygons import point_in_polygon_join
+
+    pairs = point_in_polygon_join(
+        _cust_points(sf_dir), _demo_polygons(),
+        keep_cols=["c_custkey"], out_col="poly_id",
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c_custkey": df["c_custkey"].to_numpy(np.int64),
+             "poly_id": df["poly_id"].to_numpy(np.int64)}
+        )
+
+    return pairs.map_batches(cast, batch_format="pandas")
+
+
+def _sql_pip_pairs() -> str:
+    from .polygons import oracle_sql_pip_edges
+
+    lat, lon = _sql_coords("c_custkey", 7, 13)
+    edges = oracle_sql_pip_edges(_demo_polygons())
+    return f"""
+WITH p AS (SELECT c_custkey, {lat} AS lat, {lon} AS lon FROM customer)
+SELECT p.c_custkey, e.pid AS poly_id
+FROM p CROSS JOIN {edges}
+WHERE (e.y1 > p.lat) != (e.y2 > p.lat)
+  AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+GROUP BY 1, 2
+HAVING count(*) % 2 = 1
+"""
+
+
+def q_pip_zonal(sf_dir: str):
+    """Zonal statistics (polygons.zonal_stats): per-polygon point count
+    + int64 key sum — the vector<-raster aggregate; per-batch partial
+    rows keep the shuffle at |polygons| x n_blocks."""
+    from .polygons import zonal_stats
+
+    out = zonal_stats(
+        _cust_points(sf_dir), _demo_polygons(), value_col="c_custkey"
+    )
+    return out.rename(columns={"sum_value": "sum_key"})
+
+
+def _sql_pip_zonal() -> str:
+    return (
+        "SELECT poly_id, count(*) AS n_points, sum(c_custkey) AS sum_key "
+        f"FROM ({_sql_pip_pairs()}) GROUP BY 1"
+    )
+
+
+def q_raster_polygonize(sf_dir: str):
+    """Raster->vector (polygons.polygonize_raster): rasterize customer
+    points to res-6 cell counts (distributed groupby), threshold, then
+    group 4-connected active cells into min-cell-id regions. The driver
+    reduction is over the RASTER (bounded by 4^res), never the points;
+    the SQL mirror is a recursive min-label-propagation CTE."""
+    from .polygons import polygonize_raster
+
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 7, 13)
+        return pd.DataFrame({"cell": cells.cell_of(lat, lon, RES_JOIN)})
+
+    counts = (
+        cust.map_batches(fn, batch_format="pandas")
+        .groupby("cell")
+        .aggregate(Count(alias_name="n"))
+    )
+    out = polygonize_raster(counts, threshold=3)
+    return pd.DataFrame(
+        {"cell": out["cell"].to_numpy(np.int64),
+         "region": out["region"].to_numpy(np.int64)}
+    )
+
+
+def _sql_raster_polygonize() -> str:
+    lat, lon = _sql_coords("c_custkey", 7, 13)
+    expr = cells.oracle_sql_cell_expr(lat, lon, RES_JOIN)
+    mask = (1 << 29) - 1
+    return f"""
+WITH RECURSIVE
+counts AS (
+  SELECT {expr} AS cell, count(*) AS n FROM customer GROUP BY 1
+),
+active AS (
+  SELECT cell, (cell >> 29) & {mask} AS ix, cell & {mask} AS iy
+  FROM counts WHERE n >= 3
+),
+adj AS (
+  SELECT a.cell AS c1, b.cell AS c2
+  FROM active a JOIN active b
+    ON (a.ix = b.ix AND (a.iy = b.iy + 1 OR b.iy = a.iy + 1))
+    OR (a.iy = b.iy AND (a.ix = b.ix + 1 OR b.ix = a.ix + 1))
+),
+lab(cell, root) AS (
+  SELECT cell, cell FROM active
+  UNION
+  SELECT a.c1, l.root FROM lab l JOIN adj a ON a.c2 = l.cell
+)
+SELECT cell, min(root) AS region FROM lab GROUP BY cell
+"""
+
+
 SQL_EVENTS_ASOF_JOIN = """
 WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events
@@ -1242,6 +1384,9 @@ def catalog():
         "edge_midpoint": q_edge_midpoint,
         "doc_len_deciles": q_doc_len_deciles,
         "events_asof_join": q_events_asof_join,
+        "point_in_polygon": q_point_in_polygon,
+        "pip_zonal": q_pip_zonal,
+        "raster_polygonize": q_raster_polygonize,
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
@@ -1277,6 +1422,9 @@ def sql_catalog():
         "doc_len_deciles": SQL_DOC_LEN_DECILES,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+        "point_in_polygon": _sql_pip_pairs(),
+        "pip_zonal": _sql_pip_zonal(),
+        "raster_polygonize": _sql_raster_polygonize(),
     }
 
 

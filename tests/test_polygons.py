@@ -1,0 +1,148 @@
+"""Polygon layer: point-in-polygon join, zonal stats, raster->vector.
+
+The distributed paths are oracle-checked end-to-end in
+test_driver_contract.py (point_in_polygon / pip_zonal /
+raster_polygonize vs DuckDB); these tests pin the kernels themselves
+against brute force and cover the degenerate cases the driver data
+never hits."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ophois_ray import cells
+from ophois_ray.polygons import (
+    PolygonIndex,
+    point_in_polygon_join,
+    polygonize_raster,
+    zonal_stats,
+)
+
+
+def _random_polys(rng, n=6):
+    polys = {}
+    for pid in range(n):
+        cx, cy = rng.uniform(-150, 150), rng.uniform(-60, 60)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, rng.randint(4, 9)))
+        r = rng.uniform(5, 30, len(ang))
+        polys[pid] = [
+            (float(cy + r[i] * np.sin(a)), float(cx + r[i] * np.cos(a)))
+            for i, a in enumerate(ang)
+        ]
+    return polys
+
+
+def _brute(lat, lon, polys):
+    out = []
+    for p, ring in polys.items():
+        la = np.array([v[0] for v in ring])
+        lo = np.array([v[1] for v in ring])
+        nla, nlo = np.roll(la, -1), np.roll(lo, -1)
+        keep = la != nla
+        y1, x1, y2, x2 = la[keep], lo[keep], nla[keep], nlo[keep]
+        cnt = np.zeros(len(lat), dtype=int)
+        for i in range(len(y1)):
+            cnt += ((y1[i] > lat) != (y2[i] > lat)) & (
+                lon < (x2[i] - x1[i]) * (lat - y1[i]) / (y2[i] - y1[i]) + x1[i]
+            )
+        out.extend((r, p) for r in np.flatnonzero(cnt % 2 == 1))
+    return sorted(out)
+
+
+def test_pip_index_matches_brute_force():
+    rng = np.random.RandomState(42)
+    polys = _random_polys(rng)
+    idx = PolygonIndex(polys, prefilter_res=4)
+    lat = rng.uniform(-90, 90, 20000)
+    lon = rng.uniform(-180, 180, 20000)
+    rows, pid = idx.join(lat, lon)
+    assert sorted(zip(rows.tolist(), pid.tolist())) == _brute(lat, lon, polys)
+    assert len(rows) > 100  # non-vacuous
+
+
+def test_pip_overlapping_and_concave():
+    # two overlapping squares + a concave C-shape
+    polys = {
+        1: [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)],
+        2: [(5.0, 5.0), (5.0, 15.0), (15.0, 15.0), (15.0, 5.0)],
+        3: [(20.0, 0.0), (30.0, 0.0), (30.0, 10.0), (28.0, 10.0),
+            (28.0, 2.0), (22.0, 2.0), (22.0, 10.0), (20.0, 10.0)],
+    }
+    idx = PolygonIndex(polys)
+    lat = np.array([7.3, 2.1, 12.0, 25.0, 25.0, 29.0])
+    lon = np.array([7.3, 2.1, 12.0, 1.0, 5.0, 5.0])
+    rows, pid = idx.join(lat, lon)
+    got = set(zip(rows.tolist(), pid.tolist()))
+    # point 0 in both squares; 1 only in square 1; 2 only in square 2;
+    # 3 inside the C; 4 in the C's concave mouth (outside); 5 in C's arm
+    assert got == {(0, 1), (0, 2), (1, 1), (2, 2), (3, 3), (5, 3)}
+
+
+def test_pip_empty_inputs():
+    idx = PolygonIndex({0: [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0)]})
+    rows, pid = idx.join(np.array([]), np.array([]))
+    assert len(rows) == 0 and len(pid) == 0
+    rows, pid = idx.join(np.array([50.0]), np.array([50.0]))
+    assert len(rows) == 0
+
+
+def test_pip_join_distributed_matches_local(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(9)
+    polys = _random_polys(rng, 4)
+    df = pd.DataFrame(
+        {
+            "pt": np.arange(5000, dtype=np.int64),
+            "lat": rng.uniform(-90, 90, 5000),
+            "lon": rng.uniform(-180, 180, 5000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = (
+        point_in_polygon_join(ds, polys, keep_cols=["pt"], out_col="poly_id")
+        .to_pandas()
+        .sort_values(["pt", "poly_id"])
+        .reset_index(drop=True)
+    )
+    idx = PolygonIndex(polys)
+    rows, pid = idx.join(df["lat"].to_numpy(), df["lon"].to_numpy())
+    assert out["pt"].tolist() == rows.tolist()
+    assert out["poly_id"].tolist() == pid.tolist()
+
+    zs = zonal_stats(ds, polys, value_col="pt")
+    exp = (
+        pd.DataFrame({"poly_id": pid, "pt": df["pt"].to_numpy()[rows]})
+        .groupby("poly_id", as_index=False)
+        .agg(n_points=("poly_id", "size"), sum_value=("pt", "sum"))
+    )
+    assert zs["poly_id"].tolist() == exp["poly_id"].tolist()
+    assert zs["n_points"].tolist() == exp["n_points"].tolist()
+    assert zs["sum_value"].tolist() == exp["sum_value"].tolist()
+
+
+def test_polygonize_raster_regions():
+    # three components: a 3-run, a vertical 2-run, a horizontal 2-run
+    cell = cells.encode(
+        np.full(7, 6),
+        np.array([3, 4, 5, 10, 10, 20, 21]),
+        np.array([3, 3, 3, 7, 8, 1, 1]),
+    )
+    df = pd.DataFrame({"cell": cell, "n": np.full(7, 5, np.int64)})
+    out = polygonize_raster(df, threshold=2)
+    sizes = sorted(out.groupby("region").size().tolist())
+    assert sizes == [2, 2, 3]
+    # region label is the component's min cell id
+    for region, grp in out.groupby("region"):
+        assert region == grp["cell"].min()
+    # threshold filters everything -> empty frame with the right schema
+    empty = polygonize_raster(df, threshold=99)
+    assert len(empty) == 0 and list(empty.columns) == ["cell", "region"]
+
+
+def test_polygonize_no_diagonal_adjacency():
+    cell = cells.encode(np.full(2, 6), np.array([3, 4]), np.array([3, 4]))
+    out = polygonize_raster(
+        pd.DataFrame({"cell": cell, "n": np.array([5, 5], np.int64)}), 1
+    )
+    assert out["region"].nunique() == 2

@@ -1193,6 +1193,52 @@ def q_events_asof_join(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def q_range_join(sf_dir: str):
+    """Interval containment join (joins.range_join): each part key
+    against synthetic supplier intervals [s_suppkey*13 % 2000, +37] —
+    the 1-D bucket-discretized non-equi join, mirrored by a plain SQL
+    BETWEEN join. Integer keys only; float bucket math never leaves
+    the engine."""
+    from .joins import range_join
+
+    parts = _t(sf_dir, "part").select_columns(["p_partkey"])
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"p_partkey": df["p_partkey"].to_numpy(np.int64)})
+
+    supp = _t(sf_dir, "supplier").select_columns(["s_suppkey"])
+
+    def mk_iv(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["s_suppkey"].to_numpy(np.int64)
+        lo = k * 13 % 2000
+        return pd.DataFrame({"s_suppkey": k, "lo": lo, "hi": lo + 37})
+
+    out = range_join(
+        parts.map_batches(to_int, batch_format="pandas"),
+        supp.map_batches(mk_iv, batch_format="pandas"),
+        value="p_partkey", lo="lo", hi="hi", bucket_width=64.0,
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"p_partkey": df["p_partkey"].to_numpy(np.int64),
+             "s_suppkey": df["s_suppkey"].to_numpy(np.int64)}
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (
+  SELECT s_suppkey, s_suppkey * 13 % 2000 AS lo,
+         s_suppkey * 13 % 2000 + 37 AS hi
+  FROM supplier
+)
+SELECT p.p_partkey, iv.s_suppkey
+FROM part p JOIN iv ON p.p_partkey BETWEEN iv.lo AND iv.hi
+"""
+
+
 def _demo_polygons() -> dict[int, list[tuple[float, float]]]:
     """Seeded star-convex polygons for the point-in-polygon oracle
     queries. Generated ONCE per call in the driver process and embedded
@@ -1384,6 +1430,7 @@ def catalog():
         "edge_midpoint": q_edge_midpoint,
         "doc_len_deciles": q_doc_len_deciles,
         "events_asof_join": q_events_asof_join,
+        "range_join": q_range_join,
         "point_in_polygon": q_point_in_polygon,
         "pip_zonal": q_pip_zonal,
         "raster_polygonize": q_raster_polygonize,
@@ -1422,6 +1469,7 @@ def sql_catalog():
         "doc_len_deciles": SQL_DOC_LEN_DECILES,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+        "range_join": SQL_RANGE_JOIN,
         "point_in_polygon": _sql_pip_pairs(),
         "pip_zonal": _sql_pip_zonal(),
         "raster_polygonize": _sql_raster_polygonize(),

@@ -215,3 +215,33 @@ def test_asof_join_matches_pandas(ray_session):
             gy = pd.to_numeric(got["y"]).to_numpy(np.float64, na_value=np.nan)
             ey = exp["y"].to_numpy(np.float64, na_value=np.nan)
             assert np.array_equal(gy, ey, equal_nan=True), (direction, how)
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    import ray.data
+    from ophois_ray.joins import range_join
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame(
+        {"v": rng.uniform(-100, 100, 400), "lid": np.arange(400)}
+    )
+    lo = rng.uniform(-120, 90, 80)
+    right = pd.DataFrame(
+        {"lo": lo, "hi": lo + rng.uniform(0, 30, 80), "rid": np.arange(80)}
+    )
+    got = (
+        range_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(3),
+            value="v", lo="lo", hi="hi", bucket_width=7.5,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right, how="cross")
+    exp = exp[(exp["lo"] <= exp["v"]) & (exp["v"] <= exp["hi"])]
+    exp = exp.sort_values(["lid", "rid"]).reset_index(drop=True)
+    assert len(got) == len(exp) and len(exp) > 50
+    for c in ("lid", "rid"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()

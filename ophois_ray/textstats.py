@@ -156,21 +156,94 @@ def _rolling_kgram_min(cps, k: int = 8) -> int:
     return best
 
 
+# ---- vectorized mod-(2^61-1) arithmetic (all uint64-safe) -------------
+# p = 2^61-1 is Mersenne: 2^61 === 1 (mod p), so multiplying by 2^8
+# splits as x*256 = (x mod 2^53)*256 + (x >> 53)  (exact, < 2^61 + 2^8)
+# and any partial sum < 2^64 folds as (x & p) + (x >> 61).
+
+_MASK53 = np.uint64((1 << 53) - 1)
+
+
+def _fp_fold(x: np.ndarray) -> np.ndarray:
+    """Reduce any uint64 array mod p = 2^61-1."""
+    x = (x & _FP_MOD) + (x >> np.uint64(61))
+    return np.where(x >= _FP_MOD, x - _FP_MOD, x)
+
+
+def _fp_mul257(x: np.ndarray) -> np.ndarray:
+    """x*257 mod p for x < p, without 64-bit overflow."""
+    t = ((x & _MASK53) << np.uint64(8)) + (x >> np.uint64(53))  # x*256 mod-ish
+    t = np.where(t >= _FP_MOD, t - _FP_MOD, t)
+    return _fp_fold(t + x)
+
+
+def _fp_mul_small(x: np.ndarray, c: int) -> np.ndarray:
+    """x*c mod p for x < 2^22 (code points) and any c < p: split c into
+    32-bit halves; x*lo fits uint64, x*hi re-shifts by 2^32 via the
+    Mersenne identity x*2^32 = ((x mod 2^29) << 32) + (x >> 29)."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    t1 = x * np.uint64(lo)
+    t2 = x * np.uint64(hi)
+    t2 = ((t2 & np.uint64((1 << 29) - 1)) << np.uint64(32)) + (
+        t2 >> np.uint64(29)
+    )
+    return _fp_fold(t1 + t2)
+
+
+def _fingerprints_batch(texts, k: int = 8):
+    """Batch-vectorized doc_hash + kgram_min, bit-identical to the
+    scalar reference kernels above (pytest-pinned). One column-wise
+    Horner pass over a position-major padded code-point matrix: every
+    step is a handful of numpy vector ops across the whole batch (no
+    per-character Python loop, no prefix-hash matrix — the k-gram
+    minimum uses the same rolling-subtract recurrence as the scalar
+    kernel, carried as batch vectors). Padding cells are 0 (real cells
+    hold cp+1 >= 1), which doubles as the validity mask."""
+    cps = [
+        np.frombuffer(t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
+        if isinstance(t, str) else np.empty(0, np.uint32)
+        for t in texts
+    ]
+    n = len(cps)
+    lens = np.array([len(c) for c in cps], dtype=np.int64)
+    if n == 0:
+        z = np.empty(0, np.uint64)
+        return z, z
+    L = int(lens.max()) if n else 0
+    M = np.zeros((L, n), dtype=np.uint64)
+    for i, c in enumerate(cps):
+        M[: len(c), i] = c.astype(np.uint64) + np.uint64(1)
+    basek = pow(int(_FP_BASE), k - 1, int(_FP_MOD))
+    acc = np.zeros(n, dtype=np.uint64)      # full-document Horner
+    roll = np.zeros(n, dtype=np.uint64)     # current k-window hash
+    best = np.full(n, _FP_MOD, dtype=np.uint64)  # p > any hash
+    doc_hash = np.zeros(n, dtype=np.uint64)
+    for j in range(L):
+        mj = M[j]
+        acc = _fp_fold(_fp_mul257(acc) + mj)
+        if j >= k:
+            # drop char j-k from the window, append char j
+            roll = _fp_fold(roll + (_FP_MOD - _fp_mul_small(M[j - k], basek)))
+        roll = _fp_fold(_fp_mul257(roll) + mj)
+        valid = mj != 0
+        if j >= k - 1:
+            best = np.where(valid, np.minimum(best, roll), best)
+        ended = lens == j + 1
+        if ended.any():
+            doc_hash[ended] = acc[ended]
+    kgram = np.where(lens >= k, best, doc_hash)
+    return doc_hash, kgram
+
+
 def fingerprint(ds, text_col: str = "text", k: int = 8):
     """Adds doc_hash (full-text rolling hash) and kgram_min (minimum
     k-gram hash) int64 columns, both over Unicode code points."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        enc = [
-            [ord(c) for c in t] if isinstance(t, str) else [] for t in df[text_col]
-        ]
-        df["doc_hash"] = np.array(
-            [_poly_hash_codepoints(e) for e in enc], dtype=np.uint64
-        ).astype(np.int64)
-        df["kgram_min"] = np.array(
-            [_rolling_kgram_min(e, k) for e in enc], dtype=np.uint64
-        ).astype(np.int64)
+        doc_hash, kgram = _fingerprints_batch(list(df[text_col]), k)
+        df["doc_hash"] = doc_hash.astype(np.int64)
+        df["kgram_min"] = kgram.astype(np.int64)
         return df
 
     return ds.map_batches(fn, batch_format="pandas")

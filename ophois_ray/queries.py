@@ -1193,6 +1193,52 @@ def q_events_asof_join(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def q_events_hopping_window(sf_dir: str):
+    """Sliding-window aggregate (windows.hopping_window): 1 h windows
+    hopping every 30 min per event type — each event explodes to its 2
+    covering windows, partial-aggregates per batch and exact-merges per
+    (type, window). Mirrored by a SQL offsets cross join."""
+    from .windows import hopping_window
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "event_type", "ts"]
+    )
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(np.int64),
+             "event_type": df["event_type"].to_numpy(object),
+             "us": us.to_numpy()}
+        )
+
+    out = hopping_window(
+        ev.map_batches(to_us, batch_format="pandas"),
+        ts_col="us", size_us=3_600_000_000, hop_us=1_800_000_000,
+        keys=["event_type"],
+        aggs={"n": ("count", None), "max_event": ("max", "event_id")},
+    )
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(object),
+             "window_id": df["window_id"].to_numpy(np.int64),
+             "n": df["n"].to_numpy(np.int64),
+             "max_event": df["max_event"].to_numpy(np.int64)}
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_EVENTS_HOPPING_WINDOW = """
+SELECT event_type,
+       epoch_us(ts) // 1800000000 - j.o AS window_id,
+       count(*) AS n, max(event_id) AS max_event
+FROM events CROSS JOIN (VALUES (0), (1)) AS j(o)
+GROUP BY 1, 2
+"""
+
+
 def q_range_join(sf_dir: str):
     """Interval containment join (joins.range_join): each part key
     against synthetic supplier intervals [s_suppkey*13 % 2000, +37] —
@@ -1430,6 +1476,7 @@ def catalog():
         "edge_midpoint": q_edge_midpoint,
         "doc_len_deciles": q_doc_len_deciles,
         "events_asof_join": q_events_asof_join,
+        "events_hopping_window": q_events_hopping_window,
         "range_join": q_range_join,
         "point_in_polygon": q_point_in_polygon,
         "pip_zonal": q_pip_zonal,
@@ -1469,6 +1516,7 @@ def sql_catalog():
         "doc_len_deciles": SQL_DOC_LEN_DECILES,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+        "events_hopping_window": SQL_EVENTS_HOPPING_WINDOW,
         "range_join": SQL_RANGE_JOIN,
         "point_in_polygon": _sql_pip_pairs(),
         "pip_zonal": _sql_pip_zonal(),

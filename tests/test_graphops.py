@@ -245,3 +245,52 @@ def test_range_join_matches_bruteforce(ray_session):
     assert len(got) == len(exp) and len(exp) > 50
     for c in ("lid", "rid"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+
+
+def test_hopping_window_matches_bruteforce(ray_session):
+    import ray.data
+    from ophois_ray.windows import hopping_window, tumbling_window
+
+    rng = np.random.RandomState(21)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 500),
+            "t": rng.randint(-1000, 1000, 500).astype(np.int64),
+            "x": rng.randint(0, 100, 500).astype(np.int64),
+        }
+    )
+    size, hop = 40, 10
+    m = size // hop
+    rows = np.repeat(np.arange(len(df)), m)
+    wid = np.repeat(np.floor_divide(df["t"].to_numpy(), hop), m) - np.tile(
+        np.arange(m), len(df)
+    )
+    exp = df.iloc[rows].reset_index(drop=True)
+    exp["window_id"] = wid
+    exp = exp.groupby(["k", "window_id"], as_index=False).agg(
+        n=("x", "size"), sum_x=("x", "sum"), min_x=("x", "min")
+    )
+    got = (
+        hopping_window(
+            ray.data.from_pandas(df).repartition(5),
+            ts_col="t", size_us=size, hop_us=hop, keys=["k"],
+            aggs={"n": ("count", None), "sum_x": ("sum", "x"),
+                  "min_x": ("min", "x")},
+        )
+        .to_pandas()
+        .sort_values(["k", "window_id"])
+        .reset_index(drop=True)
+    )
+    exp = exp.sort_values(["k", "window_id"]).reset_index(drop=True)
+    for c in ("k", "window_id", "n", "sum_x", "min_x"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    # tumbling == hopping with hop=size: each event exactly once
+    tb = tumbling_window(
+        ray.data.from_pandas(df), ts_col="t", size_us=size, keys=["k"]
+    ).to_pandas()
+    assert tb["n"].sum() == len(df)
+
+    with pytest.raises(ValueError):
+        hopping_window(ray.data.from_pandas(df), ts_col="t",
+                       size_us=35, hop_us=10)

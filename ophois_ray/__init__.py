@@ -20,6 +20,9 @@ Module map (SURVEY.md §7.1):
   cells       from-scratch quadtree cell index (u64 ids, k-ring, covers)
   pages       P6 HTML->text extractor (actor pool + oracle), P7 geotagger
   spatial     cell equi-join, kNN snap, skew salting
+  polygons    point-in-polygon join, zonal stats, raster->vector polygonize
+  windows     tumbling/hopping event-time windowed aggregates
+  joins       broadcast index, bucketed hash join, as-of join, range join
   checkpoint  per-tile manifest, atomic writes, resume
   dedup       exact / MinHash-LSH / SimHash / n-gram / embedding near-dup
   textstats   lang-id, quality scoring, token counts, fingerprints

@@ -1193,6 +1193,64 @@ def q_events_asof_join(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def q_simhash_int(sf_dir: str):
+    """Oracle-exact SimHash core (the integer mirror of dedup.simhash,
+    same pattern as embed_topk vs embed_topk_int): 32-bit signature per
+    document with whitespace tokens hashed by the polynomial
+    codepoint hash (mod 2^61-1) and per-bit +1/-1 occurrence voting
+    (bit set iff the vote sum is > 0). Fully vectorized per batch (one
+    token-hash pass + one np.add.at vote reduction), zero shuffle;
+    mirrored token-for-token by DuckDB list_reduce + bit arithmetic."""
+    from .textstats import _fingerprints_batch
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        s = df["text"].str.split().explode().dropna()
+        tok_doc = s.index.to_numpy(np.int64)
+        h, _ = _fingerprints_batch(list(s.to_numpy(object)), k=8)
+        js = np.arange(32, dtype=np.int64)
+        bits = ((h[:, None].astype(np.int64) >> js) & 1) * 2 - 1
+        acc = np.zeros((len(df), 32), dtype=np.int64)
+        np.add.at(acc, tok_doc, bits)
+        sig = ((acc > 0).astype(np.int64) << js).sum(axis=1)
+        has = np.zeros(len(df), dtype=bool)
+        has[tok_doc] = True
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64)[has], "sig": sig[has]}
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+SQL_SIMHASH_INT = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+              list_transform(regexp_extract_all(tok, '(?s).'),
+                             x -> CAST(unicode(x) AS HUGEINT))),
+              (acc, b) -> (acc * 257 + b + 1) % 2305843009213693951)
+           AS BIGINT) AS hv
+  FROM toks
+), votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN UNNEST(range(0, 32)) AS r(j)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0
+                     THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                     ELSE 0 END) AS BIGINT) AS sig
+FROM votes GROUP BY 1
+"""
+
+
 def q_events_hopping_window(sf_dir: str):
     """Sliding-window aggregate (windows.hopping_window): 1 h windows
     hopping every 30 min per event type — each event explodes to its 2
@@ -1477,6 +1535,7 @@ def catalog():
         "doc_len_deciles": q_doc_len_deciles,
         "events_asof_join": q_events_asof_join,
         "events_hopping_window": q_events_hopping_window,
+        "simhash_int": q_simhash_int,
         "range_join": q_range_join,
         "point_in_polygon": q_point_in_polygon,
         "pip_zonal": q_pip_zonal,
@@ -1517,6 +1576,7 @@ def sql_catalog():
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "events_hopping_window": SQL_EVENTS_HOPPING_WINDOW,
+        "simhash_int": SQL_SIMHASH_INT,
         "range_join": SQL_RANGE_JOIN,
         "point_in_polygon": _sql_pip_pairs(),
         "pip_zonal": _sql_pip_zonal(),

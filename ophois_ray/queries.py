@@ -318,6 +318,71 @@ def q_knn_cell_snap(sf_dir: str):
     return snapped.map_batches(unpack, batch_format="pandas")
 
 
+def q_knn3_cell_snap(sf_dir: str):
+    """The k>1 path of the shuffle kNN snap, oracle-checked: top-3
+    nearest suppliers per customer through the full cell co-group +
+    salting machinery at full-coverage resolution (res=1, ring=1), so
+    the ranked result must equal the exact SQL row_number() top-3 with
+    the (sqdist, id) tiebreak (zero-padded edge ids make string rank ==
+    integer rank)."""
+    from . import spatial
+
+    supp = _t(sf_dir, "supplier").select_columns(["s_suppkey"]).to_pandas()
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    slat, slon = _coords_from_key(sk, 11, 17)
+    edges_df = pd.DataFrame(
+        {
+            "u": [f"s{k:09d}" for k in sk],
+            "v": [f"t{k:09d}" for k in sk],
+            "u_lat": slat, "u_lon": slon, "v_lat": slat, "v_lon": slon,
+        }
+    )
+    import ray.data as rd
+
+    def to_points(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 7, 13)
+        return pd.DataFrame({"url": k.astype(str), "lat": lat, "lon": lon})
+
+    points = _t(sf_dir, "customer").select_columns(["c_custkey"]).map_batches(
+        to_points, batch_format="pandas"
+    )
+    snapped, _ = spatial.knn_snap(
+        points, rd.from_pandas(edges_df), res=1, k=3, ring=1,
+        hot_threshold=10_000_000,
+    )
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["url"].astype(np.int64),
+                "rank": df["rank"].to_numpy(np.int64),
+                "nn_suppkey": df["u"].str.slice(1).astype(np.int64),
+            }
+        )
+
+    return snapped.map_batches(unpack, batch_format="pandas")
+
+
+def _sql_knn3_cell_snap() -> str:
+    clat, clon = _sql_coords("c_custkey", 7, 13)
+    slat, slon = _sql_coords("s_suppkey", 11, 17)
+    return f"""
+WITH d AS (
+  SELECT c_custkey, s_suppkey,
+         (({clat}) - ({slat})) * (({clat}) - ({slat}))
+       + (({clon}) - ({slon})) * (({clon}) - ({slon})) AS sq
+  FROM customer CROSS JOIN supplier
+), r AS (
+  SELECT c_custkey, s_suppkey,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY sq, s_suppkey) AS rn
+  FROM d
+)
+SELECT c_custkey, CAST(rn - 1 AS BIGINT) AS rank, s_suppkey AS nn_suppkey
+FROM r WHERE rn <= 3
+"""
+
+
 def q_haversine_km_hist(sf_dir: str):
     """G1 haversine over synthetic coords -> 100 km histogram (coarse
     integer buckets so libm 1-ulp variance cannot flip a bucket on this
@@ -1512,6 +1577,7 @@ def catalog():
         "spatial_cell_join": q_spatial_cell_join,
         "nn_snap_planar": q_nn_snap_planar,
         "knn_cell_snap": q_knn_cell_snap,
+        "knn3_cell_snap": q_knn3_cell_snap,
         "haversine_km_hist": q_haversine_km_hist,
         "q1_returnflag": q_q1_returnflag,
         "join_cust_nation_region": q_join_cust_nation_region,
@@ -1556,6 +1622,7 @@ def sql_catalog():
         "spatial_cell_join": _sql_spatial_cell_join(),
         "nn_snap_planar": _sql_nn_snap_planar(),
         "knn_cell_snap": _sql_nn_snap_planar(),  # full-coverage cell kNN == exact NN
+        "knn3_cell_snap": _sql_knn3_cell_snap(),
         "haversine_km_hist": _sql_haversine_km_hist(),
         "q1_returnflag": SQL_Q1,
         "join_cust_nation_region": SQL_JOIN_CNR,

@@ -49,6 +49,13 @@ BENCH_QUERIES = [
     "embed_topk",
     "embed_topk_int",
     "ngram_jaccard",
+    "events_asof_join",
+    "events_hopping_window",
+    "range_join",
+    "point_in_polygon",
+    "pip_zonal",
+    "raster_polygonize",
+    "simhash_int",
 ]
 
 

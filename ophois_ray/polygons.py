@@ -276,6 +276,8 @@ def polygonize_raster(cell_counts, threshold: int):
         df = cell_counts[cell_counts["n"] >= threshold]
     else:
         df = cell_counts.filter(expr=f"n >= {int(threshold)}").to_pandas()
+    if "cell" not in df.columns:  # empty Dataset.to_pandas() drops schema
+        df = pd.DataFrame({"cell": np.array([], dtype=np.int64)})
     cell = np.sort(df["cell"].to_numpy(np.int64))
     if len(cell) == 0:
         return pd.DataFrame({"cell": cell, "region": cell})

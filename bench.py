@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "pip_zonal",
     "raster_polygonize",
     "simhash_int",
+    "doc_split_stats",
+    "doc_sample_per_lang",
+    "distinct_users_by_type",
+    "doc_shard_counts",
 ]
 
 

@@ -1564,6 +1564,123 @@ FROM L l ASOF JOIN R0 r ON l.user_id = r.user_id AND l.us >= r.us
 """
 
 
+# ------------------------------------------- set ops (splits / samples)
+
+
+def q_doc_split_stats(sf_dir: str):
+    """Deterministic train/val/test split (sampling.hash_split): per
+    (lang, split) doc count + char sum. Assignment is a pure function
+    of doc_id (int64-exact keyed hash mod 100), so it is identical
+    across reruns, cluster widths and block layouts — the property a
+    reproducible training corpus needs that random splits lack."""
+    from . import sampling
+    from .joins import grouped_apply
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    split = sampling.hash_split(docs, "doc_id")
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "split"], as_index=False).agg(
+            n=("doc_id", "size"), sum_chars=("n_chars", "sum")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_chars"] = out["sum_chars"].astype(np.int64)
+        return out
+
+    return grouped_apply(split, ["lang", "split"], agg, num_buckets=16)
+
+
+SQL_DOC_SPLIT_STATS = """
+WITH s AS (
+  SELECT lang, n_chars,
+         ((doc_id * 1103515245 + 12345) % 2305843009213693951) % 100 AS b
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_doc_sample_per_lang(sf_dir: str):
+    """Deterministic 10-per-language sample (sampling.sample_per_group):
+    the 10 docs with smallest (keyed hash, doc_id) per lang, ranked.
+    Distributed as a two-level top-n (per-batch partial bounds the
+    shuffle at n x |groups| rows per block)."""
+    from . import sampling
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    out = sampling.sample_per_group(docs, "lang", "doc_id", 10, num_buckets=16)
+    return out.select_columns(["lang", "rk", "doc_id"])
+
+
+SQL_DOC_SAMPLE_PER_LANG = """
+WITH h AS (
+  SELECT lang, doc_id,
+         (doc_id * 1103515245 + 12345) % 2305843009213693951 AS h
+  FROM documents
+)
+SELECT lang,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk,
+       doc_id
+FROM h QUALIFY rk <= 10
+"""
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact per-group distinct count (sampling.distinct_count):
+    distinct users per event_type via value-partitioned disjoint
+    nunique partials — no sketch, no whole-column driver pull."""
+    from . import sampling
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return sampling.distinct_count(ev, "event_type", "user_id", num_buckets=16)
+
+
+SQL_DISTINCT_USERS_BY_TYPE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY 1
+"""
+
+
+def q_doc_shard_counts(sf_dir: str):
+    """Hash-sharded training output (sampling.shard_by_hash): writes
+    the documents table as shard=NNNN/ parquet directories under a
+    fresh tempdir and returns per-shard row counts — oracle-checks the
+    writer's shard assignment end-to-end (files included)."""
+    import shutil
+    import tempfile
+
+    from . import sampling
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    outdir = tempfile.mkdtemp(prefix="ophois_shards_")
+    try:
+        return sampling.shard_by_hash(docs, "doc_id", 8, outdir)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
+SQL_DOC_SHARD_COUNTS = """
+SELECT CAST(((doc_id * 1103515245 + 12345) % 2305843009213693951) % 8 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1
+"""
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -1606,6 +1723,10 @@ def catalog():
         "point_in_polygon": q_point_in_polygon,
         "pip_zonal": q_pip_zonal,
         "raster_polygonize": q_raster_polygonize,
+        "doc_split_stats": q_doc_split_stats,
+        "doc_sample_per_lang": q_doc_sample_per_lang,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "doc_shard_counts": q_doc_shard_counts,
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
@@ -1648,6 +1769,10 @@ def sql_catalog():
         "point_in_polygon": _sql_pip_pairs(),
         "pip_zonal": _sql_pip_zonal(),
         "raster_polygonize": _sql_raster_polygonize(),
+        "doc_split_stats": SQL_DOC_SPLIT_STATS,
+        "doc_sample_per_lang": SQL_DOC_SAMPLE_PER_LANG,
+        "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
+        "doc_shard_counts": SQL_DOC_SHARD_COUNTS,
     }
 
 

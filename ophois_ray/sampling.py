@@ -1,0 +1,194 @@
+"""Set-level training-data operators: deterministic splits, per-group
+samples, exact distinct counts, hash-sharded output.
+
+A 100-TB training-data pipeline needs reproducible set carving around
+the per-document transforms: train/val/test splits that never move a
+document between splits across reruns or cluster sizes, stable
+per-stratum samples for eval sets, exact unique counts for audits, and
+hash-sharded resumable output. None of these exist in the reference
+(it stops at graph ops); they are graft-side operators in the style of
+SURVEY.md §2's X-entries.
+
+Every operator keys off ONE hash — ``split_hash`` — chosen so the
+arithmetic is bit-exactly mirrorable in ANSI SQL with int64/BIGINT
+intermediates only (`(key * A + B) % (2^61-1)` with ``key < 2^31``:
+the product stays under 2^62, so numpy int64 and DuckDB BIGINT agree
+exactly). Determinism across cluster sizes is the point: assignment
+depends only on the key, never on block layout or task order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .joins import grouped_apply
+
+#: Mersenne prime 2^61-1 — same modulus as textstats fingerprints.
+P61 = (1 << 61) - 1
+_A = 1103515245  # < 2^31 so key * _A < 2^62 stays int64-exact
+_B = 12345
+#: SQL expression mirroring split_hash op-for-op (BIGINT throughout).
+SQL_SPLIT_HASH = "(({key} * 1103515245 + 12345) % 2305843009213693951)"
+
+
+def split_hash(key: np.ndarray) -> np.ndarray:
+    """int64-exact keyed hash: (key * A + B) mod 2^61-1.
+
+    Requires ``0 <= key < 2^31`` (checked) so every intermediate fits
+    int64 without wraparound — that bound is what makes the DuckDB
+    mirror bit-exact. Row ids / *_key columns in this engine are well
+    under it; reject loudly rather than silently wrap.
+    """
+    k = np.asarray(key)
+    if not np.issubdtype(k.dtype, np.integer):
+        raise TypeError(f"split_hash needs an integer key, got {k.dtype}")
+    k = k.astype(np.int64, copy=False)
+    if len(k) and (int(k.min()) < 0 or int(k.max()) >= 1 << 31):
+        raise ValueError("split_hash keys must be in [0, 2^31)")
+    return (k * _A + _B) % P61
+
+
+def hash_split(
+    ds,
+    key_col: str,
+    *,
+    train: int = 80,
+    val: int = 10,
+    out_col: str = "split",
+):
+    """Deterministic train/val/test assignment: bucket = hash % 100,
+    ``< train`` -> 'train', ``< train+val`` -> 'val', else 'test'.
+
+    A pure map stage — no shuffle, fuses with the read; assignment is a
+    function of the key alone, so reruns, resumed jobs and different
+    cluster widths all agree, and joining two tables on the key keeps
+    them in the same split (the property random splits lack).
+    """
+    cut_val = train + val
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        b = split_hash(df[key_col].to_numpy()) % 100
+        df = df.copy()
+        df[out_col] = np.where(
+            b < train, "train", np.where(b < cut_val, "val", "test")
+        )
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def sample_per_group(ds, group_col, key_col: str, n: int, *, num_buckets: int = 64):
+    """Deterministic n-per-group sample: the n rows with the smallest
+    (split_hash(key), key) in each group, ranked 1..n in ``rk``.
+
+    The distributed shape is a two-level top-n: a per-batch partial
+    keeps at most n rows per group seen in that block (bounds the
+    shuffle at n x |groups| rows per block, independent of data size),
+    then an exact per-bucket merge re-ranks; groups are hash-bucketed
+    via grouped_apply so the merge never sorts object keys. Equivalent
+    to a seeded uniform sample but reproducible across cluster sizes
+    and appends (a new row only enters the sample by displacing the
+    current max, exactly as SQL row_number over (hash, key) would).
+    """
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+
+    def topn(df: pd.DataFrame, rank: bool) -> pd.DataFrame:
+        if "__h" not in df.columns:
+            df = df.assign(__h=split_hash(df[key_col].to_numpy()))
+        # global ascending sort, then head(n) per group keeps each
+        # group's n smallest while preserving the sorted order
+        df = df.sort_values(["__h", key_col], kind="stable")
+        out = df.groupby(gcols, sort=False).head(n)
+        if not rank:
+            return out
+        out = out.copy()
+        out["rk"] = out.groupby(gcols, sort=False).cumcount().to_numpy() + 1
+        return out.drop(columns=["__h"])
+
+    return grouped_apply(
+        ds,
+        gcols,
+        lambda df: topn(df, rank=True),
+        num_buckets=num_buckets,
+        drop_partial=lambda df: topn(df, rank=False),
+    )
+
+
+def distinct_count(ds, group_col, value_col: str, *, num_buckets: int = 64):
+    """Exact per-group distinct-value counts, returned as a small
+    pandas DataFrame ``(group..., n_distinct)``.
+
+    Scale shape: per-batch local pair dedup (shrinks the shuffle to
+    unique-pairs-per-block), then hash-partition by the VALUE column so
+    every (group, value) pair lands in exactly one bucket — per-bucket
+    ``nunique`` partials are therefore disjoint and their sum is exact.
+    The driver only ever holds num_buckets x |groups| partial rows,
+    never the values themselves (the classic count-distinct shuffle,
+    no sketch approximation).
+    """
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    cols = gcols + [value_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].drop_duplicates(cols)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.drop_duplicates(cols)
+            .groupby(gcols, as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n_distinct"})
+        )
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out
+
+    partials = grouped_apply(
+        ds.select_columns(cols),
+        value_col,
+        per_bucket,
+        num_buckets=num_buckets,
+        drop_partial=partial,
+    ).to_pandas()
+    out = partials.groupby(gcols, as_index=False, sort=True)["n_distinct"].sum()
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return out
+
+
+def shard_by_hash(ds, key_col: str, n_shards: int, outdir: str):
+    """Write ``ds`` as hash-sharded parquet: every row goes to
+    ``outdir/shard=NNNN/`` by ``split_hash(key) % n_shards``.
+
+    No shuffle: each input block splits its rows by shard and appends a
+    uniquely-named file per (block, shard) — co-location happens at
+    read time by listing one shard directory, which is what a training
+    loader wants (deterministic membership, resumable per directory,
+    never one giant file). Returns per-shard row counts (pandas).
+    """
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for s in range(n_shards):
+        os.makedirs(os.path.join(outdir, f"shard={s:04d}"), exist_ok=True)
+
+    def write_block(df: pd.DataFrame) -> pd.DataFrame:
+        shard = (split_hash(df[key_col].to_numpy()) % n_shards).astype(np.int64)
+        counts = []
+        for s in np.unique(shard):
+            part = df[shard == s]
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False),
+                os.path.join(outdir, f"shard={int(s):04d}", name),
+            )
+            counts.append({"shard": int(s), "n": len(part)})
+        return pd.DataFrame(counts, columns=["shard", "n"]).astype(np.int64)
+
+    partials = ds.map_batches(write_block, batch_format="pandas").to_pandas()
+    if len(partials) == 0:
+        return pd.DataFrame({"shard": [], "n": []}).astype(np.int64)
+    out = partials.groupby("shard", as_index=False)["n"].sum()
+    return out.astype(np.int64).sort_values("shard").reset_index(drop=True)

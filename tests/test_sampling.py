@@ -1,0 +1,114 @@
+"""sampling.py — deterministic splits / samples / distinct counts /
+hash shards. Kernel-level checks plus distributed-vs-sequential parity;
+the DuckDB bit-parity of the four catalog queries is covered by
+test_driver_contract.py."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from ophois_ray import sampling
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_split_hash_exact_and_bounded():
+    k = np.array([0, 1, 7, (1 << 31) - 1], dtype=np.int64)
+    h = sampling.split_hash(k)
+    # reference values computed with exact Python ints
+    exp = [(int(x) * 1103515245 + 12345) % ((1 << 61) - 1) for x in k]
+    assert h.tolist() == exp
+    assert (h >= 0).all() and (h < (1 << 61) - 1).all()
+
+
+def test_split_hash_rejects_unsafe_keys():
+    with pytest.raises(ValueError):
+        sampling.split_hash(np.array([1 << 31], dtype=np.int64))
+    with pytest.raises(ValueError):
+        sampling.split_hash(np.array([-1], dtype=np.int64))
+    with pytest.raises(TypeError):
+        sampling.split_hash(np.array([0.5]))
+
+
+def _df(n=1000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "key": np.arange(n, dtype=np.int64),
+            "grp": rng.choice(["a", "b", "c"], size=n),
+            "val": rng.integers(0, 50, size=n, dtype=np.int64),
+        }
+    )
+
+
+def test_hash_split_deterministic_across_block_layouts():
+    df = _df()
+    one = sampling.hash_split(ray.data.from_pandas(df), "key").to_pandas()
+    many = sampling.hash_split(
+        ray.data.from_pandas(df).repartition(7), "key"
+    ).to_pandas()
+    a = one.sort_values("key").reset_index(drop=True)
+    b = many.sort_values("key").reset_index(drop=True)
+    assert a["split"].tolist() == b["split"].tolist()
+    # fractions roughly honored (hash-uniform; wide tolerance)
+    frac = (a["split"] == "train").mean()
+    assert 0.7 < frac < 0.9
+    assert set(a["split"]) == {"train", "val", "test"}
+
+
+def test_sample_per_group_matches_sequential_topn():
+    df = _df()
+    got = (
+        sampling.sample_per_group(
+            ray.data.from_pandas(df).repartition(9), "grp", "key", 5
+        )
+        .to_pandas()
+        .sort_values(["grp", "rk"])
+        .reset_index(drop=True)
+    )
+    # sequential oracle: n smallest (hash, key) per group, ranked
+    seq = df.assign(__h=sampling.split_hash(df["key"].to_numpy()))
+    seq = seq.sort_values(["__h", "key"]).groupby("grp", sort=False).head(5)
+    seq = seq.assign(rk=seq.groupby("grp", sort=False).cumcount() + 1)
+    seq = seq.sort_values(["grp", "rk"]).reset_index(drop=True)
+    assert got["key"].tolist() == seq["key"].tolist()
+    assert got["rk"].tolist() == seq["rk"].tolist()
+
+
+def test_distinct_count_exact():
+    df = _df()
+    got = sampling.distinct_count(
+        ray.data.from_pandas(df).repartition(9), "grp", "val"
+    )
+    exp = df.groupby("grp")["val"].nunique()
+    assert dict(zip(got["grp"], got["n_distinct"])) == exp.to_dict()
+
+
+def test_shard_by_hash_writes_disjoint_readable_shards(tmp_path):
+    df = _df(300)
+    out = str(tmp_path / "shards")
+    counts = sampling.shard_by_hash(
+        ray.data.from_pandas(df).repartition(5), "key", 4, out
+    )
+    assert int(counts["n"].sum()) == len(df)
+    # every row readable from exactly the shard its hash names
+    back = []
+    for s in range(4):
+        d = os.path.join(out, f"shard={s:04d}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        if not files:
+            continue
+        part = pd.concat(
+            [pd.read_parquet(os.path.join(d, f)) for f in files],
+            ignore_index=True,
+        )
+        assert (
+            sampling.split_hash(part["key"].to_numpy()) % 4 == s
+        ).all()
+        back.append(part)
+    allback = pd.concat(back, ignore_index=True).sort_values("key")
+    assert allback["key"].tolist() == df["key"].tolist()

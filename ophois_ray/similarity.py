@@ -4,11 +4,16 @@
   a broadcast query matrix (ray.put once, fetched per actor), per-batch
   partial top-k, driver merge of the tiny partials. One streaming pass,
   zero shuffle.
-- lsh_topk: the scale path — random-hyperplane signature buckets with
+- lsh_topk: scale path 1 — random-hyperplane signature buckets with
   multiprobe (flip each bit); candidates scored exactly within probed
   buckets via per-batch partial top-k (same shape as the brute path —
   only n_query x k rows per task reach the driver). Approximate;
   recall rises with multiprobe depth.
+- train_ivf_centroids / ivf_topk: scale path 2 — inverted-file probing
+  over deterministically-seeded k-means-lite centroids (hash-smallest
+  ids seed; Lloyd rounds are streaming passes emitting per-centroid
+  partial sums). nprobe == n_centroids is bit-equal to brute force;
+  smaller nprobe does ~nprobe/n_centroids of the scan.
 """
 
 from __future__ import annotations
@@ -246,6 +251,160 @@ def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, vec_col: str = "embedding"
                 out_q.append(np.full(kk, qi, dtype=np.int64))
                 out_v.append(cand_ids[order])
                 out_c.append(row[order])
+            if not out_q:
+                return empty
+            return pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    partials = ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        out.append(grp.assign(rank=np.arange(len(grp), dtype=np.int64)))
+    if not out:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype=np.int64), "vec_id": pd.Series(dtype=np.int64),
+             "cosine": pd.Series(dtype=np.float64), "rank": pd.Series(dtype=np.int64)}
+        )
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def train_ivf_centroids(ds, n_centroids: int, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id", iters: int = 2) -> np.ndarray:
+    """Deterministic distributed k-means-lite for IVF: returns a unit
+    (n_centroids, d) centroid matrix.
+
+    Seeds are the vectors of the n_centroids smallest keyed-hash ids
+    (sampling.split_hash — a pure function of the id, so training is
+    reproducible across block layouts and cluster widths, unlike
+    random-init k-means). Each Lloyd round is one streaming pass:
+    every batch emits per-centroid partial (count, sum-vector-bytes)
+    rows — fixed-width bytes, never ragged array cells — and the
+    driver merges n_centroids x n_blocks tiny rows. The data itself
+    is never collected or shuffled.
+    """
+    import ray
+
+    from .sampling import split_hash
+
+    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = split_hash(df[id_col].to_numpy())
+        order = np.argsort(h, kind="stable")[:n_centroids]
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in df[vec_col].iloc[order]]
+        )
+        return pd.DataFrame(
+            {"h": h[order], "vec": [r.tobytes() for r in vecs]}
+        )
+
+    seeds = ds.map_batches(seed_partial, batch_format="pandas").to_pandas()
+    seeds = seeds.sort_values("h", kind="stable").head(n_centroids)
+    cent = _unit(np.stack([np.frombuffer(b, dtype=np.float64) for b in seeds["vec"]]))
+    d = cent.shape[1]
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def lloyd_partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+            vecs = _unit(
+                np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+            )
+            assign = np.argmax(c @ vecs.T, axis=0)
+            rows = []
+            for cid in np.unique(assign):
+                sel = vecs[assign == cid]
+                rows.append(
+                    {
+                        "cid": int(cid),
+                        "n": len(sel),
+                        "s": sel.sum(axis=0).tobytes(),
+                    }
+                )
+            return pd.DataFrame(rows, columns=["cid", "n", "s"])
+
+        p = ds.map_batches(lloyd_partial, batch_format="pandas").to_pandas()
+        nxt = cent.copy()
+        for cid, grp in p.groupby("cid"):
+            s = np.zeros(d)
+            for b in grp["s"]:
+                s += np.frombuffer(b, dtype=np.float64)
+            nxt[int(cid)] = s / int(grp["n"].sum())
+        cent = _unit(nxt)
+    return cent
+
+
+def ivf_topk(ds, queries: np.ndarray, centroids: np.ndarray, *, k: int = 10,
+             nprobe: int = 2, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> pd.DataFrame:
+    """Approximate cosine top-k via inverted-file probing: every vector
+    belongs to its nearest centroid's list; a query scores only vectors
+    in its ``nprobe`` nearest centroids' lists.
+
+    Same zero-shuffle scaling shape as brute/lsh: (queries, centroids,
+    probe table) broadcast once, each batch emits at most n_query x k
+    partial winners with the deterministic (cosine desc, vec_id asc)
+    tiebreak, the driver merges tiny partials. With nprobe ==
+    n_centroids this scores every candidate and is bit-identical to
+    brute_force_topk (the pytest gate); smaller nprobe trades recall
+    for a ~nprobe/n_centroids fraction of the matmul work — the 100-TB
+    path where a full scan per query is off the table.
+    """
+    import ray
+
+    queries = _unit(np.asarray(queries, dtype=np.float64))
+    centroids = np.asarray(centroids, dtype=np.float64)
+    n_cent = len(centroids)
+    nprobe = min(nprobe, n_cent)
+    # per-query probed centroids -> boolean (n_query, n_centroids);
+    # deterministic probe choice: (similarity desc, centroid id asc)
+    qc = queries @ centroids.T
+    probe_tbl = np.zeros((len(queries), n_cent), dtype=bool)
+    for qi in range(len(queries)):
+        order = np.lexsort((np.arange(n_cent), -qc[qi]))[:nprobe]
+        probe_tbl[qi, order] = True
+
+    qref = ray.put((queries, centroids, probe_tbl))
+
+    class Scorer:
+        def __init__(self):
+            q, c, tbl = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+            self.q, self.c, self.tbl = q, c, tbl
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            vecs = _unit(
+                np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+            )
+            ids = df[id_col].to_numpy()
+            assign = np.argmax(self.c @ vecs.T, axis=0)
+            valid = self.tbl[:, assign]  # (n_query, n_batch)
+            empty = pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int64),
+                 "vec_id": pd.Series(dtype=ids.dtype),
+                 "cosine": pd.Series(dtype=np.float64)}
+            )
+            if not valid.any():
+                return empty
+            sims = np.where(valid, self.q @ vecs.T, -np.inf)
+            out_q, out_v, out_c = [], [], []
+            for qi in range(sims.shape[0]):
+                nvalid = int(valid[qi].sum())
+                if nvalid == 0:
+                    continue
+                kk = min(k, nvalid)
+                order = np.lexsort((ids, -sims[qi]))[:kk]
+                out_q.append(np.full(kk, qi, dtype=np.int64))
+                out_v.append(ids[order])
+                out_c.append(sims[qi][order])
             if not out_q:
                 return empty
             return pd.DataFrame(

@@ -198,3 +198,41 @@ def test_frame_sample():
     expected = sum((n + 9) // 10 for n in src["n_frames"])
     assert len(sampled) == expected
     assert (sampled["frame_idx"] % 10 == 0).all()
+
+
+def test_ivf_centroids_deterministic_across_layouts(embeds):
+    c1 = similarity.train_ivf_centroids(embeds, 8, iters=2)
+    c2 = similarity.train_ivf_centroids(embeds.repartition(7), 8, iters=2)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_topk_full_probe_matches_brute(embeds):
+    full = embeds.to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in full["embedding"]])
+    queries = mat[:4] + 0.01
+    cent = similarity.train_ivf_centroids(embeds, 8, iters=1)
+    exact = similarity.brute_force_topk(embeds, queries, k=5)
+    probed = similarity.ivf_topk(embeds, queries, cent, k=5, nprobe=8)
+    # nprobe == n_centroids scores every candidate -> identical ranking
+    assert probed["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert probed["rank"].tolist() == exact["rank"].tolist()
+
+
+def test_ivf_topk_partial_probe_recall(embeds):
+    full = embeds.to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in full["embedding"]])
+    queries = mat[:5]
+    cent = similarity.train_ivf_centroids(embeds, 8, iters=2)
+    exact = similarity.brute_force_topk(embeds, queries, k=5)
+    approx = similarity.ivf_topk(embeds, queries, cent, k=5, nprobe=3)
+    # self-match lives in the query's own nearest centroid -> found
+    for qi in range(5):
+        ids = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert full["vec_id"].iloc[qi] in ids
+    inter = 0
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        inter += len(e & a)
+    assert inter >= 13  # >= ~50% recall on 25 slots

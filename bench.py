@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "minhash_near_dup",
     "embed_topk",
+    "embed_ivf_topk",
     "embed_topk_int",
     "ngram_jaccard",
     "events_asof_join",
@@ -60,6 +61,9 @@ BENCH_QUERIES = [
     "doc_sample_per_lang",
     "distinct_users_by_type",
     "doc_shard_counts",
+    "hll_users",
+    "doc_tfidf",
+    "copurchase_triangles",
 ]
 
 

@@ -1696,6 +1696,120 @@ FROM documents GROUP BY 1
 """
 
 
+def q_hll_users(sf_dir: str):
+    """HyperLogLog distinct-user sketch per event_type (sketches.py):
+    the register table itself — (event_type, reg, max-rho), all int64 —
+    is the query result, so the *approximate* distinct counter is
+    oracle-checked bit-exactly (the SQL mirror evaluates the same
+    keyed hash and a CASE-ladder leading-zero count). One streaming
+    pass; per-batch partials are <= |types| x 256 rows; sketches merge
+    by register max, the shape that replaces exact COUNT(DISTINCT)
+    shuffles at corpus scale."""
+    from . import sketches
+
+    ev = _t(sf_dir, "events").select_columns(["event_type", "user_id"])
+    return sketches.hll_registers(ev, "user_id", group_cols=["event_type"], b=8)
+
+
+def _sql_hll_users() -> str:
+    from .sketches import oracle_sql_hll
+
+    return oracle_sql_hll("events", "user_id", group_cols=["event_type"], b=8)
+
+
+def q_doc_tfidf(sf_dir: str):
+    """Per-document top-3 terms by integer tf-idf surrogate
+    (textstats.tfidf_topk): score = tf * ((N * 2^20) // df). Floor-div
+    idf keeps every op int64-exact, so the full inverted-index pipeline
+    (tokenize -> tf -> df join on token -> per-doc top-k) hash-matches
+    SQL bit-for-bit — the vocab/statistics sweep of a training corpus
+    as one oracle-checked operator."""
+    from . import textstats
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata only — no data read
+    return textstats.tfidf_topk(docs, n_docs, k=3)
+
+
+SQL_DOC_TFIDF = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS t
+  FROM documents
+), tf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t
+), df AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.t AS token,
+         tf.tf * ((n.n * 1048576) // df.df) AS score
+  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, token ASC
+         ) - 1 AS rank
+  FROM scored
+)
+SELECT doc_id, token, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank < 3
+"""
+
+
+def q_copurchase_triangles(sf_dir: str):
+    """Triangle count of the co-purchase graph (parts linked when some
+    order contains both): order->pairs via one grouped_apply, canonical
+    edge dedup, then graphops.triangle_count (degree-oriented wedge
+    join — the O(m^1.5) distributed algorithm). Single int64 row,
+    mirrored by a DuckDB three-way self-join."""
+    from .graphops import triangle_count
+    from .joins import grouped_apply
+
+    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_v = [], []
+        for _, grp in df.groupby("l_orderkey"):
+            p = np.unique(grp["l_partkey"].to_numpy(np.int64))
+            if len(p) < 2:
+                continue
+            iu, ju = np.triu_indices(len(p), k=1)
+            out_u.append(p[iu])
+            out_v.append(p[ju])
+        if not out_u:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
+        )
+
+    pairs = grouped_apply(li, "l_orderkey", pairs_fn)
+
+    def dedup_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["u", "v"])
+
+    edges = grouped_apply(pairs, ["u", "v"], dedup_fn, drop_partial=dedup_fn)
+    n = triangle_count(edges)
+    return pd.DataFrame({"n_triangles": np.array([n], dtype=np.int64)})
+
+
+SQL_COPURCHASE_TRIANGLES = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -1743,6 +1857,9 @@ def catalog():
         "doc_sample_per_lang": q_doc_sample_per_lang,
         "distinct_users_by_type": q_distinct_users_by_type,
         "doc_shard_counts": q_doc_shard_counts,
+        "hll_users": q_hll_users,
+        "doc_tfidf": q_doc_tfidf,
+        "copurchase_triangles": q_copurchase_triangles,
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
@@ -1789,6 +1906,9 @@ def sql_catalog():
         "doc_sample_per_lang": SQL_DOC_SAMPLE_PER_LANG,
         "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
         "doc_shard_counts": SQL_DOC_SHARD_COUNTS,
+        "hll_users": _sql_hll_users(),
+        "doc_tfidf": SQL_DOC_TFIDF,
+        "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
     }
 
 

@@ -247,3 +247,82 @@ def fingerprint(ds, text_col: str = "text", k: int = 8):
         return df
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def tfidf_topk(ds, n_docs: int, *, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 3, scale: int = 1 << 20,
+               num_buckets: int = 64):
+    """Per-document top-k terms by an integer tf-idf surrogate:
+    ``score = tf * ((n_docs * scale) // df)`` — floor-division idf, so
+    every arithmetic op is int64-exact and the SQL mirror hash-matches
+    bit-for-bit (a float ``ln(N/df)`` idf would rank the same but could
+    never be oracle-checked exactly).
+
+    Three stages, each the scale-safe shape: (1) per-batch vectorized
+    tokenize + per-doc term counts (a doc never spans batches, so tf is
+    exact with zero shuffle); (2) one hash-bucket shuffle on ``token``
+    — each bucket holds *all* rows of its tokens, so df (= group size,
+    tf rows are unique per (doc, token)) and the score come out of one
+    ``grouped_apply``; (3) one shuffle on ``id_col`` for the per-doc
+    top-k, with a per-block partial top-k pre-combiner so at most
+    k rows per (doc, block) ever move.
+
+    ``n_docs`` is passed in (a metadata-only ``ds.count()`` upstream)
+    to keep this a single composable Dataset -> Dataset stage. Caller
+    must keep ``n_docs * scale * max_tf`` inside int64; with the
+    default 2^20 scale that holds to ~10^9 docs x 8k-token docs.
+    Returns (doc_id, token, score, rank), rank 0-based by
+    (score DESC, token ASC).
+    """
+    from .joins import grouped_apply
+
+    idf_num = n_docs * scale
+
+    def tf_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        toks = df[text_col].str.split()
+        lens = toks.map(len).to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype=np.int64),
+                 "token": pd.Series(dtype=object),
+                 "tf": pd.Series(dtype=np.int64)}
+            )
+        flat = pd.DataFrame(
+            {id_col: np.repeat(ids, lens),
+             "token": np.concatenate(list(toks)).astype(object)}
+        )
+        tf = flat.groupby([id_col, "token"], as_index=False).size()
+        tf = tf.rename(columns={"size": "tf"})
+        tf["tf"] = tf["tf"].astype(np.int64)
+        return tf
+
+    tf_rows = ds.map_batches(tf_batch, batch_format="pandas")
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = df.groupby("token")["tf"].transform("size").to_numpy(np.int64)
+        out = pd.DataFrame(
+            {id_col: df[id_col].to_numpy(np.int64),
+             "token": df["token"].to_numpy(object),
+             "score": df["tf"].to_numpy(np.int64) * (idf_num // dfreq)}
+        )
+        return out
+
+    scored = grouped_apply(tf_rows, "token", score_bucket, num_buckets=num_buckets)
+
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [id_col, "score", "token"], ascending=[True, False, True],
+            kind="stable",
+        )
+        return df.groupby(id_col, as_index=False).head(k)
+
+    def topk_final(df: pd.DataFrame) -> pd.DataFrame:
+        df = topk_block(df).copy()
+        df["rank"] = df.groupby(id_col).cumcount().astype(np.int64)
+        return df.reset_index(drop=True)
+
+    return grouped_apply(
+        scored, id_col, topk_final,
+        num_buckets=num_buckets, drop_partial=topk_block,
+    )

@@ -236,3 +236,114 @@ def test_ivf_topk_partial_probe_recall(embeds):
         a = set(approx[approx["query_id"] == qi]["vec_id"])
         inter += len(e & a)
     assert inter >= 13  # >= ~50% recall on 25 slots
+
+
+# ------------------------------------------------------------- sketches
+
+
+def test_hll_registers_layout_invariant_and_estimate():
+    from ophois_ray import sketches
+
+    ev = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["event_type", "user_id"]
+    ).materialize()
+    r1 = sketches.hll_registers(ev, "user_id", group_cols=["event_type"]).to_pandas()
+    r2 = sketches.hll_registers(
+        ev.repartition(7), "user_id", group_cols=["event_type"]
+    ).to_pandas()
+    key = ["event_type", "reg"]
+    assert r1.sort_values(key).reset_index(drop=True).equals(
+        r2.sort_values(key).reset_index(drop=True)
+    )
+
+    full = ev.to_pandas()
+    for etype, grp in r1.groupby("event_type"):
+        est = sketches.hll_estimate(grp, b=8)
+        exact = full[full["event_type"] == etype]["user_id"].nunique()
+        # m=256 -> ~6.5% std error; allow 3 sigma
+        assert abs(est - exact) / exact < 0.2, (etype, est, exact)
+
+
+def test_hll_merge_is_register_max():
+    from ophois_ray import sketches
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    def keep(par):
+        def fn(df):
+            return df[df["user_id"] % 2 == par]
+        return fn
+
+    half_a = ev.map_batches(keep(0), batch_format="pandas").materialize()
+    half_b = ev.map_batches(keep(1), batch_format="pandas").materialize()
+    ra = sketches.hll_registers(half_a, "user_id").to_pandas()
+    rb = sketches.hll_registers(half_b, "user_id").to_pandas()
+    rall = sketches.hll_registers(ev, "user_id").to_pandas()
+    merged = (
+        pd.concat([ra, rb]).groupby("reg", as_index=False)["rho"].max()
+    )
+    assert merged.sort_values("reg").reset_index(drop=True).equals(
+        rall.sort_values("reg").reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------------------- tf-idf
+
+
+def test_tfidf_topk_small_exact():
+    src = ray.data.from_pandas(pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["apple banana apple", "banana cherry", "apple cherry cherry"],
+        }
+    ))
+    out = textstats.tfidf_topk(src, 3, k=2, scale=1 << 20).to_pandas()
+    out = out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    s = 1 << 20
+    # df: apple 2, banana 2, cherry 2; idf = (3 * s) // 2 for all
+    idf = (3 * s) // 2
+    exp = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 2, 2, 3, 3],
+            "token": ["apple", "banana", "banana", "cherry", "cherry", "apple"],
+            "score": [2 * idf, idf, idf, idf, 2 * idf, idf],
+            "rank": [0, 1, 0, 1, 0, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "token", "score", "rank"]].astype(exp.dtypes.to_dict()), exp
+    )
+
+
+# ------------------------------------------------------------ triangles
+
+
+def _edges_ds(pairs):
+    u = np.array([p[0] for p in pairs], dtype=np.int64)
+    v = np.array([p[1] for p in pairs], dtype=np.int64)
+    return ray.data.from_pandas(pd.DataFrame({"u": u, "v": v}))
+
+
+def test_triangle_count_known_graphs():
+    from ophois_ray.graphops import triangle_count
+
+    k4 = _edges_ds([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    assert triangle_count(k4) == 4
+    path = _edges_ds([(1, 2), (2, 3), (3, 4)])
+    assert triangle_count(path) == 0
+    # two triangles sharing an edge
+    bowtieish = _edges_ds([(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    assert triangle_count(bowtieish) == 2
+
+
+def test_triangle_count_join_path_matches_broadcast():
+    from ophois_ray.graphops import triangle_count
+
+    rng = np.random.default_rng(7)
+    n = 40
+    pairs = sorted(
+        {tuple(sorted(p)) for p in rng.integers(0, n, size=(300, 2)) if p[0] != p[1]}
+    )
+    ds = _edges_ds(pairs)
+    via_bcast = triangle_count(ds)
+    via_join = triangle_count(_edges_ds(pairs), broadcast_cap=0)
+    assert via_bcast == via_join > 0

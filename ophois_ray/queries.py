@@ -1810,6 +1810,143 @@ JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 """
 
 
+def q_doc_collocations(sf_dir: str):
+    """Top-30 collocations by integer-scaled PMI
+    (textstats.collocations): score = (c_xy * T * 2^20) // (c_x * c_y),
+    min bigram count 5 — word2vec-style phrase detection as one
+    oracle-checked operator (pure int64 arithmetic both sides)."""
+    from . import textstats
+
+    docs = _t(sf_dir, "documents").select_columns(["text"])
+    return textstats.collocations(docs, k=30, min_count=5, num_buckets=16)
+
+
+SQL_DOC_COLLOCATIONS = r"""
+WITH tok AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), x -> x != '') AS l
+  FROM documents
+), uni AS (
+  SELECT unnest(l) AS w FROM tok
+), uc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM uni
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS pair,
+         unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+         unnest(list_transform(range(1, len(l)), i -> l[i + 1])) AS w2
+  FROM tok
+), bc AS (
+  SELECT pair, w1, w2, CAST(count(*) AS BIGINT) AS n
+  FROM bg GROUP BY pair, w1, w2
+  HAVING count(*) >= 5
+)
+SELECT bc.pair, bc.n,
+       (bc.n * tot.t * 1048576) // (u1.c * u2.c) AS score
+FROM bc
+JOIN uc u1 ON bc.w1 = u1.w
+JOIN uc u2 ON bc.w2 = u2.w
+CROSS JOIN tot
+ORDER BY score DESC, pair ASC
+LIMIT 30
+"""
+
+
+def q_part_components(sf_dir: str):
+    """Connected components with a SQL oracle: the H1 kernel
+    (components.connected_components_labelprop — hash-min label
+    propagation with pointer jumping, O(log diameter) rounds) over a
+    sparse part-chain graph (consecutive distinct parts of high-
+    quantity orders), reported as (component min-label, size). The SQL
+    mirror is a recursive reachability CTE + min-root aggregate — the
+    one whole-graph iterative operator that IS SQL-expressible, which
+    pins the distributed fixpoint machinery the (non-expressible)
+    simplify pipeline reuses."""
+    from .components import connected_components_labelprop
+    from .joins import grouped_apply
+
+    li = _t(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_partkey", "l_quantity"]
+    )
+
+    def chains(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_quantity"].to_numpy(np.float64) >= 48.0]
+        out_u, out_v = [], []
+        for _, grp in df.groupby("l_orderkey"):
+            p = np.unique(grp["l_partkey"].to_numpy(np.int64))
+            if len(p) < 2:
+                continue
+            out_u.append(p[:-1])
+            out_v.append(p[1:])
+        if not out_u:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
+        )
+
+    pairs = grouped_apply(li, "l_orderkey", chains)
+
+    def dedup_uv(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["u", "v"])
+
+    edges = grouped_apply(
+        pairs, ["u", "v"], dedup_uv, drop_partial=dedup_uv
+    ).materialize()
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id": np.unique(np.concatenate(
+                [df["u"].to_numpy(np.int64), df["v"].to_numpy(np.int64)]
+            ))}
+        )
+
+    nodes = grouped_apply(
+        edges.map_batches(to_nodes, batch_format="pandas"), "id",
+        lambda df: df.drop_duplicates("id"),
+    )
+    # the chain graph is small relative to its round count — fewer
+    # buckets cut the per-round barrier cost (each round is two joins
+    # plus a min-merge; 64 near-empty buckets each would dominate)
+    comp = connected_components_labelprop(nodes, edges, num_buckets=8)
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("comp", as_index=False).size().rename(columns={"size": "n"})
+        return pd.DataFrame(
+            {"comp": g["comp"].to_numpy(np.int64), "n": g["n"].to_numpy(np.int64)}
+        )
+
+    from .joins import grouped_apply as ga
+
+    return ga(comp, "comp", sizes)
+
+
+SQL_PART_COMPONENTS = """
+WITH RECURSIVE
+hi AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 48
+), chain AS (
+  SELECT o, p AS u, lead(p) OVER (PARTITION BY o ORDER BY p) AS v FROM hi
+), edges AS (
+  SELECT DISTINCT u, v FROM chain WHERE v IS NOT NULL
+), nodes AS (
+  SELECT DISTINCT u AS node FROM edges
+  UNION SELECT DISTINCT v FROM edges
+), adj AS (
+  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+), lab(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT adj.a, l.root FROM lab l JOIN adj ON adj.b = l.node
+), comp AS (
+  SELECT node, min(root) AS comp FROM lab GROUP BY node
+)
+SELECT comp, CAST(count(*) AS BIGINT) AS n FROM comp GROUP BY comp
+"""
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -1860,6 +1997,8 @@ def catalog():
         "hll_users": q_hll_users,
         "doc_tfidf": q_doc_tfidf,
         "copurchase_triangles": q_copurchase_triangles,
+        "doc_collocations": q_doc_collocations,
+        "part_components": q_part_components,
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
@@ -1909,6 +2048,8 @@ def sql_catalog():
         "hll_users": _sql_hll_users(),
         "doc_tfidf": SQL_DOC_TFIDF,
         "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
+        "doc_collocations": SQL_DOC_COLLOCATIONS,
+        "part_components": SQL_PART_COMPONENTS,
     }
 
 

@@ -326,3 +326,98 @@ def tfidf_topk(ds, n_docs: int, *, text_col: str = "text",
         scored, id_col, topk_final,
         num_buckets=num_buckets, drop_partial=topk_block,
     )
+
+
+def collocations(ds, *, text_col: str = "text", k: int = 30,
+                 min_count: int = 5, scale: int = 1 << 20,
+                 num_buckets: int = 64):
+    """Top-k collocations (adjacent word pairs) by an integer PMI
+    surrogate: ``score = (c_xy * T * scale) // (c_x * c_y)`` with T the
+    total token count — the phrase-detection sweep (word2vec-style) of
+    a training corpus, int64-exact end to end so the SQL mirror
+    hash-matches.
+
+    Shape: two streaming tokenize passes (bigram + unigram partial
+    counts, both pre-aggregated per batch so shuffles carry distinct
+    keys only), ``min_count`` prunes the pair table *before* the two
+    unigram-attach hash joins, and the final global top-k is a
+    sort-limit over the pruned scored pairs. Caller keeps
+    ``max_c_xy * T * scale`` inside int64 (drop ``scale`` for web-scale
+    corpora). Returns (pair, n, score) with ``pair = "w1 w2"``.
+    """
+    from .joins import grouped_apply, hash_join
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split()
+        lens = toks.map(len).to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {"w1": pd.Series(dtype=object), "w2": pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        flat = np.concatenate(list(toks))
+        # valid bigram positions: next token is in the same document
+        last_idx = np.cumsum(lens) - 1
+        mask = np.ones(max(len(flat) - 1, 0), dtype=bool)
+        mask[last_idx[last_idx < len(flat) - 1]] = False
+        g = pd.DataFrame({"w1": flat[:-1][mask], "w2": flat[1:][mask]})
+        vc = g.value_counts(["w1", "w2"]).reset_index(name="n")
+        vc["n"] = vc["n"].astype(np.int64)
+        vc["w1"] = vc["w1"].astype(object)
+        vc["w2"] = vc["w2"].astype(object)
+        return vc
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[text_col].str.split().explode().dropna().value_counts()
+        return pd.DataFrame(
+            {"w": vc.index.to_numpy(object), "c": vc.to_numpy(np.int64)}
+        )
+
+    def sum_n(col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby([c for c in df.columns if c != col], as_index=False)[col].sum()
+            g[col] = g[col].astype(np.int64)
+            return g
+        return fn
+
+    pairs = grouped_apply(
+        ds.map_batches(bigram_partial, batch_format="pandas"),
+        ["w1", "w2"], sum_n("n"), num_buckets=num_buckets,
+    )
+    uni = grouped_apply(
+        ds.map_batches(uni_partial, batch_format="pandas"),
+        "w", sum_n("c"), num_buckets=num_buckets,
+    ).materialize()  # three consumers: T, two joins
+    total = int(uni.sum("c"))
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n"].to_numpy(np.int64) >= min_count]
+
+    pruned = pairs.map_batches(prune, batch_format="pandas")
+    u1 = uni.map_batches(
+        lambda df: df.rename(columns={"w": "w1", "c": "c1"}), batch_format="pandas"
+    )
+    u2 = uni.map_batches(
+        lambda df: df.rename(columns={"w": "w2", "c": "c2"}), batch_format="pandas"
+    )
+    joined = hash_join(
+        hash_join(pruned, u1, on="w1", num_buckets=num_buckets),
+        u2, on="w2", num_buckets=num_buckets,
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        c1 = df["c1"].to_numpy(np.int64)
+        c2 = df["c2"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "pair": (df["w1"].astype(str) + " " + df["w2"].astype(str)
+                         ).to_numpy(object),
+                "n": n,
+                "score": (n * total * scale) // (c1 * c2),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pandas").sort(
+        ["score", "pair"], descending=[True, False]
+    ).limit(k)

@@ -347,3 +347,51 @@ def test_triangle_count_join_path_matches_broadcast():
     via_bcast = triangle_count(ds)
     via_join = triangle_count(_edges_ds(pairs), broadcast_cap=0)
     assert via_bcast == via_join > 0
+
+
+# --------------------------------------------------------- collocations
+
+
+def test_collocations_small_exact():
+    # "new york" always adjacent; unigrams otherwise spread out
+    texts = ["new york is big", "in new york tonight", "new york new york",
+             "the big apple is big", "york new"] * 3
+    src = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    out = textstats.collocations(
+        src, k=5, min_count=3, scale=1 << 20, num_buckets=4
+    ).to_pandas()
+    assert list(out.columns) == ["pair", "n", "score"]
+    # recompute the whole ranking in pure Python
+    toks = [t.split() for t in texts]
+    T = sum(len(t) for t in toks)
+    flat = [w for t in toks for w in t]
+    from collections import Counter
+
+    uni = Counter(flat)
+    bg = Counter((a, b) for t in toks for a, b in zip(t, t[1:]))
+    exp = sorted(
+        (
+            (f"{a} {b}", n, (n * T * (1 << 20)) // (uni[a] * uni[b]))
+            for (a, b), n in bg.items() if n >= 3
+        ),
+        key=lambda r: (-r[2], r[0]),
+    )[:5]
+    assert list(map(tuple, out.itertuples(index=False))) == exp
+
+
+def test_labelprop_int64_ids():
+    # regression: int64 ids hashed as object vs native disagreed, so
+    # every message join was silently empty and each node kept its own
+    # label; components must actually propagate for native int ids
+    from ophois_ray.components import connected_components_labelprop
+
+    nodes = ray.data.from_pandas(
+        pd.DataFrame({"id": np.arange(8, dtype=np.int64)})
+    )
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"u": np.array([0, 1, 2, 5], dtype=np.int64),
+         "v": np.array([1, 2, 3, 6], dtype=np.int64)}
+    ))
+    comp = connected_components_labelprop(nodes, edges, num_buckets=4).to_pandas()
+    comp = comp.sort_values("id").reset_index(drop=True)
+    assert comp["comp"].tolist() == [0, 0, 0, 0, 4, 5, 5, 7]

@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "hll_users",
     "doc_tfidf",
     "copurchase_triangles",
+    "cms_tokens",
+    "bloom_tokens",
+    "doc_collocations",
 ]
 
 

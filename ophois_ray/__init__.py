@@ -13,7 +13,8 @@ Module map (SURVEY.md §7.1):
   oracle      single-process reference-parity graph kernels (test oracle +
               per-component map_groups worker)
   graphio     .graph text <-> (nodes, edges) Datasets, parquet writers
-  graphops    dedup (D1/D2), degree, coord joins, metrics (M1-M5)
+  graphops    dedup (D1/D2), degree, coord joins, metrics (M1-M5),
+              degree-oriented triangle counting
   components  connected components (label propagation + driver union-find)
   discretize  D0 distributed edge discretization
   osm         P1-P4 OSM XML scan/parse chain + synthetic OSM generator
@@ -25,8 +26,13 @@ Module map (SURVEY.md §7.1):
   joins       broadcast index, bucketed hash join, as-of join, range join
   checkpoint  per-tile manifest, atomic writes, resume
   dedup       exact / MinHash-LSH / SimHash / n-gram / embedding near-dup
-  textstats   lang-id, quality scoring, token counts, fingerprints
-  similarity  brute-force + LSH-bucketed cosine ANN
+  textstats   lang-id, quality scoring, token counts, fingerprints,
+              tf-idf top-k, PMI collocations
+  similarity  brute-force + LSH-bucketed + IVF cosine ANN
+  sketches    mergeable sketches: HyperLogLog, count-min, Bloom
+              (register/cell/bit tables SQL-mirrorable bit-exactly)
+  sampling    deterministic hash split / per-group sample / distinct /
+              hash-sharded output
   multimodal  binary-column decode/feature plumbing (decode stubbed)
   pipelines   composed end-to-end pipelines
   datagen     deterministic synthetic pages / OSM generators

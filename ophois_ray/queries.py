@@ -1947,6 +1947,67 @@ SELECT comp, CAST(count(*) AS BIGINT) AS n FROM comp GROUP BY comp
 """
 
 
+def q_cms_tokens(sf_dir: str):
+    """Count-min sketch of the document token stream
+    (sketches.cms_sketch, d=4 x w=512): the (row, col, n) cell table is
+    the result, so the approximate frequency sketch is oracle-checked
+    bit-exactly (each row is an independent code-point polynomial hash
+    mod 2^61-1, mirrored by a HUGEINT list_reduce). Per-batch partials
+    are <= d*w rows; sketches sum across shards — the heavy-hitter
+    counter that replaces a full token groupby at corpus scale."""
+    from . import sketches
+
+    docs = _t(sf_dir, "documents").select_columns(["text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].str.split().explode().dropna()
+        return pd.DataFrame({"t": s.to_numpy(object)})
+
+    return sketches.cms_sketch(
+        docs.map_batches(toks, batch_format="pandas"), "t", w=512, d=4
+    )
+
+
+def _sql_cms_tokens() -> str:
+    from .sketches import oracle_sql_cms
+
+    return oracle_sql_cms(
+        "documents",
+        r"list_filter(string_split_regex(text, '\s+'), x -> x != '')",
+        w=512, d=4,
+    )
+
+
+def q_bloom_tokens(sf_dir: str):
+    """Bloom filter of the distinct document vocabulary
+    (sketches.bloom_bits, m=8192, k=3): the set-bit table is the
+    result, so the membership sketch is oracle-checked bit-exactly.
+    Filters union-merge across shards/runs — the cross-run "seen this
+    key?" primitive for resumable dedup at corpus scale (no false
+    negatives; pytest pins that plus the fp-rate bound)."""
+    from . import sketches
+
+    docs = _t(sf_dir, "documents").select_columns(["text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].str.split().explode().dropna().drop_duplicates()
+        return pd.DataFrame({"t": s.to_numpy(object)})
+
+    return sketches.bloom_bits(
+        docs.map_batches(toks, batch_format="pandas"), "t", m=8192, k=3
+    )
+
+
+def _sql_bloom_tokens() -> str:
+    from .sketches import oracle_sql_bloom
+
+    return oracle_sql_bloom(
+        r"SELECT unnest(list_filter(string_split_regex(text, '\s+'),"
+        r" x -> x != '')) AS t FROM documents",
+        m=8192, k=3,
+    )
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -1999,6 +2060,8 @@ def catalog():
         "copurchase_triangles": q_copurchase_triangles,
         "doc_collocations": q_doc_collocations,
         "part_components": q_part_components,
+        "cms_tokens": q_cms_tokens,
+        "bloom_tokens": q_bloom_tokens,
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
@@ -2050,6 +2113,8 @@ def sql_catalog():
         "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
         "doc_collocations": SQL_DOC_COLLOCATIONS,
         "part_components": SQL_PART_COMPONENTS,
+        "cms_tokens": _sql_cms_tokens(),
+        "bloom_tokens": _sql_bloom_tokens(),
     }
 
 

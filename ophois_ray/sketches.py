@@ -130,3 +130,224 @@ SELECT {gsel}reg,
 FROM r
 GROUP BY reg{gby}
 """
+
+
+# ---------------------------------------------------- count-min sketch
+
+#: one small prime base per CMS row; each row is an independent
+#: polynomial hash of the value's code points (same construction as
+#: textstats._poly_hash_codepoints, which uses base 257)
+CMS_BASES = (257, 263, 269, 271)
+
+_MASK51 = np.uint64((1 << 51) - 1)
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """Reduce uint64 mod p = 2^61-1 (inputs < 2^64)."""
+    p = np.uint64((1 << 61) - 1)
+    x = (x & p) + (x >> np.uint64(61))
+    return np.where(x >= p, x - p, x)
+
+
+def _mul_base61(x: np.ndarray, base: int) -> np.ndarray:
+    """x * base mod 2^61-1 for x < p and base < 2^10, uint64-safe:
+    split x at bit 51 (low * base stays < 2^61; the high part re-shifts
+    by 2^51 via the Mersenne identity y*2^51 = ((y mod 2^10) << 51) +
+    (y >> 10))."""
+    lo = (x & _MASK51) * np.uint64(base)
+    y = (x >> np.uint64(51)) * np.uint64(base)
+    hi = ((y & np.uint64((1 << 10) - 1)) << np.uint64(51)) + (y >> np.uint64(10))
+    return _fold61(lo + hi)
+
+
+def hash_strings(values, base: int = 257) -> np.ndarray:
+    """Vectorized polynomial code-point hash mod 2^61-1 (uint64 out):
+    acc = acc*base + cp + 1 per character — bit-identical to
+    textstats._poly_hash_codepoints for base 257 and to the DuckDB
+    ``list_reduce(... (acc, b) -> (acc * base + b + 1) % p)`` mirror
+    for any base here. One position-major Horner pass: the per-token
+    Python work is only the length scan + one utf-32 encode."""
+    toks = list(values)
+    n = len(toks)
+    acc = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return acc
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    if lens.max() == 0:
+        return acc
+    flat = np.frombuffer("".join(toks).encode("utf-32-le"), dtype=np.uint32
+                         ).astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+    for p in range(int(lens.max())):
+        m = lens > p
+        acc[m] = _fold61(
+            _mul_base61(acc[m], base) + flat[starts[m] + p] + np.uint64(1)
+        )
+    return acc
+
+
+def cms_sketch(ds, col: str, *, w: int = 512, d: int = 4,
+               num_final_blocks: int = 1):
+    """Count-min sketch of a string column: Dataset of ``(row, col, n)``
+    — one row per non-empty cell, ``n`` the exact number of occurrences
+    hashing there. Like the HLL registers, the sketch table itself is
+    integer and SQL-mirrorable bit-for-bit (``oracle_sql_cms``), even
+    though the operator's purpose is approximate frequency (point
+    estimates overcount, never undercount).
+
+    Scale shape: per-batch partials are <= d*w rows regardless of batch
+    size (value-counts then bucket-sum inside the batch), the merge is
+    elementwise addition — sketches from disjoint shards / clusters sum.
+    """
+    if d > len(CMS_BASES):
+        raise ValueError(f"d <= {len(CMS_BASES)}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts()
+        toks = vc.index.to_numpy(object)
+        cnt = vc.to_numpy(np.int64)
+        outs = []
+        for j in range(d):
+            h = (hash_strings(toks, CMS_BASES[j]) % np.uint64(w)).astype(np.int64)
+            g = pd.DataFrame({"row": np.int64(j), "col": h, "n": cnt})
+            outs.append(g.groupby(["row", "col"], as_index=False)["n"].sum())
+        out = pd.concat(outs, ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["row", "col"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return parts.repartition(num_final_blocks).map_batches(
+        combine, batch_size=None, batch_format="pandas"
+    ).repartition(1).map_batches(combine, batch_size=None, batch_format="pandas")
+
+
+def cms_estimate(sketch: pd.DataFrame, values, *, w: int = 512,
+                 d: int = 4) -> np.ndarray:
+    """Point frequency estimates: min over rows of the addressed cells.
+    Never undercounts; overcounts by collisions (<= N/w in expectation
+    per row, so the d-row min is tight for heavy hitters)."""
+    reg = np.zeros((d, w), dtype=np.int64)
+    reg[sketch["row"].to_numpy(np.int64), sketch["col"].to_numpy(np.int64)] = (
+        sketch["n"].to_numpy(np.int64)
+    )
+    vals = list(values)
+    est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(d):
+        h = (hash_strings(vals, CMS_BASES[j]) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, reg[j, h])
+    return est
+
+
+def oracle_sql_cms(table: str, token_expr: str, *, w: int = 512,
+                   d: int = 4) -> str:
+    """DuckDB SQL computing the identical (row, col, n) sketch table
+    over ``token_expr`` (a list-of-strings expression over ``table``);
+    one UNION ALL arm per hash row, HUGEINT list_reduce per token."""
+    arms = []
+    for j in range(d):
+        b = CMS_BASES[j]
+        arms.append(f"""
+  SELECT CAST({j} AS BIGINT) AS row,
+         CAST((list_reduce(list_prepend(CAST(0 AS HUGEINT),
+               list_transform(regexp_extract_all(t, '(?s).'),
+                              x -> CAST(unicode(x) AS HUGEINT))),
+               (acc, c) -> (acc * {b} + c + 1) % {P61}) % {w}) AS BIGINT) AS col,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY 2""")
+    union = "\n  UNION ALL\n".join(arms)
+    return f"""
+WITH tok AS (
+  SELECT unnest({token_expr}) AS t FROM {table}
+)
+{union}
+"""
+
+
+# -------------------------------------------------------- bloom filter
+
+#: per-probe affine constants applied to the base code-point hash
+#: (distinct probes of one strong hash — the standard double-hashing
+#: construction g_i(x) = h1(x) + i*h2(x), here with h2 fixed odd)
+BLOOM_PROBES = ((1, 0), (3, 17), (5, 101), (7, 3571))
+
+
+def bloom_bits(ds, col: str, *, m: int = 8192, k: int = 3,
+               num_final_blocks: int = 1):
+    """Bloom filter of a string column as its set-bit table: Dataset of
+    ``(bit,)`` int64 rows (sorted-distinct within each output block).
+    Probe i addresses ``((h * a_i + b_i) % p) % m`` with ``h`` the
+    code-point polynomial hash — all integer, so the filter itself is
+    SQL-mirrorable (``oracle_sql_bloom``).
+
+    Per-batch partials are <= m rows; filters merge by plain set union
+    (bitwise OR of the dense form) — the membership sketch for
+    cross-run dedup ("seen this url?") where shipping the key set is
+    off the table. No false negatives; false-positive rate ~
+    (1 - e^(-k*n/m))^k.
+    """
+    if k > len(BLOOM_PROBES):
+        raise ValueError(f"k <= {len(BLOOM_PROBES)}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].drop_duplicates().to_numpy(object)
+        h = hash_strings(vals, 257)
+        bits = []
+        for i in range(k):
+            a, b = BLOOM_PROBES[i]
+            g = _fold61(_mul_base61(h, a) + np.uint64(b))
+            bits.append((g % np.uint64(m)).astype(np.int64))
+        u = np.unique(np.concatenate(bits)) if bits else np.array([], np.int64)
+        return pd.DataFrame({"bit": u})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bit": np.unique(df["bit"].to_numpy(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return parts.repartition(num_final_blocks).map_batches(
+        combine, batch_size=None, batch_format="pandas"
+    ).repartition(1).map_batches(combine, batch_size=None, batch_format="pandas")
+
+
+def bloom_contains(bits: pd.DataFrame, values, *, m: int = 8192,
+                   k: int = 3) -> np.ndarray:
+    """Membership test against a set-bit table: True iff all k probe
+    bits are set. Guaranteed True for every inserted value."""
+    dense = np.zeros(m, dtype=bool)
+    dense[bits["bit"].to_numpy(np.int64)] = True
+    vals = list(values)
+    h = hash_strings(vals, 257)
+    ok = np.ones(len(vals), dtype=bool)
+    for i in range(k):
+        a, b = BLOOM_PROBES[i]
+        g = _fold61(_mul_base61(h, a) + np.uint64(b))
+        ok &= dense[(g % np.uint64(m)).astype(np.int64)]
+    return ok
+
+
+def oracle_sql_bloom(source_sql: str, *, m: int = 8192, k: int = 3) -> str:
+    """DuckDB SQL computing the identical set-bit table; ``source_sql``
+    is a subquery yielding the values as a column named ``t``."""
+    arms = []
+    for i in range(k):
+        a, b = BLOOM_PROBES[i]
+        arms.append(
+            f"  SELECT CAST(((h * {a} + {b}) % {P61}) % {m} AS BIGINT) AS bit FROM hv"
+        )
+    union = "\n  UNION\n".join(arms)
+    return f"""
+WITH v AS (
+  SELECT DISTINCT t FROM ({source_sql})
+), hv AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS HUGEINT),
+           list_transform(regexp_extract_all(t, '(?s).'),
+                          x -> CAST(unicode(x) AS HUGEINT))),
+         (acc, c) -> (acc * 257 + c + 1) % {P61}) AS h
+  FROM v
+)
+{union}
+"""

@@ -395,3 +395,80 @@ def test_labelprop_int64_ids():
     comp = connected_components_labelprop(nodes, edges, num_buckets=4).to_pandas()
     comp = comp.sort_values("id").reset_index(drop=True)
     assert comp["comp"].tolist() == [0, 0, 0, 0, 4, 5, 5, 7]
+
+
+# ------------------------------------------------------ count-min sketch
+
+
+def test_cms_hash_matches_scalar_kernel():
+    from ophois_ray import sketches
+
+    toks = ["hello", "a", "zz", "München", "tok" * 40]
+    h = sketches.hash_strings(toks, 257)
+    for t, hv in zip(toks, h):
+        assert int(hv) == textstats._poly_hash_codepoints([ord(c) for c in t])
+
+
+def test_cms_never_undercounts_and_merges(docs):
+    from ophois_ray import sketches
+
+    def toks(df):
+        s = df["text"].str.split().explode().dropna()
+        return pd.DataFrame({"t": s.to_numpy(object)})
+
+    tok_ds = docs.map_batches(toks, batch_format="pandas").materialize()
+    sk = sketches.cms_sketch(tok_ds, "t", w=256, d=4).to_pandas()
+
+    full = tok_ds.to_pandas()["t"]
+    true = full.value_counts()
+    est = sketches.cms_estimate(sk, list(true.index), w=256, d=4)
+    assert (est >= true.to_numpy()).all()
+    # heavy hitters are estimated tightly (collision noise <= N/w per row)
+    n_total = len(full)
+    heavy = true.head(10)
+    est_heavy = sketches.cms_estimate(sk, list(heavy.index), w=256, d=4)
+    assert (est_heavy - heavy.to_numpy() <= n_total // 256 * 2).all()
+
+    # shard merge: sketches of two halves SUM to the whole
+    half = tok_ds.to_pandas()
+    a = ray.data.from_pandas(half.iloc[: len(half) // 2])
+    b = ray.data.from_pandas(half.iloc[len(half) // 2:])
+    ska = sketches.cms_sketch(a, "t", w=256, d=4).to_pandas()
+    skb = sketches.cms_sketch(b, "t", w=256, d=4).to_pandas()
+    merged = (
+        pd.concat([ska, skb]).groupby(["row", "col"], as_index=False)["n"].sum()
+    )
+    key = ["row", "col"]
+    assert merged.sort_values(key).reset_index(drop=True).equals(
+        sk.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_bloom_no_false_negatives_and_union_merge(docs):
+    from ophois_ray import sketches
+
+    def toks(df):
+        s = df["text"].str.split().explode().dropna().drop_duplicates()
+        return pd.DataFrame({"t": s.to_numpy(object)})
+
+    tok_ds = docs.map_batches(toks, batch_format="pandas").materialize()
+    vocab = tok_ds.to_pandas()["t"].drop_duplicates()
+    bits = sketches.bloom_bits(tok_ds, "t", m=4096, k=3).to_pandas()
+
+    # every inserted value must test positive
+    assert sketches.bloom_contains(bits, list(vocab), m=4096, k=3).all()
+    # absent values mostly test negative (fp rate bounded well under 50%)
+    absent = [f"__nonexistent_token_{i}__" for i in range(200)]
+    fp = sketches.bloom_contains(bits, absent, m=4096, k=3).mean()
+    assert fp < 0.2, fp
+
+    # union merge: bits of two halves union to the whole
+    half = tok_ds.to_pandas()
+    a = ray.data.from_pandas(half.iloc[: len(half) // 2])
+    b = ray.data.from_pandas(half.iloc[len(half) // 2:])
+    ba = sketches.bloom_bits(a, "t", m=4096, k=3).to_pandas()
+    bb = sketches.bloom_bits(b, "t", m=4096, k=3).to_pandas()
+    merged = np.unique(np.concatenate(
+        [ba["bit"].to_numpy(np.int64), bb["bit"].to_numpy(np.int64)]
+    ))
+    assert np.array_equal(merged, np.sort(bits["bit"].to_numpy(np.int64)))

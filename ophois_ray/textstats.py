@@ -330,7 +330,7 @@ def tfidf_topk(ds, n_docs: int, *, text_col: str = "text",
 
 def collocations(ds, *, text_col: str = "text", k: int = 30,
                  min_count: int = 5, scale: int = 1 << 20,
-                 num_buckets: int = 64):
+                 num_buckets: int = 64, broadcast_cap: int = 5_000_000):
     """Top-k collocations (adjacent word pairs) by an integer PMI
     surrogate: ``score = (c_xy * T * scale) // (c_x * c_y)`` with T the
     total token count — the phrase-detection sweep (word2vec-style) of
@@ -339,13 +339,19 @@ def collocations(ds, *, text_col: str = "text", k: int = 30,
 
     Shape: two streaming tokenize passes (bigram + unigram partial
     counts, both pre-aggregated per batch so shuffles carry distinct
-    keys only), ``min_count`` prunes the pair table *before* the two
-    unigram-attach hash joins, and the final global top-k is a
-    sort-limit over the pruned scored pairs. Caller keeps
-    ``max_c_xy * T * scale`` inside int64 (drop ``scale`` for web-scale
-    corpora). Returns (pair, n, score) with ``pair = "w1 w2"``.
+    keys only), ``min_count`` prunes the pair table *before* the
+    unigram attach, and the final global top-k is a sort-limit over the
+    pruned scored pairs. The unigram attach is hybrid: a vocabulary
+    under ``broadcast_cap`` ships once as a sorted-array BroadcastIndex
+    (both lookups become one fused map — measured, the two bucketed
+    joins it replaces were the dominant barrier cost); above the cap it
+    falls back to two hash joins. Caller keeps ``max_c_xy * T * scale``
+    inside int64 (drop ``scale`` for web-scale corpora). Returns
+    (pair, n, score) with ``pair = "w1 w2"``.
     """
-    from .joins import grouped_apply, hash_join
+    import ray
+
+    from .joins import BroadcastIndex, grouped_apply, hash_join
 
     def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].str.split()
@@ -394,30 +400,45 @@ def collocations(ds, *, text_col: str = "text", k: int = 30,
         return df[df["n"].to_numpy(np.int64) >= min_count]
 
     pruned = pairs.map_batches(prune, batch_format="pandas")
-    u1 = uni.map_batches(
-        lambda df: df.rename(columns={"w": "w1", "c": "c1"}), batch_format="pandas"
-    )
-    u2 = uni.map_batches(
-        lambda df: df.rename(columns={"w": "w2", "c": "c2"}), batch_format="pandas"
-    )
-    joined = hash_join(
-        hash_join(pruned, u1, on="w1", num_buckets=num_buckets),
-        u2, on="w2", num_buckets=num_buckets,
-    )
+    n_vocab = uni.count()
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
+    def score_cols(df: pd.DataFrame, c1: np.ndarray, c2: np.ndarray) -> pd.DataFrame:
         n = df["n"].to_numpy(np.int64)
-        c1 = df["c1"].to_numpy(np.int64)
-        c2 = df["c2"].to_numpy(np.int64)
         return pd.DataFrame(
             {
                 "pair": (df["w1"].astype(str) + " " + df["w2"].astype(str)
                          ).to_numpy(object),
                 "n": n,
-                "score": (n * total * scale) // (c1 * c2),
+                "score": (n * total * scale) // (c1.astype(np.int64) * c2.astype(np.int64)),
             }
         )
 
-    return joined.map_batches(score, batch_format="pandas").sort(
-        ["score", "pair"], descending=[True, False]
-    ).limit(k)
+    if n_vocab <= broadcast_cap:
+        uref = ray.put(BroadcastIndex.from_dataset(uni, "w", ["c"], cap=broadcast_cap))
+
+        def attach_score(df: pd.DataFrame) -> pd.DataFrame:
+            idx = ray.get(uref) if isinstance(uref, ray.ObjectRef) else uref
+            c1 = idx.lookup(df["w1"].to_numpy(object), "c")
+            c2 = idx.lookup(df["w2"].to_numpy(object), "c")
+            return score_cols(df, c1, c2)
+
+        scored = pruned.map_batches(attach_score, batch_format="pandas")
+    else:
+        u1 = uni.map_batches(
+            lambda df: df.rename(columns={"w": "w1", "c": "c1"}), batch_format="pandas"
+        )
+        u2 = uni.map_batches(
+            lambda df: df.rename(columns={"w": "w2", "c": "c2"}), batch_format="pandas"
+        )
+        joined = hash_join(
+            hash_join(pruned, u1, on="w1", num_buckets=num_buckets),
+            u2, on="w2", num_buckets=num_buckets,
+        )
+        scored = joined.map_batches(
+            lambda df: score_cols(
+                df, df["c1"].to_numpy(np.int64), df["c2"].to_numpy(np.int64)
+            ),
+            batch_format="pandas",
+        )
+
+    return scored.sort(["score", "pair"], descending=[True, False]).limit(k)

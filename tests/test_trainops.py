@@ -472,3 +472,14 @@ def test_bloom_no_false_negatives_and_union_merge(docs):
         [ba["bit"].to_numpy(np.int64), bb["bit"].to_numpy(np.int64)]
     ))
     assert np.array_equal(merged, np.sort(bits["bit"].to_numpy(np.int64)))
+
+
+def test_collocations_join_fallback_matches_broadcast():
+    texts = ["new york is big", "in new york tonight", "new york new york",
+             "the big apple is big", "york new"] * 3
+    src = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    a = textstats.collocations(src, k=5, min_count=3, num_buckets=4).to_pandas()
+    b = textstats.collocations(
+        src, k=5, min_count=3, num_buckets=4, broadcast_cap=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)

@@ -308,6 +308,32 @@ def emit_metrics(nodes, edges, param: str, outdir: str = "./ophois_metrics", **a
 # ------------------------------------------------------- graph analytics
 
 
+def pairs_within_runs(group: np.ndarray, val: np.ndarray) -> dict:
+    """All ordered (i < j) pairs within each run of equal ``group``
+    values (input sorted by (group, val)): columns ``u``/``v`` with
+    u = val[i], v = val[j]. Loop-free over rows — one masked shift per
+    offset d in 1..max_run_len, so cost is O(max_run * n) vector ops
+    (the per-group-Python-loop version measured 150k iterations per
+    batch on order-pair generation)."""
+    n = len(group)
+    if n < 2:
+        return {"u": np.array([], np.int64), "v": np.array([], np.int64)}
+    out_u, out_v = [], []
+    d = 1
+    while True:
+        same = group[:-d] == group[d:]
+        if not same.any():
+            break
+        out_u.append(val[:-d][same])
+        out_v.append(val[d:][same])
+        d += 1
+        if d >= n:
+            break
+    if not out_u:
+        return {"u": np.array([], np.int64), "v": np.array([], np.int64)}
+    return {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
+
+
 def _pack_edge(u: np.ndarray, v: np.ndarray) -> np.ndarray:
     """(u, v) with both < 2^31 -> one int64 key (u << 31 | v)."""
     if len(u) and (int(u.max()) >= 1 << 31 or int(v.max()) >= 1 << 31):
@@ -423,23 +449,17 @@ def triangle_count(edges, *, num_buckets: int = 64,
         oriented = with_dv.map_batches(orient_joined, batch_format="pandas")
 
     def wedges_fn(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        # per-pivot loop over out-neighbour sets; orientation caps each
-        # set at O(sqrt(m)) so the triu inside stays small
-        for _, grp in df.groupby("src"):
-            nb = np.sort(grp["dst"].to_numpy(np.int64))
-            if len(nb) < 2:
-                continue
-            iu, ju = np.triu_indices(len(nb), k=1)
-            out_a.append(nb[iu])
-            out_b.append(nb[ju])
-        if not out_a:
-            return pd.DataFrame(
-                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
-            )
-        return pd.DataFrame(
-            {"u": np.concatenate(out_a), "v": np.concatenate(out_b)}
+        # all (i < j) pairs within each pivot's sorted out-neighbour
+        # run, without a per-pivot Python loop: sort by (src, dst),
+        # then for each offset d pair row k with row k+d where the
+        # pivot is unchanged — max offset is the max out-degree, which
+        # orientation caps at O(sqrt(m))
+        order = np.lexsort(
+            (df["dst"].to_numpy(np.int64), df["src"].to_numpy(np.int64))
         )
+        src = df["src"].to_numpy(np.int64)[order]
+        dst = df["dst"].to_numpy(np.int64)[order]
+        return pd.DataFrame(pairs_within_runs(src, dst))
 
     wedges = grouped_apply(oriented, "src", wedges_fn, num_buckets=num_buckets)
 

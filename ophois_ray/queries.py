@@ -1770,21 +1770,17 @@ def q_copurchase_triangles(sf_dir: str):
     li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
 
     def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
-        out_u, out_v = [], []
-        for _, grp in df.groupby("l_orderkey"):
-            p = np.unique(grp["l_partkey"].to_numpy(np.int64))
-            if len(p) < 2:
-                continue
-            iu, ju = np.triu_indices(len(p), k=1)
-            out_u.append(p[iu])
-            out_v.append(p[ju])
-        if not out_u:
-            return pd.DataFrame(
-                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
-            )
-        return pd.DataFrame(
-            {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
-        )
+        # loop-free all-pairs within each order: sort by (order, part),
+        # distinct, then offset-shift pair generation
+        from .graphops import pairs_within_runs
+
+        o = df["l_orderkey"].to_numpy(np.int64)
+        p = df["l_partkey"].to_numpy(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.ones(len(o), dtype=bool)
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        return pd.DataFrame(pairs_within_runs(o[keep], p[keep]))
 
     pairs = grouped_apply(li, "l_orderkey", pairs_fn)
 
@@ -1870,21 +1866,22 @@ def q_part_components(sf_dir: str):
     )
 
     def chains(df: pd.DataFrame) -> pd.DataFrame:
+        # loop-free consecutive-pair generation: sort by (order, part),
+        # distinct, link row k to k+1 where the order is unchanged
         df = df[df["l_quantity"].to_numpy(np.float64) >= 48.0]
-        out_u, out_v = [], []
-        for _, grp in df.groupby("l_orderkey"):
-            p = np.unique(grp["l_partkey"].to_numpy(np.int64))
-            if len(p) < 2:
-                continue
-            out_u.append(p[:-1])
-            out_v.append(p[1:])
-        if not out_u:
+        o = df["l_orderkey"].to_numpy(np.int64)
+        p = df["l_partkey"].to_numpy(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.ones(len(o), dtype=bool)
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        if len(o) < 2:
             return pd.DataFrame(
                 {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
             )
-        return pd.DataFrame(
-            {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
-        )
+        same = o[:-1] == o[1:]
+        return pd.DataFrame({"u": p[:-1][same], "v": p[1:][same]})
 
     pairs = grouped_apply(li, "l_orderkey", chains)
 

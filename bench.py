@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "cms_tokens",
     "bloom_tokens",
     "doc_collocations",
+    "part_pagerank",
 ]
 
 

@@ -502,3 +502,99 @@ def triangle_count(edges, *, num_buckets: int = 64,
         on=["u", "v"], num_buckets=num_buckets,
     )
     return closed.count()
+
+
+def pagerank_int(edges, *, iters: int = 3, scale: int = 1 << 40,
+                 damp_num: int = 85, damp_den: int = 100,
+                 broadcast_cap: int = DEFAULT_BROADCAST_CAP):
+    """Integer-exact PageRank over an undirected canonical edge table
+    (int64 ``u < v``): ``iters`` power-iteration rounds with all-integer
+    damping arithmetic —
+
+        contrib(u)  = r_t(u) // outdeg(u)
+        r_{t+1}(v)  = (S*(den-num)) // (den*N)
+                      + (num * sum_in_arcs(contrib)) // den
+
+    (S = ``scale`` total mass). Floor division everywhere makes every
+    round a pure int64 function of the graph, so a fixed-``iters`` run
+    is bit-reproducible across block layouts / cluster widths AND
+    SQL-mirrorable by unrolled join-aggregate CTEs — the property the
+    float formulation can never have (block-order-dependent float sums).
+
+    Scale shape: the rank vector rides the object store as a sorted
+    BroadcastIndex (requires n_nodes <= ``broadcast_cap``; beyond that
+    co-partition arcs and ranks by src — documented assumption). Each
+    round is ONE streaming pass over the arcs: per-batch partial
+    (dst, sum) frames (<= n_nodes rows) merged on the driver, which is
+    bounded by the same cap the broadcast needs. Returns a pandas
+    (node, r) frame.
+    """
+    import ray
+
+    from .joins import BroadcastIndex
+
+    def to_arcs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(
+                    [df["u"].to_numpy(np.int64), df["v"].to_numpy(np.int64)]
+                ),
+                "dst": np.concatenate(
+                    [df["v"].to_numpy(np.int64), df["u"].to_numpy(np.int64)]
+                ),
+            }
+        )
+
+    arcs = edges.map_batches(to_arcs, batch_format="pandas").materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src", as_index=False).size().rename(columns={"size": "d"})
+        g["d"] = g["d"].astype(np.int64)
+        return g
+
+    pieces = [
+        b for b in arcs.map_batches(deg_partial, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    deg = (
+        pd.concat(pieces, ignore_index=True).groupby("src", as_index=False)["d"].sum()
+        if pieces else pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                     "d": pd.Series(dtype=np.int64)})
+    )
+    nodes = deg["src"].to_numpy(np.int64)
+    degs = deg["d"].to_numpy(np.int64)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "r": pd.Series(dtype=np.int64)})
+    if n > broadcast_cap:
+        raise ValueError(
+            f"pagerank_int broadcast path needs n_nodes <= {broadcast_cap}; "
+            "co-partition arcs and ranks by src beyond that"
+        )
+    base = (scale * (damp_den - damp_num)) // (damp_den * n)
+    ranks = np.full(n, scale // n, dtype=np.int64)
+
+    for _ in range(iters):
+        idx = BroadcastIndex(nodes, {"c": ranks // degs})
+        cref = ray.put(idx)
+
+        def contrib_partial(df: pd.DataFrame) -> pd.DataFrame:
+            ix = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+            c = ix.lookup(df["src"].to_numpy(np.int64), "c")
+            g = pd.DataFrame({"dst": df["dst"].to_numpy(np.int64), "s": c})
+            g = g.groupby("dst", as_index=False)["s"].sum()
+            g["s"] = g["s"].astype(np.int64)
+            return g
+
+        parts = [
+            b for b in arcs.map_batches(contrib_partial, batch_format="pandas")
+            .iter_batches(batch_format="pandas", batch_size=None)
+        ]
+        agg = pd.concat(parts, ignore_index=True).groupby("dst", as_index=False)["s"].sum()
+        s = np.zeros(n, dtype=np.int64)
+        pos = np.searchsorted(nodes, agg["dst"].to_numpy(np.int64))
+        s[pos] = agg["s"].to_numpy(np.int64)
+        ranks = base + (damp_num * s) // damp_den
+
+    return pd.DataFrame({"node": nodes, "r": ranks})

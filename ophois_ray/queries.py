@@ -1861,36 +1861,7 @@ def q_part_components(sf_dir: str):
     from .components import connected_components_labelprop
     from .joins import grouped_apply
 
-    li = _t(sf_dir, "lineitem").select_columns(
-        ["l_orderkey", "l_partkey", "l_quantity"]
-    )
-
-    def chains(df: pd.DataFrame) -> pd.DataFrame:
-        # loop-free consecutive-pair generation: sort by (order, part),
-        # distinct, link row k to k+1 where the order is unchanged
-        df = df[df["l_quantity"].to_numpy(np.float64) >= 48.0]
-        o = df["l_orderkey"].to_numpy(np.int64)
-        p = df["l_partkey"].to_numpy(np.int64)
-        order = np.lexsort((p, o))
-        o, p = o[order], p[order]
-        keep = np.ones(len(o), dtype=bool)
-        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
-        o, p = o[keep], p[keep]
-        if len(o) < 2:
-            return pd.DataFrame(
-                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
-            )
-        same = o[:-1] == o[1:]
-        return pd.DataFrame({"u": p[:-1][same], "v": p[1:][same]})
-
-    pairs = grouped_apply(li, "l_orderkey", chains)
-
-    def dedup_uv(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["u", "v"])
-
-    edges = grouped_apply(
-        pairs, ["u", "v"], dedup_uv, drop_partial=dedup_uv
-    ).materialize()
+    edges = _chain_edges(sf_dir).materialize()
 
     def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -2005,6 +1976,103 @@ def _sql_bloom_tokens() -> str:
     )
 
 
+def _chain_edges(sf_dir: str):
+    """Sparse part-chain graph shared by part_components/part_pagerank:
+    consecutive distinct parts of high-quantity orders, deduped."""
+    from .joins import grouped_apply
+
+    li = _t(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_partkey", "l_quantity"]
+    )
+
+    def chains(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_quantity"].to_numpy(np.float64) >= 48.0]
+        o = df["l_orderkey"].to_numpy(np.int64)
+        p = df["l_partkey"].to_numpy(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.ones(len(o), dtype=bool)
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        if len(o) < 2:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+            )
+        same = o[:-1] == o[1:]
+        return pd.DataFrame({"u": p[:-1][same], "v": p[1:][same]})
+
+    pairs = grouped_apply(li, "l_orderkey", chains)
+
+    def dedup_uv(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["u", "v"])
+
+    return grouped_apply(pairs, ["u", "v"], dedup_uv, drop_partial=dedup_uv)
+
+
+#: shared CTE prefix deriving the chain graph in SQL (mirrors
+#: _chain_edges: DISTINCT high-qty (order, part), lead() chain pairs)
+_SQL_CHAIN_EDGES = """
+hi AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 48
+), chain AS (
+  SELECT o, p AS u, lead(p) OVER (PARTITION BY o ORDER BY p) AS v FROM hi
+), edges AS (
+  SELECT DISTINCT u, v FROM chain WHERE v IS NOT NULL
+)"""
+
+
+def q_part_pagerank(sf_dir: str):
+    """Integer-exact PageRank (graphops.pagerank_int, 3 rounds,
+    S = 2^40 mass, 85/100 damping) over the part-chain graph: floor-div
+    damping arithmetic makes the iterative fixpoint bit-reproducible
+    across layouts AND SQL-mirrorable (three unrolled join-aggregate
+    CTEs) — the canonical web-scale iterative operator, driver-checked
+    exactly. Top-20 by (rank desc, node asc)."""
+    from .graphops import pagerank_int
+
+    edges = _chain_edges(sf_dir)
+    pr = pagerank_int(edges, iters=3)
+    pr = pr.sort_values(["r", "node"], ascending=[False, True]).head(20)
+    return pr.reset_index(drop=True)
+
+
+def _sql_part_pagerank() -> str:
+    S = 1 << 40
+    num, den = 85, 100
+    it = """
+, c{i} AS (
+  SELECT a.dst AS node, SUM(r{j}.r // d.deg) AS s
+  FROM arcs a
+  JOIN r{j} ON r{j}.node = a.src
+  JOIN deg d ON d.node = a.src
+  GROUP BY a.dst
+), r{i} AS (
+  SELECT n.node,
+         (({S} * {dd}) // ({den} * nn.n)) + ({num} * COALESCE(c{i}.s, 0)) // {den} AS r
+  FROM nodes n CROSS JOIN ncount nn LEFT JOIN c{i} ON c{i}.node = n.node
+)"""
+    rounds = "".join(
+        it.format(i=i, j=i - 1, S=S, num=num, den=den, dd=den - num)
+        for i in range(1, 4)
+    )
+    return f"""
+WITH {_SQL_CHAIN_EDGES},
+arcs AS (
+  SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM arcs GROUP BY src
+), nodes AS (
+  SELECT node FROM deg
+), ncount AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+), r0 AS (
+  SELECT n.node, {S} // nn.n AS r FROM nodes n CROSS JOIN ncount nn
+){rounds}
+SELECT node, r FROM r3 ORDER BY r DESC, node ASC LIMIT 20
+"""
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -2059,6 +2127,7 @@ def catalog():
         "part_components": q_part_components,
         "cms_tokens": q_cms_tokens,
         "bloom_tokens": q_bloom_tokens,
+        "part_pagerank": q_part_pagerank,
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
@@ -2112,6 +2181,7 @@ def sql_catalog():
         "part_components": SQL_PART_COMPONENTS,
         "cms_tokens": _sql_cms_tokens(),
         "bloom_tokens": _sql_bloom_tokens(),
+        "part_pagerank": _sql_part_pagerank(),
     }
 
 

@@ -483,3 +483,25 @@ def test_collocations_join_fallback_matches_broadcast():
         src, k=5, min_count=3, num_buckets=4, broadcast_cap=0
     ).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pagerank_int_properties():
+    from ophois_ray.graphops import pagerank_int
+
+    # star graph: center 0 linked to 1..5 — center must rank highest
+    star = _edges_ds([(0, i) for i in range(1, 6)])
+    pr = pagerank_int(star, iters=3)
+    top = pr.sort_values(["r", "node"], ascending=[False, True]).iloc[0]
+    assert top["node"] == 0
+    # leaves are symmetric -> identical integer ranks
+    leaves = pr[pr["node"] != 0]["r"].unique()
+    assert len(leaves) == 1
+    # layout invariance: same graph, different block layout, same bits
+    pr2 = pagerank_int(_edges_ds([(0, i) for i in range(1, 6)]).repartition(4),
+                       iters=3)
+    m = pr.sort_values("node").reset_index(drop=True)
+    m2 = pr2.sort_values("node").reset_index(drop=True)
+    assert m.equals(m2)
+    # mass approximately conserved (floor losses only shrink it)
+    S = 1 << 40
+    assert 0.9 * S < pr["r"].sum() <= S

@@ -775,3 +775,208 @@ def embedding_near_dup_pairs(
 
     out = grouped_apply(bucketed, "bucket", bucket_pairs, num_buckets=32).to_pandas()
     return out.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- edit-distance linkage
+
+
+def levenshtein_batch(a, b) -> np.ndarray:
+    """Unit-cost edit distance for N string pairs at once (int64 out)
+    over UTF-8 BYTES — matching DuckDB ``levenshtein`` exactly (which
+    is byte-based: ``levenshtein('ü','u') = 2``). Vectorized ACROSS
+    pairs: the classic DP runs its (i, j) grid sequentially, but each
+    cell update is one numpy op over all N pairs — max_len^2 vector
+    steps total instead of N separate Python DPs."""
+    a = [x.encode("utf-8") for x in a]
+    b = [x.encode("utf-8") for x in b]
+    n = len(a)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    la = np.array([len(x) for x in a], dtype=np.int64)
+    lb = np.array([len(x) for x in b], dtype=np.int64)
+    La = int(la.max())
+    Lb = int(lb.max())
+
+    def pack(bts, L):
+        m = np.zeros((n, L), dtype=np.uint8)
+        if L == 0:
+            return m
+        flat = np.frombuffer(b"".join(bts), dtype=np.uint8)
+        lens = np.array([len(s) for s in bts], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+        for p in range(L):
+            sel = lens > p
+            m[sel, p] = flat[starts[sel] + p]
+        return m
+
+    A = pack(a, La)
+    B = pack(b, Lb)
+    res = np.empty(n, dtype=np.int64)
+    res[la == 0] = lb[la == 0]
+    prev = np.tile(np.arange(Lb + 1, dtype=np.int64), (n, 1))
+    for i in range(1, La + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1][:, None]
+        sub = prev[:, :-1] + (ai != B).astype(np.int64)
+        dele = prev[:, 1:] + 1
+        base = np.minimum(sub, dele)
+        for j in range(1, Lb + 1):
+            cur[:, j] = np.minimum(base[:, j - 1], cur[:, j - 1] + 1)
+        done = la == i
+        if done.any():
+            res[done] = cur[done, lb[done]]
+        prev = cur
+    return res
+
+
+def _deletion_variants(s: str, k: int):
+    """All strings reachable from ``s`` by deleting up to ``k`` (<= 2)
+    characters, including ``s`` itself."""
+    out = {s}
+    L = len(s)
+    for i in range(L):
+        out.add(s[:i] + s[i + 1:])
+    if k >= 2:
+        for i in range(L):
+            for j in range(i + 1, L):
+                out.add(s[:i] + s[i + 1:j] + s[j + 1:])
+    return out
+
+
+def fuzzy_pairs(ds, key_col: str, text_col: str, *, max_dist: int = 2,
+                num_buckets: int = 64):
+    """Complete edit-distance self-join (record linkage): every id pair
+    whose texts are within ``max_dist`` (<= 2) edits, as
+    (id_a < id_b, dist) — bit-equal to an unblocked SQL
+    ``levenshtein(a, b) <= max_dist`` self-join.
+
+    Scale shape (three stages, no all-pairs over rows anywhere):
+
+    1. dedup to DISTINCT texts — duplicated texts pair up wholesale, so
+       same-text id pairs (dist 0) come from loop-free run pairing per
+       text group, and the expensive comparison only ever sees the
+       distinct-text table (vocabulary-sized, not corpus-sized).
+    2. deletion-neighborhood join over distinct texts (SymSpell-style):
+       a pair within k edits must share a <= k-deletion variant (delete
+       each side's edited alignment positions), so hashing every
+       variant and pairing within variant buckets finds ALL candidates
+       without a quadratic block — then the pair-batched DP verifies.
+       Hash collisions only add candidates (verified away), never drop.
+    3. two bucketed joins expand verified text pairs back to id pairs
+       through the (text, id) multiplicity.
+
+    Designed for short keys (names/titles/urls: ~L^2/2 variants per
+    distinct text); for long documents use the shingle-based near-dup
+    family instead.
+    """
+    from .graphops import pairs_within_runs
+    from .joins import grouped_apply, hash_join
+    from .sketches import hash_strings
+
+    if max_dist > 2:
+        raise ValueError("deletion-neighborhood join supports max_dist <= 2")
+
+    base = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"t": df[text_col].to_numpy(object),
+             "id": df[key_col].to_numpy(np.int64)}
+        ),
+        batch_format="pandas",
+    ).materialize()  # consumed by stages 1, 2 and the expansion joins
+
+    # ---- stage 1: same-text pairs + distinct texts, one text shuffle
+    def same_text_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df["t"], sort=True)
+        ids = df["id"].to_numpy(np.int64)
+        order = np.lexsort((ids, codes))
+        p = pairs_within_runs(codes[order].astype(np.int64), ids[order])
+        return pd.DataFrame(
+            {"id_a": p["u"], "id_b": p["v"],
+             "dist": np.zeros(len(p["u"]), dtype=np.int64)}
+        )
+
+    same = grouped_apply(base, "t", same_text_pairs, num_buckets=num_buckets)
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["t"]].drop_duplicates()
+
+    names = grouped_apply(
+        base, "t", distinct_partial, drop_partial=distinct_partial,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    # ---- stage 2: deletion-variant buckets over distinct texts
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["t"].to_numpy(object)
+        outs, owners = [], []
+        for t in toks:
+            vs = list(_deletion_variants(t, max_dist))
+            outs.extend(vs)
+            owners.extend([t] * len(vs))
+        return pd.DataFrame(
+            {"vk": hash_strings(outs, 257).astype(np.int64),
+             "t": np.array(owners, dtype=object)}
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d2 = df.drop_duplicates(["vk", "t"])
+        vk = d2["vk"].to_numpy(np.int64)
+        t = d2["t"].to_numpy(object)
+        order = np.lexsort((t, vk))
+        p = pairs_within_runs(vk[order], np.arange(len(vk), dtype=np.int64))
+        ta = t[order][p["u"]]
+        tb = t[order][p["v"]]
+        return pd.DataFrame({"ta": ta, "tb": tb}).drop_duplicates()
+
+    cand = grouped_apply(
+        names.map_batches(variants, batch_format="pandas"),
+        "vk", bucket_pairs, num_buckets=num_buckets,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["ta", "tb"])
+        if not len(df):
+            return pd.DataFrame(
+                {"ta": pd.Series(dtype=object), "tb": pd.Series(dtype=object),
+                 "dist": pd.Series(dtype=np.int64)}
+            )
+        d = levenshtein_batch(df["ta"].to_numpy(object), df["tb"].to_numpy(object))
+        hit = d <= max_dist
+        return pd.DataFrame(
+            {"ta": df["ta"].to_numpy(object)[hit],
+             "tb": df["tb"].to_numpy(object)[hit],
+             "dist": d[hit].astype(np.int64)}
+        )
+
+    # candidates can repeat across variant buckets -> global pair dedup
+    # rides the same shuffle as verification
+    verified = grouped_apply(
+        cand, ["ta", "tb"], verify,
+        drop_partial=lambda df: df.drop_duplicates(["ta", "tb"]),
+        num_buckets=num_buckets,
+    )
+
+    # ---- stage 3: expand text pairs to id pairs
+    ids_a = base.map_batches(
+        lambda df: df.rename(columns={"t": "ta", "id": "raw_a"}),
+        batch_format="pandas",
+    )
+    ids_b = base.map_batches(
+        lambda df: df.rename(columns={"t": "tb", "id": "raw_b"}),
+        batch_format="pandas",
+    )
+    expanded = hash_join(
+        hash_join(verified, ids_a, on="ta", num_buckets=num_buckets),
+        ids_b, on="tb", num_buckets=num_buckets,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["raw_a"].to_numpy(np.int64)
+        b = df["raw_b"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b),
+             "dist": df["dist"].to_numpy(np.int64)}
+        )
+
+    return same.union(expanded.map_batches(finish, batch_format="pandas"))

@@ -308,13 +308,22 @@ def emit_metrics(nodes, edges, param: str, outdir: str = "./ophois_metrics", **a
 # ------------------------------------------------------- graph analytics
 
 
-def pairs_within_runs(group: np.ndarray, val: np.ndarray) -> dict:
+def pairs_within_runs(group: np.ndarray, val: np.ndarray,
+                      band_vals: np.ndarray | None = None,
+                      band: int = 0) -> dict:
     """All ordered (i < j) pairs within each run of equal ``group``
     values (input sorted by (group, val)): columns ``u``/``v`` with
     u = val[i], v = val[j]. Loop-free over rows — one masked shift per
     offset d in 1..max_run_len, so cost is O(max_run * n) vector ops
     (the per-group-Python-loop version measured 150k iterations per
-    batch on order-pair generation)."""
+    batch on order-pair generation).
+
+    With ``band_vals`` (sorted ascending within each run, i.e. input
+    sorted by (group, band_val)), pairs additionally require
+    ``band_vals[j] - band_vals[i] <= band`` — because the values are
+    run-sorted, eligible partners are contiguous and the offset loop
+    terminates at the widest eligible window, not the widest run
+    (quadratic-hot-run protection for banded joins)."""
     n = len(group)
     if n < 2:
         return {"u": np.array([], np.int64), "v": np.array([], np.int64)}
@@ -322,6 +331,8 @@ def pairs_within_runs(group: np.ndarray, val: np.ndarray) -> dict:
     d = 1
     while True:
         same = group[:-d] == group[d:]
+        if band_vals is not None:
+            same = same & (band_vals[d:] - band_vals[:-d] <= band)
         if not same.any():
             break
         out_u.append(val[:-d][same])

@@ -2073,6 +2073,29 @@ SELECT node, r FROM r3 ORDER BY r DESC, node ASC LIMIT 20
 """
 
 
+def q_part_fuzzy_pairs(sf_dir: str):
+    """Record linkage by edit distance (dedup.fuzzy_pairs): ALL
+    part-name pairs within 2 edits — distinct-name dedup, then a
+    deletion-neighborhood (SymSpell-style) candidate join over the
+    vocabulary, pair-batched Levenshtein verification (one numpy op
+    per DP cell across all candidate pairs, matching DuckDB's
+    levenshtein() exactly), then expansion back through the name
+    multiplicity. Driver-checked bit-for-bit against the unblocked
+    quadratic SQL self-join."""
+    from .dedup import fuzzy_pairs
+
+    part = _t(sf_dir, "part").select_columns(["p_partkey", "p_name"])
+    return fuzzy_pairs(part, "p_partkey", "p_name", max_dist=2)
+
+
+SQL_PART_FUZZY_PAIRS = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -2128,6 +2151,7 @@ def catalog():
         "cms_tokens": q_cms_tokens,
         "bloom_tokens": q_bloom_tokens,
         "part_pagerank": q_part_pagerank,
+        "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
@@ -2182,6 +2206,7 @@ def sql_catalog():
         "cms_tokens": _sql_cms_tokens(),
         "bloom_tokens": _sql_bloom_tokens(),
         "part_pagerank": _sql_part_pagerank(),
+        "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
     }
 
 

@@ -505,3 +505,39 @@ def test_pagerank_int_properties():
     # mass approximately conserved (floor losses only shrink it)
     S = 1 << 40
     assert 0.9 * S < pr["r"].sum() <= S
+
+
+# --------------------------------------------------- edit-distance linkage
+
+
+def test_levenshtein_batch_matches_reference():
+    cases = [("kitten", "sitting", 3), ("", "abc", 3), ("abc", "", 3),
+             ("abc", "abc", 0), ("sunday", "saturday", 3), ("aa", "bb", 2),
+             ("flaw", "lawn", 2), ("München", "Munchen", 2)]  # byte-based: ü != u is 2
+    got = dedup.levenshtein_batch([a for a, _, _ in cases],
+                                  [b for _, b, _ in cases])
+    assert got.tolist() == [d for _, _, d in cases]
+    import duckdb
+
+    for a, b, d in cases:
+        assert duckdb.sql(f"SELECT levenshtein('{a}', '{b}')").fetchone()[0] == d
+
+
+def test_fuzzy_pairs_matches_bruteforce():
+    names = ["red widget", "red widgets", "red wadget", "blue bolt",
+             "blue bolt", "blue jolt", "green gear", "red widget"]
+    src = ray.data.from_pandas(pd.DataFrame(
+        {"id": np.arange(len(names), dtype=np.int64), "name": names}
+    ))
+    got = (
+        dedup.fuzzy_pairs(src, "id", "name", max_dist=2, num_buckets=4)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    exp_rows = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            d = int(dedup.levenshtein_batch([names[i]], [names[j]])[0])
+            if d <= 2:
+                exp_rows.append((i, j, d))
+    exp = pd.DataFrame(exp_rows, columns=["id_a", "id_b", "dist"]).astype(np.int64)
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp)

@@ -1,6 +1,8 @@
 """Deduplication operators for training-data pipelines: exact,
 MinHash+LSH, SimHash, n-gram Jaccard verification, embedding-cosine
-near-dup. Hot paths are vectorized numpy inside map_batches; the only
+near-dup, and edit-distance record linkage (deletion-neighborhood
+join + pair-batched Levenshtein). Hot paths are vectorized numpy
+inside map_batches; the only
 shuffles are the hash-bucket groupbys; candidate verification joins the
 (small) candidate id set against broadcast payloads.
 

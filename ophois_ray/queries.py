@@ -2096,6 +2096,29 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def q_doc_token_count_bpe(sf_dir: str):
+    """BPE-style pretoken counts (textstats.token_count_bpe) — the
+    token-budget estimate a training pipeline computes before real
+    tokenization, using a GPT-2-style split pattern restricted to
+    constructs with identical Python-re / RE2 semantics so the DuckDB
+    regexp_extract_all mirror counts bit-identically."""
+    from . import textstats
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return textstats.token_count_bpe(docs).select_columns(
+        ["doc_id", "n_tokens_bpe"]
+    )
+
+
+def _sql_doc_token_count_bpe() -> str:
+    from .textstats import BPE_SPLIT_PATTERN
+
+    return (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        f"$${BPE_SPLIT_PATTERN}$$)) AS BIGINT) AS n_tokens_bpe FROM documents"
+    )
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -2152,6 +2175,7 @@ def catalog():
         "bloom_tokens": q_bloom_tokens,
         "part_pagerank": q_part_pagerank,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
+        "doc_token_count_bpe": q_doc_token_count_bpe,
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
@@ -2207,6 +2231,7 @@ def sql_catalog():
         "bloom_tokens": _sql_bloom_tokens(),
         "part_pagerank": _sql_part_pagerank(),
         "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
+        "doc_token_count_bpe": _sql_doc_token_count_bpe(),
     }
 
 

@@ -442,3 +442,29 @@ def collocations(ds, *, text_col: str = "text", k: int = 30,
         )
 
     return scored.sort(["score", "pair"], descending=[True, False]).limit(k)
+
+
+#: GPT-2-style pretokenizer pattern, restricted to constructs with
+#: identical semantics in Python re and RE2 (no \p classes, no
+#: lookarounds — both engines match alternations leftmost-first):
+#: contractions, space-prefixed letter/digit/punctuation runs, blanks.
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+_BPE_RE = re.compile(BPE_SPLIT_PATTERN)
+
+
+def token_count_bpe(ds, text_col: str = "text", out_col: str = "n_tokens_bpe"):
+    """BPE-style pretoken count per row (the token-budget estimate a
+    training pipeline runs before tokenizing for real): number of
+    ``BPE_SPLIT_PATTERN`` matches. The pattern is chosen so DuckDB's
+    RE2 ``regexp_extract_all`` counts identically (oracle-checked)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[out_col] = (
+            df[text_col].map(lambda t: len(_BPE_RE.findall(t)))
+            .astype(np.int64)
+        )
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")

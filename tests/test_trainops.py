@@ -541,3 +541,24 @@ def test_fuzzy_pairs_matches_bruteforce():
                 exp_rows.append((i, j, d))
     exp = pd.DataFrame(exp_rows, columns=["id_a", "id_b", "dist"]).astype(np.int64)
     pd.testing.assert_frame_equal(got.astype(np.int64), exp)
+
+
+def test_token_count_bpe_matches_duckdb(docs):
+    import duckdb
+
+    got = (
+        textstats.token_count_bpe(docs)
+        .select_columns(["doc_id", "n_tokens_bpe"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""SELECT doc_id, len(regexp_extract_all(text,
+            $${textstats.BPE_SPLIT_PATTERN}$$)) AS n
+            FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"""
+    ).df()
+    assert (got["n_tokens_bpe"].to_numpy() == exp["n"].to_numpy()).all()
+    # BPE pretokens are at least as many as whitespace tokens
+    ws = textstats.token_count(docs).select_columns(["doc_id", "n_tokens"]).to_pandas()
+    ws = ws.sort_values("doc_id").reset_index(drop=True)
+    assert (got["n_tokens_bpe"].to_numpy() >= ws["n_tokens"].to_numpy()).all()

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "bloom_tokens",
     "doc_collocations",
     "part_pagerank",
+    "doc_token_count_bpe",
 ]
 
 

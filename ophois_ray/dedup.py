@@ -259,6 +259,7 @@ def ngram_jaccard_pairs(
     k: int = 8,
     prefix: int | None = None,
     num_buckets: int = 32,
+    broadcast_cap: int = 2_000_000,
 ):
     """Exact character k-gram Jaccard over given candidate (id_a, id_b)
     pairs — the UNHASHED variant of the MinHash verifier, defined on
@@ -287,6 +288,44 @@ def ngram_jaccard_pairs(
         return pd.DataFrame({"id": df[id_col], "__g": ["\x00".join(g) for g in out]})
 
     docs = ds.map_batches(gram_sets, batch_format="pandas").materialize()
+
+    def verify_arrays(id_a, id_b, ga_list, gb_list) -> pd.DataFrame:
+        inter = np.empty(len(id_a), dtype=np.int64)
+        uni = np.empty(len(id_a), dtype=np.int64)
+        for i, (ga, gb) in enumerate(zip(ga_list, gb_list)):
+            a = set(ga.split("\x00")) if ga else set()
+            b = set(gb.split("\x00")) if gb else set()
+            ni = len(a & b)
+            inter[i] = ni
+            uni[i] = len(a) + len(b) - ni
+        jac = np.where(uni > 0, inter / np.maximum(uni, 1), 1.0)
+        return pd.DataFrame(
+            {"id_a": id_a, "id_b": id_b, "inter": inter, "uni": uni,
+             "jaccard": jac}
+        )
+
+    # hybrid (repo pattern): a gram-set table under the cap ships once
+    # as a BroadcastIndex and verification is ONE fused map over the
+    # candidate pairs — the two bucketed joins it replaces are pure
+    # barrier cost at small candidate counts (measured 9.2 s for 40
+    # pairs); above the cap the join path is unbounded-scale.
+    if docs.count() <= broadcast_cap:
+        import ray
+
+        idx_ref = ray.put(BroadcastIndex.from_dataset(
+            docs, "id", ["__g"], cap=broadcast_cap
+        ))
+
+        def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            idx = ray.get(idx_ref) if isinstance(idx_ref, ray.ObjectRef) else idx_ref
+            ga = idx.lookup(df["id_a"].to_numpy(), "__g")
+            gb = idx.lookup(df["id_b"].to_numpy(), "__g")
+            return verify_arrays(
+                df["id_a"].to_numpy(), df["id_b"].to_numpy(), ga, gb
+            )
+
+        return cand.map_batches(verify_bcast, batch_format="pandas")
+
     j1 = hash_join(
         cand.map_batches(
             lambda df: df.rename(columns={"id_a": "id"}), batch_format="pandas"
@@ -301,23 +340,9 @@ def ngram_jaccard_pairs(
     j2 = hash_join(j1, docs, "id", num_buckets=num_buckets)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        inter = np.empty(len(df), dtype=np.int64)
-        uni = np.empty(len(df), dtype=np.int64)
-        for i, (ga, gb) in enumerate(zip(df["__ga"], df["__g"])):
-            a = set(ga.split("\x00")) if ga else set()
-            b = set(gb.split("\x00")) if gb else set()
-            ni = len(a & b)
-            inter[i] = ni
-            uni[i] = len(a) + len(b) - ni
-        jac = np.where(uni > 0, inter / np.maximum(uni, 1), 1.0)
-        return pd.DataFrame(
-            {
-                "id_a": df["id_a"].to_numpy(),
-                "id_b": df["id"].to_numpy(),
-                "inter": inter,
-                "uni": uni,
-                "jaccard": jac,
-            }
+        return verify_arrays(
+            df["id_a"].to_numpy(), df["id"].to_numpy(),
+            list(df["__ga"]), list(df["__g"]),
         )
 
     return j2.map_batches(verify, batch_format="pandas")

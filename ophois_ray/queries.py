@@ -732,7 +732,11 @@ def q_ngram_jaccard(sf_dir: str):
     docs = _t(sf_dir, "documents")
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
-        dup = df[df["doc_id"] < 40].copy()
+        # the candidate list only references ids < 40 and their planted
+        # copies — prune before shingling (gram sets for the other 99%
+        # of the corpus would be computed and thrown away)
+        df = df[df["doc_id"] < 40]
+        dup = df.copy()
         dup["text"] = ["Q" * 10 + (t[10:] if isinstance(t, str) else "") for t in dup["text"]]
         dup["doc_id"] = dup["doc_id"] + 1_000_000
         return pd.concat([df, dup], ignore_index=True)

@@ -562,3 +562,20 @@ def test_token_count_bpe_matches_duckdb(docs):
     ws = textstats.token_count(docs).select_columns(["doc_id", "n_tokens"]).to_pandas()
     ws = ws.sort_values("doc_id").reset_index(drop=True)
     assert (got["n_tokens_bpe"].to_numpy() >= ws["n_tokens"].to_numpy()).all()
+
+
+def test_ngram_jaccard_join_path_matches_broadcast(docs):
+    full = docs.to_pandas().head(30)
+    ds = ray.data.from_pandas(full)
+    cand = ray.data.from_pandas(pd.DataFrame(
+        {"id_a": full["doc_id"].to_numpy()[:10],
+         "id_b": full["doc_id"].to_numpy()[10:20]}
+    ))
+    a = dedup.ngram_jaccard_pairs(ds, cand, k=5, prefix=200).to_pandas()
+    b = dedup.ngram_jaccard_pairs(ds, cand, k=5, prefix=200,
+                                  broadcast_cap=0).to_pandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )

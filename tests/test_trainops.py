@@ -579,3 +579,21 @@ def test_ngram_jaccard_join_path_matches_broadcast(docs):
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_pairs_within_runs_band():
+    from ophois_ray.graphops import pairs_within_runs
+
+    # one run, band values [1, 2, 5, 6]: band=1 pairs only adjacents
+    g = np.zeros(4, dtype=np.int64)
+    v = np.arange(4, dtype=np.int64)
+    bv = np.array([1, 2, 5, 6], dtype=np.int64)
+    p = pairs_within_runs(g, v, band_vals=bv, band=1)
+    assert sorted(zip(p["u"], p["v"])) == [(0, 1), (2, 3)]
+    # without band: all 6 pairs
+    p2 = pairs_within_runs(g, v)
+    assert len(p2["u"]) == 6
+    # band across two runs never pairs cross-run rows
+    g2 = np.array([0, 0, 1, 1], dtype=np.int64)
+    p3 = pairs_within_runs(g2, v, band_vals=np.array([0, 0, 0, 0]), band=5)
+    assert sorted(zip(p3["u"], p3["v"])) == [(0, 1), (2, 3)]

@@ -318,10 +318,15 @@ def ngram_jaccard_pairs(
 
         def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
             idx = ray.get(idx_ref) if isinstance(idx_ref, ray.ObjectRef) else idx_ref
-            ga = idx.lookup(df["id_a"].to_numpy(), "__g")
-            gb = idx.lookup(df["id_b"].to_numpy(), "__g")
+            # drop pairs referencing ids absent from ds — the join path
+            # drops them silently, so the broadcast path must too (a
+            # KeyError here would make behavior size-dependent)
+            ga, fa = idx.lookup_with_mask(df["id_a"].to_numpy(), "__g")
+            gb, fb = idx.lookup_with_mask(df["id_b"].to_numpy(), "__g")
+            ok = fa & fb
             return verify_arrays(
-                df["id_a"].to_numpy(), df["id_b"].to_numpy(), ga, gb
+                df["id_a"].to_numpy()[ok], df["id_b"].to_numpy()[ok],
+                ga[ok], gb[ok],
             )
 
         return cand.map_batches(verify_bcast, batch_format="pandas")

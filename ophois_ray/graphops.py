@@ -346,9 +346,13 @@ def pairs_within_runs(group: np.ndarray, val: np.ndarray,
 
 
 def _pack_edge(u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """(u, v) with both < 2^31 -> one int64 key (u << 31 | v)."""
-    if len(u) and (int(u.max()) >= 1 << 31 or int(v.max()) >= 1 << 31):
-        raise ValueError("edge endpoints must be < 2^31 to pack")
+    """(u, v) with both in [0, 2^31) -> one int64 key (u << 31 | v).
+    Negative ids would sign-extend and silently collide — reject."""
+    if len(u) and (
+        int(u.max()) >= 1 << 31 or int(v.max()) >= 1 << 31
+        or int(u.min()) < 0 or int(v.min()) < 0
+    ):
+        raise ValueError("edge endpoints must be in [0, 2^31) to pack")
     return (u.astype(np.int64) << np.int64(31)) | v.astype(np.int64)
 
 

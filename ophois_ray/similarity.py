@@ -394,6 +394,14 @@ def ivf_topk(ds, queries: np.ndarray, centroids: np.ndarray, *, k: int = 10,
             )
             if not valid.any():
                 return empty
+            # subset the batch to vectors in SOME probed list BEFORE the
+            # query matmul — this is where the ~nprobe/n_centroids work
+            # reduction actually happens (masking after a full matmul
+            # would do strictly more work than brute force)
+            keep = valid.any(axis=0)
+            vecs = vecs[keep]
+            ids = ids[keep]
+            valid = valid[:, keep]
             sims = np.where(valid, self.q @ vecs.T, -np.inf)
             out_q, out_v, out_c = [], [], []
             for qi in range(sims.shape[0]):

@@ -32,6 +32,21 @@ from .sampling import P61, _A, _B, split_hash
 _HASH_BITS = 61
 
 
+def _finalize(parts, combine, num_final_blocks: int):
+    """Fold per-batch sketch partials: an optional intermediate
+    width-``num_final_blocks`` combine (for very wide inputs), then the
+    exact global merge in one task. With the default width of 1 the
+    intermediate stage is skipped — it would be a no-op repartition
+    plus a re-aggregation of already-merged rows."""
+    if num_final_blocks > 1:
+        parts = parts.repartition(num_final_blocks).map_batches(
+            combine, batch_size=None, batch_format="pandas"
+        )
+    return parts.repartition(1).map_batches(
+        combine, batch_size=None, batch_format="pandas"
+    )
+
+
 def _rho(w: np.ndarray, field_bits: int) -> np.ndarray:
     """1 + leading zeros of ``w`` viewed as a ``field_bits``-wide field.
 
@@ -79,9 +94,7 @@ def hll_registers(ds, col: str, *, group_cols=(), b: int = 8,
 
     # partials are <= n_blocks * |groups| * m tiny integer rows; fold
     # them in one task (the semigroup merge is an elementwise max)
-    return parts.repartition(num_final_blocks).map_batches(
-        combine, batch_size=None, batch_format="pandas"
-    ).repartition(1).map_batches(combine, batch_size=None, batch_format="pandas")
+    return _finalize(parts, combine, num_final_blocks)
 
 
 def hll_estimate(registers: pd.DataFrame, *, b: int = 8) -> float:
@@ -221,9 +234,7 @@ def cms_sketch(ds, col: str, *, w: int = 512, d: int = 4,
         return g
 
     parts = ds.map_batches(partial, batch_format="pandas")
-    return parts.repartition(num_final_blocks).map_batches(
-        combine, batch_size=None, batch_format="pandas"
-    ).repartition(1).map_batches(combine, batch_size=None, batch_format="pandas")
+    return _finalize(parts, combine, num_final_blocks)
 
 
 def cms_estimate(sketch: pd.DataFrame, values, *, w: int = 512,
@@ -308,9 +319,7 @@ def bloom_bits(ds, col: str, *, m: int = 8192, k: int = 3,
         return pd.DataFrame({"bit": np.unique(df["bit"].to_numpy(np.int64))})
 
     parts = ds.map_batches(partial, batch_format="pandas")
-    return parts.repartition(num_final_blocks).map_batches(
-        combine, batch_size=None, batch_format="pandas"
-    ).repartition(1).map_batches(combine, batch_size=None, batch_format="pandas")
+    return _finalize(parts, combine, num_final_blocks)
 
 
 def bloom_contains(bits: pd.DataFrame, values, *, m: int = 8192,

@@ -3,6 +3,14 @@
 language ID, document fingerprinting. All map_batches, all deterministic;
 the SQL-expressible ones (token/char counts) are mirrored 1:1 by
 oracle_sql entries.
+
+Whitespace semantics note: the ``str.split()``-based tokenizers (token
+count, vocab, tf-idf, collocations, cms/bloom token feeds) split on
+Unicode whitespace while their DuckDB mirrors' RE2 ``\\s`` is
+ASCII-only — identical on ASCII corpora (all driver testdata), and
+documented divergence on exotic whitespace (U+00A0/U+0085).
+``BPE_SPLIT_PATTERN`` avoids the issue entirely with explicit ASCII
+classes.
 """
 
 from __future__ import annotations
@@ -365,7 +373,10 @@ def collocations(ds, *, text_col: str = "text", k: int = 30,
         # valid bigram positions: next token is in the same document
         last_idx = np.cumsum(lens) - 1
         mask = np.ones(max(len(flat) - 1, 0), dtype=bool)
-        mask[last_idx[last_idx < len(flat) - 1]] = False
+        # empty docs give last_idx -1, which would wrap to mask[-1] and
+        # silently drop the batch's final bigram — keep in-range only
+        li = last_idx[(last_idx >= 0) & (last_idx < len(flat) - 1)]
+        mask[li] = False
         g = pd.DataFrame({"w1": flat[:-1][mask], "w2": flat[1:][mask]})
         vc = g.value_counts(["w1", "w2"]).reset_index(name="n")
         vc["n"] = vc["n"].astype(np.int64)
@@ -448,7 +459,12 @@ def collocations(ds, *, text_col: str = "text", k: int = 30,
 #: identical semantics in Python re and RE2 (no \p classes, no
 #: lookarounds — both engines match alternations leftmost-first):
 #: contractions, space-prefixed letter/digit/punctuation runs, blanks.
-BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+#: Whitespace is an EXPLICIT ASCII class: Python's \s is Unicode-aware
+#: while RE2's is ASCII-only, so a bare \s would diverge on U+00A0 etc.
+BPE_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\r\f\v]+|[ \t\n\r\f\v]+"
+)
 
 _BPE_RE = re.compile(BPE_SPLIT_PATTERN)
 

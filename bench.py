@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "doc_collocations",
     "part_pagerank",
     "doc_token_count_bpe",
+    "corpus_curation",
 ]
 
 

@@ -2123,6 +2123,74 @@ def _sql_doc_token_count_bpe() -> str:
     )
 
 
+def q_corpus_curation(sf_dir: str):
+    """End-to-end corpus curation as one oracle-checked pipeline —
+    the composition a training-data user actually runs: token-count
+    filter (>= 50 whitespace tokens, fused with the read) -> exact
+    dedup keeping the min doc_id per distinct TEXT (string-keyed
+    grouped_apply: no hash-collision term, bit-equal to SQL GROUP BY
+    text) -> per-language survivor count + char sum. Text-keyed
+    grouping ships the text payload through the shuffle — chosen here
+    for oracle exactness; at corpus scale use dedup.exact_dedup's
+    content-hash keys instead (negligible collision term, no payload
+    shuffle)."""
+    from .joins import grouped_apply
+
+    docs = _t(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "lang", "n_chars"]
+    )
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df["text"].str.split().map(len).to_numpy(np.int64)
+        return df[nt >= 50]
+
+    kept = docs.map_batches(flt, batch_format="pandas")
+
+    def keeper(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values("doc_id", kind="stable").groupby(
+            "text", as_index=False
+        ).first()
+        return g[["doc_id", "lang", "n_chars"]]
+
+    winners = grouped_apply(kept, "text", keeper)
+
+    def agg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "size"), n_chars=("n_chars", "sum")
+        )
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_chars"] = g["n_chars"].astype(np.int64)
+        return g
+
+    def agg_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_chars=("n_chars", "sum")
+        )
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_chars"] = g["n_chars"].astype(np.int64)
+        return g
+
+    return grouped_apply(
+        winners.map_batches(agg_partial, batch_format="pandas"),
+        "lang", agg_final,
+    )
+
+
+SQL_CORPUS_CURATION = r"""
+WITH f AS (
+  SELECT doc_id, text, lang, n_chars
+  FROM documents
+  WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) >= 50
+), k AS (
+  SELECT min(doc_id) AS doc_id FROM f GROUP BY text
+)
+SELECT f.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f.n_chars) AS BIGINT) AS n_chars
+FROM f JOIN k ON f.doc_id = k.doc_id
+GROUP BY f.lang
+"""
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -2180,6 +2248,7 @@ def catalog():
         "part_pagerank": q_part_pagerank,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "doc_token_count_bpe": q_doc_token_count_bpe,
+        "corpus_curation": q_corpus_curation,
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
@@ -2236,6 +2305,7 @@ def sql_catalog():
         "part_pagerank": _sql_part_pagerank(),
         "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
         "doc_token_count_bpe": _sql_doc_token_count_bpe(),
+        "corpus_curation": SQL_CORPUS_CURATION,
     }
 
 

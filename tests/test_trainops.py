@@ -597,3 +597,68 @@ def test_pairs_within_runs_band():
     g2 = np.array([0, 0, 1, 1], dtype=np.int64)
     p3 = pairs_within_runs(g2, v, band_vals=np.array([0, 0, 0, 0]), band=5)
     assert sorted(zip(p3["u"], p3["v"])) == [(0, 1), (2, 3)]
+
+
+# ------------------------------------------------- randomized properties
+
+
+def test_levenshtein_batch_random_vs_scalar_dp():
+    rng = np.random.default_rng(11)
+
+    def ref(a, b):
+        a, b = a.encode(), b.encode()
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[len(b)]
+
+    alpha = list("abÇ €")
+    pairs = []
+    for _ in range(60):
+        la, lb = rng.integers(0, 12, 2)
+        pairs.append(("".join(rng.choice(alpha, la)),
+                      "".join(rng.choice(alpha, lb))))
+    got = dedup.levenshtein_batch([a for a, _ in pairs], [b for _, b in pairs])
+    exp = [ref(a, b) for a, b in pairs]
+    assert got.tolist() == exp
+
+
+def test_hash_strings_random_vs_scalar():
+    from ophois_ray import sketches
+
+    rng = np.random.default_rng(13)
+    alpha = list("xyZ9 Ω")
+    toks = ["".join(rng.choice(alpha, rng.integers(0, 20))) for _ in range(80)]
+    for base in sketches.CMS_BASES:
+        got = sketches.hash_strings(toks, base)
+        for t, hv in zip(toks, got):
+            acc = 0
+            for ch in t:
+                acc = (acc * base + ord(ch) + 1) % ((1 << 61) - 1)
+            assert int(hv) == acc
+
+
+def test_pairs_within_runs_random_vs_bruteforce():
+    from ophois_ray.graphops import pairs_within_runs
+
+    rng = np.random.default_rng(17)
+    for _ in range(20):
+        n = int(rng.integers(0, 40))
+        g = np.sort(rng.integers(0, 5, n))
+        v = np.arange(n, dtype=np.int64)
+        bv = np.sort(rng.integers(0, 10, n))
+        order = np.lexsort((bv, g))
+        g, bv = g[order].astype(np.int64), bv[order].astype(np.int64)
+        band = int(rng.integers(0, 4))
+        p = pairs_within_runs(g, v, band_vals=bv, band=band)
+        got = sorted(zip(p["u"].tolist(), p["v"].tolist()))
+        exp = sorted(
+            (int(v[i]), int(v[j]))
+            for i in range(n) for j in range(i + 1, n)
+            if g[i] == g[j] and bv[j] - bv[i] <= band
+        )
+        assert got == exp

@@ -2191,6 +2191,47 @@ GROUP BY f.lang
 """
 
 
+def q_median_chars_by_lang(sf_dir: str):
+    """Per-group exact order statistic: the lower median of n_chars per
+    language (value at 0-based position (n-1)//2 of the sorted group —
+    integer, so bit-exact vs the SQL row_number mirror; the selected
+    VALUE is tie-order-independent). Shape: one lang-keyed
+    co-partition, vectorized in-group selection; the exact path ships
+    group values — at corpus scale swap in a quantile sketch."""
+    from .joins import grouped_apply
+
+    docs = _t(sf_dir, "documents").select_columns(["lang", "n_chars"])
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, grp in df.groupby("lang"):
+            v = np.sort(grp["n_chars"].to_numpy(np.int64))
+            rows.append(
+                {"lang": lang, "n": np.int64(len(v)),
+                 "median_chars": v[(len(v) - 1) // 2]}
+            )
+        out = pd.DataFrame(rows, columns=["lang", "n", "median_chars"])
+        out["n"] = out["n"].astype(np.int64)
+        out["median_chars"] = out["median_chars"].astype(np.int64)
+        return out
+
+    return grouped_apply(docs, "lang", med)
+
+
+SQL_MEDIAN_CHARS_BY_LANG = """
+WITH o AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+)
+SELECT lang, CAST(max(cnt) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rn = (cnt - 1) // 2 THEN n_chars END) AS BIGINT)
+         AS median_chars
+FROM o GROUP BY lang
+"""
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -2249,6 +2290,7 @@ def catalog():
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "doc_token_count_bpe": q_doc_token_count_bpe,
         "corpus_curation": q_corpus_curation,
+        "median_chars_by_lang": q_median_chars_by_lang,
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
@@ -2306,6 +2348,7 @@ def sql_catalog():
         "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
         "doc_token_count_bpe": _sql_doc_token_count_bpe(),
         "corpus_curation": SQL_CORPUS_CURATION,
+        "median_chars_by_lang": SQL_MEDIAN_CHARS_BY_LANG,
     }
 
 

@@ -86,8 +86,15 @@ class BroadcastIndex:
     def lookup_with_mask(self, query_keys, col: str):
         """(values, found_mask); missing keys get the first value (masked out)."""
         q = np.asarray(query_keys)
-        idx = np.minimum(np.searchsorted(self.keys, q), max(len(self.keys) - 1, 0))
-        found = self.keys[idx] == q if len(self.keys) else np.zeros(len(q), dtype=bool)
+        if len(self.keys) == 0:
+            # empty index: nothing found; placeholder values of the
+            # column's dtype (indexing the empty column would raise)
+            return (
+                np.empty(len(q), dtype=self.columns[col].dtype),
+                np.zeros(len(q), dtype=bool),
+            )
+        idx = np.minimum(np.searchsorted(self.keys, q), len(self.keys) - 1)
+        found = self.keys[idx] == q
         return self.columns[col][idx], found
 
 

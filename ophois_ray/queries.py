@@ -2141,15 +2141,19 @@ def q_corpus_curation(sf_dir: str):
     )
 
     def flt(df: pd.DataFrame) -> pd.DataFrame:
-        nt = df["text"].str.split().map(len).to_numpy(np.int64)
+        # count maximal non-ASCII-whitespace runs (str.count of the run
+        # pattern): matches RE2's ASCII \s exactly (Python str.split()
+        # would diverge on U+00A0 etc.), and NaN text counts NaN ->
+        # comparison False -> dropped, like SQL's NULL filter
+        nt = df["text"].str.count(r"[^ \t\n\r\f\v]+").to_numpy(np.float64)
         return df[nt >= 50]
 
     kept = docs.map_batches(flt, batch_format="pandas")
 
     def keeper(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.sort_values("doc_id", kind="stable").groupby(
-            "text", as_index=False
-        ).first()
+        # keep the WHOLE min-doc_id row per text (groupby().first()
+        # would stitch first-non-null values from different dup rows)
+        g = df.sort_values("doc_id", kind="stable").drop_duplicates("text")
         return g[["doc_id", "lang", "n_chars"]]
 
     winners = grouped_apply(kept, "text", keeper)
@@ -2170,9 +2174,13 @@ def q_corpus_curation(sf_dir: str):
         g["n_chars"] = g["n_chars"].astype(np.int64)
         return g
 
-    return grouped_apply(
-        winners.map_batches(agg_partial, batch_format="pandas"),
-        "lang", agg_final,
+    # the lang rollup is a tiny semigroup — per-batch partials + one
+    # exact final merge task, no key-partitioned shuffle (CLAUDE.md
+    # rule: grouped_apply barriers cost seconds on tiny partials)
+    return (
+        winners.map_batches(agg_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(agg_final, batch_size=None, batch_format="pandas")
     )
 
 

@@ -662,3 +662,11 @@ def test_pairs_within_runs_random_vs_bruteforce():
             if g[i] == g[j] and bv[j] - bv[i] <= band
         )
         assert got == exp
+
+
+def test_ngram_jaccard_empty_corpus_drops_candidates():
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series(dtype=np.int64), "text": pd.Series(dtype=object)}
+    ))
+    cand = ray.data.from_pandas(pd.DataFrame({"id_a": [1], "id_b": [2]}))
+    assert len(dedup.ngram_jaccard_pairs(docs, cand, k=3).to_pandas()) == 0

@@ -356,23 +356,14 @@ def _pack_edge(u: np.ndarray, v: np.ndarray) -> np.ndarray:
     return (u.astype(np.int64) << np.int64(31)) | v.astype(np.int64)
 
 
-def triangle_count(edges, *, num_buckets: int = 64,
-                   broadcast_cap: int = DEFAULT_BROADCAST_CAP) -> int:
-    """Distributed triangle count over a canonical distinct edge table
-    (int64 columns ``u < v``), by degree-ordered wedge checking — the
-    standard scalable algorithm (node-iterator with degree orientation):
-    orient every edge from its lower-(degree, id) endpoint to the
-    higher, emit the out-neighbour pairs of each pivot ("wedges"), and
-    count the wedges that are themselves edges. Orientation bounds every
-    out-degree by O(sqrt(m)), so wedge volume is O(m^1.5) even on
-    power-law graphs where naive per-node pairing is quadratic at hubs.
-
-    Hybrid exchange plan (the repo pattern): when the degree table /
-    edge set fit under ``broadcast_cap`` they ship once as sorted numpy
-    arrays (searchsorted lookups, zero shuffle — degree attach and
-    wedge closure become pure fused maps and only the wedge grouping
-    shuffles); above the cap both fall back to bucketed ``hash_join``.
-    A ``broadcast_cap=0`` test pins the join path to the same answer.
+def _oriented_wedges(edges, *, num_buckets: int, broadcast_cap: int):
+    """Shared wedge engine for :func:`triangle_count` /
+    :func:`triangles_per_node`: materialize the canonical edge table
+    (int64 ``u < v``), degree-orient every edge from its lower-(degree,
+    id) endpoint, and emit each pivot's out-neighbour pairs as
+    pivot-tagged wedges ``(p, u, v)`` with ``u < v``. Returns
+    ``(edges, wedges, use_broadcast)``; ``edges`` is the materialized
+    input, safe for further consumers.
     """
     import ray
 
@@ -468,32 +459,68 @@ def triangle_count(edges, *, num_buckets: int = 64,
         # run, without a per-pivot Python loop: sort by (src, dst),
         # then for each offset d pair row k with row k+d where the
         # pivot is unchanged — max offset is the max out-degree, which
-        # orientation caps at O(sqrt(m))
+        # orientation caps at O(sqrt(m)). Emits (p, u, v): the pivot
+        # rides along so per-node attribution can credit all corners.
         order = np.lexsort(
             (df["dst"].to_numpy(np.int64), df["src"].to_numpy(np.int64))
         )
         src = df["src"].to_numpy(np.int64)[order]
         dst = df["dst"].to_numpy(np.int64)[order]
-        return pd.DataFrame(pairs_within_runs(src, dst))
+        rows = np.arange(len(src), dtype=np.int64)
+        pr = pairs_within_runs(src, rows)
+        return pd.DataFrame(
+            {"p": src[pr["u"]], "u": dst[pr["u"]], "v": dst[pr["v"]]}
+        )
 
     wedges = grouped_apply(oriented, "src", wedges_fn, num_buckets=num_buckets)
+    return edges, wedges, use_broadcast
+
+
+def _sorted_edge_keys(edges) -> np.ndarray:
+    """Packed (u << 31 | v) keys of a materialized edge table as one
+    sorted int64 array — the broadcast closure index for wedge checks."""
+    def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"ek": _pack_edge(df["u"].to_numpy(np.int64),
+                              df["v"].to_numpy(np.int64))}
+        )
+
+    return np.sort(
+        np.concatenate(
+            [b["ek"].to_numpy(np.int64) for b in edges.map_batches(
+                edge_keys, batch_format="pandas"
+            ).iter_batches(batch_format="pandas", batch_size=1 << 20)]
+            or [np.array([], dtype=np.int64)]
+        )
+    )
+
+
+def triangle_count(edges, *, num_buckets: int = 64,
+                   broadcast_cap: int = DEFAULT_BROADCAST_CAP) -> int:
+    """Distributed triangle count over a canonical distinct edge table
+    (int64 columns ``u < v``), by degree-ordered wedge checking — the
+    standard scalable algorithm (node-iterator with degree orientation):
+    orient every edge from its lower-(degree, id) endpoint to the
+    higher, emit the out-neighbour pairs of each pivot ("wedges"), and
+    count the wedges that are themselves edges. Orientation bounds every
+    out-degree by O(sqrt(m)), so wedge volume is O(m^1.5) even on
+    power-law graphs where naive per-node pairing is quadratic at hubs.
+
+    Hybrid exchange plan (the repo pattern): when the degree table /
+    edge set fit under ``broadcast_cap`` they ship once as sorted numpy
+    arrays (searchsorted lookups, zero shuffle — degree attach and
+    wedge closure become pure fused maps and only the wedge grouping
+    shuffles); above the cap both fall back to bucketed ``hash_join``.
+    A ``broadcast_cap=0`` test pins the join path to the same answer.
+    """
+    import ray
+
+    edges, wedges, use_broadcast = _oriented_wedges(
+        edges, num_buckets=num_buckets, broadcast_cap=broadcast_cap
+    )
 
     if use_broadcast:
-        def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"ek": _pack_edge(df["u"].to_numpy(np.int64),
-                                  df["v"].to_numpy(np.int64))}
-            )
-
-        ek = np.sort(
-            np.concatenate(
-                [b["ek"].to_numpy(np.int64) for b in edges.map_batches(
-                    edge_keys, batch_format="pandas"
-                ).iter_batches(batch_format="pandas", batch_size=1 << 20)]
-                or [np.array([], dtype=np.int64)]
-            )
-        )
-        eref = ray.put(ek)
+        eref = ray.put(_sorted_edge_keys(edges))
 
         def count_closed(df: pd.DataFrame) -> pd.DataFrame:
             keys = ray.get(eref) if isinstance(eref, ray.ObjectRef) else eref
@@ -517,6 +544,91 @@ def triangle_count(edges, *, num_buckets: int = 64,
         on=["u", "v"], num_buckets=num_buckets,
     )
     return closed.count()
+
+
+def triangles_per_node(edges, *, num_buckets: int = 64,
+                       broadcast_cap: int = DEFAULT_BROADCAST_CAP):
+    """Per-node triangle participation over a canonical distinct edge
+    table (int64 ``u < v``): ``tri(n)`` = number of triangles containing
+    node ``n`` — the numerator of the local clustering coefficient.
+    Every triangle surfaces as exactly ONE closed wedge in the
+    degree-oriented plan (see :func:`triangle_count`), and the wedge is
+    pivot-tagged ``(p, u, v)``, so per-node credit is a corner explode
+    of the closed wedge set: each of ``p``, ``u``, ``v`` gets +1.
+    Returns a ``ray.data.Dataset`` with columns ``(node, tri)`` over the
+    nodes appearing in at least one triangle.
+
+    Scale shape: the broadcast path checks closure against the sorted
+    packed edge-key array inside the fused map and pre-aggregates
+    (node, tri) partials per batch, so the driver merge is bounded by
+    n_nodes <= 2 x ``broadcast_cap``; above the cap everything stays
+    distributed (bucketed ``hash_join`` closure + ``grouped_apply``).
+    """
+    import ray
+
+    edges, wedges, use_broadcast = _oriented_wedges(
+        edges, num_buckets=num_buckets, broadcast_cap=broadcast_cap
+    )
+
+    _EMPTY = {"node": pd.Series(dtype=np.int64),
+              "tri": pd.Series(dtype=np.int64)}
+
+    def corner_counts(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([
+            df["p"].to_numpy(np.int64),
+            df["u"].to_numpy(np.int64),
+            df["v"].to_numpy(np.int64),
+        ])
+        g = (pd.DataFrame({"node": nodes})
+             .groupby("node", as_index=False).size()
+             .rename(columns={"size": "tri"}))
+        g["tri"] = g["tri"].astype(np.int64)
+        return g
+
+    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["tri"].sum()
+        g["tri"] = g["tri"].astype(np.int64)
+        return g
+
+    if use_broadcast:
+        eref = ray.put(_sorted_edge_keys(edges))
+
+        def closed_corners(df: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(eref) if isinstance(eref, ray.ObjectRef) else eref
+            q = _pack_edge(df["u"].to_numpy(np.int64),
+                           df["v"].to_numpy(np.int64))
+            if len(keys) == 0 or len(q) == 0:
+                return pd.DataFrame(_EMPTY)
+            idx = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+            mask = keys[idx] == q
+            if not mask.any():
+                return pd.DataFrame(_EMPTY)
+            return corner_counts(df[mask])
+
+        pieces = [
+            b for b in wedges.map_batches(closed_corners, batch_format="pandas")
+            .iter_batches(batch_format="pandas", batch_size=None)
+        ]
+        merged = merge_counts(pd.concat(pieces, ignore_index=True)) if pieces \
+            else pd.DataFrame(_EMPTY)
+        # explicit Arrow schema: a 0-row from_pandas dataset drops its
+        # columns, breaking downstream schema-stable consumers
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            merged.sort_values("node", ignore_index=True),
+            schema=pa.schema([("node", pa.int64()), ("tri", pa.int64())]),
+            preserve_index=False,
+        ))
+
+    closed = hash_join(
+        wedges, edges.map_batches(
+            lambda df: df.assign(__e=np.int64(1)), batch_format="pandas"
+        ),
+        on=["u", "v"], num_buckets=num_buckets,
+    )
+    corners = closed.map_batches(corner_counts, batch_format="pandas")
+    return grouped_apply(corners, "node", merge_counts, num_buckets=num_buckets)
 
 
 def pagerank_int(edges, *, iters: int = 3, scale: int = 1 << 40,

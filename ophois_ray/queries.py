@@ -1762,13 +1762,10 @@ FROM ranked WHERE rank < 3
 """
 
 
-def q_copurchase_triangles(sf_dir: str):
-    """Triangle count of the co-purchase graph (parts linked when some
-    order contains both): order->pairs via one grouped_apply, canonical
-    edge dedup, then graphops.triangle_count (degree-oriented wedge
-    join — the O(m^1.5) distributed algorithm). Single int64 row,
-    mirrored by a DuckDB three-way self-join."""
-    from .graphops import triangle_count
+def _copurchase_edges(sf_dir: str):
+    """Canonical distinct co-purchase edges (parts linked when some
+    order contains both): order->pairs via one grouped_apply, then
+    canonical (u < v) edge dedup. Shared by the triangle queries."""
     from .joins import grouped_apply
 
     li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
@@ -1791,8 +1788,17 @@ def q_copurchase_triangles(sf_dir: str):
     def dedup_fn(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["u", "v"])
 
-    edges = grouped_apply(pairs, ["u", "v"], dedup_fn, drop_partial=dedup_fn)
-    n = triangle_count(edges)
+    return grouped_apply(pairs, ["u", "v"], dedup_fn, drop_partial=dedup_fn)
+
+
+def q_copurchase_triangles(sf_dir: str):
+    """Triangle count of the co-purchase graph, via
+    graphops.triangle_count (degree-oriented wedge join — the O(m^1.5)
+    distributed algorithm). Single int64 row, mirrored by a DuckDB
+    three-way self-join."""
+    from .graphops import triangle_count
+
+    n = triangle_count(_copurchase_edges(sf_dir))
     return pd.DataFrame({"n_triangles": np.array([n], dtype=np.int64)})
 
 
@@ -1807,6 +1813,52 @@ SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM e e1
 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
+def q_node_triangles(sf_dir: str):
+    """Top-20 nodes of the co-purchase graph by triangle participation
+    (the local-clustering-coefficient numerator), via
+    graphops.triangles_per_node — per-corner credit of the closed
+    degree-oriented wedges. Pure integer (node, tri) output with the
+    deterministic total order (tri DESC, node ASC); mirrored by a
+    DuckDB three-way self-join corner explode."""
+    from .graphops import triangles_per_node
+
+    tri = triangles_per_node(_copurchase_edges(sf_dir))
+    empty = pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                          "tri": pd.Series(dtype=np.int64)})
+    # per-batch partial top-20 (nodes are unique across blocks —
+    # grouped_apply buckets by node hash), tiny driver merge
+    parts = [
+        b.sort_values(["tri", "node"], ascending=[False, True]).head(20)
+        for b in tri.iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    out = pd.concat(parts, ignore_index=True) if parts else empty
+    return (out.sort_values(["tri", "node"], ascending=[False, True],
+                            ignore_index=True).head(20))
+
+
+SQL_NODE_TRIANGLES = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), corner AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b AS node FROM tri
+  UNION ALL SELECT c AS node FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS tri
+FROM corner GROUP BY node
+ORDER BY tri DESC, node ASC
+LIMIT 20
 """
 
 
@@ -2290,6 +2342,7 @@ def catalog():
         "hll_users": q_hll_users,
         "doc_tfidf": q_doc_tfidf,
         "copurchase_triangles": q_copurchase_triangles,
+        "node_triangles": q_node_triangles,
         "doc_collocations": q_doc_collocations,
         "part_components": q_part_components,
         "cms_tokens": q_cms_tokens,
@@ -2348,6 +2401,7 @@ def sql_catalog():
         "hll_users": _sql_hll_users(),
         "doc_tfidf": SQL_DOC_TFIDF,
         "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
+        "node_triangles": SQL_NODE_TRIANGLES,
         "doc_collocations": SQL_DOC_COLLOCATIONS,
         "part_components": SQL_PART_COMPONENTS,
         "cms_tokens": _sql_cms_tokens(),

@@ -349,6 +349,50 @@ def test_triangle_count_join_path_matches_broadcast():
     assert via_bcast == via_join > 0
 
 
+def _tri_table(res) -> pd.DataFrame:
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if df.empty:  # Ray to_pandas drops columns on 0-row datasets
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "tri": pd.Series(dtype=np.int64)})
+    return df.sort_values("node", ignore_index=True)
+
+
+def test_triangles_per_node_known_graphs():
+    from ophois_ray.graphops import triangles_per_node
+
+    k4 = _edges_ds([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    out = _tri_table(triangles_per_node(k4))
+    # K4: every node sits in C(3,2) = 3 of the 4 triangles
+    assert out["node"].tolist() == [1, 2, 3, 4]
+    assert out["tri"].tolist() == [3, 3, 3, 3]
+
+    bowtieish = _edges_ds([(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    out = _tri_table(triangles_per_node(bowtieish))
+    # triangles {1,2,3} and {2,3,4}: shared edge endpoints get 2
+    assert out["node"].tolist() == [1, 2, 3, 4]
+    assert out["tri"].tolist() == [1, 2, 2, 1]
+
+    path = _edges_ds([(1, 2), (2, 3), (3, 4)])
+    assert len(_tri_table(triangles_per_node(path))) == 0
+
+
+def test_triangles_per_node_join_matches_broadcast():
+    from ophois_ray.graphops import triangle_count, triangles_per_node
+
+    rng = np.random.default_rng(11)
+    n = 40
+    pairs = sorted(
+        {tuple(sorted(p)) for p in rng.integers(0, n, size=(300, 2)) if p[0] != p[1]}
+    )
+    via_bcast = _tri_table(triangles_per_node(_edges_ds(pairs)))
+    via_join = _tri_table(triangles_per_node(_edges_ds(pairs), broadcast_cap=0))
+    pd.testing.assert_frame_equal(
+        via_bcast.astype(np.int64), via_join.astype(np.int64)
+    )
+    # every triangle credits exactly 3 corners
+    assert int(via_bcast["tri"].sum()) == 3 * triangle_count(_edges_ds(pairs))
+
+
 # --------------------------------------------------------- collocations
 
 

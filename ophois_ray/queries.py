@@ -26,7 +26,7 @@ import pandas as pd
 
 import ray.data
 
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from . import cells, geo, graphops
 from .joins import BroadcastIndex
@@ -595,6 +595,112 @@ SELECT doc_id,
        CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
        CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT) AS n_sentenceish
 FROM documents
+"""
+
+
+def q_doc_repetition(sf_dir: str):
+    """Per-doc duplicate-n-gram repetition signals
+    (textstats.repetition_features): total + distinct bigram/trigram
+    counts, the Gopher-style repetition-filter inputs. Pure int64,
+    mirrored by a DuckDB list_transform/unnest n-gram oracle."""
+    from . import textstats
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return textstats.repetition_features(docs)
+
+
+SQL_DOC_REPETITION = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS l
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || ' ' || l[i + 1])) AS g
+  FROM tok
+), tg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g
+  FROM tok
+), b AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS bg_total,
+         CAST(count(DISTINCT g) AS BIGINT) AS bg_distinct
+  FROM bg GROUP BY doc_id
+), t3 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tg_total,
+         CAST(count(DISTINCT g) AS BIGINT) AS tg_distinct
+  FROM tg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(b.bg_total, 0) AS bg_total,
+       COALESCE(b.bg_distinct, 0) AS bg_distinct,
+       COALESCE(t3.tg_total, 0) AS tg_total,
+       COALESCE(t3.tg_distinct, 0) AS tg_distinct
+FROM documents d
+LEFT JOIN b ON d.doc_id = b.doc_id
+LEFT JOIN t3 ON d.doc_id = t3.doc_id
+"""
+
+
+def q_events_props_extract(sf_dir: str):
+    """Semi-structured field extraction: pull the integer ``k`` field
+    out of the JSON-ish ``events.props`` string with one vectorized
+    Arrow RE2 ``extract_regex`` (measured 5x over per-row re.search),
+    then roll up per event_type — n matched, sum/min/max of k. Rows
+    without the field are dropped on both sides. All int64; mirrored by
+    DuckDB regexp_extract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        hit = pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "k": k.to_pandas(),
+        }).dropna(subset=["k"])
+        df["k"] = df["k"].astype(np.int64)
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), k_sum=("k", "sum"),
+            k_min=("k", "min"), k_max=("k", "max"),
+        )
+        for c in ("n", "k_sum", "k_min", "k_max"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("k_sum", alias_name="k_sum"),
+            Min("k_min", alias_name="k_min"),
+            Max("k_max", alias_name="k_max"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS_EXTRACT = r"""
+WITH x AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+  FROM events
+  WHERE regexp_matches(props, '"k": \d+')
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max
+FROM x GROUP BY event_type
 """
 
 
@@ -2314,6 +2420,8 @@ def catalog():
         "doc_token_count": q_doc_token_count,
         "doc_lang_counts": q_doc_lang_counts,
         "doc_quality_features": q_doc_quality_features,
+        "doc_repetition": q_doc_repetition,
+        "events_props_extract": q_events_props_extract,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2377,6 +2485,8 @@ def sql_catalog():
         "doc_token_count": SQL_DOC_TOKEN_COUNT,
         "doc_lang_counts": SQL_DOC_LANG_COUNTS,
         "doc_quality_features": SQL_DOC_QUALITY,
+        "doc_repetition": SQL_DOC_REPETITION,
+        "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
         "embed_topk_int": SQL_EMBED_TOPK_INT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,

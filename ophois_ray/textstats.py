@@ -74,6 +74,49 @@ def quality_features(ds, text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def repetition_features(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document duplicate-n-gram repetition signals (the
+    Gopher-style repetition filter inputs): total and distinct
+    whitespace-token bigram / trigram counts, all int64 —
+
+        bg_total, bg_distinct, tg_total, tg_distinct
+
+    ``total - distinct`` is the duplicated-n-gram count used to drop
+    boilerplate/looping documents. One fused map_batches pass; the
+    within-batch kernel is column-vectorized (object-array string
+    concat + groupby-dedup bincount), no per-gram Python loop. Mirrored
+    bit-exactly by a DuckDB list_transform/unnest oracle (ASCII
+    whitespace; same str.split() mirror note as token_count)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.split() if isinstance(t, str) else []
+                for t in df[text_col]]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        ndocs = len(toks)
+        flat = np.array([w for t in toks for w in t], dtype=object)
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        out = {id_col: df[id_col].to_numpy(np.int64)}
+        for n, tag in ((2, "bg"), (3, "tg")):
+            if len(flat) >= n:
+                grams = flat[: len(flat) - n + 1]
+                for j in range(1, n):
+                    grams = grams + " " + flat[j: len(flat) - n + 1 + j]
+                # keep only grams fully inside one document
+                valid = doc_of[: len(flat) - n + 1] == doc_of[n - 1:]
+                grams, gdoc = grams[valid], doc_of[: len(flat) - n + 1][valid]
+            else:
+                grams = np.array([], dtype=object)
+                gdoc = np.array([], dtype=np.int64)
+            out[f"{tag}_total"] = np.bincount(gdoc, minlength=ndocs).astype(np.int64)
+            dd = pd.DataFrame({"d": gdoc, "g": grams}).drop_duplicates()
+            out[f"{tag}_distinct"] = np.bincount(
+                dd["d"].to_numpy(np.int64), minlength=ndocs
+            ).astype(np.int64)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def quality_score(ds, text_col: str = "text"):
     """Composite 0..1 quality score: length sweet-spot x punctuation
     presence x stopword plausibility (heuristic, deterministic)."""

@@ -97,6 +97,26 @@ def test_embedding_near_dup(embeds):
     assert len(hit) == 1
 
 
+def test_repetition_features_exact():
+    from ophois_ray.textstats import repetition_features
+
+    src = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        "text": [
+            "a b a b a",      # bigrams: ab ba ab ba (4 tot, 2 dist); trigrams: aba bab aba (3 tot, 2 dist)
+            "x y z",          # 2 bigrams distinct, 1 trigram
+            "solo",           # no n-grams
+            "",               # empty doc
+        ],
+    }))
+    out = (repetition_features(src).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["bg_total"].tolist() == [4, 2, 0, 0]
+    assert out["bg_distinct"].tolist() == [2, 2, 0, 0]
+    assert out["tg_total"].tolist() == [3, 1, 0, 0]
+    assert out["tg_distinct"].tolist() == [2, 1, 0, 0]
+
+
 def test_token_count_matches_duckdb(docs):
     import duckdb
 

@@ -356,6 +356,42 @@ def _pack_edge(u: np.ndarray, v: np.ndarray) -> np.ndarray:
     return (u.astype(np.int64) << np.int64(31)) | v.astype(np.int64)
 
 
+def _to_ends(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"node": np.concatenate(
+            [df["u"].to_numpy(np.int64), df["v"].to_numpy(np.int64)]
+        )}
+    )
+
+
+def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby("node", as_index=False).size().rename(columns={"size": "deg"})
+    g["deg"] = g["deg"].astype(np.int64)
+    return g
+
+
+def _deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby("node", as_index=False)["deg"].sum()
+    g["deg"] = g["deg"].astype(np.int64)
+    return g
+
+
+def _driver_merged_degrees(edges) -> pd.DataFrame:
+    """(node, deg) of a canonical edge table as one pandas frame:
+    per-block partials are pre-aggregated (<= 2 x block edges rows), so
+    the driver merge is bounded by the node count — no groupby barrier.
+    Only valid when n_nodes fits driver memory (the broadcast regime)."""
+    pieces = [
+        b for b in edges.map_batches(_to_ends, batch_format="pandas")
+        .map_batches(_deg_partial, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    if not pieces:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "deg": pd.Series(dtype=np.int64)})
+    return _deg_merge(pd.concat(pieces, ignore_index=True))
+
+
 def _oriented_wedges(edges, *, num_buckets: int, broadcast_cap: int):
     """Shared wedge engine for :func:`triangle_count` /
     :func:`triangles_per_node`: materialize the canonical edge table
@@ -376,37 +412,8 @@ def _oriented_wedges(edges, *, num_buckets: int, broadcast_cap: int):
     n_edges = edges.count()
     use_broadcast = n_edges <= broadcast_cap  # n_nodes <= 2 * n_edges
 
-    def to_ends(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"node": np.concatenate(
-                [df["u"].to_numpy(np.int64), df["v"].to_numpy(np.int64)]
-            )}
-        )
-
-    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", as_index=False).size().rename(columns={"size": "deg"})
-        g["deg"] = g["deg"].astype(np.int64)
-        return g
-
-    def count_merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", as_index=False)["deg"].sum()
-        g["deg"] = g["deg"].astype(np.int64)
-        return g
-
     if use_broadcast:
-        # degrees as a driver-merged broadcast: per-block partials are
-        # pre-aggregated (<= 2 x block edges rows, total <= 2 x cap), so
-        # the driver merge is bounded by the same cap the broadcast
-        # itself needs — no groupby barrier at all
-        pieces = [
-            b for b in edges.map_batches(to_ends, batch_format="pandas")
-            .map_batches(count_partial, batch_format="pandas")
-            .iter_batches(batch_format="pandas", batch_size=None)
-        ]
-        merged = count_merge(pd.concat(pieces, ignore_index=True)) if pieces else (
-            pd.DataFrame({"node": pd.Series(dtype=np.int64),
-                          "deg": pd.Series(dtype=np.int64)})
-        )
+        merged = _driver_merged_degrees(edges)
         dref = ray.put(BroadcastIndex(
             merged["node"].to_numpy(np.int64),
             {"deg": merged["deg"].to_numpy(np.int64)},
@@ -426,10 +433,10 @@ def _oriented_wedges(edges, *, num_buckets: int, broadcast_cap: int):
         oriented = edges.map_batches(orient, batch_format="pandas")
     else:
         deg = grouped_apply(
-            edges.map_batches(to_ends, batch_format="pandas").map_batches(
-                count_partial, batch_format="pandas"
+            edges.map_batches(_to_ends, batch_format="pandas").map_batches(
+                _deg_partial, batch_format="pandas"
             ),
-            "node", count_merge, num_buckets=num_buckets,
+            "node", _deg_merge, num_buckets=num_buckets,
         ).materialize()  # two consumers (deg_u, deg_v)
         deg_u = deg.map_batches(
             lambda df: df.rename(columns={"node": "u", "deg": "deg_u"}),
@@ -629,6 +636,90 @@ def triangles_per_node(edges, *, num_buckets: int = 64,
     )
     corners = closed.map_batches(corner_counts, batch_format="pandas")
     return grouped_apply(corners, "node", merge_counts, num_buckets=num_buckets)
+
+
+def kcore_peel(edges, k: int, rounds: int = 3, *, num_buckets: int = 64,
+               broadcast_cap: int = DEFAULT_BROADCAST_CAP):
+    """Fixed-round k-core peel over a canonical distinct edge table
+    (int64 ``u < v``): each round keeps the nodes of current degree
+    >= ``k`` and the edges with both endpoints surviving, then
+    recomputes degrees. A fixed round count (instead of
+    peel-to-fixpoint) makes every round a pure integer function of the
+    graph — bit-reproducible across block layouts / cluster widths and
+    SQL-mirrorable by ``rounds`` unrolled join CTEs (the same recipe as
+    :func:`pagerank_int`); run it to ``rounds >= diameter`` for the true
+    k-core. Returns ``(stats, edges)``: ``stats`` is a pandas frame
+    (round, n_nodes, n_edges) — survivor count entering the round and
+    edges remaining after it — and ``edges`` the surviving Dataset.
+
+    Hybrid exchange per round: under ``broadcast_cap`` the survivor set
+    ships once as a sorted int64 array and the edge filter is a fused
+    map (zero shuffle); above it degrees come from bucketed
+    ``grouped_apply`` and the filter is two hash-join semi-joins, with a
+    repartition per round to stop iterative block-count multiplication.
+    """
+    import ray
+
+    edges = edges.materialize()
+    stats = []
+    for r in range(1, rounds + 1):
+        n_e = edges.count()
+        if n_e <= broadcast_cap:
+            deg = _driver_merged_degrees(edges)
+            surv = np.sort(deg.loc[deg["deg"] >= k, "node"].to_numpy(np.int64))
+            n_nodes = len(surv)
+            sref = ray.put(surv)
+
+            def keep(df: pd.DataFrame, _s=sref) -> pd.DataFrame:
+                s = ray.get(_s) if isinstance(_s, ray.ObjectRef) else _s
+                if len(s) == 0:
+                    return df.iloc[0:0]
+                u = df["u"].to_numpy(np.int64)
+                v = df["v"].to_numpy(np.int64)
+                iu = np.minimum(np.searchsorted(s, u), len(s) - 1)
+                iv = np.minimum(np.searchsorted(s, v), len(s) - 1)
+                return df[(s[iu] == u) & (s[iv] == v)]
+
+            edges = edges.map_batches(keep, batch_format="pandas").materialize()
+        else:
+            deg = grouped_apply(
+                edges.map_batches(_to_ends, batch_format="pandas").map_batches(
+                    _deg_partial, batch_format="pandas"
+                ),
+                "node", _deg_merge, num_buckets=num_buckets,
+            )
+            surv_ds = deg.map_batches(
+                lambda df: df.loc[df["deg"] >= k, ["node"]],
+                batch_format="pandas",
+            ).materialize()  # consumers: count + two semi-joins
+            n_nodes = surv_ds.count()
+            if n_nodes == 0:
+                # hash_join needs a schema on both sides; an empty
+                # survivor set means an empty graph — short-circuit
+                edges = edges.map_batches(
+                    lambda df: df.iloc[0:0], batch_format="pandas"
+                ).materialize()
+                stats.append((r, 0, 0))
+                continue
+            su = surv_ds.map_batches(
+                lambda df: df.rename(columns={"node": "u"}), batch_format="pandas"
+            )
+            sv = surv_ds.map_batches(
+                lambda df: df.rename(columns={"node": "v"}), batch_format="pandas"
+            )
+            edges = hash_join(
+                hash_join(edges, su, on="u", num_buckets=num_buckets),
+                sv, on="v", num_buckets=num_buckets,
+            )
+            # iterative loop: bound the block count before materializing
+            # (it otherwise multiplies per round — see CLAUDE.md)
+            edges = edges.repartition(max(1, num_buckets // 8)).materialize()
+        stats.append((r, n_nodes, edges.count()))
+
+    stats_df = pd.DataFrame(stats, columns=["round", "n_nodes", "n_edges"])
+    for c in stats_df.columns:
+        stats_df[c] = stats_df[c].astype(np.int64)
+    return stats_df, edges
 
 
 def pagerank_int(edges, *, iters: int = 3, scale: int = 1 << 40,

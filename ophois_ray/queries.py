@@ -1968,6 +1968,60 @@ LIMIT 20
 """
 
 
+def q_part_kcore(sf_dir: str):
+    """Fixed-3-round k-core peel (k=100) of the co-purchase graph
+    (graphops.kcore_peel): per round, survivor-node count entering the
+    round and edge count after filtering to survivors. Pure int64 and
+    round-count-pinned, so it is bit-exact against three unrolled
+    DuckDB join CTEs. k=100 cascades on this graph: each round's counts
+    differ, with full collapse by round 3."""
+    from .graphops import kcore_peel
+
+    stats, _ = kcore_peel(_copurchase_edges(sf_dir), k=100, rounds=3)
+    return stats
+
+
+SQL_PART_KCORE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e0 AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), d0 AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+  GROUP BY node
+), s0 AS (SELECT node FROM d0 WHERE deg >= 100),
+e1 AS (
+  SELECT e0.u, e0.v FROM e0
+  JOIN s0 a ON e0.u = a.node JOIN s0 b ON e0.v = b.node
+), d1 AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1)
+  GROUP BY node
+), s1 AS (SELECT node FROM d1 WHERE deg >= 100),
+e2 AS (
+  SELECT e1.u, e1.v FROM e1
+  JOIN s1 a ON e1.u = a.node JOIN s1 b ON e1.v = b.node
+), d2 AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2)
+  GROUP BY node
+), s2 AS (SELECT node FROM d2 WHERE deg >= 100),
+e3 AS (
+  SELECT e2.u, e2.v FROM e2
+  JOIN s2 a ON e2.u = a.node JOIN s2 b ON e2.v = b.node
+)
+SELECT CAST(1 AS BIGINT) AS round,
+       (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges
+UNION ALL
+SELECT 2, (SELECT count(*) FROM s1), (SELECT count(*) FROM e2)
+UNION ALL
+SELECT 3, (SELECT count(*) FROM s2), (SELECT count(*) FROM e3)
+"""
+
+
 def q_doc_collocations(sf_dir: str):
     """Top-30 collocations by integer-scaled PMI
     (textstats.collocations): score = (c_xy * T * 2^20) // (c_x * c_y),
@@ -2451,6 +2505,7 @@ def catalog():
         "doc_tfidf": q_doc_tfidf,
         "copurchase_triangles": q_copurchase_triangles,
         "node_triangles": q_node_triangles,
+        "part_kcore": q_part_kcore,
         "doc_collocations": q_doc_collocations,
         "part_components": q_part_components,
         "cms_tokens": q_cms_tokens,
@@ -2512,6 +2567,7 @@ def sql_catalog():
         "doc_tfidf": SQL_DOC_TFIDF,
         "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
         "node_triangles": SQL_NODE_TRIANGLES,
+        "part_kcore": SQL_PART_KCORE,
         "doc_collocations": SQL_DOC_COLLOCATIONS,
         "part_components": SQL_PART_COMPONENTS,
         "cms_tokens": _sql_cms_tokens(),

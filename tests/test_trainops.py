@@ -413,6 +413,43 @@ def test_triangles_per_node_join_matches_broadcast():
     assert int(via_bcast["tri"].sum()) == 3 * triangle_count(_edges_ds(pairs))
 
 
+def test_kcore_peel_known_graphs():
+    from ophois_ray.graphops import kcore_peel
+
+    # path 1-2-3-4-5, k=2: endpoints peel off layer by layer
+    path = _edges_ds([(1, 2), (2, 3), (3, 4), (4, 5)])
+    stats, edges = kcore_peel(path, k=2, rounds=3)
+    assert stats["n_nodes"].tolist() == [3, 1, 0]
+    assert stats["n_edges"].tolist() == [2, 0, 0]
+    assert edges.count() == 0
+
+    # K4 is a 3-core: stable under k=3 peeling
+    k4 = _edges_ds([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    stats, edges = kcore_peel(k4, k=3, rounds=3)
+    assert stats["n_nodes"].tolist() == [4, 4, 4]
+    assert stats["n_edges"].tolist() == [6, 6, 6]
+    assert edges.count() == 6
+
+
+def test_kcore_peel_join_path_matches_broadcast():
+    from ophois_ray.graphops import kcore_peel
+
+    rng = np.random.default_rng(23)
+    n = 60
+    pairs = sorted(
+        {tuple(sorted(p)) for p in rng.integers(0, n, size=(400, 2)) if p[0] != p[1]}
+    )
+    s_b, e_b = kcore_peel(_edges_ds(pairs), k=12, rounds=3)
+    s_j, e_j = kcore_peel(_edges_ds(pairs), k=12, rounds=3, broadcast_cap=0)
+    pd.testing.assert_frame_equal(s_b, s_j)
+    # peel must actually cascade in this fixture (non-vacuous)
+    assert s_b["n_edges"].nunique() > 1
+    eb = e_b.to_pandas()
+    ej = e_j.to_pandas()
+    key = lambda df: sorted(map(tuple, df[["u", "v"]].to_numpy())) if len(df) else []
+    assert key(eb) == key(ej)
+
+
 # --------------------------------------------------------- collocations
 
 

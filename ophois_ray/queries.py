@@ -1121,6 +1121,76 @@ def q_events_sessionize(sf_dir: str):
     )
 
 
+def q_events_funnel_pairs(sf_dir: str):
+    """Funnel matrix over event types: for every ordered pair
+    (first_type, then_type), how many users have their EARLIEST
+    first_type event strictly before their LATEST then_type event —
+    i.e. the user did `a` then later `b` at least once. Scale shape:
+    per-user (type, min_ts, max_ts) is a semigroup, so each batch
+    pre-aggregates before ONE user-bucket shuffle; the per-user pair
+    explode is bounded by n_types^2; the final rollup merges <= 20 rows
+    per bucket on the driver. Timestamps compared as int64 microseconds
+    (exact)."""
+    ev = _t(sf_dir, "events").select_columns(["user_id", "event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(),
+            "us": us.to_numpy(),
+        })
+        g = d.groupby(["user_id", "event_type"], as_index=False).agg(
+            mn=("us", "min"), mx=("us", "max")
+        )
+        return g
+
+    from .joins import grouped_apply
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max")
+        )
+        m = g.merge(g, on="user_id", suffixes=("_a", "_b"))
+        m = m[(m["event_type_a"] != m["event_type_b"]) & (m["mn_a"] < m["mx_b"])]
+        out = m.groupby(["event_type_a", "event_type_b"], as_index=False).size()
+        out = out.rename(columns={
+            "event_type_a": "first_type", "event_type_b": "then_type",
+            "size": "n_users",
+        })
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    per_bucket = grouped_apply(
+        ev.map_batches(partial, batch_format="pandas"), "user_id", pair_counts
+    )
+    pieces = [
+        b for b in per_bucket.iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    if not pieces:
+        return pd.DataFrame({"first_type": pd.Series(dtype=object),
+                             "then_type": pd.Series(dtype=object),
+                             "n_users": pd.Series(dtype=np.int64)})
+    merged = pd.concat(pieces, ignore_index=True).groupby(
+        ["first_type", "then_type"], as_index=False
+    )["n_users"].sum()
+    merged["n_users"] = merged["n_users"].astype(np.int64)
+    return merged
+
+
+SQL_EVENTS_FUNNEL_PAIRS = """
+WITH ut AS (
+  SELECT user_id, event_type, min(ts) AS mn, max(ts) AS mx
+  FROM events GROUP BY user_id, event_type
+)
+SELECT a.event_type AS first_type, b.event_type AS then_type,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b ON a.user_id = b.user_id
+WHERE a.event_type != b.event_type AND a.mn < b.mx
+GROUP BY first_type, then_type
+"""
+
+
 SQL_EVENTS_SESSIONIZE = """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS us FROM events
@@ -2486,6 +2556,7 @@ def catalog():
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id_counts": q_lang_id_counts,
         "events_sessionize": q_events_sessionize,
+        "events_funnel_pairs": q_events_funnel_pairs,
         "customers_no_orders": q_customers_no_orders,
         "vocab_topk": q_vocab_topk,
         "edge_midpoint": q_edge_midpoint,
@@ -2547,6 +2618,7 @@ def sql_catalog():
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "lang_id_counts": _sql_lang_id_counts(),
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_funnel_pairs": SQL_EVENTS_FUNNEL_PAIRS,
         "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
         "vocab_topk": SQL_VOCAB_TOPK,
         "edge_midpoint": _sql_edge_midpoint(),

@@ -450,6 +450,30 @@ def test_kcore_peel_join_path_matches_broadcast():
     assert key(eb) == key(ej)
 
 
+def test_events_funnel_pairs_semantics(tmp_path):
+    from ophois_ray.queries import q_events_funnel_pairs
+
+    ts = pd.to_datetime([
+        "2026-01-01 10:00:00", "2026-01-01 11:00:00",  # u1: signup then purchase
+        "2026-01-02 09:00:00", "2026-01-02 10:00:00",  # u2: purchase BEFORE signup
+        "2026-01-03 10:00:00", "2026-01-03 10:00:00",  # u3: simultaneous (strict < excludes)
+    ]).astype("datetime64[us]")
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.array([1, 1, 2, 2, 3, 3], dtype=np.int64),
+        "event_type": ["signup", "purchase", "purchase", "signup",
+                       "signup", "purchase"],
+        "value": np.zeros(6),
+        "props": ["{}"] * 6,
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    out = q_events_funnel_pairs(str(tmp_path))
+    got = {(r.first_type, r.then_type): r.n_users for r in out.itertuples()}
+    # u1 converts signup->purchase; u2 converts purchase->signup; u3 neither
+    assert got == {("signup", "purchase"): 1, ("purchase", "signup"): 1}
+
+
 # --------------------------------------------------------- collocations
 
 

@@ -722,6 +722,141 @@ def kcore_peel(edges, k: int, rounds: int = 3, *, num_buckets: int = 64,
     return stats_df, edges
 
 
+#: LCG constants for the deterministic walk-step hash (POSIX rand):
+#: h(cur, step) = (cur * _WALK_A + step * _WALK_C) % _WALK_M, neighbor
+#: index = h % deg. All int64-safe for node ids < 2^31 (no overflow:
+#: 2^31 * _WALK_A < 2^63) and expressible verbatim in SQL BIGINT math.
+_WALK_A = 1103515245
+_WALK_C = 12345
+_WALK_M = 2147483647
+
+
+def random_walks(edges, length: int = 3, *, num_buckets: int = 64,
+                 broadcast_cap: int = DEFAULT_BROADCAST_CAP):
+    """Deterministic random walks over a canonical distinct edge table
+    (int64 ``u < v``) — the DeepWalk/node2vec corpus-generation step,
+    made bit-reproducible: one walk starts at every non-isolated node,
+    and step ``t`` moves from ``cur`` to its neighbour with index
+    ``((cur * A + t * C) % M) % deg(cur)`` in the dst-ascending
+    neighbour order. Pure integer arithmetic, so walks are independent
+    of block layout / cluster width AND SQL-mirrorable by ``length``
+    unrolled join CTEs. Returns a Dataset with columns
+    ``(start, c1, ..., c<length>)``, one row per start node.
+
+    Scale shape: under ``broadcast_cap`` the CSR adjacency (sorted
+    nodes, offsets, dst array) ships once and all ``length`` steps are
+    vectorized gathers inside one fused map — zero shuffle; above the
+    cap each step is a (cur ⋈ deg) + ((src, rnk) ⋈ adj) bucketed
+    hash-join pair (documented fallback).
+    """
+    import ray
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+
+    def to_arcs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([df["u"].to_numpy(np.int64),
+                                   df["v"].to_numpy(np.int64)]),
+            "dst": np.concatenate([df["v"].to_numpy(np.int64),
+                                   df["u"].to_numpy(np.int64)]),
+        })
+
+    cols = ["start"] + [f"c{t}" for t in range(1, length + 1)]
+
+    if n_edges <= broadcast_cap:
+        # CSR build on the driver, bounded by 2 x cap arc rows
+        pieces = [
+            b for b in edges.map_batches(to_arcs, batch_format="pandas")
+            .iter_batches(batch_format="pandas", batch_size=None)
+        ]
+        if not pieces:
+            import pyarrow as pa
+            return ray.data.from_arrow(pa.table(
+                {c: pa.array([], pa.int64()) for c in cols}
+            ))
+        arcs = pd.concat(pieces, ignore_index=True)
+        src = arcs["src"].to_numpy(np.int64)
+        dst = arcs["dst"].to_numpy(np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        nodes = np.unique(src)
+        offsets = np.searchsorted(src, nodes)  # deg = next offset - offset
+        offsets = np.append(offsets, len(src))
+        csr_ref = ray.put((nodes, offsets, dst))
+
+        def walk(df: pd.DataFrame) -> pd.DataFrame:
+            nodes_, off_, dst_ = (
+                ray.get(csr_ref) if isinstance(csr_ref, ray.ObjectRef) else csr_ref
+            )
+            cur = df["start"].to_numpy(np.int64)
+            out = {"start": cur}
+            for t in range(1, length + 1):
+                pos = np.searchsorted(nodes_, cur)
+                deg = off_[pos + 1] - off_[pos]
+                h = (cur * _WALK_A + t * _WALK_C) % _WALK_M
+                cur = dst_[off_[pos] + h % deg]
+                out[f"c{t}"] = cur
+            return pd.DataFrame(out)
+
+        starts = ray.data.from_pandas(pd.DataFrame({"start": nodes}))
+        # respect the input's parallelism for the fused walk map
+        starts = starts.repartition(max(1, min(num_buckets, len(nodes) // 4096 + 1)))
+        return starts.map_batches(walk, batch_format="pandas")
+
+    # ---- above-cap fallback: per-step hash joins over a ranked adjacency
+    arcs = edges.map_batches(to_arcs, batch_format="pandas")
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["src", "dst"], kind="mergesort", ignore_index=True)
+        g = df.groupby("src")
+        df["rnk"] = g.cumcount().astype(np.int64)
+        df["deg"] = g["dst"].transform("size").astype(np.int64)
+        return df
+
+    adj = grouped_apply(arcs, "src", rank_group, num_buckets=num_buckets
+                        ).materialize()  # one consumer per step
+    deg = adj.map_batches(
+        lambda df: df.loc[df["rnk"] == 0, ["src", "deg"]].rename(
+            columns={"src": "node"}),
+        batch_format="pandas",
+    ).materialize()
+    frontier = deg.map_batches(
+        lambda df: pd.DataFrame({"start": df["node"].to_numpy(np.int64),
+                                 "cur": df["node"].to_numpy(np.int64)}),
+        batch_format="pandas",
+    )
+    for t in range(1, length + 1):
+        with_deg = hash_join(
+            frontier.map_batches(
+                lambda df: df.rename(columns={"cur": "node"}),
+                batch_format="pandas"),
+            deg, on="node", num_buckets=num_buckets,
+        )
+
+        def pick(df: pd.DataFrame, _t=t) -> pd.DataFrame:
+            cur = df["node"].to_numpy(np.int64)
+            h = (cur * _WALK_A + _t * _WALK_C) % _WALK_M
+            out = df.drop(columns=["deg"]).rename(columns={"node": "src"})
+            out["rnk"] = h % df["deg"].to_numpy(np.int64)
+            return out
+
+        stepped = hash_join(
+            with_deg.map_batches(pick, batch_format="pandas"),
+            adj.map_batches(lambda df: df.drop(columns=["deg"]),
+                            batch_format="pandas"),
+            on=["src", "rnk"], num_buckets=num_buckets,
+        )
+        frontier = stepped.map_batches(
+            lambda df, _t=t: df.drop(columns=["src", "rnk"]).rename(
+                columns={"dst": f"c{_t}"}).assign(cur=df["dst"].to_numpy(np.int64)),
+            batch_format="pandas",
+        ).repartition(max(1, num_buckets // 8)).materialize()
+    return frontier.map_batches(
+        lambda df: df[cols], batch_format="pandas"
+    )
+
+
 def pagerank_int(edges, *, iters: int = 3, scale: int = 1 << 40,
                  damp_num: int = 85, damp_den: int = 100,
                  broadcast_cap: int = DEFAULT_BROADCAST_CAP):

@@ -2092,6 +2092,51 @@ SELECT 3, (SELECT count(*) FROM s2), (SELECT count(*) FROM e3)
 """
 
 
+def q_part_random_walks(sf_dir: str):
+    """Deterministic 3-step random walks from every node of the
+    co-purchase graph (graphops.random_walks): step t moves to neighbour
+    index ((cur*A + t*C) % M) % deg in dst-ascending order — the
+    DeepWalk corpus generator made bit-reproducible and SQL-mirrorable
+    (three unrolled join CTEs over a ranked adjacency)."""
+    from .graphops import random_walks
+
+    return random_walks(_copurchase_edges(sf_dir), length=3)
+
+
+SQL_PART_RANDOM_WALKS = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), arc AS (
+  SELECT u AS src, v AS dst FROM e
+  UNION ALL
+  SELECT v AS src, u AS dst FROM e
+), adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM arc
+), w0 AS (
+  SELECT DISTINCT src AS start FROM arc
+), s1 AS (
+  SELECT w0.start, a.dst AS c1
+  FROM w0 JOIN adj a ON a.src = w0.start
+   AND a.rnk = ((w0.start * 1103515245 + 1 * 12345) % 2147483647) % a.deg
+), s2 AS (
+  SELECT s1.start, s1.c1, a.dst AS c2
+  FROM s1 JOIN adj a ON a.src = s1.c1
+   AND a.rnk = ((s1.c1 * 1103515245 + 2 * 12345) % 2147483647) % a.deg
+), s3 AS (
+  SELECT s2.start, s2.c1, s2.c2, a.dst AS c3
+  FROM s2 JOIN adj a ON a.src = s2.c2
+   AND a.rnk = ((s2.c2 * 1103515245 + 3 * 12345) % 2147483647) % a.deg
+)
+SELECT start, c1, c2, c3 FROM s3
+"""
+
+
 def q_doc_collocations(sf_dir: str):
     """Top-30 collocations by integer-scaled PMI
     (textstats.collocations): score = (c_xy * T * 2^20) // (c_x * c_y),
@@ -2577,6 +2622,7 @@ def catalog():
         "copurchase_triangles": q_copurchase_triangles,
         "node_triangles": q_node_triangles,
         "part_kcore": q_part_kcore,
+        "part_random_walks": q_part_random_walks,
         "doc_collocations": q_doc_collocations,
         "part_components": q_part_components,
         "cms_tokens": q_cms_tokens,
@@ -2640,6 +2686,7 @@ def sql_catalog():
         "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
         "node_triangles": SQL_NODE_TRIANGLES,
         "part_kcore": SQL_PART_KCORE,
+        "part_random_walks": SQL_PART_RANDOM_WALKS,
         "doc_collocations": SQL_DOC_COLLOCATIONS,
         "part_components": SQL_PART_COMPONENTS,
         "cms_tokens": _sql_cms_tokens(),

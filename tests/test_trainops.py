@@ -450,6 +450,43 @@ def test_kcore_peel_join_path_matches_broadcast():
     assert key(eb) == key(ej)
 
 
+def _walk_oracle(pairs, length):
+    """Independent single-process recompute of the deterministic walks."""
+    from ophois_ray.graphops import _WALK_A, _WALK_C, _WALK_M
+
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    adj = {n: sorted(s) for n, s in adj.items()}
+    rows = []
+    for s in sorted(adj):
+        cur, row = s, [s]
+        for t in range(1, length + 1):
+            nb = adj[cur]
+            cur = nb[((cur * _WALK_A + t * _WALK_C) % _WALK_M) % len(nb)]
+            row.append(cur)
+        rows.append(row)
+    return rows
+
+
+def test_random_walks_match_oracle_and_paths():
+    from ophois_ray.graphops import random_walks
+
+    rng = np.random.default_rng(31)
+    n = 30
+    pairs = sorted(
+        {tuple(sorted(p)) for p in rng.integers(0, n, size=(120, 2)) if p[0] != p[1]}
+    )
+    exp = _walk_oracle(pairs, 3)
+    for cap in (None, 0):  # broadcast path, then join path
+        kw = {} if cap is None else {"broadcast_cap": 0}
+        got = (random_walks(_edges_ds(pairs), length=3, **kw)
+               .to_pandas().sort_values("start").reset_index(drop=True))
+        assert got.columns.tolist() == ["start", "c1", "c2", "c3"]
+        assert got.astype(np.int64).values.tolist() == exp
+
+
 def test_events_funnel_pairs_semantics(tmp_path):
     from ophois_ray.queries import q_events_funnel_pairs
 

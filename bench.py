@@ -70,6 +70,13 @@ BENCH_QUERIES = [
     "part_pagerank",
     "doc_token_count_bpe",
     "corpus_curation",
+    "doc_repetition",
+    "events_props_extract",
+    "events_funnel_pairs",
+    "node_triangles",
+    "part_kcore",
+    "part_random_walks",
+    "split_contamination",
 ]
 
 

@@ -1012,3 +1012,101 @@ def fuzzy_pairs(ds, key_col: str, text_col: str, *, max_dist: int = 2,
         )
 
     return same.union(expanded.map_batches(finish, batch_format="pandas"))
+
+
+# --------------------------------------------------------- decontamination
+
+
+def contamination_counts(docs, *, n: int = 5, num_buckets: int = 64,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         group_col: str = "lang"):
+    """Train/test decontamination audit over a hash-split corpus: a
+    test document is *contaminated* when it shares at least one
+    whitespace-token ``n``-gram with ANY train document (the benchmark
+    -leakage check run before training). Split assignment is
+    ``sampling.hash_split`` (pure function of the id), so the audit is
+    reproducible across layouts. Returns a pandas frame
+    ``(group, n_test, n_contaminated)`` (int64 counts per group).
+
+    Scale shape: per-doc DISTINCT grams are emitted in one fused
+    vectorized pass (flat token array + shifted object-concat, no
+    per-gram Python loop); ONE gram-bucket shuffle marks each gram
+    group that contains a train row and emits its test doc ids; a
+    second (tiny) id-bucket pass dedups contaminated ids. Test totals
+    pre-aggregate per batch. Nothing materializes the corpus: the gram
+    exchange carries (gram, flag, id, group) rows only.
+    """
+    from .joins import grouped_apply
+    from .sampling import split_hash
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        b = split_hash(df[id_col].to_numpy()) % 100
+        is_train = b < 80
+        is_test = b >= 90
+        keep = is_train | is_test
+        df, is_train = df[keep], is_train[keep]
+        toks = [t.split() if isinstance(t, str) else [] for t in df[text_col]]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        flat = np.array([w for t in toks for w in t], dtype=object)
+        doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+        if len(flat) >= n:
+            grams = flat[: len(flat) - n + 1]
+            for j in range(1, n):
+                grams = grams + " " + flat[j: len(flat) - n + 1 + j]
+            valid = doc_of[: len(flat) - n + 1] == doc_of[n - 1:]
+            grams, gdoc = grams[valid], doc_of[: len(flat) - n + 1][valid]
+        else:
+            grams = np.array([], dtype=object)
+            gdoc = np.array([], dtype=np.int64)
+        out = pd.DataFrame({
+            "gram": grams,
+            "is_train": is_train.to_numpy()[gdoc]
+            if hasattr(is_train, "to_numpy") else is_train[gdoc],
+            "id": df[id_col].to_numpy(np.int64)[gdoc],
+            "group": df[group_col].to_numpy()[gdoc],
+        })
+        return out.drop_duplicates(["gram", "id"])
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        hot = df.groupby("gram")["is_train"].transform("max")
+        hit = df[(~df["is_train"]) & hot]
+        return hit[["id", "group"]].drop_duplicates("id")
+
+    contaminated = grouped_apply(
+        docs.map_batches(gram_rows, batch_format="pandas"),
+        "gram", mark, num_buckets=num_buckets,
+    )
+
+    def distinct_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("id")
+
+    distinct = grouped_apply(contaminated, "id", distinct_ids,
+                             num_buckets=max(4, num_buckets // 8))
+    pieces = [
+        b.groupby("group", as_index=False).size()
+        for b in distinct.iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    c = (pd.concat(pieces, ignore_index=True)
+         .groupby("group", as_index=False)["size"].sum()
+         .rename(columns={"size": "n_contaminated"})) if pieces else pd.DataFrame(
+        {"group": pd.Series(dtype=object),
+         "n_contaminated": pd.Series(dtype=np.int64)})
+
+    def test_totals(df: pd.DataFrame) -> pd.DataFrame:
+        b = split_hash(df[id_col].to_numpy()) % 100
+        g = df[b >= 90].groupby(group_col, as_index=False).size()
+        return g.rename(columns={group_col: "group", "size": "n_test"})
+
+    tpieces = [
+        b for b in docs.map_batches(test_totals, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    t = (pd.concat(tpieces, ignore_index=True)
+         .groupby("group", as_index=False)["n_test"].sum()) if tpieces else (
+        pd.DataFrame({"group": pd.Series(dtype=object),
+                      "n_test": pd.Series(dtype=np.int64)}))
+
+    out = t.merge(c, on="group", how="left")
+    out["n_test"] = out["n_test"].astype(np.int64)
+    out["n_contaminated"] = out["n_contaminated"].fillna(0).astype(np.int64)
+    return out.sort_values("group", ignore_index=True)

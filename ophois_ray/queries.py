@@ -2092,6 +2092,62 @@ SELECT 3, (SELECT count(*) FROM s2), (SELECT count(*) FROM e3)
 """
 
 
+def q_split_contamination(sf_dir: str):
+    """Benchmark-leakage audit (dedup.contamination_counts): per lang,
+    how many hash-split test documents share at least one
+    whitespace-token 5-gram with any train document. One gram-bucket
+    shuffle; split assignment is the same int64-exact keyed hash the
+    doc_split_stats query mirrors. Integer counts, bit-exact vs a
+    DuckDB list_transform/unnest + join oracle."""
+    from . import dedup
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    out = dedup.contamination_counts(docs, n=5)
+    return out.rename(columns={"group": "lang"})
+
+
+SQL_SPLIT_CONTAMINATION = r"""
+WITH s AS (
+  SELECT doc_id, lang, text,
+         ((doc_id * 1103515245 + 12345) % 2305843009213693951) % 100 AS b
+  FROM documents
+), sp AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM s
+), tok AS (
+  SELECT doc_id, lang, split,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS l
+  FROM sp WHERE split IN ('train', 'test')
+), g AS (
+  SELECT doc_id, lang, split,
+         unnest(list_distinct(list_transform(range(1, len(l) - 3),
+           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                || ' ' || l[i+4]))) AS gram
+  FROM tok
+), tr AS (
+  SELECT DISTINCT gram FROM g WHERE split = 'train'
+), contam AS (
+  SELECT DISTINCT g.doc_id, g.lang
+  FROM g JOIN tr ON g.gram = tr.gram
+  WHERE g.split = 'test'
+), totals AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_test
+  FROM sp WHERE split = 'test' GROUP BY lang
+), c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_contaminated
+  FROM contam GROUP BY lang
+)
+SELECT totals.lang, totals.n_test,
+       COALESCE(c.n_contaminated, 0) AS n_contaminated
+FROM totals LEFT JOIN c ON totals.lang = c.lang
+"""
+
+
 def q_part_random_walks(sf_dir: str):
     """Deterministic 3-step random walks from every node of the
     co-purchase graph (graphops.random_walks): step t moves to neighbour
@@ -2623,6 +2679,7 @@ def catalog():
         "node_triangles": q_node_triangles,
         "part_kcore": q_part_kcore,
         "part_random_walks": q_part_random_walks,
+        "split_contamination": q_split_contamination,
         "doc_collocations": q_doc_collocations,
         "part_components": q_part_components,
         "cms_tokens": q_cms_tokens,
@@ -2687,6 +2744,7 @@ def sql_catalog():
         "node_triangles": SQL_NODE_TRIANGLES,
         "part_kcore": SQL_PART_KCORE,
         "part_random_walks": SQL_PART_RANDOM_WALKS,
+        "split_contamination": SQL_SPLIT_CONTAMINATION,
         "doc_collocations": SQL_DOC_COLLOCATIONS,
         "part_components": SQL_PART_COMPONENTS,
         "cms_tokens": _sql_cms_tokens(),

@@ -487,6 +487,35 @@ def test_random_walks_match_oracle_and_paths():
         assert got.astype(np.int64).values.tolist() == exp
 
 
+def test_contamination_counts_planted():
+    from ophois_ray.dedup import contamination_counts
+    from ophois_ray.sampling import split_hash
+
+    ids = np.arange(200, dtype=np.int64)
+    b = split_hash(ids) % 100
+    train_id = int(ids[b < 80][0])
+    test_a, test_b = (int(x) for x in ids[b >= 90][:2])
+    leak = "w1 w2 w3 w4 w5"  # the shared 5-gram
+    texts = {i: f"filler{i} " + " ".join(f"u{i}x{j}" for j in range(8))
+             for i in ids}
+    texts[train_id] = "pre " + leak + " post"
+    texts[test_a] = "aaa " + leak + " bbb"          # contaminated
+    texts[test_b] = "w1 w2 w3 w4 nope w5"           # 5-gram broken: clean
+    df = pd.DataFrame({
+        "doc_id": ids,
+        "lang": ["en" if i % 2 == 0 else "fr" for i in ids],
+        "text": [texts[i] for i in ids],
+    })
+    out = contamination_counts(
+        ray.data.from_pandas(df), n=5, group_col="lang")
+    got = {r.group: (r.n_test, r.n_contaminated) for r in out.itertuples()}
+    n_test = {g: int(((b >= 90) & ((ids % 2 == 0) == (g == "en"))).sum())
+              for g in ("en", "fr")}
+    lang_a = "en" if test_a % 2 == 0 else "fr"
+    exp = {g: (n_test[g], int(g == lang_a)) for g in ("en", "fr")}
+    assert got == exp
+
+
 def test_events_funnel_pairs_semantics(tmp_path):
     from ophois_ray.queries import q_events_funnel_pairs
 

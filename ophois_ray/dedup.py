@@ -1040,28 +1040,18 @@ def contamination_counts(docs, *, n: int = 5, num_buckets: int = 64,
     from .sampling import split_hash
 
     def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        from .textstats import doc_ngrams, flatten_tokens
+
         b = split_hash(df[id_col].to_numpy()) % 100
         is_train = b < 80
         is_test = b >= 90
         keep = is_train | is_test
         df, is_train = df[keep], is_train[keep]
-        toks = [t.split() if isinstance(t, str) else [] for t in df[text_col]]
-        lens = np.array([len(t) for t in toks], dtype=np.int64)
-        flat = np.array([w for t in toks for w in t], dtype=object)
-        doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
-        if len(flat) >= n:
-            grams = flat[: len(flat) - n + 1]
-            for j in range(1, n):
-                grams = grams + " " + flat[j: len(flat) - n + 1 + j]
-            valid = doc_of[: len(flat) - n + 1] == doc_of[n - 1:]
-            grams, gdoc = grams[valid], doc_of[: len(flat) - n + 1][valid]
-        else:
-            grams = np.array([], dtype=object)
-            gdoc = np.array([], dtype=np.int64)
+        flat, doc_of, _ = flatten_tokens(df[text_col])
+        grams, gdoc = doc_ngrams(flat, doc_of, n)
         out = pd.DataFrame({
             "gram": grams,
-            "is_train": is_train.to_numpy()[gdoc]
-            if hasattr(is_train, "to_numpy") else is_train[gdoc],
+            "is_train": is_train[gdoc],
             "id": df[id_col].to_numpy(np.int64)[gdoc],
             "group": df[group_col].to_numpy()[gdoc],
         })
@@ -1080,6 +1070,9 @@ def contamination_counts(docs, *, n: int = 5, num_buckets: int = 64,
     def distinct_ids(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates("id")
 
+    # this second (tiny) shuffle does the GLOBAL distinct — only
+    # per-batch (group, count) partials ever reach the driver, never
+    # the contaminated id set itself
     distinct = grouped_apply(contaminated, "id", distinct_ids,
                              num_buckets=max(4, num_buckets // 8))
     pieces = [

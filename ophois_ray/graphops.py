@@ -545,7 +545,10 @@ def triangle_count(edges, *, num_buckets: int = 64,
         )))
 
     closed = hash_join(
-        wedges, edges.map_batches(
+        # the count doesn't need the pivot — project it off before the
+        # O(m^1.5) wedge set rides the closure shuffle
+        wedges.map_batches(lambda df: df[["u", "v"]], batch_format="pandas"),
+        edges.map_batches(
             lambda df: df.assign(__e=np.int64(1)), batch_format="pandas"
         ),
         on=["u", "v"], num_buckets=num_buckets,
@@ -564,6 +567,13 @@ def triangles_per_node(edges, *, num_buckets: int = 64,
     of the closed wedge set: each of ``p``, ``u``, ``v`` gets +1.
     Returns a ``ray.data.Dataset`` with columns ``(node, tri)`` over the
     nodes appearing in at least one triangle.
+
+    OUTPUT BLOCK CONTRACT (consumers rely on it for partial top-k):
+    every node appears in exactly ONE output block with its FINAL
+    count — the broadcast path returns a single merged block and the
+    join path buckets by node hash with a full merge per bucket. Any
+    future repartition of the result must preserve this or fix the
+    callers (q_node_triangles takes per-block heads).
 
     Scale shape: the broadcast path checks closure against the sorted
     packed edge-key array inside the fused map and pre-aggregates
@@ -755,11 +765,19 @@ def random_walks(edges, length: int = 3, *, num_buckets: int = 64,
     n_edges = edges.count()
 
     def to_arcs(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        # ids must stay < 2^31 so cur * _WALK_A fits int64 — reject
+        # loudly rather than silently wrap away from the SQL mirror
+        # (same convention as _pack_edge / sampling.split_hash)
+        if len(u) and (
+            int(u.min()) < 0 or int(v.min()) < 0
+            or int(u.max()) >= 1 << 31 or int(v.max()) >= 1 << 31
+        ):
+            raise ValueError("random_walks needs node ids in [0, 2^31)")
         return pd.DataFrame({
-            "src": np.concatenate([df["u"].to_numpy(np.int64),
-                                   df["v"].to_numpy(np.int64)]),
-            "dst": np.concatenate([df["v"].to_numpy(np.int64),
-                                   df["u"].to_numpy(np.int64)]),
+            "src": np.concatenate([u, v]),
+            "dst": np.concatenate([v, u]),
         })
 
     cols = ["start"] + [f"c{t}" for t in range(1, length + 1)]

@@ -664,10 +664,13 @@ def q_events_props_extract(sf_dir: str):
     def partial(batch: pa.Table) -> pd.DataFrame:
         hit = pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)')
         k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        # filter nulls IN ARROW: .to_pandas() of a null-bearing int64
+        # array degrades to float64 and loses exactness above 2^53
+        valid = pc.is_valid(k)
         df = pd.DataFrame({
-            "event_type": batch["event_type"].to_pandas(),
-            "k": k.to_pandas(),
-        }).dropna(subset=["k"])
+            "event_type": pc.filter(batch["event_type"], valid).to_pandas(),
+            "k": pc.filter(k, valid).to_pandas(),
+        })
         df["k"] = df["k"].astype(np.int64)
         g = df.groupby("event_type", as_index=False).agg(
             n=("k", "size"), k_sum=("k", "sum"),

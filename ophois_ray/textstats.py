@@ -74,6 +74,33 @@ def quality_features(ds, text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def flatten_tokens(texts):
+    """Whitespace-tokenize a column of texts into one flat object array
+    plus per-token document indices: returns ``(flat, doc_of, ndocs)``.
+    The shared scaffold for every vectorized word-n-gram kernel."""
+    toks = [t.split() if isinstance(t, str) else [] for t in texts]
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    flat = np.array([w for t in toks for w in t], dtype=object)
+    doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    return flat, doc_of, len(toks)
+
+
+def doc_ngrams(flat: np.ndarray, doc_of: np.ndarray, n: int):
+    """Space-joined word ``n``-grams over a :func:`flatten_tokens`
+    layout, keeping only grams fully inside one document. Returns
+    ``(grams, gdoc)``. Column-vectorized object-array concat, no
+    per-gram Python loop; string layout mirrors the DuckDB
+    ``list_transform(range(1, len(l) - n + 2), i -> l[i] || ' ' ...)``
+    oracles exactly — keep both in sync."""
+    if len(flat) >= n:
+        grams = flat[: len(flat) - n + 1]
+        for j in range(1, n):
+            grams = grams + " " + flat[j: len(flat) - n + 1 + j]
+        valid = doc_of[: len(flat) - n + 1] == doc_of[n - 1:]
+        return grams[valid], doc_of[: len(flat) - n + 1][valid]
+    return np.array([], dtype=object), np.array([], dtype=np.int64)
+
+
 def repetition_features(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document duplicate-n-gram repetition signals (the
     Gopher-style repetition filter inputs): total and distinct
@@ -89,24 +116,10 @@ def repetition_features(ds, text_col: str = "text", id_col: str = "doc_id"):
     whitespace; same str.split() mirror note as token_count)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        toks = [t.split() if isinstance(t, str) else []
-                for t in df[text_col]]
-        lens = np.array([len(t) for t in toks], dtype=np.int64)
-        ndocs = len(toks)
-        flat = np.array([w for t in toks for w in t], dtype=object)
-        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        flat, doc_of, ndocs = flatten_tokens(df[text_col])
         out = {id_col: df[id_col].to_numpy(np.int64)}
         for n, tag in ((2, "bg"), (3, "tg")):
-            if len(flat) >= n:
-                grams = flat[: len(flat) - n + 1]
-                for j in range(1, n):
-                    grams = grams + " " + flat[j: len(flat) - n + 1 + j]
-                # keep only grams fully inside one document
-                valid = doc_of[: len(flat) - n + 1] == doc_of[n - 1:]
-                grams, gdoc = grams[valid], doc_of[: len(flat) - n + 1][valid]
-            else:
-                grams = np.array([], dtype=object)
-                gdoc = np.array([], dtype=np.int64)
+            grams, gdoc = doc_ngrams(flat, doc_of, n)
             out[f"{tag}_total"] = np.bincount(gdoc, minlength=ndocs).astype(np.int64)
             dd = pd.DataFrame({"d": gdoc, "g": grams}).drop_duplicates()
             out[f"{tag}_distinct"] = np.bincount(

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "part_kcore",
     "part_random_walks",
     "split_contamination",
+    "doc_packing",
 ]
 
 

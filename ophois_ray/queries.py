@@ -2095,6 +2095,42 @@ SELECT 3, (SELECT count(*) FROM s2), (SELECT count(*) FROM e3)
 """
 
 
+def q_doc_packing(sf_dir: str):
+    """Deterministic sequence packing (sampling.pack_sequences):
+    documents laid end to end in doc_id order and cut into 4096-char
+    bins, one row per (doc, bin) overlap with in-doc segment bounds —
+    the pre-training batch-assembly layout, produced by a distributed
+    ordered prefix-scan (range partials + broadcast offsets, one
+    shuffle). Bit-exact vs a DuckDB window-cumsum oracle."""
+    from . import sampling
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    return sampling.pack_sequences(docs, cost_col="n_chars", capacity=4096)
+
+
+SQL_DOC_PACKING = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CAST(COALESCE(sum(n_chars) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start
+  FROM documents
+), b AS (
+  SELECT doc_id, n_chars, start,
+         unnest(range(start // 4096, (start + n_chars - 1) // 4096 + 1)) AS bin
+  FROM s WHERE n_chars > 0
+)
+SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+       CAST(greatest(start, bin * 4096) - start AS BIGINT) AS seg_start,
+       CAST(least(start + n_chars, (bin + 1) * 4096)
+            - greatest(start, bin * 4096) AS BIGINT) AS seg_len
+FROM b
+"""
+
+
 def q_split_contamination(sf_dir: str):
     """Benchmark-leakage audit (dedup.contamination_counts): per lang,
     how many hash-split test documents share at least one
@@ -2683,6 +2719,7 @@ def catalog():
         "part_kcore": q_part_kcore,
         "part_random_walks": q_part_random_walks,
         "split_contamination": q_split_contamination,
+        "doc_packing": q_doc_packing,
         "doc_collocations": q_doc_collocations,
         "part_components": q_part_components,
         "cms_tokens": q_cms_tokens,
@@ -2748,6 +2785,7 @@ def sql_catalog():
         "part_kcore": SQL_PART_KCORE,
         "part_random_walks": SQL_PART_RANDOM_WALKS,
         "split_contamination": SQL_SPLIT_CONTAMINATION,
+        "doc_packing": SQL_DOC_PACKING,
         "doc_collocations": SQL_DOC_COLLOCATIONS,
         "part_components": SQL_PART_COMPONENTS,
         "cms_tokens": _sql_cms_tokens(),

@@ -192,3 +192,100 @@ def shard_by_hash(ds, key_col: str, n_shards: int, outdir: str):
         return pd.DataFrame({"shard": [], "n": []}).astype(np.int64)
     out = partials.groupby("shard", as_index=False)["n"].sum()
     return out.astype(np.int64).sort_values("shard").reset_index(drop=True)
+
+
+# ------------------------------------------------------- sequence packing
+
+
+def pack_sequences(ds, *, cost_col: str, id_col: str = "doc_id",
+                   capacity: int = 4096, range_width: int = 4096,
+                   num_buckets: int = 64):
+    """Deterministic sequence packing (the pre-training batch-assembly
+    step): lay documents end to end in ``id_col`` order and cut the
+    stream into fixed-``capacity`` bins, splitting documents across bin
+    boundaries exactly as LLM data loaders do. Emits one row per
+    (document, bin) overlap: ``(id, bin, seg_start, seg_len)`` with
+    ``seg_start`` the offset inside the document — pure integer
+    arithmetic over an ordered prefix sum, so the layout is
+    bit-reproducible across cluster widths AND SQL-mirrorable by a
+    window cumsum. Zero-cost rows are skipped on both sides.
+
+    Scale shape — a distributed ordered prefix-scan in two passes,
+    independent of block layout: documents are RANGE-partitioned by
+    ``id // range_width``; pass A pre-aggregates per-range cost totals
+    per batch (driver merge bounded by n_ids / range_width rows) and
+    exclusive-cumsums them into per-range global offsets, broadcast
+    once; pass B is ONE range-bucket shuffle where each range sorts its
+    ids, local-cumsums, adds its broadcast offset and vectorized-emits
+    the bin segments. No stage ever holds more than a range.
+    """
+    import ray
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        g = pd.DataFrame({
+            "rid": ids // range_width,
+            "c": df[cost_col].to_numpy(np.int64),
+        }).groupby("rid", as_index=False)["c"].sum()
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    pieces = [
+        b for b in ds.map_batches(partial, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    empty = pd.DataFrame({
+        id_col: pd.Series(dtype=np.int64), "bin": pd.Series(dtype=np.int64),
+        "seg_start": pd.Series(dtype=np.int64),
+        "seg_len": pd.Series(dtype=np.int64),
+    })
+    if not pieces:
+        return ray.data.from_pandas(empty)
+    totals = (pd.concat(pieces, ignore_index=True)
+              .groupby("rid", as_index=False)["c"].sum()
+              .sort_values("rid", ignore_index=True))
+    rids = totals["rid"].to_numpy(np.int64)
+    csum = np.cumsum(totals["c"].to_numpy(np.int64))
+    offsets = np.concatenate([[0], csum[:-1]])  # exclusive per-range
+    oref = ray.put((rids, offsets))
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        rids_, off_ = ray.get(oref) if isinstance(oref, ray.ObjectRef) else oref
+        df = df.sort_values(id_col, ignore_index=True)
+        ids = df[id_col].to_numpy(np.int64)
+        cost = df[cost_col].to_numpy(np.int64)
+        rid = ids // range_width
+        # within-range exclusive prefix: global cumsum minus each
+        # range's first-row running total
+        run = np.cumsum(cost) - cost
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = rid[1:] != rid[:-1]
+        base = np.repeat(run[first], np.diff(np.append(np.where(first)[0], len(ids))))
+        start = off_[np.searchsorted(rids_, rid)] + (run - base)
+        keep = cost > 0
+        ids, cost, start = ids[keep], cost[keep], start[keep]
+        if len(ids) == 0:
+            return empty.copy()
+        bin_first = start // capacity
+        bin_last = (start + cost - 1) // capacity
+        nb = (bin_last - bin_first + 1).astype(np.int64)
+        row = np.repeat(np.arange(len(ids), dtype=np.int64), nb)
+        boff = np.arange(len(row), dtype=np.int64) - np.repeat(
+            np.cumsum(nb) - nb, nb)
+        bins = bin_first[row] + boff
+        gs = np.maximum(start[row], bins * capacity)
+        ge = np.minimum(start[row] + cost[row], (bins + 1) * capacity)
+        return pd.DataFrame({
+            id_col: ids[row], "bin": bins,
+            "seg_start": gs - start[row], "seg_len": ge - gs,
+        })
+
+    def rid_col(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__rid"] = df[id_col].to_numpy(np.int64) // range_width
+        return df
+
+    return grouped_apply(
+        ds.map_batches(rid_col, batch_format="pandas"), "__rid", pack,
+        num_buckets=num_buckets,
+    )

@@ -487,6 +487,29 @@ def test_random_walks_match_oracle_and_paths():
         assert got.astype(np.int64).values.tolist() == exp
 
 
+def test_pack_sequences_hand_case():
+    from ophois_ray.sampling import pack_sequences
+
+    src = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        "n": np.array([3, 4, 2, 5, 0], dtype=np.int64),  # zero-cost skipped
+    }))
+    # small range_width forces MULTIPLE ranges through the scan
+    out = (pack_sequences(src, cost_col="n", id_col="doc_id",
+                          capacity=5, range_width=2)
+           .to_pandas().sort_values(["doc_id", "bin"], ignore_index=True))
+    exp = pd.DataFrame({
+        "doc_id": [1, 2, 2, 3, 4, 4],
+        "bin": [0, 0, 1, 1, 1, 2],
+        "seg_start": [0, 0, 2, 0, 0, 1],
+        "seg_len": [3, 2, 2, 2, 1, 4],
+    })
+    pd.testing.assert_frame_equal(out.astype(np.int64), exp.astype(np.int64))
+    # every bin except the last is exactly full
+    per_bin = out.groupby("bin")["seg_len"].sum()
+    assert per_bin.iloc[:-1].eq(5).all() and per_bin.sum() == 14
+
+
 def test_contamination_counts_planted():
     from ophois_ray.dedup import contamination_counts
     from ophois_ray.sampling import split_hash

@@ -323,3 +323,58 @@ def oracle_sql_pip_edges(polys: dict[int, list[tuple[float, float]]]) -> str:
                 continue
             rows.append(f"({pid}, {la!r}, {lo!r}, {nla!r}, {nlo!r})")
     return "(VALUES " + ", ".join(rows) + ") AS e(pid, y1, x1, y2, x2)"
+
+
+def polygon_area_centroid(verts, *, scale: int = 1024, num_buckets: int = 16):
+    """Integer-exact shoelace area + centroid numerators per polygon
+    over a vertex Dataset ``(pid, seq, lat, lon)`` (seq = ring order,
+    ring NOT explicitly closed). Coordinates are quantized to
+    ``floor(coord * scale)`` — multiplication by a power of two is an
+    exact IEEE op and floor is exact, so numpy and SQL BIGINT agree
+    bit-for-bit and the integer edge-cross sums are independent of
+    summation order (the property a float shoelace can never have
+    across engines). Returns one row per polygon:
+
+        (pid, n_vertices, area2, cx_num, cy_num)   all int64
+
+    with area2 = sum(x1*y2 - x2*y1) (signed, 2x area in quantized
+    units) and the centroid = (cx_num / (3*area2), cy_num / (3*area2))
+    left unevaluated to stay integer. Overflow-safe for |coord| <= 180
+    and scale <= 2^11 (|cross| < 2^37, |(x1+x2)*cross| < 2^56).
+
+    Scale shape: ONE pid-bucket shuffle; the per-bucket kernel is fully
+    vectorized (sorted rows, ring-wrap next-index via group-boundary
+    masks, bincount-style groupby sums) — no per-polygon Python loop.
+    """
+    from .joins import grouped_apply
+
+    if not (1 <= scale <= (1 << 11)):
+        raise ValueError("scale must be in [1, 2^11] to stay int64-exact")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["pid", "seq"], ignore_index=True)
+        pid = df["pid"].to_numpy(np.int64)
+        ix = np.floor(df["lon"].to_numpy(np.float64) * float(scale)).astype(np.int64)
+        iy = np.floor(df["lat"].to_numpy(np.float64) * float(scale)).astype(np.int64)
+        m = len(pid)
+        first = np.ones(m, dtype=bool)
+        first[1:] = pid[1:] != pid[:-1]
+        starts = np.where(first)[0]
+        nxt = np.arange(1, m + 1, dtype=np.int64)
+        last = np.zeros(m, dtype=bool)
+        last[starts[1:] - 1] = True
+        last[m - 1] = True
+        nxt[last] = starts  # ring wrap: last vertex links to its first
+        cross = ix * iy[nxt] - ix[nxt] * iy
+        g = pd.DataFrame({
+            "pid": pid,
+            "n_vertices": np.ones(m, dtype=np.int64),
+            "area2": cross,
+            "cx_num": (ix + ix[nxt]) * cross,
+            "cy_num": (iy + iy[nxt]) * cross,
+        }).groupby("pid", as_index=False).sum()
+        for c in g.columns:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return grouped_apply(verts, "pid", per_bucket, num_buckets=num_buckets)

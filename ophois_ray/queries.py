@@ -2095,6 +2095,58 @@ SELECT 3, (SELECT count(*) FROM s2), (SELECT count(*) FROM e3)
 """
 
 
+def q_polygon_area(sf_dir: str):
+    """Integer-exact shoelace area + centroid numerators per demo
+    polygon (polygons.polygon_area_centroid): vertices quantized by
+    floor(coord * 1024) — an exact power-of-two multiply — so the edge
+    cross-product sums are pure int64 and order-independent, bit-exact
+    vs a DuckDB ring self-join. (sf_dir unused: the polygon set is the
+    small broadcast side, generated seeded like the pip queries.)"""
+    from .polygons import polygon_area_centroid
+
+    polys = _demo_polygons()
+    rows = [
+        (pid, i, la, lo)
+        for pid in sorted(polys)
+        for i, (la, lo) in enumerate(polys[pid])
+    ]
+    verts = ray.data.from_pandas(pd.DataFrame(
+        rows, columns=["pid", "seq", "lat", "lon"]
+    ))
+    return polygon_area_centroid(verts, scale=1024)
+
+
+def _sql_polygon_area() -> str:
+    polys = _demo_polygons()
+    # string->DOUBLE casts: a bare numeric literal parses as DECIMAL in
+    # DuckDB (overflow + ulp drift); the string parse is the correctly-
+    # rounded double, identical to the Python repr round-trip
+    vals = ", ".join(
+        f"({pid}, {i}, CAST('{la!r}' AS DOUBLE), CAST('{lo!r}' AS DOUBLE))"
+        for pid in sorted(polys)
+        for i, (la, lo) in enumerate(polys[pid])
+    )
+    return f"""
+WITH v AS (
+  SELECT * FROM (VALUES {vals}) AS t(pid, seq, lat, lon)
+), q AS (
+  SELECT pid, seq,
+         CAST(floor(lon * 1024.0) AS BIGINT) AS ix,
+         CAST(floor(lat * 1024.0) AS BIGINT) AS iy,
+         count(*) OVER (PARTITION BY pid) AS n
+  FROM v
+), e AS (
+  SELECT a.pid, a.ix AS x1, a.iy AS y1, b.ix AS x2, b.iy AS y2
+  FROM q a JOIN q b ON b.pid = a.pid AND b.seq = (a.seq + 1) % a.n
+)
+SELECT pid, CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(x1 * y2 - x2 * y1) AS BIGINT) AS area2,
+       CAST(sum((x1 + x2) * (x1 * y2 - x2 * y1)) AS BIGINT) AS cx_num,
+       CAST(sum((y1 + y2) * (x1 * y2 - x2 * y1)) AS BIGINT) AS cy_num
+FROM e GROUP BY pid
+"""
+
+
 def q_doc_packing(sf_dir: str):
     """Deterministic sequence packing (sampling.pack_sequences):
     documents laid end to end in doc_id order and cut into 4096-char
@@ -2720,6 +2772,7 @@ def catalog():
         "part_random_walks": q_part_random_walks,
         "split_contamination": q_split_contamination,
         "doc_packing": q_doc_packing,
+        "polygon_area": q_polygon_area,
         "doc_collocations": q_doc_collocations,
         "part_components": q_part_components,
         "cms_tokens": q_cms_tokens,
@@ -2786,6 +2839,7 @@ def sql_catalog():
         "part_random_walks": SQL_PART_RANDOM_WALKS,
         "split_contamination": SQL_SPLIT_CONTAMINATION,
         "doc_packing": SQL_DOC_PACKING,
+        "polygon_area": _sql_polygon_area(),
         "doc_collocations": SQL_DOC_COLLOCATIONS,
         "part_components": SQL_PART_COMPONENTS,
         "cms_tokens": _sql_cms_tokens(),

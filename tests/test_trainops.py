@@ -487,6 +487,25 @@ def test_random_walks_match_oracle_and_paths():
         assert got.astype(np.int64).values.tolist() == exp
 
 
+def test_polygon_area_centroid_hand_case():
+    from ophois_ray.polygons import polygon_area_centroid
+
+    # square (0,0)-(4,4) and triangle (0,0),(0,3),(3,0), scale=1
+    verts = ray.data.from_pandas(pd.DataFrame({
+        "pid": np.array([0, 0, 0, 0, 7, 7, 7], dtype=np.int64),
+        "seq": np.array([0, 1, 2, 3, 0, 1, 2], dtype=np.int64),
+        "lat": [0.0, 0.0, 4.0, 4.0, 0.0, 0.0, 3.0],
+        "lon": [0.0, 4.0, 4.0, 0.0, 0.0, 3.0, 0.0],
+    }))
+    out = (polygon_area_centroid(verts, scale=1).to_pandas()
+           .sort_values("pid", ignore_index=True).astype(np.int64))
+    sq, tr = out.iloc[0], out.iloc[1]
+    assert (sq.n_vertices, sq.area2, sq.cx_num, sq.cy_num) == (4, 32, 192, 192)
+    # centroid = num / (3 * area2) -> (2, 2) for the square
+    assert (sq.cx_num / (3 * sq.area2), sq.cy_num / (3 * sq.area2)) == (2, 2)
+    assert (tr.n_vertices, tr.area2, tr.cx_num, tr.cy_num) == (3, 9, 27, 27)
+
+
 def test_pack_sequences_hand_case():
     from ophois_ray.sampling import pack_sequences
 

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "part_random_walks",
     "split_contamination",
     "doc_packing",
+    "doc_lm_score",
 ]
 
 

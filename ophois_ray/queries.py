@@ -2095,6 +2095,56 @@ SELECT 3, (SELECT count(*) FROM s2), (SELECT count(*) FROM e3)
 """
 
 
+def q_doc_lm_score(sf_dir: str):
+    """CCNet-style statistical quality scoring (textstats.lm_surprisal):
+    unigram counts from the hash-split train docs score every test doc
+    with add-one-smoothed fixed-point surprisal, floor-div exact —
+    (doc_id, n_tokens, lm_score), bit-exact vs a DuckDB LEFT JOIN +
+    integer-division oracle."""
+    from . import textstats
+    from .sampling import split_hash
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def only(lo: int, hi: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            b = split_hash(df["doc_id"].to_numpy()) % 100
+            return df[(b >= lo) & (b < hi)]
+        return fn
+
+    train = docs.map_batches(only(0, 80), batch_format="pandas")
+    test = docs.map_batches(only(90, 100), batch_format="pandas")
+    return textstats.lm_surprisal(train, test)
+
+
+SQL_DOC_LM_SCORE = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         ((doc_id * 1103515245 + 12345) % 2305843009213693951) % 100 AS b
+  FROM documents
+), tok AS (
+  SELECT doc_id, b,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS w
+  FROM s
+), tc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok WHERE b < 80 GROUP BY w
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM tok WHERE b < 80
+), et AS (
+  SELECT doc_id, w FROM tok WHERE b >= 90
+)
+SELECT et.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum((tot.t * 1048576) // (COALESCE(tc.c, 0) + 1)) AS BIGINT)
+         AS lm_score
+FROM et LEFT JOIN tc ON et.w = tc.w CROSS JOIN tot
+GROUP BY et.doc_id
+"""
+
+
 def q_polygon_area(sf_dir: str):
     """Integer-exact shoelace area + centroid numerators per demo
     polygon (polygons.polygon_area_centroid): vertices quantized by
@@ -2773,6 +2823,7 @@ def catalog():
         "split_contamination": q_split_contamination,
         "doc_packing": q_doc_packing,
         "polygon_area": q_polygon_area,
+        "doc_lm_score": q_doc_lm_score,
         "doc_collocations": q_doc_collocations,
         "part_components": q_part_components,
         "cms_tokens": q_cms_tokens,
@@ -2840,6 +2891,7 @@ def sql_catalog():
         "split_contamination": SQL_SPLIT_CONTAMINATION,
         "doc_packing": SQL_DOC_PACKING,
         "polygon_area": _sql_polygon_area(),
+        "doc_lm_score": SQL_DOC_LM_SCORE,
         "doc_collocations": SQL_DOC_COLLOCATIONS,
         "part_components": SQL_PART_COMPONENTS,
         "cms_tokens": _sql_cms_tokens(),

@@ -540,3 +540,84 @@ def token_count_bpe(ds, text_col: str = "text", out_col: str = "n_tokens_bpe"):
         return df
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def lm_surprisal(train_docs, eval_docs, *, text_col: str = "text",
+                 id_col: str = "doc_id", scale: int = 1 << 20,
+                 num_buckets: int = 16, vocab_cap: int = 50_000_000):
+    """Statistical quality scoring with a corpus LM (the CCNet-style
+    filter, unigram variant, integer-exact): build whitespace-unigram
+    counts ``c(w)`` and total ``T`` over ``train_docs``, then score each
+    ``eval_docs`` row as
+
+        lm_score = sum over tokens w of  (T * scale) // (c(w) + 1)
+
+    — add-one-smoothed surprisal in fixed-point; OOV tokens get the
+    maximum surprise. Floor division keeps every term a pure int64
+    function of the corpus, so scores are bit-reproducible across block
+    layouts AND SQL-mirrorable (LEFT JOIN + COALESCE + ``//``). Returns
+    a Dataset ``(id, n_tokens, lm_score)`` over eval docs with >= 1
+    token. Int64-safe while T * scale * max_doc_tokens < 2^63 — at
+    extreme corpus sizes lower ``scale`` (documented bound).
+
+    Scale shape: ONE token-bucket shuffle builds the model
+    (per-batch partial counts pre-combine); the vocabulary ships once
+    as sorted arrays (requires vocab <= ``vocab_cap`` — beyond that
+    co-partition eval tokens and counts by token hash); scoring is a
+    fused zero-shuffle map with searchsorted lookups + bincount sums.
+    """
+    import ray
+
+    from .joins import grouped_apply
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _, _ = flatten_tokens(df[text_col])
+        g = pd.DataFrame({"w": flat}).groupby("w", as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return g.rename(columns={"size": "c"})
+
+    def tok_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("w", as_index=False)["c"].sum()
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    counts = grouped_apply(
+        train_docs.map_batches(tok_partial, batch_format="pandas"),
+        "w", tok_merge, num_buckets=num_buckets,
+    )
+    pieces = [
+        b for b in counts.iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    vocab = (pd.concat(pieces, ignore_index=True).sort_values(
+        "w", ignore_index=True)) if pieces else pd.DataFrame(
+        {"w": pd.Series(dtype=object), "c": pd.Series(dtype=np.int64)})
+    if len(vocab) > vocab_cap:
+        raise ValueError(
+            f"vocabulary {len(vocab)} exceeds vocab_cap {vocab_cap}; "
+            "co-partition by token hash instead of broadcasting"
+        )
+    words = vocab["w"].to_numpy(object)
+    cvals = vocab["c"].to_numpy(np.int64)
+    total = int(cvals.sum())
+    mref = ray.put((words, cvals))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        words_, cvals_ = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref
+        flat, doc_of, ndocs = flatten_tokens(df[text_col])
+        if len(words_) and len(flat):
+            pos = np.minimum(np.searchsorted(words_, flat), len(words_) - 1)
+            c = np.where(words_[pos] == flat, cvals_[pos], np.int64(0))
+        else:
+            c = np.zeros(len(flat), dtype=np.int64)
+        surprise = (total * scale) // (c + 1)
+        n_tok = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        s = np.zeros(ndocs, dtype=np.int64)
+        np.add.at(s, doc_of, surprise)
+        keep = n_tok > 0
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64)[keep],
+            "n_tokens": n_tok[keep],
+            "lm_score": s[keep],
+        })
+
+    return eval_docs.map_batches(score, batch_format="pandas")

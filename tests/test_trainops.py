@@ -487,6 +487,21 @@ def test_random_walks_match_oracle_and_paths():
         assert got.astype(np.int64).values.tolist() == exp
 
 
+def test_lm_surprisal_hand_case():
+    from ophois_ray.textstats import lm_surprisal
+
+    train = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([1], dtype=np.int64), "text": ["a a b"]}))
+    test = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([2, 3], dtype=np.int64),
+         "text": ["a b z", ""]}))  # z is OOV; empty doc dropped
+    out = lm_surprisal(train, test, scale=8).to_pandas()
+    # T=3, c(a)=2, c(b)=1: a -> 24//3=8, b -> 24//2=12, z -> 24//1=24
+    assert out["doc_id"].tolist() == [2]
+    assert out["n_tokens"].tolist() == [3]
+    assert out["lm_score"].tolist() == [8 + 12 + 24]
+
+
 def test_polygon_area_centroid_hand_case():
     from ophois_ray.polygons import polygon_area_centroid
 

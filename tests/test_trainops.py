@@ -211,6 +211,66 @@ def test_multimodal_plumbing():
         multimodal.decode_images(media, mode="real").materialize()
 
 
+def test_netpbm_decode_real_roundtrip():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    raw = multimodal.encode_ppm(img)
+    dec = multimodal.decode_netpbm(raw)
+    assert dec.shape == (13, 17, 3) and dec.dtype == np.float32
+    assert np.array_equal((dec * 255).round().astype(np.uint8), img)
+    # header comments + P5 grayscale expansion
+    gray = b"P5\n# a comment\n3 2\n255\n" + bytes(range(6))
+    g = multimodal.decode_netpbm(gray)
+    assert g.shape == (2, 3, 3)
+    assert np.array_equal(g[:, :, 0], g[:, :, 2])
+    with pytest.raises(Exception):
+        multimodal.decode_netpbm(b"JFIF....")
+
+
+def test_decode_images_ppm_pipeline():
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(12):
+        h, w = int(rng.randint(8, 24)), int(rng.randint(8, 24))
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append({"media_id": i, "media": multimodal.encode_ppm(img),
+                     "media_type": "image/x-portable-pixmap",
+                     "height": h, "width": w})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    feats = multimodal.pooled_features(
+        multimodal.decode_images(ds, mode="ppm", concurrency=2)
+    ).to_pandas().sort_values("media_id", ignore_index=True)
+    # oracle: direct single-process decode + pool of row 0
+    img0 = multimodal.decode_netpbm(rows[0]["media"])
+    hs = np.linspace(0, img0.shape[0], 5, dtype=int)
+    ws = np.linspace(0, img0.shape[1], 5, dtype=int)
+    exp0 = np.array([
+        img0[hs[i]:hs[i + 1], ws[j]:ws[j + 1]].mean(axis=(0, 1))
+        for i in range(4) for j in range(4)
+    ]).ravel()
+    assert np.allclose(np.asarray(feats["features"][0]), exp0)
+
+
+def test_wav_pcm16_decode_and_features():
+    rate = 16000
+    t = np.arange(800, dtype=np.float64)
+    wave = (np.sin(2 * np.pi * 440.0 * t / rate) * 20000).astype("<i2")
+    raw = multimodal.encode_wav_pcm16(wave.reshape(-1, 1), rate)
+    s, r = multimodal.decode_wav_pcm16(raw)
+    assert r == rate and s.shape == (800, 1)
+    assert np.array_equal((s[:, 0] * 32768).astype(np.int16), wave)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"clip_id": np.arange(4, dtype=np.int64),
+         "media": [raw] * 4}))
+    out = multimodal.audio_features(ds, concurrency=2).to_pandas()
+    c0 = s[:, 0]
+    exp_zc = int(((c0[1:] < 0) != (c0[:-1] < 0)).sum())
+    assert out["n_samples"].tolist() == [800] * 4
+    assert out["sample_rate"].tolist() == [rate] * 4
+    assert out["n_zero_cross"].tolist() == [exp_zc] * 4
+    assert np.allclose(out["rms"], float(np.sqrt(np.mean(c0 ** 2))))
+
+
 def test_frame_sample():
     media = ray.data.from_pandas(multimodal.synthetic_media_table(8))
     sampled = multimodal.frame_sample(media, every_n=10).to_pandas()

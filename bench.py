@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "split_contamination",
     "doc_packing",
     "doc_lm_score",
+    "events_top_paths",
 ]
 
 

@@ -1194,6 +1194,66 @@ GROUP BY first_type, then_type
 """
 
 
+def q_events_top_paths(sf_dir: str):
+    """Clickstream path analysis: each user's full event-type sequence
+    in (ts, event_id) order joined with '>' is their *path*; return the
+    10 most common paths (n DESC, path ASC — a deterministic total
+    order). One user-bucket shuffle builds paths vectorized (sort +
+    per-user join), path counts pre-aggregate per bucket, tiny driver
+    top-k merge. Mirrored by DuckDB string_agg with the same window
+    order."""
+    ev = _t(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "event_type"])
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "us": us.to_numpy(),
+            "event_type": df["event_type"].to_numpy(),
+        })
+
+    from .joins import grouped_apply
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        g = df.groupby("user_id")["event_type"].agg(">".join)
+        out = (g.to_frame("path").groupby("path", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    per_bucket = grouped_apply(
+        ev.map_batches(to_us, batch_format="pandas"), "user_id", paths
+    )
+    pieces = [
+        b for b in per_bucket.iter_batches(batch_format="pandas",
+                                           batch_size=None)
+    ]
+    if not pieces:
+        return pd.DataFrame({"path": pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64)})
+    merged = (pd.concat(pieces, ignore_index=True)
+              .groupby("path", as_index=False)["n"].sum())
+    merged["n"] = merged["n"].astype(np.int64)
+    return (merged.sort_values(["n", "path"], ascending=[False, True],
+                               ignore_index=True).head(10))
+
+
+SQL_EVENTS_TOP_PATHS = """
+WITH p AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT 10
+"""
+
+
 SQL_EVENTS_SESSIONIZE = """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS us FROM events
@@ -2799,6 +2859,7 @@ def catalog():
         "lang_id_counts": q_lang_id_counts,
         "events_sessionize": q_events_sessionize,
         "events_funnel_pairs": q_events_funnel_pairs,
+        "events_top_paths": q_events_top_paths,
         "customers_no_orders": q_customers_no_orders,
         "vocab_topk": q_vocab_topk,
         "edge_midpoint": q_edge_midpoint,
@@ -2866,6 +2927,7 @@ def sql_catalog():
         "lang_id_counts": _sql_lang_id_counts(),
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_funnel_pairs": SQL_EVENTS_FUNNEL_PAIRS,
+        "events_top_paths": SQL_EVENTS_TOP_PATHS,
         "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
         "vocab_topk": SQL_VOCAB_TOPK,
         "edge_midpoint": _sql_edge_midpoint(),

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "doc_packing",
     "doc_lm_score",
     "events_top_paths",
+    "cell_smooth_topk",
 ]
 
 

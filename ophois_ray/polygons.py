@@ -378,3 +378,52 @@ def polygon_area_centroid(verts, *, scale: int = 1024, num_buckets: int = 16):
         return g
 
     return grouped_apply(verts, "pid", per_bucket, num_buckets=num_buckets)
+
+
+def box_smooth_raster(counts, *, num_buckets: int = 32):
+    """Raster convolution: 3x3 box smoothing of a (cell, n) count
+    raster — every cell's smoothed density is the sum of its own and
+    its 8 neighbours' counts, including cells that had no points of
+    their own (they receive scattered mass). Pure int64. Returns a
+    Dataset (cell, density).
+
+    Scale shape: the classic scatter formulation — each count row emits
+    up to 9 (neighbour, n) rows in a fused map (vectorized over the
+    offset grid, boundary-guarded), then ONE cell-bucket shuffle with
+    per-batch pre-combine sums them. Work is 9x the ACTIVE cell count,
+    never the raster extent; no driver materialization.
+    """
+    from .joins import grouped_apply
+
+    MASK = np.int64((1 << 29) - 1)
+    LIM = np.int64(1 << 29)
+
+    def scatter(df: pd.DataFrame) -> pd.DataFrame:
+        cell = df["cell"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        ix = (cell >> np.int64(29)) & MASK
+        iy = cell & MASK
+        base = cell - (ix << np.int64(29)) - iy
+        out_c, out_n = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = ix + dx, iy + dy
+                ok = (nx >= 0) & (nx < LIM) & (ny >= 0) & (ny < LIM)
+                out_c.append(base[ok] + (nx[ok] << np.int64(29)) + ny[ok])
+                out_n.append(n[ok])
+        return pd.DataFrame({
+            "cell": np.concatenate(out_c), "n": np.concatenate(out_n)
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    smoothed = grouped_apply(
+        counts.map_batches(scatter, batch_format="pandas"),
+        "cell", combine, drop_partial=combine, num_buckets=num_buckets,
+    )
+    return smoothed.map_batches(
+        lambda df: df.rename(columns={"n": "density"}), batch_format="pandas"
+    )

@@ -1780,6 +1780,70 @@ def q_raster_polygonize(sf_dir: str):
     )
 
 
+def q_cell_smooth_topk(sf_dir: str):
+    """Raster convolution (polygons.box_smooth_raster): customer points
+    rasterized to res-6 cell counts, 3x3 box-smoothed by the scatter
+    shuffle, top-20 densest cells with the deterministic (density DESC,
+    cell ASC) order. Integer end to end; mirrored by a DuckDB offset
+    cross-join."""
+    from .polygons import box_smooth_raster
+
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 7, 13)
+        return pd.DataFrame({"cell": cells.cell_of(lat, lon, RES_JOIN)})
+
+    counts = (
+        cust.map_batches(fn, batch_format="pandas")
+        .groupby("cell")
+        .aggregate(Count(alias_name="n"))
+    )
+    sm = box_smooth_raster(counts)
+    parts = [
+        b.sort_values(["density", "cell"], ascending=[False, True]).head(20)
+        for b in sm.iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    if not parts:
+        return pd.DataFrame({"cell": pd.Series(dtype=np.int64),
+                             "density": pd.Series(dtype=np.int64)})
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values(["density", "cell"], ascending=[False, True],
+                         ignore_index=True).head(20))
+
+
+def _sql_cell_smooth_topk() -> str:
+    lat, lon = _sql_coords("c_custkey", 7, 13)
+    expr = cells.oracle_sql_cell_expr(lat, lon, RES_JOIN)
+    mask = (1 << 29) - 1
+    lim = 1 << 29
+    return f"""
+WITH counts AS (
+  SELECT {expr} AS cell, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1
+), parts AS (
+  SELECT cell, (cell >> 29) & {mask} AS ix, cell & {mask} AS iy,
+         cell - (((cell >> 29) & {mask}) * {lim}) - (cell & {mask}) AS base,
+         n
+  FROM counts
+), off AS (
+  SELECT dx.dx, dy.dy
+  FROM (VALUES (-1), (0), (1)) dx(dx)
+  CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+), sc AS (
+  SELECT base + (ix + dx) * {lim} + (iy + dy) AS cell, n
+  FROM parts CROSS JOIN off
+  WHERE ix + dx >= 0 AND ix + dx < {lim}
+    AND iy + dy >= 0 AND iy + dy < {lim}
+)
+SELECT cell, CAST(sum(n) AS BIGINT) AS density
+FROM sc GROUP BY cell
+ORDER BY density DESC, cell ASC
+LIMIT 20
+"""
+
+
 def _sql_raster_polygonize() -> str:
     lat, lon = _sql_coords("c_custkey", 7, 13)
     expr = cells.oracle_sql_cell_expr(lat, lon, RES_JOIN)
@@ -2871,6 +2935,7 @@ def catalog():
         "point_in_polygon": q_point_in_polygon,
         "pip_zonal": q_pip_zonal,
         "raster_polygonize": q_raster_polygonize,
+        "cell_smooth_topk": q_cell_smooth_topk,
         "doc_split_stats": q_doc_split_stats,
         "doc_sample_per_lang": q_doc_sample_per_lang,
         "distinct_users_by_type": q_distinct_users_by_type,
@@ -2940,6 +3005,7 @@ def sql_catalog():
         "point_in_polygon": _sql_pip_pairs(),
         "pip_zonal": _sql_pip_zonal(),
         "raster_polygonize": _sql_raster_polygonize(),
+        "cell_smooth_topk": _sql_cell_smooth_topk(),
         "doc_split_stats": SQL_DOC_SPLIT_STATS,
         "doc_sample_per_lang": SQL_DOC_SAMPLE_PER_LANG,
         "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,

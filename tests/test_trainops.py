@@ -547,6 +547,28 @@ def test_random_walks_match_oracle_and_paths():
         assert got.astype(np.int64).values.tolist() == exp
 
 
+def test_box_smooth_raster_hand_case():
+    from ophois_ray.polygons import box_smooth_raster
+
+    def c(ix, iy):
+        return np.int64((ix << 29) | iy)
+
+    counts = ray.data.from_pandas(pd.DataFrame({
+        "cell": np.array([c(5, 5), c(5, 6), c(0, 9)], dtype=np.int64),
+        "n": np.array([3, 1, 2], dtype=np.int64),
+    }))
+    out = box_smooth_raster(counts).to_pandas()
+    d = dict(zip(out["cell"].astype(np.int64), out["density"].astype(np.int64)))
+    assert d[c(5, 5)] == 4 and d[c(5, 6)] == 4      # overlap of the pair
+    assert d[c(5, 4)] == 3 and d[c(5, 7)] == 1      # one-sided fringes
+    assert d[c(4, 5)] == 4 and d[c(6, 6)] == 4
+    # boundary cell at ix=0: the dx=-1 neighbours are dropped, so the
+    # point's mass lands on exactly 6 cells (2 each)
+    assert d[c(0, 9)] == 2 and d[c(1, 8)] == 2
+    assert sum(v for k, v in d.items() if k in (c(0, 8), c(0, 9), c(0, 10),
+                                                c(1, 8), c(1, 9), c(1, 10))) == 12
+
+
 def test_lm_surprisal_hand_case():
     from ophois_ray.textstats import lm_surprisal
 

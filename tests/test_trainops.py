@@ -1000,3 +1000,123 @@ def test_ngram_jaccard_empty_corpus_drops_candidates():
     ))
     cand = ray.data.from_pandas(pd.DataFrame({"id_a": [1], "id_b": [2]}))
     assert len(dedup.ngram_jaccard_pairs(docs, cand, k=3).to_pandas()) == 0
+
+
+# -------------------------------------- randomized parity (new kernels)
+
+
+def test_pack_sequences_random_parity():
+    from ophois_ray.sampling import pack_sequences
+
+    rng = np.random.default_rng(101)
+    ids = np.sort(rng.choice(5000, size=300, replace=False)).astype(np.int64)
+    costs = rng.integers(0, 50, size=300).astype(np.int64)
+    cap, width = 37, 64
+    got = (pack_sequences(
+        ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "c": costs})),
+        cost_col="c", id_col="doc_id", capacity=cap, range_width=width)
+        .to_pandas().sort_values(["doc_id", "bin"], ignore_index=True))
+    # naive ordered scan
+    exp = []
+    start = 0
+    for i, c in zip(ids, costs):
+        if c > 0:
+            for b in range(start // cap, (start + c - 1) // cap + 1):
+                gs, ge = max(start, b * cap), min(start + c, (b + 1) * cap)
+                exp.append((i, b, gs - start, ge - gs))
+        start += c
+    exp = pd.DataFrame(exp, columns=["doc_id", "bin", "seg_start", "seg_len"])
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp.astype(np.int64))
+
+
+def test_kcore_peel_random_parity():
+    from ophois_ray.graphops import kcore_peel
+
+    rng = np.random.default_rng(103)
+    pairs = sorted({tuple(sorted(p)) for p in
+                    rng.integers(0, 50, size=(250, 2)) if p[0] != p[1]})
+    k, rounds = 8, 4
+    stats, _ = kcore_peel(_edges_ds(pairs), k=k, rounds=rounds)
+    # naive peel
+    edges = set(pairs)
+    exp = []
+    for _ in range(rounds):
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        surv = {n for n, d in deg.items() if d >= k}
+        edges = {(u, v) for u, v in edges if u in surv and v in surv}
+        exp.append((len(surv), len(edges)))
+    assert list(zip(stats["n_nodes"], stats["n_edges"])) == exp
+
+
+def test_triangles_per_node_random_parity():
+    from itertools import combinations
+
+    from ophois_ray.graphops import triangles_per_node
+
+    rng = np.random.default_rng(107)
+    pairs = sorted({tuple(sorted(p)) for p in
+                    rng.integers(0, 35, size=(200, 2)) if p[0] != p[1]})
+    got = _tri_table(triangles_per_node(_edges_ds(pairs)))
+    es = set(pairs)
+    nodes = sorted({n for p in pairs for n in p})
+    exp = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            for n in (a, b, c):
+                exp[n] = exp.get(n, 0) + 1
+    assert dict(zip(got["node"], got["tri"])) == exp
+
+
+def test_box_smooth_raster_random_parity():
+    from ophois_ray.polygons import box_smooth_raster
+
+    rng = np.random.default_rng(109)
+    cells_ = rng.choice(400, size=60, replace=False)
+    ix, iy = cells_ // 20, cells_ % 20
+    n = rng.integers(1, 9, size=60).astype(np.int64)
+    cell = (ix.astype(np.int64) << 29) | iy.astype(np.int64)
+    got = box_smooth_raster(ray.data.from_pandas(
+        pd.DataFrame({"cell": cell, "n": n}))).to_pandas()
+    exp = {}
+    for c, v, x, y in zip(cell, n, ix, iy):
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = x + dx, y + dy
+                if nx >= 0 and ny >= 0:
+                    key = (int(nx) << 29) | int(ny)
+                    exp[key] = exp.get(key, 0) + int(v)
+    assert dict(zip(got["cell"].astype(np.int64),
+                    got["density"].astype(np.int64))) == exp
+
+
+def test_repetition_features_random_parity():
+    from ophois_ray.textstats import repetition_features
+
+    rng = np.random.default_rng(113)
+    vocab = ["a", "b", "c", "d"]
+    texts = [" ".join(rng.choice(vocab, size=int(m)))
+             for m in rng.integers(0, 12, size=40)]
+    got = (repetition_features(ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64), "text": texts})))
+        .to_pandas().sort_values("doc_id", ignore_index=True))
+    for i, t in enumerate(texts):
+        w = t.split()
+        for nn, tag in ((2, "bg"), (3, "tg")):
+            grams = [" ".join(w[j:j + nn]) for j in range(len(w) - nn + 1)]
+            assert got.loc[i, f"{tag}_total"] == len(grams)
+            assert got.loc[i, f"{tag}_distinct"] == len(set(grams))
+
+
+def test_random_walks_join_path_random_parity():
+    from ophois_ray.graphops import random_walks
+
+    rng = np.random.default_rng(127)
+    pairs = sorted({tuple(sorted(p)) for p in
+                    rng.integers(0, 25, size=(80, 2)) if p[0] != p[1]})
+    exp = _walk_oracle(pairs, 4)
+    got = (random_walks(_edges_ds(pairs), length=4, broadcast_cap=0)
+           .to_pandas().sort_values("start").reset_index(drop=True))
+    assert got.astype(np.int64).values.tolist() == exp

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "doc_lm_score",
     "events_top_paths",
     "cell_smooth_topk",
+    "part_bfs_depths",
 ]
 
 

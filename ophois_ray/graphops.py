@@ -732,6 +732,73 @@ def kcore_peel(edges, k: int, rounds: int = 3, *, num_buckets: int = 64,
     return stats_df, edges
 
 
+def bfs_depths(edges, *, seed_mod: int = 97, rounds: int = 3,
+               broadcast_cap: int = DEFAULT_BROADCAST_CAP):
+    """Multi-source BFS depth assignment over a canonical distinct edge
+    table (int64 ``u < v``) — the frontier-expansion primitive (the
+    reference's component search is single-source BFS, heuristics.rs:
+    10-58; this is its distributed multi-source generalization). Seeds
+    are the nodes with ``split_hash(node) % seed_mod == 0`` (a pure
+    function of the id, so the seed set is layout-independent and
+    SQL-mirrorable); ``rounds`` frontier expansions assign
+    ``depth = first round reached`` (0 for seeds). Returns a Dataset
+    ``(node, depth)`` over reached nodes.
+
+    Scale shape: per round the frontier ships once as a sorted int64
+    array and reached-neighbour partials are pre-deduped per batch, so
+    the exchange is one fused map over the arcs + a driver union
+    bounded by n_nodes — the same n_nodes <= ``broadcast_cap``
+    assumption :func:`pagerank_int` documents (beyond it, co-partition
+    arcs and the depth table by node hash).
+    """
+    import ray
+
+    from .sampling import split_hash
+
+    edges = edges.materialize()
+    nodes = _driver_merged_degrees(edges)["node"].to_numpy(np.int64)
+    if len(nodes) > broadcast_cap:
+        raise ValueError(
+            f"n_nodes {len(nodes)} exceeds broadcast_cap {broadcast_cap}; "
+            "co-partition arcs and depths by node hash instead"
+        )
+    depth = np.full(len(nodes), -1, dtype=np.int64)
+    seeds = nodes[split_hash(nodes) % seed_mod == 0]
+    depth[np.searchsorted(nodes, seeds)] = 0
+
+    frontier = seeds
+    for r in range(1, rounds + 1):
+        if len(frontier) == 0:
+            break
+        fref = ray.put(np.sort(frontier))
+
+        def reach(df: pd.DataFrame, _f=fref) -> pd.DataFrame:
+            f = ray.get(_f) if isinstance(_f, ray.ObjectRef) else _f
+            u = df["u"].to_numpy(np.int64)
+            v = df["v"].to_numpy(np.int64)
+            iu = np.minimum(np.searchsorted(f, u), len(f) - 1)
+            iv = np.minimum(np.searchsorted(f, v), len(f) - 1)
+            out = np.concatenate([v[f[iu] == u], u[f[iv] == v]])
+            return pd.DataFrame({"node": np.unique(out)})
+
+        pieces = [
+            b["node"].to_numpy(np.int64)
+            for b in edges.map_batches(reach, batch_format="pandas")
+            .iter_batches(batch_format="pandas", batch_size=None)
+        ]
+        reached = np.unique(np.concatenate(pieces)) if pieces else (
+            np.array([], dtype=np.int64))
+        pos = np.searchsorted(nodes, reached)
+        new_mask = depth[pos] < 0
+        frontier = reached[new_mask]
+        depth[pos[new_mask]] = r
+
+    keep = depth >= 0
+    return ray.data.from_pandas(pd.DataFrame(
+        {"node": nodes[keep], "depth": depth[keep]}
+    ))
+
+
 #: LCG constants for the deterministic walk-step hash (POSIX rand):
 #: h(cur, step) = (cur * _WALK_A + step * _WALK_C) % _WALK_M, neighbor
 #: index = h % deg. All int64-safe for node ids < 2^31 (no overflow:

@@ -2357,6 +2357,54 @@ FROM b
 """
 
 
+def q_part_bfs_depths(sf_dir: str):
+    """Multi-source BFS depths (graphops.bfs_depths) on the co-purchase
+    graph: seeds = nodes with split_hash(node) % 97 == 0, three
+    frontier expansions, (node, depth) per reached node. Bit-exact vs
+    three unrolled DuckDB frontier CTEs."""
+    from .graphops import bfs_depths
+
+    return bfs_depths(_copurchase_edges(sf_dir), seed_mod=97, rounds=3)
+
+
+SQL_PART_BFS_DEPTHS = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), arc AS (
+  SELECT u AS src, v AS dst FROM e
+  UNION ALL
+  SELECT v AS src, u AS dst FROM e
+), nodes AS (
+  SELECT DISTINCT src AS node FROM arc
+), d0 AS (
+  SELECT node FROM nodes
+  WHERE ((node * 1103515245 + 12345) % 2305843009213693951) % 97 = 0
+), r1 AS (
+  SELECT DISTINCT a.dst AS node FROM arc a JOIN d0 ON a.src = d0.node
+), d1 AS (
+  SELECT node FROM r1 WHERE node NOT IN (SELECT node FROM d0)
+), r2 AS (
+  SELECT DISTINCT a.dst AS node FROM arc a JOIN d1 ON a.src = d1.node
+), d2 AS (
+  SELECT node FROM r2 WHERE node NOT IN (SELECT node FROM d0)
+                       AND node NOT IN (SELECT node FROM d1)
+), r3 AS (
+  SELECT DISTINCT a.dst AS node FROM arc a JOIN d2 ON a.src = d2.node
+), d3 AS (
+  SELECT node FROM r3 WHERE node NOT IN (SELECT node FROM d0)
+                       AND node NOT IN (SELECT node FROM d1)
+                       AND node NOT IN (SELECT node FROM d2)
+)
+SELECT node, CAST(0 AS BIGINT) AS depth FROM d0
+UNION ALL SELECT node, 1 FROM d1
+UNION ALL SELECT node, 2 FROM d2
+UNION ALL SELECT node, 3 FROM d3
+"""
+
+
 def q_split_contamination(sf_dir: str):
     """Benchmark-leakage audit (dedup.contamination_counts): per lang,
     how many hash-split test documents share at least one
@@ -2946,6 +2994,7 @@ def catalog():
         "node_triangles": q_node_triangles,
         "part_kcore": q_part_kcore,
         "part_random_walks": q_part_random_walks,
+        "part_bfs_depths": q_part_bfs_depths,
         "split_contamination": q_split_contamination,
         "doc_packing": q_doc_packing,
         "polygon_area": q_polygon_area,
@@ -3016,6 +3065,7 @@ def sql_catalog():
         "node_triangles": SQL_NODE_TRIANGLES,
         "part_kcore": SQL_PART_KCORE,
         "part_random_walks": SQL_PART_RANDOM_WALKS,
+        "part_bfs_depths": SQL_PART_BFS_DEPTHS,
         "split_contamination": SQL_SPLIT_CONTAMINATION,
         "doc_packing": SQL_DOC_PACKING,
         "polygon_area": _sql_polygon_area(),

@@ -1110,6 +1110,44 @@ def test_repetition_features_random_parity():
             assert got.loc[i, f"{tag}_distinct"] == len(set(grams))
 
 
+def test_bfs_depths_single_seed_path():
+    from ophois_ray.graphops import bfs_depths
+    from ophois_ray.sampling import split_hash
+
+    ids = np.arange(6, dtype=np.int64)
+    h = split_hash(ids)
+    mod = int(h[2])  # make node 2 a seed; assert it is the only one
+    assert int((h % mod == 0).sum()) == 1
+    path = _edges_ds([(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)])
+    out = (bfs_depths(path, seed_mod=mod, rounds=2).to_pandas()
+           .sort_values("node", ignore_index=True))
+    assert dict(zip(out["node"], out["depth"])) == {
+        0: 2, 1: 1, 2: 0, 3: 1, 4: 2}  # node 5 is beyond 2 rounds
+
+
+def test_bfs_depths_random_parity():
+    from ophois_ray.graphops import bfs_depths
+    from ophois_ray.sampling import split_hash
+
+    rng = np.random.default_rng(131)
+    pairs = sorted({tuple(sorted(p)) for p in
+                    rng.integers(0, 80, size=(160, 2)) if p[0] != p[1]})
+    got = bfs_depths(_edges_ds(pairs), seed_mod=11, rounds=3).to_pandas()
+    # naive multi-source BFS
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = np.array(sorted(adj), dtype=np.int64)
+    depth = {int(n): 0 for n in nodes[split_hash(nodes) % 11 == 0]}
+    frontier = set(depth)
+    for r in range(1, 4):
+        frontier = {m for n in frontier for m in adj[n]} - set(depth)
+        for m in frontier:
+            depth[m] = r
+    assert dict(zip(got["node"].astype(int), got["depth"].astype(int))) == depth
+
+
 def test_random_walks_join_path_random_parity():
     from ophois_ray.graphops import random_walks
 

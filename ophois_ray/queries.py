@@ -598,6 +598,57 @@ FROM documents
 """
 
 
+def q_doc_rollup_counts(sf_dir: str):
+    """OLAP rollup (GROUPING SETS) in ONE shuffle: doc count + char sum
+    at every granularity of (lang, source) — (lang, source), (lang, *),
+    (*, source), (*, *) — by emitting all four group keys as per-batch
+    pre-aggregated partials before a single (lang, source)-bucket
+    merge. '*' marks the rolled-up dimension. Bit-exact vs a DuckDB
+    GROUPING SETS union."""
+    from .joins import grouped_apply
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source", "n_chars"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for keep_lang, keep_src in ((True, True), (True, False),
+                                    (False, True), (False, False)):
+            g = pd.DataFrame({
+                "lang": df["lang"].to_numpy() if keep_lang else "*",
+                "source": df["source"].to_numpy() if keep_src else "*",
+                "n_chars": df["n_chars"].to_numpy(np.int64),
+            }).groupby(["lang", "source"], as_index=False).agg(
+                n=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+            outs.append(g)
+        out = pd.concat(outs, ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_chars"] = out["sum_chars"].astype(np.int64)
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], as_index=False)[["n", "sum_chars"]].sum()
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_chars"] = g["sum_chars"].astype(np.int64)
+        return g
+
+    return grouped_apply(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["lang", "source"], merge, num_buckets=16,
+    )
+
+
+SQL_DOC_ROLLUP_COUNTS = """
+SELECT COALESCE(lang, '*') AS lang, COALESCE(source, '*') AS source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+"""
+
+
 def q_doc_repetition(sf_dir: str):
     """Per-doc duplicate-n-gram repetition signals
     (textstats.repetition_features): total + distinct bigram/trigram
@@ -2959,6 +3010,7 @@ def catalog():
         "doc_lang_counts": q_doc_lang_counts,
         "doc_quality_features": q_doc_quality_features,
         "doc_repetition": q_doc_repetition,
+        "doc_rollup_counts": q_doc_rollup_counts,
         "events_props_extract": q_events_props_extract,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_pairs": q_simhash_pairs,
@@ -3034,6 +3086,7 @@ def sql_catalog():
         "doc_lang_counts": SQL_DOC_LANG_COUNTS,
         "doc_quality_features": SQL_DOC_QUALITY,
         "doc_repetition": SQL_DOC_REPETITION,
+        "doc_rollup_counts": SQL_DOC_ROLLUP_COUNTS,
         "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
         "embed_topk_int": SQL_EMBED_TOPK_INT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -2320,6 +2320,94 @@ GROUP BY et.doc_id
 """
 
 
+def q_training_prep(sf_dir: str):
+    """End-to-end training-data prep composition, every stage one of
+    this engine's operators: quality filter (>= 20 tokens) + repetition
+    filter (no duplicated trigram) fused into the read, exact dedup
+    (keep min doc_id per text), then sequence packing of the survivors
+    into 4096-char bins — per-bin (n_segs, chars) stats. The whole
+    chain is mirrored by one DuckDB statement, so the COMPOSITION is
+    oracle-checked, not just the pieces."""
+    from . import dedup as _dedup
+    from .joins import grouped_apply
+    from .sampling import pack_sequences
+    from .textstats import doc_ngrams, flatten_tokens
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+
+    def qual(df: pd.DataFrame) -> pd.DataFrame:
+        flat, doc_of, ndocs = flatten_tokens(df["text"])
+        n_tok = np.bincount(doc_of, minlength=ndocs)
+        grams, gdoc = doc_ngrams(flat, doc_of, 3)
+        tg_total = np.bincount(gdoc, minlength=ndocs)
+        dd = pd.DataFrame({"d": gdoc, "g": grams}).drop_duplicates()
+        tg_distinct = np.bincount(dd["d"].to_numpy(np.int64), minlength=ndocs)
+        return df[(n_tok >= 20) & (tg_total == tg_distinct)]
+
+    # two consumers (dedup winner scan + keep scan) — pin the filtered
+    # table once; it is the pruned 3-column survivor set, not the corpus
+    filtered = docs.map_batches(qual, batch_format="pandas").materialize()
+    kept = _dedup.exact_dedup_filter(filtered)
+    packed = pack_sequences(kept, cost_col="n_chars")
+
+    def part_agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", as_index=False).agg(
+            n_segs=("seg_len", "size"), chars=("seg_len", "sum"))
+        g["n_segs"] = g["n_segs"].astype(np.int64)
+        g["chars"] = g["chars"].astype(np.int64)
+        return g
+
+    def merge_agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", as_index=False)[["n_segs", "chars"]].sum()
+        g["n_segs"] = g["n_segs"].astype(np.int64)
+        g["chars"] = g["chars"].astype(np.int64)
+        return g
+
+    return grouped_apply(packed, "bin", merge_agg, drop_partial=part_agg,
+                         num_buckets=16)
+
+
+SQL_TRAINING_PREP = r"""
+WITH feats AS (
+  SELECT doc_id, text, n_chars,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS l
+  FROM documents
+), tg AS (
+  SELECT doc_id, len(l) AS nt,
+         len(list_transform(range(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tg_total,
+         len(list_distinct(list_transform(range(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS tg_distinct
+  FROM feats
+), q AS (
+  SELECT f.doc_id, f.text, f.n_chars
+  FROM feats f JOIN tg ON f.doc_id = tg.doc_id
+  WHERE tg.nt >= 20 AND tg.tg_total = tg.tg_distinct
+), w AS (
+  SELECT min(doc_id) AS doc_id FROM q GROUP BY text
+), kept AS (
+  SELECT q.doc_id, q.n_chars FROM q JOIN w ON q.doc_id = w.doc_id
+), s AS (
+  SELECT doc_id, n_chars,
+         CAST(COALESCE(sum(n_chars) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start
+  FROM kept
+), b AS (
+  SELECT doc_id, n_chars, start,
+         unnest(range(start // 4096, (start + n_chars - 1) // 4096 + 1)) AS bin
+  FROM s WHERE n_chars > 0
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(least(start + n_chars, (bin + 1) * 4096)
+                - greatest(start, bin * 4096)) AS BIGINT) AS chars
+FROM b GROUP BY bin
+"""
+
+
 def q_polygon_area(sf_dir: str):
     """Integer-exact shoelace area + centroid numerators per demo
     polygon (polygons.polygon_area_centroid): vertices quantized by
@@ -3049,6 +3137,7 @@ def catalog():
         "part_bfs_depths": q_part_bfs_depths,
         "split_contamination": q_split_contamination,
         "doc_packing": q_doc_packing,
+        "training_prep": q_training_prep,
         "polygon_area": q_polygon_area,
         "doc_lm_score": q_doc_lm_score,
         "doc_collocations": q_doc_collocations,
@@ -3121,6 +3210,7 @@ def sql_catalog():
         "part_bfs_depths": SQL_PART_BFS_DEPTHS,
         "split_contamination": SQL_SPLIT_CONTAMINATION,
         "doc_packing": SQL_DOC_PACKING,
+        "training_prep": SQL_TRAINING_PREP,
         "polygon_area": _sql_polygon_area(),
         "doc_lm_score": SQL_DOC_LM_SCORE,
         "doc_collocations": SQL_DOC_COLLOCATIONS,

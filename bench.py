@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "events_top_paths",
     "cell_smooth_topk",
     "part_bfs_depths",
+    "doc_rollup_counts",
+    "training_prep",
 ]
 
 

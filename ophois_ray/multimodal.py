@@ -75,6 +75,11 @@ def decode_netpbm(raw: bytes) -> np.ndarray:
         raise MediaDecodeError("16-bit netpbm not supported")
     ch = 3 if magic == "P6" else 1
     need = w * h * ch
+    if len(raw) < off + need:
+        raise MediaDecodeError(
+            f"truncated netpbm payload: need {need} pixel bytes, "
+            f"have {len(raw) - off}"
+        )
     buf = np.frombuffer(raw, dtype=np.uint8, count=need, offset=off)
     img = buf.reshape(h, w, ch).astype(np.float32) / np.float32(maxval)
     if ch == 1:
@@ -140,6 +145,8 @@ def decode_wav_pcm16(raw: bytes):
             bits = int.from_bytes(body[14:16], "little")
             if fmt != 1 or bits != 16:
                 raise MediaDecodeError("only PCM16 WAV is supported")
+            if channels < 1:
+                raise MediaDecodeError("WAV fmt chunk declares 0 channels")
         elif cid == b"data":
             data = body
         i += 8 + size + (size & 1)  # chunks are word-aligned

@@ -380,12 +380,19 @@ def polygon_area_centroid(verts, *, scale: int = 1024, num_buckets: int = 16):
     return grouped_apply(verts, "pid", per_bucket, num_buckets=num_buckets)
 
 
-def box_smooth_raster(counts, *, num_buckets: int = 32):
+def box_smooth_raster(counts, *, res: int | None = None,
+                      num_buckets: int = 32):
     """Raster convolution: 3x3 box smoothing of a (cell, n) count
     raster — every cell's smoothed density is the sum of its own and
     its 8 neighbours' counts, including cells that had no points of
     their own (they receive scattered mass). Pure int64. Returns a
     Dataset (cell, density).
+
+    Neighbourhood semantics: with ``res`` given, the grid is the
+    2^res x 2^res cell raster and the x axis WRAPS modulo 2^res
+    (longitude) while y clips at the poles — the same 3x3 definition as
+    ``cells.k_ring_many``. Without ``res`` the raster is treated as an
+    abstract non-wrapping grid clipped at the 2^29 id-space bounds.
 
     Scale shape: the classic scatter formulation — each count row emits
     up to 9 (neighbour, n) rows in a fused map (vectorized over the
@@ -396,7 +403,8 @@ def box_smooth_raster(counts, *, num_buckets: int = 32):
     from .joins import grouped_apply
 
     MASK = np.int64((1 << 29) - 1)
-    LIM = np.int64(1 << 29)
+    LIM = np.int64(1 << res) if res is not None else np.int64(1 << 29)
+    wrap_x = res is not None
 
     def scatter(df: pd.DataFrame) -> pd.DataFrame:
         cell = df["cell"].to_numpy(np.int64)
@@ -408,7 +416,11 @@ def box_smooth_raster(counts, *, num_buckets: int = 32):
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 nx, ny = ix + dx, iy + dy
-                ok = (nx >= 0) & (nx < LIM) & (ny >= 0) & (ny < LIM)
+                if wrap_x:
+                    nx = (nx + LIM) % LIM  # longitude wrap
+                    ok = (ny >= 0) & (ny < LIM)
+                else:
+                    ok = (nx >= 0) & (nx < LIM) & (ny >= 0) & (ny < LIM)
                 out_c.append(base[ok] + (nx[ok] << np.int64(29)) + ny[ok])
                 out_n.append(n[ok])
         return pd.DataFrame({

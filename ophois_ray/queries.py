@@ -613,12 +613,17 @@ def q_doc_rollup_counts(sf_dir: str):
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # fold data NULLs into '*' like the oracle's COALESCE does
+        # (pandas groupby would silently DROP them); a literal '*'
+        # value would merge with rollup rows on both sides identically
+        lang = df["lang"].fillna("*").to_numpy()
+        source = df["source"].fillna("*").to_numpy()
         outs = []
         for keep_lang, keep_src in ((True, True), (True, False),
                                     (False, True), (False, False)):
             g = pd.DataFrame({
-                "lang": df["lang"].to_numpy() if keep_lang else "*",
-                "source": df["source"].to_numpy() if keep_src else "*",
+                "lang": lang if keep_lang else "*",
+                "source": source if keep_src else "*",
                 "n_chars": df["n_chars"].to_numpy(np.int64),
             }).groupby(["lang", "source"], as_index=False).agg(
                 n=("n_chars", "size"), sum_chars=("n_chars", "sum"))
@@ -1278,18 +1283,26 @@ def q_events_top_paths(sf_dir: str):
     per_bucket = grouped_apply(
         ev.map_batches(to_us, batch_format="pandas"), "user_id", paths
     )
+
+    def path_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # global counts for this path bucket, then a bucket-local head:
+        # the global top-10 is a subset of the per-bucket top-10s, so
+        # the driver merge is bounded by 10 x num_buckets rows — never
+        # the (near-unique-per-user) distinct path set
+        g = df.groupby("path", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g.sort_values(["n", "path"], ascending=[False, True]).head(10)
+
+    heads = grouped_apply(per_bucket, "path", path_topk, num_buckets=16)
     pieces = [
-        b for b in per_bucket.iter_batches(batch_format="pandas",
-                                           batch_size=None)
+        b for b in heads.iter_batches(batch_format="pandas", batch_size=None)
     ]
     if not pieces:
         return pd.DataFrame({"path": pd.Series(dtype=object),
                              "n": pd.Series(dtype=np.int64)})
-    merged = (pd.concat(pieces, ignore_index=True)
-              .groupby("path", as_index=False)["n"].sum())
-    merged["n"] = merged["n"].astype(np.int64)
-    return (merged.sort_values(["n", "path"], ascending=[False, True],
-                               ignore_index=True).head(10))
+    return (pd.concat(pieces, ignore_index=True)
+            .sort_values(["n", "path"], ascending=[False, True],
+                         ignore_index=True).head(10))
 
 
 SQL_EVENTS_TOP_PATHS = """
@@ -1851,7 +1864,7 @@ def q_cell_smooth_topk(sf_dir: str):
         .groupby("cell")
         .aggregate(Count(alias_name="n"))
     )
-    sm = box_smooth_raster(counts)
+    sm = box_smooth_raster(counts, res=RES_JOIN)
     parts = [
         b.sort_values(["density", "cell"], ascending=[False, True]).head(20)
         for b in sm.iter_batches(batch_format="pandas", batch_size=None)
@@ -1868,14 +1881,15 @@ def _sql_cell_smooth_topk() -> str:
     lat, lon = _sql_coords("c_custkey", 7, 13)
     expr = cells.oracle_sql_cell_expr(lat, lon, RES_JOIN)
     mask = (1 << 29) - 1
-    lim = 1 << 29
+    idlim = 1 << 29
+    grid = 1 << RES_JOIN  # x wraps mod grid (longitude), y clips (poles)
     return f"""
 WITH counts AS (
   SELECT {expr} AS cell, CAST(count(*) AS BIGINT) AS n
   FROM customer GROUP BY 1
 ), parts AS (
   SELECT cell, (cell >> 29) & {mask} AS ix, cell & {mask} AS iy,
-         cell - (((cell >> 29) & {mask}) * {lim}) - (cell & {mask}) AS base,
+         cell - (((cell >> 29) & {mask}) * {idlim}) - (cell & {mask}) AS base,
          n
   FROM counts
 ), off AS (
@@ -1883,10 +1897,9 @@ WITH counts AS (
   FROM (VALUES (-1), (0), (1)) dx(dx)
   CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
 ), sc AS (
-  SELECT base + (ix + dx) * {lim} + (iy + dy) AS cell, n
+  SELECT base + ((ix + dx + {grid}) % {grid}) * {idlim} + (iy + dy) AS cell, n
   FROM parts CROSS JOIN off
-  WHERE ix + dx >= 0 AND ix + dx < {lim}
-    AND iy + dy >= 0 AND iy + dy < {lim}
+  WHERE iy + dy >= 0 AND iy + dy < {grid}
 )
 SELECT cell, CAST(sum(n) AS BIGINT) AS density
 FROM sc GROUP BY cell
@@ -2350,7 +2363,11 @@ def q_training_prep(sf_dir: str):
     # two consumers (dedup winner scan + keep scan) — pin the filtered
     # table once; it is the pruned 3-column survivor set, not the corpus
     filtered = docs.map_batches(qual, batch_format="pandas").materialize()
-    kept = _dedup.exact_dedup_filter(filtered)
+    # drop the text payload BEFORE packing (its rid shuffle must carry
+    # only (doc_id, n_chars)) and pin the survivors once — packing
+    # consumes its input twice (pass-A totals scan + pass-B shuffle)
+    kept = _dedup.exact_dedup_filter(filtered).select_columns(
+        ["doc_id", "n_chars"]).materialize()
     packed = pack_sequences(kept, cost_col="n_chars")
 
     def part_agg(df: pd.DataFrame) -> pd.DataFrame:

@@ -261,7 +261,13 @@ def pack_sequences(ds, *, cost_col: str, id_col: str = "doc_id",
         first = np.ones(len(ids), dtype=bool)
         first[1:] = rid[1:] != rid[:-1]
         base = np.repeat(run[first], np.diff(np.append(np.where(first)[0], len(ids))))
-        start = off_[np.searchsorted(rids_, rid)] + (run - base)
+        pos = np.minimum(np.searchsorted(rids_, rid), len(rids_) - 1)
+        if len(rid) and not np.array_equal(rids_[pos], rid):
+            # pass A and pass B disagree on the range set — the input
+            # re-executed nondeterministically between the two scans;
+            # fail loudly rather than add a neighbouring range's offset
+            raise KeyError("pack_sequences: range id missing from pass-A totals")
+        start = off_[pos] + (run - base)
         keep = cost > 0
         ids, cost, start = ids[keep], cost[keep], start[keep]
         if len(ids) == 0:

@@ -569,6 +569,25 @@ def test_box_smooth_raster_hand_case():
                                                 c(1, 8), c(1, 9), c(1, 10))) == 12
 
 
+def test_box_smooth_raster_wraps_longitude_with_res():
+    from ophois_ray.polygons import box_smooth_raster
+
+    res = 4  # 16 x 16 grid
+
+    def c(ix, iy):
+        return np.int64((ix << 29) | iy)
+
+    counts = ray.data.from_pandas(pd.DataFrame({
+        "cell": np.array([c(15, 5)], dtype=np.int64),  # east edge
+        "n": np.array([7], dtype=np.int64),
+    }))
+    out = box_smooth_raster(counts, res=res).to_pandas()
+    d = dict(zip(out["cell"].astype(np.int64), out["density"].astype(np.int64)))
+    # x wraps to 0 across the antimeridian; no phantom ix=16 cells
+    assert d[c(0, 5)] == 7 and d[c(0, 4)] == 7 and d[c(15, 6)] == 7
+    assert len(d) == 9 and all((k >> 29) in (0, 14, 15) for k in d)
+
+
 def test_lm_surprisal_hand_case():
     from ophois_ray.textstats import lm_surprisal
 

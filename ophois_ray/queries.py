@@ -2425,6 +2425,52 @@ FROM b GROUP BY bin
 """
 
 
+def q_part_skyline(sf_dir: str):
+    """2-D skyline / Pareto front (sampling.skyline2d): the parts not
+    strictly dominated on (price cents, size), both minimized. Price
+    cents = floor(p_retailprice * 100.0) — the multiply and floor are
+    identically IEEE-rounded in numpy and DuckDB, so the comparison
+    domain is the same int64 on both sides. Local-skyline pre-filter
+    per block, exact final pass; mirrored by a NOT EXISTS dominance
+    oracle."""
+    from .sampling import skyline2d
+
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": df["p_partkey"].to_numpy(np.int64),
+            "price_c": np.floor(
+                df["p_retailprice"].to_numpy(np.float64) * 100.0
+            ).astype(np.int64),
+            "size": df["p_size"].to_numpy(np.int64),
+        })
+
+    out = skyline2d(part.map_batches(prep, batch_format="pandas"),
+                    "price_c", "size")
+    return out.sort_values("p_partkey", ignore_index=True)
+
+
+SQL_PART_SKYLINE = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100.0) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT a.p_partkey, a.price_c, a.size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c <= a.price_c AND b.size <= a.size
+    AND (b.price_c < a.price_c OR b.size < a.size)
+)
+"""
+
+
 def q_polygon_area(sf_dir: str):
     """Integer-exact shoelace area + centroid numerators per demo
     polygon (polygons.polygon_area_centroid): vertices quantized by
@@ -3155,6 +3201,7 @@ def catalog():
         "split_contamination": q_split_contamination,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
+        "part_skyline": q_part_skyline,
         "polygon_area": q_polygon_area,
         "doc_lm_score": q_doc_lm_score,
         "doc_collocations": q_doc_collocations,
@@ -3228,6 +3275,7 @@ def sql_catalog():
         "split_contamination": SQL_SPLIT_CONTAMINATION,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
+        "part_skyline": SQL_PART_SKYLINE,
         "polygon_area": _sql_polygon_area(),
         "doc_lm_score": SQL_DOC_LM_SCORE,
         "doc_collocations": SQL_DOC_COLLOCATIONS,

@@ -295,3 +295,63 @@ def pack_sequences(ds, *, cost_col: str, id_col: str = "doc_id",
         ds.map_batches(rid_col, batch_format="pandas"), "__rid", pack,
         num_buckets=num_buckets,
     )
+
+
+# --------------------------------------------------------------- skyline
+
+
+def _skyline2d_kernel(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean survivor mask of the 2-D minimization skyline: row i is
+    dominated iff some row has x' <= x, y' <= y with at least one
+    strict. Equal (x, y) duplicates do not dominate each other (both
+    survive). Vectorized sort-scan, no pairwise loop."""
+    m = len(x)
+    if m == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    first = np.ones(m, dtype=bool)
+    first[1:] = xs[1:] != xs[:-1]
+    # min y within each equal-x group (groups are contiguous)
+    gidx = np.cumsum(first) - 1
+    gmin = np.minimum.reduceat(ys, np.where(first)[0])
+    in_group_min = ys == gmin[gidx]
+    # running min of y over STRICTLY smaller x groups
+    prev = np.concatenate([[np.iinfo(np.int64).max],
+                           np.minimum.accumulate(gmin)[:-1]])
+    keep_sorted = in_group_min & (ys < prev[gidx])
+    keep = np.zeros(m, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline2d(ds, x_col: str, y_col: str, *, final_cap: int = 10_000_000):
+    """Distributed 2-D skyline (Pareto front, minimize both columns):
+    the rows not strictly dominated in (x, y). Exploits the skyline
+    composition property — the global skyline is a subset of the union
+    of per-block local skylines — so one fused map pre-filters each
+    block to its local front and only those survivors reach the driver
+    for the exact final pass (bounded by the union size, <=
+    ``final_cap``; a 2-D front over real data is tiny relative to the
+    input). Pure integer comparisons; equal duplicates both survive.
+    Returns a pandas frame of the surviving rows.
+    """
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_skyline2d_kernel(df[x_col].to_numpy(np.int64),
+                                    df[y_col].to_numpy(np.int64))]
+
+    pieces = [
+        b for b in ds.map_batches(local, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    if not pieces:
+        return pd.DataFrame()
+    cand = pd.concat(pieces, ignore_index=True)
+    if len(cand) > final_cap:
+        raise ValueError(
+            f"skyline candidate union {len(cand)} exceeds final_cap "
+            f"{final_cap}; repartition-by-x and cascade instead"
+        )
+    return cand[_skyline2d_kernel(cand[x_col].to_numpy(np.int64),
+                                  cand[y_col].to_numpy(np.int64))
+                ].reset_index(drop=True)

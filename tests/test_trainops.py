@@ -1129,6 +1129,33 @@ def test_repetition_features_random_parity():
             assert got.loc[i, f"{tag}_distinct"] == len(set(grams))
 
 
+def test_skyline2d_hand_and_random_parity():
+    from ophois_ray.sampling import skyline2d
+
+    # hand case with an equal-coordinate duplicate pair on the front
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "x": np.array([1, 1, 2, 3, 2, 5], dtype=np.int64),
+        "y": np.array([5, 5, 3, 1, 4, 1], dtype=np.int64),
+    })
+    out = skyline2d(ray.data.from_pandas(df).repartition(3), "x", "y")
+    # (1,5) twice, (2,3), (3,1) survive; (2,4) dom by (2,3); (5,1) by (3,1)
+    assert sorted(out["id"]) == [0, 1, 2, 3]
+
+    rng = np.random.default_rng(137)
+    big = pd.DataFrame({
+        "id": np.arange(500, dtype=np.int64),
+        "x": rng.integers(0, 40, size=500).astype(np.int64),
+        "y": rng.integers(0, 40, size=500).astype(np.int64),
+    })
+    got = skyline2d(ray.data.from_pandas(big).repartition(7), "x", "y")
+    # naive O(n^2) dominance oracle
+    xs, ys = big["x"].to_numpy(), big["y"].to_numpy()
+    keep = [i for i in range(500) if not np.any(
+        (xs <= xs[i]) & (ys <= ys[i]) & ((xs < xs[i]) | (ys < ys[i])))]
+    assert sorted(got["id"]) == keep
+
+
 def test_bfs_depths_single_seed_path():
     from ophois_ray.graphops import bfs_depths
     from ophois_ray.sampling import split_hash

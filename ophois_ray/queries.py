@@ -2425,6 +2425,19 @@ FROM b GROUP BY bin
 """
 
 
+def q_embed_pca_project(sf_dir: str):
+    """Distributed PCA (similarity.pca_train / pca_project): fit 4
+    components by one-pass Gram-moment accumulation over the embeddings
+    table, then project every vector in a fused broadcast map. Float
+    eigendecomposition — no SQL oracle (see no_oracle_reasons); gated
+    in pytest against direct numpy PCA and for layout invariance."""
+    from . import similarity
+
+    emb = _t(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    comps, mean, _ = similarity.pca_train(emb, 4)
+    return similarity.pca_project(emb, comps, mean)
+
+
 def q_part_skyline(sf_dir: str):
     """2-D skyline / Pareto front (sampling.skyline2d): the parts not
     strictly dominated on (price cents, size), both minimized. Price
@@ -3202,6 +3215,7 @@ def catalog():
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
+        "embed_pca_project": q_embed_pca_project,
         "polygon_area": q_polygon_area,
         "doc_lm_score": q_doc_lm_score,
         "doc_collocations": q_doc_collocations,
@@ -3294,6 +3308,12 @@ def no_oracle_reasons():
     """Why each remaining rows-only query has no SQL mirror (the driver
     records 'no_oracle'; this documents the cause per query)."""
     return {
+        "embed_pca_project": (
+            "float eigendecomposition (np.linalg.eigh) is not "
+            "SQL-expressible; gated in pytest against direct numpy PCA "
+            "on the materialized table, layout invariance under "
+            "repartition, and the projection identity"
+        ),
         "minhash_near_dup": (
             "output depends on seeded 64-permutation MinHash band "
             "collisions; the banding is not expressible as set-based SQL "

@@ -438,3 +438,95 @@ def ivf_topk(ds, queries: np.ndarray, centroids: np.ndarray, *, k: int = 10,
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------------------- PCA
+
+
+def pca_train(ds, n_components: int, *, vec_col: str = "embedding"):
+    """Distributed PCA fit over an embedding column — the canonical
+    one-pass Gram accumulation: every batch contributes partial
+    ``(sum x, sum x x^T, n)`` moments (d and d x d — tiny next to the
+    data, shipped as packed buffers since ragged ndarrays cannot ride
+    pandas blocks), the driver merges them into the exact covariance
+    and runs ``eigh`` on the d x d matrix. The partial-sum merge is the
+    one float reduction, so last-ulp drift across block layouts is
+    possible — the pytest gate uses allclose, not bit equality. Sign
+    convention: each component is flipped so its largest-|coeff| entry
+    is positive. Returns ``(components [k, d], mean [d],
+    explained_var [k])``.
+    """
+    blobs = [
+        blob
+        for b in ds.map_batches(
+            lambda df: pd.DataFrame({"blob": [_pack_moments(df, vec_col)]}),
+            batch_format="pandas",
+        ).iter_batches(batch_format="pandas", batch_size=None)
+        for blob in b["blob"]
+    ]
+    # float partial sums: merge in a CANONICAL order (sorted blobs) so
+    # the fit is bit-identical across reruns despite nondeterministic
+    # batch arrival order
+    s = g = None
+    n = 0
+    for blob in sorted(blobs):
+        bs, bg, bn = _unpack_moments(blob)
+        s = bs if s is None else s + bs
+        g = bg if g is None else g + bg
+        n += bn
+    if n == 0:
+        raise ValueError("pca_train: empty dataset")
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T
+    # deterministic sign: largest-|coeff| entry of each component > 0
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, mean, w[order]
+
+
+def _pack_moments(df, vec_col):
+    """(sum, gram, n) of one batch as a single bytes cell — ragged
+    ndarrays cannot ride pandas blocks (TensorArray concat crash), so
+    moments ship as raw buffers."""
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]]) \
+        if len(df) else np.zeros((0, 1))
+    d = m.shape[1]
+    s = m.sum(axis=0)
+    g = m.T @ m
+    head = np.array([d, len(m)], dtype=np.int64).tobytes()
+    return head + s.tobytes() + g.astype(np.float64).tobytes()
+
+
+def _unpack_moments(blob: bytes):
+    d, n = np.frombuffer(blob[:16], dtype=np.int64)
+    d = int(d)
+    s = np.frombuffer(blob[16:16 + 8 * d], dtype=np.float64)
+    g = np.frombuffer(blob[16 + 8 * d:], dtype=np.float64).reshape(d, d)
+    return s, g, int(n)
+
+
+def pca_project(ds, components: np.ndarray, mean: np.ndarray, *,
+                vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Project every vector onto fitted components in one fused
+    zero-shuffle map (broadcast the [k, d] matrix once). Returns a
+    Dataset ``(id, proj)`` with ``proj`` a length-k list column."""
+    import ray
+
+    cref = ray.put((np.ascontiguousarray(components),
+                    np.ascontiguousarray(mean)))
+
+    def fn(df):
+        comps, mu = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        p = (m - mu) @ comps.T
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "proj": [row.tolist() for row in p],
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")

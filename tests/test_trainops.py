@@ -1129,6 +1129,35 @@ def test_repetition_features_random_parity():
             assert got.loc[i, f"{tag}_distinct"] == len(set(grams))
 
 
+def test_pca_matches_direct_numpy(embeds):
+    comps, mean, var = similarity.pca_train(embeds, 4)
+    full = embeds.to_pandas()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in full["embedding"]])
+    mu = m.mean(axis=0)
+    cov = (m.T @ m) / len(m) - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    exp = v[:, order].T
+    for i in range(4):
+        j = int(np.argmax(np.abs(exp[i])))
+        if exp[i, j] < 0:
+            exp[i] = -exp[i]
+    assert np.allclose(mean, mu)
+    assert np.allclose(comps, exp, atol=1e-9)
+    assert np.allclose(var, w[order])
+    assert (np.diff(var) <= 1e-12).all()  # descending explained variance
+    # layout invariance (allclose: the partial-sum merge is float)
+    comps2, mean2, var2 = similarity.pca_train(embeds.repartition(7), 4)
+    assert np.allclose(comps, comps2) and np.allclose(var, var2)
+    # projection identity
+    proj = (similarity.pca_project(embeds, comps, mean).to_pandas()
+            .sort_values("vec_id", ignore_index=True))
+    got = np.stack([np.asarray(p) for p in proj["proj"]])
+    ids = full["vec_id"].to_numpy()
+    exp_p = (m[np.argsort(ids)] - mu) @ comps.T
+    assert np.allclose(got, exp_p)
+
+
 def test_skyline2d_hand_and_random_parity():
     from ophois_ray.sampling import skyline2d
 

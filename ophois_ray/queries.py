@@ -1844,6 +1844,52 @@ def q_raster_polygonize(sf_dir: str):
     )
 
 
+def q_polygon_rasterize(sf_dir: str):
+    """Vector->raster (polygons.rasterize_polygons): every res-6 cell
+    whose center lies inside one of the demo polygons, as (cell,
+    poly_id) rows — the inverse of raster_polygonize, closing the
+    raster<->vector loop. Candidates from bbox covers, exact test via
+    the broadcast crossing-number kernel; the SQL mirror generates the
+    full 64x64 grid, computes centers with the identical IEEE op order
+    as cells.cell_center, and applies the same edge predicate.
+    (sf_dir unused: the polygon set is the seeded broadcast side.)"""
+    from .polygons import rasterize_polygons
+
+    out = rasterize_polygons(_demo_polygons(), RES_JOIN)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cell": df["cell"].to_numpy(np.int64),
+            "poly_id": df["poly_id"].to_numpy(np.int64),
+        })
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def _sql_polygon_rasterize() -> str:
+    from .polygons import oracle_sql_pip_edges
+
+    edges = oracle_sql_pip_edges(_demo_polygons())
+    n = 1 << RES_JOIN
+    return f"""
+WITH g AS (
+  SELECT gx.range AS ix, gy.range AS iy
+  FROM range(0, {n}) gx CROSS JOIN range(0, {n}) gy
+), ctr AS (
+  SELECT ({RES_JOIN} * {1 << 58} + ix * {1 << 29} + iy) AS cell,
+         (CAST(iy AS DOUBLE) + 0.5) / {float(n)} * 180.0 - 90.0 AS lat,
+         (CAST(ix AS DOUBLE) + 0.5) / {float(n)} * 360.0 - 180.0 AS lon
+  FROM g
+)
+SELECT ctr.cell, e.pid AS poly_id
+FROM ctr CROSS JOIN {edges}
+WHERE (e.y1 > ctr.lat) != (e.y2 > ctr.lat)
+  AND ctr.lon < (e.x2 - e.x1) * (ctr.lat - e.y1) / (e.y2 - e.y1) + e.x1
+GROUP BY 1, 2
+HAVING count(*) % 2 = 1
+"""
+
+
 def q_cell_smooth_topk(sf_dir: str):
     """Raster convolution (polygons.box_smooth_raster): customer points
     rasterized to res-6 cell counts, 3x3 box-smoothed by the scatter
@@ -3200,6 +3246,7 @@ def catalog():
         "pip_zonal": q_pip_zonal,
         "raster_polygonize": q_raster_polygonize,
         "cell_smooth_topk": q_cell_smooth_topk,
+        "polygon_rasterize": q_polygon_rasterize,
         "doc_split_stats": q_doc_split_stats,
         "doc_sample_per_lang": q_doc_sample_per_lang,
         "distinct_users_by_type": q_distinct_users_by_type,
@@ -3275,6 +3322,7 @@ def sql_catalog():
         "pip_zonal": _sql_pip_zonal(),
         "raster_polygonize": _sql_raster_polygonize(),
         "cell_smooth_topk": _sql_cell_smooth_topk(),
+        "polygon_rasterize": _sql_polygon_rasterize(),
         "doc_split_stats": SQL_DOC_SPLIT_STATS,
         "doc_sample_per_lang": SQL_DOC_SAMPLE_PER_LANG,
         "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,

@@ -1129,6 +1129,26 @@ def test_repetition_features_random_parity():
             assert got.loc[i, f"{tag}_distinct"] == len(set(grams))
 
 
+def test_rasterize_polygons_center_rule():
+    from ophois_ray import cells as _cells
+    from ophois_ray.polygons import rasterize_polygons
+
+    # axis-aligned square: the center-sample rule is checkable by
+    # direct coordinate comparison over the full grid
+    polys = {3: [(10.0, 10.0), (10.0, 30.0), (30.0, 30.0), (30.0, 10.0)]}
+    res = 4
+    out = rasterize_polygons(polys, res).to_pandas()
+    assert (out["poly_id"] == 3).all()
+    n = 1 << res
+    ix, iy = np.meshgrid(np.arange(n, dtype=np.int64),
+                         np.arange(n, dtype=np.int64))
+    allc = _cells.encode(np.int64(res), ix.ravel(), iy.ravel())
+    clat, clon = _cells.cell_center(allc)
+    inside = (clat > 10.0) & (clat < 30.0) & (clon > 10.0) & (clon < 30.0)
+    assert sorted(out["cell"].astype(np.int64)) == sorted(allc[inside])
+    assert inside.sum() > 0  # non-vacuous
+
+
 def test_pca_matches_direct_numpy(embeds):
     comps, mean, var = similarity.pca_train(embeds, 4)
     full = embeds.to_pandas()

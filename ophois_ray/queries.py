@@ -2479,7 +2479,12 @@ def q_embed_pca_project(sf_dir: str):
     in pytest against direct numpy PCA and for layout invariance."""
     from . import similarity
 
-    emb = _t(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    # reader-pruned + pinned: the table feeds two consumers (the fit's
+    # moment drain and the projection pass) — lazy would re-read twice
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).materialize()
     comps, mean, _ = similarity.pca_train(emb, 4)
     return similarity.pca_project(emb, comps, mean)
 

@@ -316,10 +316,12 @@ def _skyline2d_kernel(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     gidx = np.cumsum(first) - 1
     gmin = np.minimum.reduceat(ys, np.where(first)[0])
     in_group_min = ys == gmin[gidx]
-    # running min of y over STRICTLY smaller x groups
+    # running min of y over STRICTLY smaller x groups; the first x
+    # group has no predecessor, so it keeps its min rows UNCONDITIONALLY
+    # (a sentinel max value would wrongly drop rows whose y == INT64_MAX)
     prev = np.concatenate([[np.iinfo(np.int64).max],
                            np.minimum.accumulate(gmin)[:-1]])
-    keep_sorted = in_group_min & (ys < prev[gidx])
+    keep_sorted = in_group_min & ((gidx == 0) | (ys < prev[gidx]))
     keep = np.zeros(m, dtype=bool)
     keep[order] = keep_sorted
     return keep
@@ -345,7 +347,11 @@ def skyline2d(ds, x_col: str, y_col: str, *, final_cap: int = 10_000_000):
         .iter_batches(batch_format="pandas", batch_size=None)
     ]
     if not pieces:
-        return pd.DataFrame()
+        # preserve the input schema on empty results — a column-less
+        # frame would KeyError in any caller indexing x_col/y_col
+        schema = ds.schema()
+        cols = list(schema.names) if schema is not None else [x_col, y_col]
+        return pd.DataFrame({c: [] for c in cols})
     cand = pd.concat(pieces, ignore_index=True)
     if len(cand) > final_cap:
         raise ValueError(

@@ -1191,6 +1191,17 @@ def test_skyline2d_hand_and_random_parity():
     # (1,5) twice, (2,3), (3,1) survive; (2,4) dom by (2,3); (5,1) by (3,1)
     assert sorted(out["id"]) == [0, 1, 2, 3]
 
+    # INT64_MAX y on the minimal-x group must survive (no sentinel trap)
+    M = np.iinfo(np.int64).max
+    edge = pd.DataFrame({"id": np.array([1, 2], dtype=np.int64),
+                         "x": np.array([0, 5], dtype=np.int64),
+                         "y": np.array([M, 3], dtype=np.int64)})
+    got_e = skyline2d(ray.data.from_pandas(edge), "x", "y")
+    assert sorted(got_e["id"]) == [1, 2]
+    # empty input keeps the schema
+    empty = ray.data.from_pandas(edge.iloc[0:0])
+    assert list(skyline2d(empty, "x", "y").columns) == ["id", "x", "y"]
+
     rng = np.random.default_rng(137)
     big = pd.DataFrame({
         "id": np.arange(500, dtype=np.int64),

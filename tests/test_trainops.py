@@ -1264,3 +1264,38 @@ def test_random_walks_join_path_random_parity():
     got = (random_walks(_edges_ds(pairs), length=4, broadcast_cap=0)
            .to_pandas().sort_values("start").reset_index(drop=True))
     assert got.astype(np.int64).values.tolist() == exp
+
+
+# ------------------------------------------------------ hot-key stress
+
+
+def test_exchange_primitives_under_extreme_key_skew():
+    """90% of rows on ONE key: grouped_apply and hash_join must stay
+    correct (the hot bucket is simply larger — memory bound documented
+    per operator), and results must match unskewed pandas."""
+    from ophois_ray.joins import grouped_apply, hash_join
+
+    rng = np.random.default_rng(139)
+    n = 50_000
+    keys = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 1000, size=n))
+    vals = rng.integers(0, 100, size=n)
+    df = pd.DataFrame({"k": keys.astype(np.int64), "v": vals.astype(np.int64)})
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    def agg(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("k", as_index=False).agg(n=("v", "size"), s=("v", "sum"))
+        return g.astype(np.int64)
+
+    got = (grouped_apply(ds, "k", agg).to_pandas()
+           .sort_values("k", ignore_index=True).astype(np.int64))
+    exp = agg(df).sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert int(got.loc[got["k"] == 7, "n"].iloc[0]) > 40_000  # skew real
+
+    # hash_join fan-out on the hot key: 3 right rows for k=7
+    right = pd.DataFrame({"k": np.array([7, 8, 7, 9, 7], dtype=np.int64),
+                          "tag": np.arange(5, dtype=np.int64)})
+    joined = hash_join(ds, ray.data.from_pandas(right), on="k")
+    cnt = int(joined.count())
+    exp_cnt = int((keys == 7).sum() * 3 + (keys == 8).sum() + (keys == 9).sum())
+    assert cnt == exp_cnt

@@ -654,6 +654,32 @@ GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
 """
 
 
+def q_doc_chunks(sf_dir: str):
+    """RAG-style text chunking (textstats.chunk_text): 120-char chunks
+    at stride 100 per document, one fused zero-shuffle map with the
+    per-position vectorized slice kernel. Bit-exact vs a DuckDB
+    range + substr oracle (empty docs yield one empty chunk on both
+    sides)."""
+    from . import textstats
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return textstats.chunk_text(docs, size=120, stride=100)
+
+
+SQL_DOC_CHUNKS = """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(length(text), 1), 100)) AS start
+  FROM documents
+)
+SELECT doc_id, CAST(start // 100 AS BIGINT) AS chunk_idx,
+       substr(text, CAST(start + 1 AS BIGINT), 120) AS chunk
+FROM c
+"""
+
+
 def q_doc_repetition(sf_dir: str):
     """Per-doc duplicate-n-gram repetition signals
     (textstats.repetition_features): total + distinct bigram/trigram
@@ -3225,6 +3251,7 @@ def catalog():
         "doc_lang_counts": q_doc_lang_counts,
         "doc_quality_features": q_doc_quality_features,
         "doc_repetition": q_doc_repetition,
+        "doc_chunks": q_doc_chunks,
         "doc_rollup_counts": q_doc_rollup_counts,
         "events_props_extract": q_events_props_extract,
         "minhash_near_dup": q_minhash_near_dup,
@@ -3305,6 +3332,7 @@ def sql_catalog():
         "doc_lang_counts": SQL_DOC_LANG_COUNTS,
         "doc_quality_features": SQL_DOC_QUALITY,
         "doc_repetition": SQL_DOC_REPETITION,
+        "doc_chunks": SQL_DOC_CHUNKS,
         "doc_rollup_counts": SQL_DOC_ROLLUP_COUNTS,
         "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
         "embed_topk_int": SQL_EMBED_TOPK_INT,

@@ -101,6 +101,47 @@ def doc_ngrams(flat: np.ndarray, doc_of: np.ndarray, n: int):
     return np.array([], dtype=object), np.array([], dtype=np.int64)
 
 
+def chunk_text(ds, *, size: int = 120, stride: int = 100,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Fixed-size overlapping text chunking (the RAG / embedding-prep
+    split): chunk k of a document covers characters
+    ``[k*stride, k*stride + size)``; a document emits
+    ``ceil(max(len, 1) / stride)`` chunks, so an empty document yields
+    ONE empty chunk (mirroring SQL ``range(0, greatest(len,1),
+    stride)``). Returns a Dataset ``(id, chunk_idx, chunk)``.
+
+    One fused zero-shuffle map; the kernel loops over chunk POSITIONS
+    (a handful), each a vectorized ``str.slice`` across the whole
+    batch — never a per-document Python loop."""
+    if stride < 1 or size < 1:
+        raise ValueError("size and stride must be >= 1")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("")
+        lens = texts.str.len().to_numpy(np.int64)
+        n_chunks = (np.maximum(lens, 1) + stride - 1) // stride
+        ids = df[id_col].to_numpy(np.int64)
+        out_id, out_idx, out_chunk = [], [], []
+        for k in range(int(n_chunks.max()) if len(df) else 0):
+            mask = n_chunks > k
+            out_id.append(ids[mask])
+            out_idx.append(np.full(int(mask.sum()), k, dtype=np.int64))
+            out_chunk.append(
+                texts[mask].str.slice(k * stride, k * stride + size)
+                .to_numpy(dtype=object))
+        if not out_id:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "chunk_idx": pd.Series(dtype=np.int64),
+                                 "chunk": pd.Series(dtype=object)})
+        return pd.DataFrame({
+            id_col: np.concatenate(out_id),
+            "chunk_idx": np.concatenate(out_idx),
+            "chunk": np.concatenate(out_chunk),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def repetition_features(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document duplicate-n-gram repetition signals (the
     Gopher-style repetition filter inputs): total and distinct

@@ -97,6 +97,24 @@ def test_embedding_near_dup(embeds):
     assert len(hit) == 1
 
 
+def test_chunk_text_boundaries():
+    from ophois_ray.textstats import chunk_text
+
+    src = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": ["A" * 250, "", "xy"],
+    }))
+    out = (chunk_text(src, size=120, stride=100).to_pandas()
+           .sort_values(["doc_id", "chunk_idx"], ignore_index=True))
+    got = {(r.doc_id, r.chunk_idx): r.chunk for r in out.itertuples()}
+    # 250 chars -> starts 0/100/200; chunk 0 and 1 overlap by 20 chars
+    assert len(got[(1, 0)]) == 120 and len(got[(1, 1)]) == 120
+    assert got[(1, 2)] == "A" * 50
+    assert got[(2, 0)] == ""          # empty doc -> one empty chunk
+    assert got[(3, 0)] == "xy"
+    assert len(got) == 5
+
+
 def test_repetition_features_exact():
     from ophois_ray.textstats import repetition_features
 

@@ -1916,6 +1916,64 @@ HAVING count(*) % 2 = 1
 """
 
 
+def q_segments_crossing(sf_dir: str):
+    """Segment x polygon-boundary intersection join
+    (polygons.segment_crossing_join): synthetic supplier segments (two
+    key-derived endpoints each) against the demo polygon boundaries —
+    (seg_id, poly_id, n_crossings) for every proper crossing pair.
+    Sign-of-product orientation tests in identical IEEE order both
+    sides; bit-exact vs a DuckDB cross-join oracle."""
+    from .polygons import segment_crossing_join
+
+    sup = _t(sf_dir, "supplier").select_columns(["s_suppkey"])
+
+    def seg(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["s_suppkey"].to_numpy(np.int64)
+        ay, ax = _coords_from_key(k, 3, 5)
+        by, bx = _coords_from_key(k, 11, 17)
+        return pd.DataFrame({"seg_id": k, "ax": ax, "ay": ay,
+                             "bx": bx, "by": by})
+
+    return segment_crossing_join(
+        sup.map_batches(seg, batch_format="pandas"), _demo_polygons()
+    )
+
+
+def _sql_segments_crossing() -> str:
+    polys = _demo_polygons()
+    rows = []
+    for pid in sorted(polys):
+        ring = polys[pid]
+        for i in range(len(ring)):
+            (la, lo), (nla, nlo) = ring[i], ring[(i + 1) % len(ring)]
+            rows.append(
+                f"({pid}, CAST('{lo!r}' AS DOUBLE), CAST('{la!r}' AS DOUBLE),"
+                f" CAST('{nlo!r}' AS DOUBLE), CAST('{nla!r}' AS DOUBLE))"
+            )
+    edges = "(VALUES " + ", ".join(rows) + ") AS e(pid, x1, y1, x2, y2)"
+    ay, ax = _sql_coords("s_suppkey", 3, 5)
+    by, bx = _sql_coords("s_suppkey", 11, 17)
+    return f"""
+WITH s AS (
+  SELECT s_suppkey AS seg_id, {ax} AS ax, {ay} AS ay,
+         {bx} AS bx, {by} AS by
+  FROM supplier
+), d AS (
+  SELECT s.seg_id, e.pid,
+         (e.x2 - e.x1) * (s.ay - e.y1) - (e.y2 - e.y1) * (s.ax - e.x1) AS d1,
+         (e.x2 - e.x1) * (s.by - e.y1) - (e.y2 - e.y1) * (s.bx - e.x1) AS d2,
+         (s.bx - s.ax) * (e.y1 - s.ay) - (s.by - s.ay) * (e.x1 - s.ax) AS d3,
+         (s.bx - s.ax) * (e.y2 - s.ay) - (s.by - s.ay) * (e.x2 - s.ax) AS d4
+  FROM s CROSS JOIN {edges}
+)
+SELECT seg_id, pid AS poly_id, CAST(count(*) AS BIGINT) AS n_crossings
+FROM d
+WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+  AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+GROUP BY seg_id, pid
+"""
+
+
 def q_cell_smooth_topk(sf_dir: str):
     """Raster convolution (polygons.box_smooth_raster): customer points
     rasterized to res-6 cell counts, 3x3 box-smoothed by the scatter
@@ -3279,6 +3337,7 @@ def catalog():
         "raster_polygonize": q_raster_polygonize,
         "cell_smooth_topk": q_cell_smooth_topk,
         "polygon_rasterize": q_polygon_rasterize,
+        "segments_crossing": q_segments_crossing,
         "doc_split_stats": q_doc_split_stats,
         "doc_sample_per_lang": q_doc_sample_per_lang,
         "distinct_users_by_type": q_distinct_users_by_type,
@@ -3356,6 +3415,7 @@ def sql_catalog():
         "raster_polygonize": _sql_raster_polygonize(),
         "cell_smooth_topk": _sql_cell_smooth_topk(),
         "polygon_rasterize": _sql_polygon_rasterize(),
+        "segments_crossing": _sql_segments_crossing(),
         "doc_split_stats": SQL_DOC_SPLIT_STATS,
         "doc_sample_per_lang": SQL_DOC_SAMPLE_PER_LANG,
         "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,

@@ -1167,6 +1167,26 @@ def test_rasterize_polygons_center_rule():
     assert inside.sum() > 0  # non-vacuous
 
 
+def test_segment_crossing_join_hand_case():
+    from ophois_ray.polygons import segment_crossing_join
+
+    square = {5: [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]}
+    segs = ray.data.from_pandas(pd.DataFrame({
+        "seg_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        # 1: enters and exits (crosses left + right edges -> 2)
+        # 2: fully inside (no boundary crossing)
+        # 3: fully outside
+        # 4: touches a vertex collinearly (proper test excludes it)
+        "ax": [-5.0, 2.0, 20.0, -5.0],
+        "ay": [5.0, 2.0, 20.0, 0.0],
+        "bx": [15.0, 8.0, 30.0, 0.0],
+        "by": [5.0, 8.0, 30.0, 0.0],
+    }))
+    out = segment_crossing_join(segs, square).to_pandas()
+    got = {(r.seg_id, r.poly_id): r.n_crossings for r in out.itertuples()}
+    assert got == {(1, 5): 2}
+
+
 def test_pca_matches_direct_numpy(embeds):
     comps, mean, var = similarity.pca_train(embeds, 4)
     full = embeds.to_pandas()

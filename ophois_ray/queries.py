@@ -1206,6 +1206,75 @@ def q_events_sessionize(sf_dir: str):
     )
 
 
+#: epoch microseconds of 2024-01-01 — the fixed rebase origin. Must be
+#: <= min(ts) so x stays NON-NEGATIVE: numpy // floors while DuckDB //
+#: truncates, and they only agree for non-negative operands. Also keeps
+#: the sum-of-squares far under int64 at bench scale.
+_TREND_EPOCH_US = 1_704_067_200_000_000
+_TREND_MIN_US = 60_000_000
+
+
+def q_events_trend_state(sf_dir: str):
+    """Per-event-type linear-trend SUFFICIENT STATISTICS, all int64 —
+    the register-table trick applied to regression: emit (n, sx, sy,
+    sxx, sxy) over x = minutes since 2024-01-01 and y = the extracted
+    integer props field, so the OLS slope num/den ((n*sxy - sx*sy) /
+    (n*sxx - sx^2)) derives exactly downstream while the distributed
+    output stays bit-exact and mergeable (pure sums). One fused
+    extraction pass + pre-aggregated partials. Overflow-safe: x <= ~5e5
+    minutes, so sxx sums stay < 2^63 at bench scale."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "props"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        hit = pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        valid = pc.is_valid(k)
+        et = pc.filter(batch["event_type"], valid).to_pandas()
+        y = pc.filter(k, valid).to_pandas().to_numpy(np.int64)
+        us = pd.to_datetime(
+            pc.filter(batch["ts"], valid).to_pandas()
+        ).astype("datetime64[us]").astype("int64").to_numpy()
+        x = (us - _TREND_EPOCH_US) // _TREND_MIN_US
+        d = pd.DataFrame({"event_type": et, "n": np.int64(1), "sx": x,
+                          "sy": y, "sxx": x * x, "sxy": x * y})
+        g = d.groupby("event_type", as_index=False).sum()
+        for c in ("n", "sx", "sy", "sxx", "sxy"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+
+SQL_EVENTS_TREND_STATE = r"""
+WITH x AS (
+  SELECT event_type,
+         (epoch_us(ts) - 1704067200000000) // 60000000 AS x,
+         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS y
+  FROM events
+  WHERE regexp_matches(props, '"k": \d+')
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x * x) AS BIGINT) AS sxx,
+       CAST(sum(x * y) AS BIGINT) AS sxy
+FROM x GROUP BY event_type
+"""
+
+
 def q_events_funnel_pairs(sf_dir: str):
     """Funnel matrix over event types: for every ordered pair
     (first_type, then_type), how many users have their EARLIEST
@@ -3323,6 +3392,7 @@ def catalog():
         "lang_id_counts": q_lang_id_counts,
         "events_sessionize": q_events_sessionize,
         "events_funnel_pairs": q_events_funnel_pairs,
+        "events_trend_state": q_events_trend_state,
         "events_top_paths": q_events_top_paths,
         "customers_no_orders": q_customers_no_orders,
         "vocab_topk": q_vocab_topk,
@@ -3400,6 +3470,7 @@ def sql_catalog():
         "lang_id_counts": _sql_lang_id_counts(),
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_funnel_pairs": SQL_EVENTS_FUNNEL_PAIRS,
+        "events_trend_state": SQL_EVENTS_TREND_STATE,
         "events_top_paths": SQL_EVENTS_TOP_PATHS,
         "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
         "vocab_topk": SQL_VOCAB_TOPK,

@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "part_bfs_depths",
     "doc_rollup_counts",
     "training_prep",
+    "doc_chunks",
+    "segments_crossing",
+    "events_trend_state",
 ]
 
 

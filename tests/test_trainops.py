@@ -1337,3 +1337,30 @@ def test_exchange_primitives_under_extreme_key_skew():
     cnt = int(joined.count())
     exp_cnt = int((keys == 7).sum() * 3 + (keys == 8).sum() + (keys == 9).sum())
     assert cnt == exp_cnt
+
+
+def test_task_retry_preserves_results(tmp_path):
+    """Inject one application failure per task, let Ray retry: the
+    output must equal the clean run exactly — at-least-once execution
+    is safe because every kernel in this engine is deterministic and
+    side-effect-free (the property a resumable 100-TB run relies on)."""
+    import hashlib
+    import os
+
+    marker_dir = str(tmp_path)
+    df = pd.DataFrame({"k": np.arange(4000, dtype=np.int64)})
+
+    def flaky(d: pd.DataFrame) -> pd.DataFrame:
+        key = hashlib.md5(d["k"].to_numpy().tobytes()).hexdigest()
+        m = os.path.join(marker_dir, key)
+        if not os.path.exists(m):
+            open(m, "w").close()
+            raise RuntimeError("injected failure (first attempt)")
+        return pd.DataFrame({"k": d["k"], "v": d["k"] * 3 + 1})
+
+    out = (ray.data.from_pandas(df).repartition(8)
+           .map_batches(flaky, batch_format="pandas",
+                        retry_exceptions=[RuntimeError], max_retries=3)
+           .to_pandas().sort_values("k", ignore_index=True))
+    assert (out["v"].to_numpy() == df["k"].to_numpy() * 3 + 1).all()
+    assert len(os.listdir(marker_dir)) >= 1  # failures really happened

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "segments_crossing",
     "events_trend_state",
+    "events_interarrival",
 ]
 
 

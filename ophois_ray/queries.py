@@ -1345,6 +1345,76 @@ GROUP BY first_type, then_type
 """
 
 
+def q_events_interarrival(sf_dir: str):
+    """Inter-arrival-time histogram per event type: the gap from each
+    user's previous event (any type), attributed to the later event's
+    type, bucketed into capped whole minutes — (event_type, gap_min, n)
+    all integer. One user-bucket shuffle with a vectorized diff kernel;
+    the SQL mirror is a lag window with the identical (ts, event_id)
+    order and the same min(gap // 60e6, 120) cap."""
+    ev = _t(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "event_type"])
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "us": us.to_numpy(),
+            "event_type": df["event_type"].to_numpy(),
+        })
+
+    from .joins import grouped_apply
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        gap = np.empty(len(df), dtype=np.int64)
+        gap[1:] = us[1:] - us[:-1]
+        bucket = np.minimum(gap // 60_000_000, 120)
+        out = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy()[same],
+            "gap_min": bucket[same],
+        }).groupby(["event_type", "gap_min"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    per_bucket = grouped_apply(
+        ev.map_batches(to_us, batch_format="pandas"), "user_id", gaps
+    )
+    pieces = [
+        b for b in per_bucket.iter_batches(batch_format="pandas",
+                                           batch_size=None)
+    ]
+    if not pieces:
+        return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                             "gap_min": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64)})
+    merged = (pd.concat(pieces, ignore_index=True)
+              .groupby(["event_type", "gap_min"], as_index=False)["n"].sum())
+    merged["n"] = merged["n"].astype(np.int64)
+    return merged
+
+
+SQL_EVENTS_INTERARRIVAL = """
+WITH l AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap
+  FROM events
+)
+SELECT event_type, CAST(least(gap // 60000000, 120) AS BIGINT) AS gap_min,
+       CAST(count(*) AS BIGINT) AS n
+FROM l WHERE gap IS NOT NULL
+GROUP BY event_type, gap_min
+"""
+
+
 def q_events_top_paths(sf_dir: str):
     """Clickstream path analysis: each user's full event-type sequence
     in (ts, event_id) order joined with '>' is their *path*; return the
@@ -3394,6 +3464,7 @@ def catalog():
         "events_funnel_pairs": q_events_funnel_pairs,
         "events_trend_state": q_events_trend_state,
         "events_top_paths": q_events_top_paths,
+        "events_interarrival": q_events_interarrival,
         "customers_no_orders": q_customers_no_orders,
         "vocab_topk": q_vocab_topk,
         "edge_midpoint": q_edge_midpoint,
@@ -3472,6 +3543,7 @@ def sql_catalog():
         "events_funnel_pairs": SQL_EVENTS_FUNNEL_PAIRS,
         "events_trend_state": SQL_EVENTS_TREND_STATE,
         "events_top_paths": SQL_EVENTS_TOP_PATHS,
+        "events_interarrival": SQL_EVENTS_INTERARRIVAL,
         "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
         "vocab_topk": SQL_VOCAB_TOPK,
         "edge_midpoint": _sql_edge_midpoint(),

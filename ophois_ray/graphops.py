@@ -732,8 +732,80 @@ def kcore_peel(edges, k: int, rounds: int = 3, *, num_buckets: int = 64,
     return stats_df, edges
 
 
+def _arc_degrees_ds(arcs, *, num_buckets: int):
+    """(node, d) out-degree Dataset of a directed arc table (src, dst),
+    fully distributed: per-batch (node, d) partial counts shrink the
+    shuffle, one bucketed merge finishes it. Exact for any layout."""
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["d"].sum()
+        g["d"] = g["d"].astype(np.int64)
+        return g
+
+    proj = arcs.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["src"].to_numpy(np.int64),
+            "d": np.ones(len(df), dtype=np.int64),
+        }),
+        batch_format="pandas",
+    )
+    return grouped_apply(proj, "node", part, num_buckets=num_buckets,
+                         drop_partial=part)
+
+
+def _bfs_depths_copart(arcs, nodes_ds, *, seed_mod: int, rounds: int,
+                       num_buckets: int):
+    """Co-partitioned BFS fallback (n_nodes > broadcast_cap): the depth
+    table lives as a Dataset and every round is (frontier ⋈ arcs on
+    src) + a bucketed min-depth merge — no O(n_nodes) driver state.
+    Bit-matches the broadcast path: depth = first round reached, seeds
+    by split_hash(node) % seed_mod == 0 (pinned by the forced-cap
+    path-equality pytest)."""
+    from .sampling import split_hash
+
+    def seed_filter(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy(np.int64)
+        keep = node[split_hash(node) % seed_mod == 0]
+        return pd.DataFrame({"node": keep,
+                             "depth": np.zeros(len(keep), dtype=np.int64)})
+
+    def min_depth(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["depth"].min()
+        g["depth"] = g["depth"].astype(np.int64)
+        return g
+
+    depth_ds = nodes_ds.map_batches(
+        seed_filter, batch_format="pandas"
+    ).materialize()
+    frontier = depth_ds.map_batches(
+        lambda df: df[["node"]].rename(columns={"node": "src"}),
+        batch_format="pandas",
+    )
+    for r in range(1, rounds + 1):
+        if frontier.count() == 0:
+            break
+        reached = hash_join(arcs, frontier, on="src",
+                            num_buckets=num_buckets)
+        cand = reached.map_batches(
+            lambda df, _r=r: pd.DataFrame({
+                "node": np.unique(df["dst"].to_numpy(np.int64)),
+            }).assign(depth=np.int64(_r)),
+            batch_format="pandas",
+        )
+        depth_ds = grouped_apply(
+            depth_ds.union(cand), "node", min_depth,
+            num_buckets=num_buckets, drop_partial=min_depth,
+        ).repartition(max(1, num_buckets // 8)).materialize()
+        frontier = depth_ds.map_batches(
+            lambda df, _r=r: df.loc[df["depth"] == _r, ["node"]].rename(
+                columns={"node": "src"}),
+            batch_format="pandas",
+        )
+    return depth_ds
+
+
 def bfs_depths(edges, *, seed_mod: int = 97, rounds: int = 3,
-               broadcast_cap: int = DEFAULT_BROADCAST_CAP):
+               broadcast_cap: int = DEFAULT_BROADCAST_CAP,
+               num_buckets: int = 64):
     """Multi-source BFS depth assignment over a canonical distinct edge
     table (int64 ``u < v``) — the frontier-expansion primitive (the
     reference's component search is single-source BFS, heuristics.rs:
@@ -744,24 +816,41 @@ def bfs_depths(edges, *, seed_mod: int = 97, rounds: int = 3,
     ``depth = first round reached`` (0 for seeds). Returns a Dataset
     ``(node, depth)`` over reached nodes.
 
-    Scale shape: per round the frontier ships once as a sorted int64
-    array and reached-neighbour partials are pre-deduped per batch, so
-    the exchange is one fused map over the arcs + a driver union
-    bounded by n_nodes — the same n_nodes <= ``broadcast_cap``
-    assumption :func:`pagerank_int` documents (beyond it, co-partition
-    arcs and the depth table by node hash).
+    Scale shape: under ``broadcast_cap`` the frontier ships once per
+    round as a sorted int64 array and reached-neighbour partials are
+    pre-deduped per batch (driver union bounded by n_nodes); above the
+    cap it switches to :func:`_bfs_depths_copart` — depth table stays a
+    Dataset, each round is one bucketed hash-join + min-depth merge, no
+    O(n_nodes) driver state. Both paths are bit-identical (forced-cap
+    path-equality pytest).
     """
     import ray
 
     from .sampling import split_hash
 
     edges = edges.materialize()
-    nodes = _driver_merged_degrees(edges)["node"].to_numpy(np.int64)
-    if len(nodes) > broadcast_cap:
-        raise ValueError(
-            f"n_nodes {len(nodes)} exceeds broadcast_cap {broadcast_cap}; "
-            "co-partition arcs and depths by node hash instead"
+    arcs = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "src": np.concatenate([df["u"].to_numpy(np.int64),
+                                   df["v"].to_numpy(np.int64)]),
+            "dst": np.concatenate([df["v"].to_numpy(np.int64),
+                                   df["u"].to_numpy(np.int64)]),
+        }),
+        batch_format="pandas",
+    ).materialize()
+    nodes_ds = _arc_degrees_ds(arcs, num_buckets=num_buckets).map_batches(
+        lambda df: df[["node"]], batch_format="pandas"
+    ).materialize()
+    if nodes_ds.count() > broadcast_cap:
+        return _bfs_depths_copart(
+            arcs, nodes_ds, seed_mod=seed_mod, rounds=rounds,
+            num_buckets=num_buckets,
         )
+    nodes = np.sort(np.concatenate(
+        [b["node"].to_numpy(np.int64) for b in nodes_ds.iter_batches(
+            batch_format="pandas", batch_size=None)]
+        or [np.array([], dtype=np.int64)]
+    ))
     depth = np.full(len(nodes), -1, dtype=np.int64)
     seeds = nodes[split_hash(nodes) % seed_mod == 0]
     depth[np.searchsorted(nodes, seeds)] = 0
@@ -942,9 +1031,67 @@ def random_walks(edges, length: int = 3, *, num_buckets: int = 64,
     )
 
 
+def _pagerank_copart(arcs, deg_ds, n, *, iters: int, scale: int,
+                     damp_num: int, damp_den: int, num_buckets: int):
+    """Co-partitioned PageRank fallback (n_nodes > broadcast_cap): the
+    rank table lives as a Dataset ``(node, r)`` and every round is
+    (ranks ⋈ degrees) → per-arc contrib join → bucketed (dst, sum)
+    merge → left-join back onto the node set. All int64 floor-division
+    arithmetic, so it bit-matches the broadcast path regardless of
+    block layout (pinned by the forced-cap path-equality pytest)."""
+    base = (scale * (damp_den - damp_num)) // (damp_den * n)
+    r0 = scale // n
+
+    nodes_ds = deg_ds.map_batches(
+        lambda df: df[["node"]], batch_format="pandas"
+    ).materialize()
+    ranks = nodes_ds.map_batches(
+        lambda df: df.assign(r=np.int64(r0)), batch_format="pandas"
+    )
+
+    def sum_s(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["s"].sum()
+        g["s"] = g["s"].astype(np.int64)
+        return g
+
+    for _ in range(iters):
+        rd = hash_join(ranks, deg_ds, on="node", num_buckets=num_buckets)
+        contrib = rd.map_batches(
+            lambda df: pd.DataFrame({
+                "src": df["node"].to_numpy(np.int64),
+                "c": df["r"].to_numpy(np.int64) // df["d"].to_numpy(np.int64),
+            }),
+            batch_format="pandas",
+        )
+        per_arc = hash_join(arcs, contrib, on="src", num_buckets=num_buckets)
+        sums = grouped_apply(
+            per_arc.map_batches(
+                lambda df: pd.DataFrame({
+                    "node": df["dst"].to_numpy(np.int64),
+                    "s": df["c"].to_numpy(np.int64),
+                }),
+                batch_format="pandas",
+            ),
+            "node", sum_s, num_buckets=num_buckets, drop_partial=sum_s,
+        )
+        with_s = hash_join(nodes_ds, sums, on="node", how="left",
+                           num_buckets=num_buckets)
+        ranks = with_s.map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["node"].to_numpy(np.int64),
+                # nodes with no in-arc surface as NaN from the left join
+                "r": base + (damp_num * df["s"].fillna(0).astype(np.int64)
+                             .to_numpy(np.int64)) // damp_den,
+            }),
+            batch_format="pandas",
+        ).repartition(max(1, num_buckets // 8)).materialize()
+    return ranks
+
+
 def pagerank_int(edges, *, iters: int = 3, scale: int = 1 << 40,
                  damp_num: int = 85, damp_den: int = 100,
-                 broadcast_cap: int = DEFAULT_BROADCAST_CAP):
+                 broadcast_cap: int = DEFAULT_BROADCAST_CAP,
+                 num_buckets: int = 64):
     """Integer-exact PageRank over an undirected canonical edge table
     (int64 ``u < v``): ``iters`` power-iteration rounds with all-integer
     damping arithmetic —
@@ -959,13 +1106,17 @@ def pagerank_int(edges, *, iters: int = 3, scale: int = 1 << 40,
     SQL-mirrorable by unrolled join-aggregate CTEs — the property the
     float formulation can never have (block-order-dependent float sums).
 
-    Scale shape: the rank vector rides the object store as a sorted
-    BroadcastIndex (requires n_nodes <= ``broadcast_cap``; beyond that
-    co-partition arcs and ranks by src — documented assumption). Each
-    round is ONE streaming pass over the arcs: per-batch partial
-    (dst, sum) frames (<= n_nodes rows) merged on the driver, which is
-    bounded by the same cap the broadcast needs. Returns a pandas
-    (node, r) frame.
+    Scale shape: under ``broadcast_cap`` the rank vector rides the
+    object store as a sorted BroadcastIndex and each round is ONE
+    streaming pass over the arcs (per-batch (dst, sum) partials merged
+    on the driver, bounded by n_nodes — the same cap the broadcast
+    needs). Above the cap it switches to :func:`_pagerank_copart`:
+    ranks live as a co-partitioned Dataset and every round is two
+    bucketed hash-joins + one grouped sum — no O(n_nodes) worker or
+    driver state. Integer arithmetic makes the two paths bit-identical
+    (forced-cap path-equality pytest). Returns a pandas (node, r)
+    frame (the result is O(n_nodes) by definition; at cluster scale
+    consume the co-part path's Dataset upstream of the collect).
     """
     import ray
 
@@ -984,32 +1135,29 @@ def pagerank_int(edges, *, iters: int = 3, scale: int = 1 << 40,
         )
 
     arcs = edges.map_batches(to_arcs, batch_format="pandas").materialize()
-
-    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("src", as_index=False).size().rename(columns={"size": "d"})
-        g["d"] = g["d"].astype(np.int64)
-        return g
-
-    pieces = [
-        b for b in arcs.map_batches(deg_partial, batch_format="pandas")
-        .iter_batches(batch_format="pandas", batch_size=None)
-    ]
-    deg = (
-        pd.concat(pieces, ignore_index=True).groupby("src", as_index=False)["d"].sum()
-        if pieces else pd.DataFrame({"src": pd.Series(dtype=np.int64),
-                                     "d": pd.Series(dtype=np.int64)})
-    )
-    nodes = deg["src"].to_numpy(np.int64)
-    degs = deg["d"].to_numpy(np.int64)
-    n = len(nodes)
+    deg_ds = _arc_degrees_ds(arcs, num_buckets=num_buckets).materialize()
+    n = deg_ds.count()
     if n == 0:
         return pd.DataFrame({"node": pd.Series(dtype=np.int64),
                              "r": pd.Series(dtype=np.int64)})
     if n > broadcast_cap:
-        raise ValueError(
-            f"pagerank_int broadcast path needs n_nodes <= {broadcast_cap}; "
-            "co-partition arcs and ranks by src beyond that"
+        ranks_ds = _pagerank_copart(
+            arcs, deg_ds, n, iters=iters, scale=scale,
+            damp_num=damp_num, damp_den=damp_den, num_buckets=num_buckets,
         )
+        out = pd.concat(
+            [b for b in ranks_ds.iter_batches(batch_format="pandas",
+                                              batch_size=None)],
+            ignore_index=True,
+        ).sort_values("node", ignore_index=True)
+        return out[["node", "r"]]
+    deg = pd.concat(
+        [b for b in deg_ds.iter_batches(batch_format="pandas",
+                                        batch_size=None)],
+        ignore_index=True,
+    ).sort_values("node", ignore_index=True)
+    nodes = deg["node"].to_numpy(np.int64)
+    degs = deg["d"].to_numpy(np.int64)
     base = (scale * (damp_den - damp_num)) // (damp_den * n)
     ranks = np.full(n, scale // n, dtype=np.int64)
 

@@ -1977,7 +1977,10 @@ def q_pip_zonal(sf_dir: str):
 
 def _sql_pip_zonal() -> str:
     return (
-        "SELECT poly_id, count(*) AS n_points, sum(c_custkey) AS sum_key "
+        # CAST: DuckDB sum(BIGINT) yields HUGEINT which pandas degrades to
+        # float64 — the driver's value hash is dtype-sensitive (r02 FAIL).
+        "SELECT poly_id, count(*) AS n_points, "
+        "CAST(sum(c_custkey) AS BIGINT) AS sum_key "
         f"FROM ({_sql_pip_pairs()}) GROUP BY 1"
     )
 
@@ -3258,7 +3261,8 @@ arcs AS (
 ), r0 AS (
   SELECT n.node, {S} // nn.n AS r FROM nodes n CROSS JOIN ncount nn
 ){rounds}
-SELECT node, r FROM r3 ORDER BY r DESC, node ASC LIMIT 20
+SELECT node, CAST(r AS BIGINT) AS r
+FROM r3 ORDER BY r DESC, node ASC LIMIT 20
 """
 
 

@@ -57,8 +57,24 @@ SQL_CHECKED = sorted(entrymod.oracle_sql())
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_matches_duckdb(name, con):
     ray_fn = entrymod.queries()[name]
-    got = normalize(to_pandas(ray_fn(SF)))
-    exp = normalize(con.sql(entrymod.oracle_sql()[name]).df())
+    got_raw = to_pandas(ray_fn(SF))
+    exp_raw = con.sql(entrymod.oracle_sql()[name]).df()
+    # The driver's value hash is dtype-sensitive: an engine int64 vs an
+    # oracle float64 (e.g. un-cast DuckDB HUGEINT sums) fails its hash
+    # even when values compare equal. Replicate that here by requiring
+    # matching dtype *kind* per column BEFORE normalization.
+    assert sorted(got_raw.columns) == sorted(exp_raw.columns), (
+        sorted(got_raw.columns), sorted(exp_raw.columns))
+    for c in got_raw.columns:
+        gk = got_raw[c].dtype.kind
+        ek = exp_raw[c].dtype.kind
+        # unsigned vs signed int both hash as integers after the int64
+        # normalize; object-vs-string unify to str. Everything else must
+        # match exactly (i vs f is the pip_zonal failure mode).
+        kind = lambda k: {"u": "i", "O": "s", "U": "s"}.get(k, k)
+        assert kind(gk) == kind(ek), (c, gk, ek)
+    got = normalize(got_raw)
+    exp = normalize(exp_raw)
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp)
     for c in got.columns:

@@ -1292,6 +1292,43 @@ def test_bfs_depths_random_parity():
     assert dict(zip(got["node"].astype(int), got["depth"].astype(int))) == depth
 
 
+def test_bfs_depths_copart_path_equality():
+    """broadcast_cap=0 forces the co-partitioned (hash-join + min-depth
+    merge) BFS; it must bit-match the broadcast path on the same
+    random graph."""
+    from ophois_ray.graphops import bfs_depths
+
+    rng = np.random.default_rng(137)
+    pairs = sorted({tuple(sorted(p)) for p in
+                    rng.integers(0, 120, size=(260, 2)) if p[0] != p[1]})
+    via_bcast = (bfs_depths(_edges_ds(pairs), seed_mod=11, rounds=3)
+                 .to_pandas().sort_values("node", ignore_index=True)
+                 .astype(np.int64))
+    via_join = (bfs_depths(_edges_ds(pairs), seed_mod=11, rounds=3,
+                           broadcast_cap=0, num_buckets=8)
+                .to_pandas().sort_values("node", ignore_index=True)
+                .astype(np.int64))
+    pd.testing.assert_frame_equal(via_join, via_bcast)
+
+
+def test_pagerank_int_copart_path_equality():
+    """broadcast_cap=0 forces the co-partitioned rank-table rounds; the
+    all-integer arithmetic must make them bit-equal to the broadcast
+    path (and layout-independent: repartitioned input, fewer buckets)."""
+    from ophois_ray.graphops import pagerank_int
+
+    rng = np.random.default_rng(141)
+    pairs = sorted({tuple(sorted(p)) for p in
+                    rng.integers(0, 60, size=(150, 2)) if p[0] != p[1]})
+    via_bcast = pagerank_int(_edges_ds(pairs), iters=3).reset_index(drop=True)
+    via_join = pagerank_int(_edges_ds(pairs).repartition(4), iters=3,
+                            broadcast_cap=0, num_buckets=8
+                            ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        via_join.astype(np.int64), via_bcast.astype(np.int64)
+    )
+
+
 def test_random_walks_join_path_random_parity():
     from ophois_ray.graphops import random_walks
 

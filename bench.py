@@ -316,8 +316,9 @@ def run_scaling():
     host's co-tenant load drifts multi-10s BETWEEN runs (identical
     800k-page 32-CPU runs measured 262/142/84 s in one session), so a
     same-window pair is the only honest ratio; the reported
-    scaling_efficiency is the best pairwise value, with every raw run
-    listed beside it.
+    scaling_efficiency is the MEDIAN pairwise value (the gate statistic
+    — see BASELINE.md), with best/global-min and every raw run listed
+    beside it.
 
     The input is mult x the per-round pages table (default 1x = ~4.8 GB
     at sf0.1, which a warm page cache holds comfortably; mult=4 = 19 GB
@@ -365,7 +366,17 @@ def run_scaling():
         runs_hi.append(r_hi["value"])
         pair_eff.append(round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3))
     t_lo, t_hi = min(runs_lo), min(runs_hi)
-    eff = max(max(pair_eff), round((t_lo / t_hi) / (hi / lo), 3))
+    # three statistics, honestly labelled (see BASELINE.md — the gate is
+    # judged on the MEDIAN pairwise value; best/min-of-N are context for
+    # this host's multi-10s co-tenant drift):
+    #   median  — typical same-window pair, robust to one loaded window
+    #   best    — quietest window (upper bound on the engine)
+    #   global  — min-of-N lo over min-of-N hi (windows may differ)
+    srt = sorted(pair_eff)
+    eff_median = srt[len(srt) // 2] if len(srt) % 2 else round(
+        (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2, 3)
+    eff_best = max(pair_eff)
+    eff_global = round((t_lo / t_hi) / (hi / lo), 3)
     print(
         json.dumps(
             {
@@ -379,9 +390,11 @@ def run_scaling():
                 "pairwise_efficiency": pair_eff,
                 f"pages_per_sec_{lo}": round(pages / t_lo, 1),
                 f"pages_per_sec_{hi}": round(pages / t_hi, 1),
-                "scaling_efficiency": eff,
+                "scaling_efficiency": eff_median,
+                "scaling_efficiency_best": eff_best,
+                "scaling_efficiency_global_min": eff_global,
                 "cpu_soak_efficiency": soak_eff,
-                "efficiency_vs_host": round(min(eff / soak_eff, 1.0), 3)
+                "efficiency_vs_host": round(min(eff_median / soak_eff, 1.0), 3)
                 if soak_eff
                 else None,
             }

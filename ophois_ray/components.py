@@ -582,9 +582,18 @@ def remove_degree_two_nodes_distributed(
     ).map_batches(_drop_matched("v"), batch_format="pandas")
 
     # union + canonical dedup (a chain edge can duplicate a surviving
-    # edge or another chain's edge — the reference's contains_link guard)
+    # edge or another chain's edge — the reference's contains_link guard).
+    # Chain edges are emitted canonical (min, max); canonicalize the
+    # survivors too, otherwise a chain edge duplicating a REVERSED
+    # surviving edge would land in a different hash bucket and slip the
+    # guard (the local path's dup_scan checks both orientations).
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(object)
+        v = df["v"].to_numpy(object)
+        return pd.DataFrame({"u": np.minimum(u, v), "v": np.maximum(u, v)})
+
     all_edges = grouped_apply(
-        e2.union(chain_edges),
+        e2.map_batches(canon, batch_format="pandas").union(chain_edges),
         ["u", "v"],
         lambda df: df.drop_duplicates(subset=["u", "v"]),
         num_buckets=num_buckets,

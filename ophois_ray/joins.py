@@ -308,10 +308,14 @@ def asof_join(
             return out if how == "left" else out.iloc[0:0]
         lf = lf.sort_values([on, by], kind="mergesort")
         rf = rf.sort_values([on, by], kind="mergesort")
+        # inner semantics need a match indicator that cannot be confused
+        # with a legitimately-NULL right value column (and that exists
+        # even when the right side has no value columns at all)
+        rf = rf.assign(__m=np.int64(1))
         m = pd.merge_asof(lf, rf, on=on, by=by, direction=direction)
-        if how == "inner" and out_rcols:
-            m = m[m[out_rcols[0]].notna()]
-        return m
+        if how == "inner":
+            m = m[m["__m"].notna()]
+        return m.drop(columns=["__m"])
 
     return (
         l_tagged.union(r_tagged)

@@ -160,6 +160,36 @@ def test_distributed_h3_matches_oracle_topology():
     assert es == [("j1", "j2"), ("j1", "x1"), ("j1", "x2")]
 
 
+def test_distributed_h3_reversed_survivor_dedup():
+    """A contracted chain edge duplicating a REVERSED surviving edge must
+    be dropped (reference contains_link checks both orientations): node 2
+    is degree-2 between 1 and 3, the direct edge is stored as (3, 1).
+    Regression: the distributed dedup bucketed on raw (u, v) so the
+    reversed pair slipped the guard."""
+    import ray
+
+    nodes = ray.data.from_pandas(pd.DataFrame({
+        "id": [str(i) for i in range(1, 6)],
+        "lat_str": ["48.0"] * 5,
+        "lon_str": [f"2.00{i}" for i in range(1, 6)],
+    }))
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "u": ["1", "2", "3", "1", "3"],
+        "v": ["2", "3", "1", "4", "5"],
+    }))
+    for cap in (0, 5_000_000):
+        n2, e2 = components.remove_degree_two_nodes_distributed(
+            nodes, edges, num_buckets=4, local_cap=cap
+        )
+        ids = sorted(r["id"] for r in n2.select_columns(["id"]).iter_rows())
+        es = sorted(
+            tuple(sorted((r["u"], r["v"])))
+            for r in e2.select_columns(["u", "v"]).iter_rows()
+        )
+        assert ids == ["1", "3", "4", "5"], cap
+        assert es == [("1", "3"), ("1", "4"), ("3", "5")], cap
+
+
 def test_distributed_h3_matches_oracle_fixtures():
     # cailles through the forced pointer-doubling path, test_bfs through
     # the hybrid driver-chain-walk fast path — both must match the oracle

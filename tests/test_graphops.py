@@ -217,6 +217,46 @@ def test_asof_join_matches_pandas(ray_session):
             assert np.array_equal(gy, ey, equal_nan=True), (direction, how)
 
 
+def test_asof_join_inner_keeps_null_right_values(ray_session):
+    """A matched right row whose value column is legitimately NULL must
+    survive how='inner' (DuckDB ASOF JOIN semantics) — the old
+    implementation inferred match-ness from notna() on the first right
+    value column. Also: a right side with NO value columns must still
+    filter unmatched left rows under inner."""
+    import ray.data
+    from ophois_ray.joins import asof_join
+
+    left = pd.DataFrame({
+        "g": np.array([1, 1, 2], dtype=np.int64),
+        "t": np.array([10, 20, 10], dtype=np.int64),
+        "x": np.array([0, 1, 2], dtype=np.int64),
+    })
+    # g=1 t=5 matches both left g=1 rows but carries a NULL y;
+    # g=2 has no right row at all -> its left row must drop under inner
+    right = pd.DataFrame({
+        "g": np.array([1], dtype=np.int64),
+        "t": np.array([5], dtype=np.int64),
+        "y": np.array([np.nan]),
+    })
+    got = (
+        asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                  on="t", by="g", how="inner", num_buckets=3)
+        .to_pandas().sort_values("x", ignore_index=True)
+    )
+    assert got["x"].tolist() == [0, 1]
+    assert got["y"].isna().all()
+
+    # key-only right side: inner must behave as a semi-join, not degrade
+    # to left semantics
+    got2 = (
+        asof_join(ray.data.from_pandas(left),
+                  ray.data.from_pandas(right[["g", "t"]]),
+                  on="t", by="g", how="inner", num_buckets=3)
+        .to_pandas().sort_values("x", ignore_index=True)
+    )
+    assert got2["x"].tolist() == [0, 1]
+
+
 def test_range_join_matches_bruteforce(ray_session):
     import ray.data
     from ophois_ray.joins import range_join

@@ -98,10 +98,21 @@ def completed_tiles(outdir: str, fingerprint: str) -> set[int]:
     return set(scan_tiles(outdir, fingerprint))
 
 
-def _clean_stale_dirs(outdir: str) -> None:
-    """Remove leftover tmp/old dirs from a killed run (driver-side, once)."""
+def _clean_stale_dirs(outdir: str, grace_s: float = 60.0) -> None:
+    """Remove leftover tmp/old dirs from a killed run (driver-side, once).
+
+    Dirs younger than ``grace_s`` are left alone: they may belong to a
+    LIVE concurrent writer on the same outdir (two racing
+    checkpointed_write calls are legal — promotion is atomic and
+    idempotent; only the stale-dir sweep could interfere)."""
+    now = time.time()
     for pat in ("tile=*.__tmp_*", "tile=*.__old_*"):
         for d in glob.glob(os.path.join(outdir, pat)):
+            try:
+                if now - os.path.getmtime(d) < grace_s:
+                    continue
+            except OSError:
+                pass
             shutil.rmtree(d, ignore_errors=True)
 
 

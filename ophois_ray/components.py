@@ -681,6 +681,503 @@ def _contract_grouped(nodes_l, edges_l, delta: float, *, skip_h3: bool):
     return tagged.groupby("comp").map_groups(contract, batch_format="pandas").materialize()
 
 
+class _MergeTrackingGraph(OracleGraph):
+    """OracleGraph that logs every H6 endpoint merge so boundary nodes
+    can be mapped to their final ids after a per-unit contraction."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.merge_log: list[tuple[str, str, str]] = []
+
+    def replace_link_by_node(self, u: str, v: str) -> str:
+        new_id = super().replace_link_by_node(u, v)
+        self.merge_log.append((u, v, new_id))
+        return new_id
+
+
+#: kinds for the unit-kernel row union (input and output share the enum)
+_UK_NODE, _UK_EDGE, _UK_PHANTOM, _UK_XEDGE, _UK_MAP = 0, 1, 2, 3, 4
+
+
+def _unit_kernel(delta: float):
+    """Per-unit H4+H6 oracle kernel over a tagged row group. Emits the
+    unit's surviving non-phantom nodes, its intra edges, and an
+    (original boundary id -> final id) map for cross-edge resolution."""
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        g = _MergeTrackingGraph()
+        k = group["kind"].to_numpy(np.int64)
+        for a, b, c in zip(group["a"][k == _UK_NODE], group["b"][k == _UK_NODE],
+                           group["c"][k == _UK_NODE]):
+            g.insert_node(a, b, c)
+        for a, b, c in zip(group["a"][k == _UK_PHANTOM],
+                           group["b"][k == _UK_PHANTOM],
+                           group["c"][k == _UK_PHANTOM]):
+            g.insert_node(a, b, c)
+        for a, b in zip(group["a"][k == _UK_EDGE], group["b"][k == _UK_EDGE]):
+            g.insert_edge(a, b)
+        for a, b in zip(group["a"][k == _UK_XEDGE], group["b"][k == _UK_XEDGE]):
+            g.insert_edge(a, b)
+        phantoms = set(group["a"][k == _UK_PHANTOM])
+        boundary = sorted(set(group["a"][k == _UK_XEDGE]))
+
+        # phantoms and boundary nodes are H4-safe by construction: every
+        # cross edge stays > delta forever (unit closure invariant), so
+        # the all-incident-<=delta removal test always fails for them
+        g.remove_under_delta_nodes(delta)
+        g.remove_under_delta_links(delta)
+
+        cur: dict[str, str] = {}
+        for u, v, new in g.merge_log:
+            cur[u] = new
+            cur[v] = new
+
+        unit = group["unit"].iloc[0]
+        out = []
+        for n in sorted(g.coords):
+            if n in phantoms:
+                continue
+            out.append((unit, _UK_NODE, n, g.coords[n][0], g.coords[n][1]))
+        for u, v in g.undirected_edges():
+            if u in phantoms or v in phantoms:
+                continue
+            out.append((unit, _UK_EDGE, u, v, ""))
+        for b in boundary:
+            f = b
+            while f in cur:
+                f = cur[f]
+            out.append((unit, _UK_MAP, b, f, ""))
+        return pd.DataFrame(out, columns=["unit", "kind", "a", "b", "c"])
+
+    return kernel
+
+
+def contract_units(
+    nodes,
+    edges,
+    delta: float,
+    *,
+    task_cap: int = DEFAULT_TASK_CAP,
+    num_buckets: int = 64,
+    meta_cap: int = 5_000_000,
+    max_meta_rounds: int = 25,
+):
+    """Exact distributed H4 -> H6 (remove_under_delta_nodes,
+    remove_under_delta_links — reference heuristics.rs:93-169) without
+    requiring a whole component to fit one task: the graph is
+    partitioned into *delta-interaction units* and the sequential
+    oracle kernel runs per unit, in parallel, bit-matching the
+    whole-graph oracle.
+
+    Why this is exact (the closure argument):
+
+    - All H4/H6 rewrites act on nodes whose incident edges are
+      <= delta (H4) or contract edges < delta (H6). Edges <= delta
+      connect nodes inside one "short cluster" (connected component of
+      the <= delta subgraph), so rewrites start intra-cluster.
+    - A rewrite can move a node only to a lat/lon-convex combination
+      of existing unit positions (H6 midpoints), so every node stays
+      inside its unit's original lat/lon bounding box forever. The
+      displacement of any endpoint is therefore < r(unit) :=
+      EARTH_RADIUS_M * (dlat_rad + dlon_rad) of that bbox (haversine
+      <= meridian+parallel path length).
+    - A cross-unit edge of length L can thus never get shorter than
+      L - r(A) - r(B) (sphere triangle inequality). If that stays
+      > delta, the edge can never unblock an H4 removal (needs
+      <= delta) nor contract in H6 (needs < delta) — the units never
+      interact and per-unit sorted processing commutes into the
+      oracle's global sorted order.
+    - Clusters whose cross edge could dip to <= delta
+      (L <= delta + r(A) + r(B), conservatively) are merged into one
+      unit; merging grows the bbox, so the rule iterates to a
+      fixpoint (distributed candidate filter per round, driver
+      union-find over only the candidate cluster pairs).
+
+    Cross-unit edges (> delta always) are shipped into BOTH incident
+    units as frozen phantom context: the kernel sees them as H4
+    blockers and H6 no-ops (only their > delta status matters — it is
+    invariant), and after contraction each unit reports the final id
+    of its boundary nodes so the cross edges are re-attached by a
+    mapping join. A unit larger than ``task_cap`` nodes raises: that
+    is a genuinely sequential delta-dense blob (no exact split
+    exists under reference semantics).
+
+    Returns (nodes_out, edges_out) with the contract_components output
+    schema. H3 (degree-2 contraction) is NOT run here — compose with
+    remove_degree_two_nodes_distributed upstream.
+    """
+    import ray
+
+    from . import graphops
+    from .geo import EARTH_RADIUS_M
+    from .joins import grouped_apply
+
+    nodes = nodes.materialize()
+    ec = graphops.edge_lengths(
+        graphops.attach_coords(
+            edges.select_columns(["u", "v"]), nodes, method="shuffle"
+        )
+    ).materialize()
+
+    short = ec.map_batches(
+        lambda df: df.loc[df["length_m"].to_numpy() <= delta, ["u", "v"]],
+        batch_format="pandas",
+    ).materialize()
+    if short.count() == 0:
+        labels = nodes.map_batches(
+            lambda df: pd.DataFrame({"id": df["id"], "comp": df["id"]}),
+            batch_format="pandas",
+        )
+    else:
+        labels = connected_components_labelprop(
+            nodes, short, num_buckets=min(num_buckets, 8)
+        )
+    labels = labels.materialize()
+
+    nodes_lbl = hash_join(nodes, labels, "id", num_buckets=num_buckets
+                          ).materialize()
+    ec_lbl = hash_join(
+        hash_join(
+            ec.select_columns(["u", "v", "length_m"]),
+            labels.map_batches(
+                lambda df: df.rename(columns={"id": "u", "comp": "cu"}),
+                batch_format="pandas"),
+            "u", num_buckets=num_buckets,
+        ),
+        labels.map_batches(
+            lambda df: df.rename(columns={"id": "v", "comp": "cv"}),
+            batch_format="pandas"),
+        "v", num_buckets=num_buckets,
+    ).materialize()
+
+    # ---- unit fixpoint: driver union-find over only the candidate pairs
+    uf = _UnionFind()
+
+    def unit_col(df: pd.DataFrame, col: str, mref) -> np.ndarray:
+        m = _get(mref)
+        vals = df[col].to_numpy(object)
+        return np.array([m.get(x, x) for x in vals], dtype=object)
+
+    for _round in range(max_meta_rounds + 1):
+        mref = ray.put({c: uf.find(c) for c in list(uf.parent)})
+
+        def with_units(df: pd.DataFrame, _m=mref) -> pd.DataFrame:
+            df = df.copy()
+            df["uu"] = unit_col(df, "cu", _m)
+            df["uv"] = unit_col(df, "cv", _m)
+            return df
+
+        def node_units(df: pd.DataFrame, _m=mref) -> pd.DataFrame:
+            return pd.DataFrame({
+                "unit": unit_col(df, "comp", _m),
+                "lat": df["lat"].to_numpy(np.float64),
+                "lon": df["lon"].to_numpy(np.float64),
+            })
+
+        def bbox_fn(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("unit").agg(
+                lat0=("lat", "min"), lat1=("lat", "max"),
+                lon0=("lon", "min"), lon1=("lon", "max"),
+            )
+            return g.reset_index()
+
+        bboxes = grouped_apply(
+            nodes_lbl.map_batches(node_units, batch_format="pandas"),
+            "unit", bbox_fn, num_buckets=num_buckets,
+        ).map_batches(
+            lambda df: df.assign(
+                r=EARTH_RADIUS_M * (
+                    np.radians(df["lat1"].to_numpy() - df["lat0"].to_numpy())
+                    + np.radians(df["lon1"].to_numpy() - df["lon0"].to_numpy())
+                )
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+        cross = ec_lbl.map_batches(with_units, batch_format="pandas"
+                                   ).map_batches(
+            lambda df: df.loc[df["uu"] != df["uv"],
+                              ["uu", "uv", "length_m"]],
+            batch_format="pandas",
+        )
+        cand = hash_join(
+            hash_join(
+                cross,
+                bboxes.map_batches(
+                    lambda df: df.rename(columns={"unit": "uu"}),
+                    batch_format="pandas"),
+                "uu", num_buckets=num_buckets, right_suffix="_a",
+            ),
+            bboxes.map_batches(
+                lambda df: df.rename(columns={"unit": "uv"}),
+                batch_format="pandas"),
+            "uv", num_buckets=num_buckets, right_suffix="_b",
+        ).map_batches(
+            lambda df: df.loc[
+                df["length_m"].to_numpy()
+                <= delta + df["r"].to_numpy() + df["r_b"].to_numpy(),
+                ["uu", "uv"],
+            ].drop_duplicates(),
+            batch_format="pandas",
+        )
+        cand_df = cand.to_pandas()
+        if len(cand_df) == 0:
+            break  # (0-row to_pandas drops columns — don't touch them)
+        if len(cand_df) > meta_cap:
+            raise ValueError(
+                f"{len(cand_df)} interacting cluster pairs exceed meta_cap "
+                f"{meta_cap}; the graph is delta-dense beyond the exact "
+                "unit decomposition"
+            )
+        merged_any = False
+        for a, b in zip(cand_df["uu"], cand_df["uv"]):
+            if uf.find(a) != uf.find(b):
+                uf.union(a, b)
+                merged_any = True
+        if not merged_any:
+            break
+    else:
+        raise ValueError(
+            f"unit fixpoint did not converge in {max_meta_rounds} rounds"
+        )
+
+    final_map = ray.put({c: uf.find(c) for c in list(uf.parent)})
+
+    # ---- final unit labels, sizes, and row routing
+    node_unit = nodes_lbl.map_batches(
+        lambda df, _m=final_map: df.assign(unit=unit_col(df, "comp", _m)),
+        batch_format="pandas",
+    ).materialize()
+
+    def size_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("unit", as_index=False).agg(n=("id", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    sizes = grouped_apply(
+        node_unit, "unit", size_fn, num_buckets=num_buckets
+    ).materialize()
+    max_n = max(
+        (int(b["n"].max()) for b in sizes.iter_batches(
+            batch_format="pandas", batch_size=None) if len(b)),
+        default=0,
+    )
+    if max_n > task_cap:
+        raise ValueError(
+            f"delta-interaction unit with {max_n} nodes exceeds task_cap "
+            f"{task_cap}: H4/H6 inside one unit are order-dependent "
+            "sequential semantics with no exact split"
+        )
+
+    node_sized = hash_join(node_unit, sizes, on="unit",
+                           num_buckets=num_buckets).materialize()
+    ec_units = ec_lbl.map_batches(
+        lambda df, _m=final_map: df.assign(
+            uu=unit_col(df, "cu", _m), uv=unit_col(df, "cv", _m)),
+        batch_format="pandas",
+    ).materialize()
+
+    # phantom rows carry the VERBATIM coordinate strings of the outside
+    # endpoint, so kernel lengths are bit-equal to the sequential oracle
+    ec_coords = hash_join(
+        hash_join(
+            ec_units.map_batches(
+                lambda df: df[["u", "v", "uu", "uv"]], batch_format="pandas"),
+            nodes.map_batches(
+                lambda df: pd.DataFrame({
+                    "u": df["id"], "u_lat_str": df["lat_str"],
+                    "u_lon_str": df["lon_str"]}),
+                batch_format="pandas"),
+            "u", num_buckets=num_buckets,
+        ),
+        nodes.map_batches(
+            lambda df: pd.DataFrame({
+                "v": df["id"], "v_lat_str": df["lat_str"],
+                "v_lon_str": df["lon_str"]}),
+            batch_format="pandas"),
+        "v", num_buckets=num_buckets,
+    ).materialize()
+
+    def multi_node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["n"] >= 2]
+        return pd.DataFrame({
+            "unit": d["unit"].to_numpy(object),
+            "kind": np.full(len(d), _UK_NODE, dtype=np.int64),
+            "a": d["id"].to_numpy(object),
+            "b": d["lat_str"].to_numpy(object),
+            "c": d["lon_str"].to_numpy(object),
+        })
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        intra = df[df["uu"] == df["uv"]]
+        out = [pd.DataFrame({
+            "unit": intra["uu"].to_numpy(object),
+            "kind": np.full(len(intra), _UK_EDGE, dtype=np.int64),
+            "a": intra["u"].to_numpy(object),
+            "b": intra["v"].to_numpy(object),
+            "c": np.full(len(intra), "", dtype=object),
+        })]
+        x = df[df["uu"] != df["uv"]]
+        for unit, anchor, other, olat, olon in (
+            ("uu", "u", "v", "v_lat_str", "v_lon_str"),
+            ("uv", "v", "u", "u_lat_str", "u_lon_str"),
+        ):
+            out.append(pd.DataFrame({
+                "unit": x[unit].to_numpy(object),
+                "kind": np.full(len(x), _UK_PHANTOM, dtype=np.int64),
+                "a": x[other].to_numpy(object),
+                "b": x[olat].to_numpy(object),
+                "c": x[olon].to_numpy(object),
+            }))
+            out.append(pd.DataFrame({
+                "unit": x[unit].to_numpy(object),
+                "kind": np.full(len(x), _UK_XEDGE, dtype=np.int64),
+                "a": x[anchor].to_numpy(object),
+                "b": x[other].to_numpy(object),
+                "c": np.full(len(x), "", dtype=object),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    # singleton units never receive kernel rows for their node, but their
+    # cross edges above still tag the MULTI side; a singleton-singleton
+    # cross edge creates two 2-row phantom groups whose kernel output is
+    # just the identity map — wasteful AND wrong (no real node rows), so
+    # only units with >= 2 real nodes run the kernel; singletons are
+    # routed vectorized below.
+    multi_units = sizes.map_batches(
+        lambda df: df.loc[df["n"] >= 2, ["unit"]].assign(__keep=np.int64(1)),
+        batch_format="pandas",
+    ).materialize()
+    kernel_out = None
+    if multi_units.count() > 0:
+        tagged = node_sized.map_batches(
+            multi_node_rows, batch_format="pandas"
+        ).union(ec_coords.map_batches(edge_rows, batch_format="pandas"))
+        tagged = hash_join(tagged, multi_units, on="unit",
+                           num_buckets=num_buckets).map_batches(
+            lambda df: df.drop(columns=["__keep"]), batch_format="pandas"
+        )
+        kernel_out = tagged.groupby("unit").map_groups(
+            _unit_kernel(delta), batch_format="pandas"
+        ).materialize()
+
+    # ---- singleton units, vectorized: a lone node survives iff it has
+    # at least one (necessarily > delta, cross) edge — H4 removes only
+    # fully-short-or-isolated nodes and H6 never touches long edges.
+    endpoint_ids = grouped_apply(
+        ec.map_batches(
+            lambda df: pd.DataFrame({"id": np.concatenate([
+                df["u"].to_numpy(object), df["v"].to_numpy(object)])}),
+            batch_format="pandas",
+        ),
+        "id",
+        lambda df: df.drop_duplicates(),
+        num_buckets=num_buckets,
+        drop_partial=lambda df: df.drop_duplicates(),
+    ).map_batches(
+        lambda df: df.assign(__e=np.int64(1)), batch_format="pandas"
+    )
+    singleton_nodes = hash_join(
+        node_sized.map_batches(
+            lambda df: df.loc[df["n"] == 1,
+                              ["id", "lat_str", "lon_str"]],
+            batch_format="pandas",
+        ),
+        endpoint_ids, on="id", how="left", num_buckets=num_buckets,
+    ).map_batches(
+        lambda df: df[df["__e"].notna()][["id", "lat_str", "lon_str"]],
+        batch_format="pandas",
+    ).materialize()
+
+    mapping_parts = [singleton_nodes.map_batches(
+        lambda df: pd.DataFrame({"orig": df["id"], "final": df["id"]}),
+        batch_format="pandas",
+    )]
+    if kernel_out is not None:
+        mapping_parts.append(kernel_out.map_batches(
+            lambda df: df.loc[df["kind"] == _UK_MAP, ["a", "b"]].rename(
+                columns={"a": "orig", "b": "final"}),
+            batch_format="pandas",
+        ))
+    mapping = mapping_parts[0]
+    for p in mapping_parts[1:]:
+        mapping = mapping.union(p)
+
+    cross_edges = ec_units.map_batches(
+        lambda df: df.loc[df["uu"] != df["uv"], ["u", "v"]],
+        batch_format="pandas",
+    ).materialize()
+    resolved = None
+    if cross_edges.count() > 0:
+        resolved = hash_join(
+            hash_join(
+                cross_edges,
+                mapping.map_batches(
+                    lambda df: df.rename(columns={"orig": "u", "final": "fu"}),
+                    batch_format="pandas"),
+                "u", num_buckets=num_buckets,
+            ),
+            mapping.map_batches(
+                lambda df: df.rename(columns={"orig": "v", "final": "fv"}),
+                batch_format="pandas"),
+            "v", num_buckets=num_buckets,
+        ).map_batches(
+            lambda df: pd.DataFrame({
+                "u": np.minimum(df["fu"].to_numpy(object),
+                                df["fv"].to_numpy(object)),
+                "v": np.maximum(df["fu"].to_numpy(object),
+                                df["fv"].to_numpy(object)),
+            }),
+            batch_format="pandas",
+        )
+        resolved = grouped_apply(
+            resolved, ["u", "v"],
+            lambda df: df.drop_duplicates(subset=["u", "v"]),
+            num_buckets=num_buckets,
+        )
+
+    def add_floats(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            lat=df["lat_str"].astype(np.float64),
+            lon=df["lon_str"].astype(np.float64),
+        )
+
+    nodes_out = singleton_nodes
+    if kernel_out is not None:
+        nodes_out = nodes_out.union(kernel_out.map_batches(
+            lambda df: pd.DataFrame({
+                "id": df.loc[df["kind"] == _UK_NODE, "a"],
+                "lat_str": df.loc[df["kind"] == _UK_NODE, "b"],
+                "lon_str": df.loc[df["kind"] == _UK_NODE, "c"],
+            }),
+            batch_format="pandas",
+        ))
+    nodes_out = nodes_out.map_batches(add_floats, batch_format="pandas")
+
+    edge_parts = []
+    if kernel_out is not None:
+        edge_parts.append(kernel_out.map_batches(
+            lambda df: pd.DataFrame({
+                "u": df.loc[df["kind"] == _UK_EDGE, "a"],
+                "v": df.loc[df["kind"] == _UK_EDGE, "b"],
+            }),
+            batch_format="pandas",
+        ))
+    if resolved is not None:
+        edge_parts.append(resolved)
+    if not edge_parts:
+        import ray as _ray
+        import pyarrow as _pa
+        edge_parts = [_ray.data.from_arrow(_pa.table({
+            "u": _pa.array([], _pa.string()),
+            "v": _pa.array([], _pa.string()),
+        }))]
+    edges_out = edge_parts[0]
+    for p in edge_parts[1:]:
+        edges_out = edges_out.union(p)
+    return nodes_out.materialize(), edges_out.materialize()
+
+
 def contract_components(
     nodes,
     edges,
@@ -732,11 +1229,12 @@ def contract_components(
             num_buckets=min(num_buckets, 8),
         ).to_pandas()
         if len(hist) and hist["n"].max() > task_cap:
-            raise ValueError(
-                f"component with {int(hist['n'].max())} nodes remains after "
-                f"distributed degree-2 contraction (> task_cap {task_cap}); "
-                "H4/H6 fixpoints are whole-component rewrites — raise task_cap "
-                "or pre-partition the graph"
+            # a component too big for one task even after degree-2
+            # contraction: switch to the exact delta-interaction-unit
+            # decomposition (H4/H6 per unit, provably non-interacting)
+            return contract_units(
+                nodes, edges, delta,
+                task_cap=task_cap, num_buckets=num_buckets,
             )
         nodes_l = hash_join(nodes, labels_ds, "id", num_buckets=num_buckets)
         edges_l = hash_join(
@@ -760,10 +1258,10 @@ def contract_components(
             labels = connected_components_local(nodes, edges, cap=cap)
             sizes = Counter(labels.values())
             if sizes and max(sizes.values()) > task_cap:
-                raise ValueError(
-                    f"component with {max(sizes.values())} nodes remains after "
-                    f"distributed degree-2 contraction (> task_cap {task_cap}); "
-                    "raise task_cap or pre-partition the graph"
+                # exact fallback: per-delta-interaction-unit H4/H6
+                return contract_units(
+                    nodes, edges, delta,
+                    task_cap=task_cap, num_buckets=num_buckets,
                 )
         label_idx = ray.put(
             BroadcastIndex(

@@ -250,6 +250,227 @@ def minhash_verified_pairs(
     return j2.map_batches(verify, batch_format="pandas")
 
 
+# ------------------------------------------------- integer-exact minhash
+
+
+def _kgram_poly_hashes(texts, k: int = 8, prefix: int | None = None):
+    """All k-gram polynomial code-point hashes (mod 2^61-1) of each
+    text's prefix, per-doc DISTINCT — the SQL-mirrorable shingle set
+    (DuckDB ``list_reduce`` over ``cps[i:i+k-1]``, same Horner family
+    as textstats fingerprints). Docs shorter than ``k`` fall back to
+    the whole-prefix hash; empty docs contribute nothing. Returns
+    ``(hashes uint64, doc_of int64)``. Position-major vectorized like
+    ``textstats._fingerprints_batch`` (no per-character Python loop).
+    """
+    from .textstats import _FP_MOD, _fp_fold, _fp_mul257, _fp_mul_small
+
+    cps = [
+        np.frombuffer(
+            (t[:prefix] if prefix is not None else t).encode(
+                "utf-32-le", "surrogatepass"),
+            dtype=np.uint32,
+        ) if isinstance(t, str) else np.empty(0, np.uint32)
+        for t in texts
+    ]
+    n = len(cps)
+    lens = np.array([len(c) for c in cps], dtype=np.int64)
+    if n == 0 or lens.max(initial=0) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    L = int(lens.max())
+    M = np.zeros((L, n), dtype=np.uint64)
+    for i, c in enumerate(cps):
+        M[: len(c), i] = c.astype(np.uint64) + np.uint64(1)
+    basek = pow(257, k - 1, int(_FP_MOD))
+    acc = np.zeros(n, dtype=np.uint64)
+    roll = np.zeros(n, dtype=np.uint64)
+    docidx = np.arange(n, dtype=np.int64)
+    out_h, out_d = [], []
+    for j in range(L):
+        mj = M[j]
+        acc = _fp_fold(_fp_mul257(acc) + mj)
+        if j >= k:
+            roll = _fp_fold(roll + (_FP_MOD - _fp_mul_small(M[j - k], basek)))
+        roll = _fp_fold(_fp_mul257(roll) + mj)
+        if j >= k - 1:
+            sel = mj != 0  # window [j-k+1, j] inside the doc
+            out_h.append(roll[sel])
+            out_d.append(docidx[sel])
+        if j + 1 < k:
+            ended = lens == j + 1  # shorter than k: whole-prefix hash
+            if ended.any():
+                out_h.append(acc[ended])
+                out_d.append(docidx[ended])
+    flat = np.concatenate(out_h) if out_h else np.empty(0, np.uint64)
+    docs = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+    order = np.lexsort((flat, docs))
+    flat, docs = flat[order], docs[order]
+    keep = np.ones(len(flat), dtype=bool)
+    keep[1:] = (flat[1:] != flat[:-1]) | (docs[1:] != docs[:-1])
+    return flat[keep], docs[keep]
+
+
+def _minhash_int_mins(h: np.ndarray, d: np.ndarray, n_docs: int,
+                      num_perm: int) -> np.ndarray:
+    """(n_docs, num_perm) signature matrix: per-doc minimum of the fixed
+    affine family h_p(x) = ((6p+5)*x + 1000003*(p+1)) mod 2^61-1 —
+    coefficients small enough for exact DuckDB HUGEINT mirroring AND
+    overflow-free uint64 evaluation (a < 2^6, x < 2^61: split x at
+    2^58, then a*hi*2^58 re-folds via 2^61 === 1 mod p)."""
+    from .textstats import _FP_MOD, _fp_fold
+
+    mins = np.full((n_docs, num_perm), _FP_MOD, dtype=np.uint64)
+    lo = h & np.uint64((1 << 58) - 1)
+    hi = h >> np.uint64(58)  # < 2^3
+    for p in range(num_perm):
+        a = np.uint64(6 * p + 5)
+        b = np.uint64(1000003 * (p + 1))
+        x = a * hi  # < 2^9
+        t = _fp_fold((x >> np.uint64(3)) + ((x & np.uint64(7)) << np.uint64(58)))
+        v = _fp_fold(_fp_fold(_fp_fold(a * lo) + t) + b)
+        np.minimum.at(mins[:, p], d, v)
+    return mins
+
+
+def minhash_int_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    prefix: int | None = None,
+    num_perm: int = 8,
+    bands: int = 4,
+    thresh_num: int = 1,
+    thresh_den: int = 2,
+    num_buckets: int = 32,
+):
+    """Integer-exact MinHash+LSH near-dup pairs — the SQL-mirrorable
+    twin of ``minhash_lsh_candidates`` + ``minhash_verified_pairs``
+    (the simhash_int / embed_topk_int pattern): shingles are k-gram
+    polynomial code-point hashes mod 2^61-1, permutations the fixed
+    affine family above, bands of ``num_perm // bands`` rows join on
+    RAW signature values (no re-hash), and candidates verify with
+    exact distinct-hash Jaccard as the integer test
+    ``inter * thresh_den >= uni * thresh_num``. DuckDB replicates
+    every step with HUGEINT arithmetic (queries.SQL_MINHASH_INT), so
+    even probabilistic LSH *misses* agree bit-for-bit. Returns a
+    Dataset (id_a, id_b, inter, uni), all int64.
+
+    Scale shape: gram sets are computed ONCE per doc in a fused map
+    (shipped as raw uint64 bytes); band rows derive from the sets;
+    candidate generation is one grouped_apply keyed on the band
+    signature; pair dedup and the two verification joins are bucketed
+    hash joins — the same distributed shape as the float MinHash path,
+    no driver materialization.
+    """
+    from .joins import grouped_apply, hash_join
+
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows = num_perm // bands
+    key_cols = [f"k{i}" for i in range(rows)]
+
+    def make_sets(df: pd.DataFrame) -> pd.DataFrame:
+        h, d = _kgram_poly_hashes(list(df[text_col]), k=k, prefix=prefix)
+        sets = [b"" for _ in range(len(df))]
+        if len(h):
+            cuts = np.searchsorted(d, np.arange(len(df) + 1))
+            for i in range(len(df)):
+                sets[i] = h[cuts[i]:cuts[i + 1]].tobytes()
+        return pd.DataFrame({
+            "id": df[id_col].to_numpy(np.int64), "__t": sets,
+        })
+
+    sets = ds.map_batches(make_sets, batch_format="pandas").map_batches(
+        lambda df: df[[len(t) > 0 for t in df["__t"]]],  # no grams, no row
+        batch_format="pandas",
+    ).materialize()
+
+    def make_bands(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [np.frombuffer(t, dtype=np.uint64) for t in df["__t"]]
+        if not parts:
+            return pd.DataFrame({
+                "band": pd.Series(dtype=np.int64),
+                **{c: pd.Series(dtype=np.int64) for c in key_cols},
+                "id": pd.Series(dtype=np.int64),
+            })
+        h = np.concatenate(parts)
+        d = np.repeat(np.arange(len(parts), dtype=np.int64),
+                      [len(p) for p in parts])
+        mins = _minhash_int_mins(h, d, len(parts), num_perm)
+        out = []
+        ids = df["id"].to_numpy(np.int64)
+        for band in range(bands):
+            cols = {"band": np.full(len(ids), band, dtype=np.int64)}
+            for r in range(rows):
+                cols[key_cols[r]] = mins[:, band * rows + r].astype(np.int64)
+            cols["id"] = ids
+            out.append(pd.DataFrame(cols))
+        return pd.concat(out, ignore_index=True)
+
+    banded = sets.map_batches(make_bands, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby(["band"] + key_cols, sort=False):
+            ids = np.sort(g["id"].unique())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = grouped_apply(banded, ["band"] + key_cols, bucket_pairs,
+                         num_buckets=num_buckets)
+    cand = grouped_apply(
+        cand, ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(),
+        num_buckets=num_buckets,
+        drop_partial=lambda df: df.drop_duplicates(),
+    ).materialize()
+    if cand.count() == 0:
+        import pyarrow as pa
+        import ray
+        return ray.data.from_arrow(pa.table({
+            c: pa.array([], pa.int64())
+            for c in ("id_a", "id_b", "inter", "uni")
+        }))
+
+    j1 = hash_join(
+        cand.map_batches(
+            lambda df: df.rename(columns={"id_a": "id"}), batch_format="pandas"
+        ),
+        sets, "id", num_buckets=num_buckets,
+    ).map_batches(
+        lambda df: df.rename(columns={"id": "id_a", "__t": "__ta",
+                                      "id_b": "id"}),
+        batch_format="pandas",
+    )
+    j2 = hash_join(j1, sets, "id", num_buckets=num_buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        inter = np.empty(len(df), dtype=np.int64)
+        uni = np.empty(len(df), dtype=np.int64)
+        for i, (ta, tb) in enumerate(zip(df["__ta"], df["__t"])):
+            a = np.frombuffer(ta, dtype=np.uint64)
+            b = np.frombuffer(tb, dtype=np.uint64)
+            n_i = np.intersect1d(a, b, assume_unique=True).size
+            inter[i] = n_i
+            uni[i] = a.size + b.size - n_i
+        m = inter * thresh_den >= uni * thresh_num
+        return pd.DataFrame({
+            "id_a": df["id_a"].to_numpy(np.int64)[m],
+            "id_b": df["id"].to_numpy(np.int64)[m],
+            "inter": inter[m],
+            "uni": uni[m],
+        })
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
 def ngram_jaccard_pairs(
     ds,
     cand,

@@ -976,6 +976,92 @@ FROM j
 """
 
 
+def q_minhash_near_dup_int(sf_dir: str):
+    """Integer-exact MinHash+LSH near-dup detection
+    (dedup.minhash_int_pairs) — the driver-hash-checkable twin of the
+    flagship minhash_near_dup operator (same promotion pattern as
+    simhash_int): docs < 200 plus planted perturbed copies (first 10
+    chars replaced, id + 1_000_000), 8-gram polynomial code-point
+    shingles over the first 200 chars, 8 fixed affine permutations in
+    4 bands of 2, exact distinct-hash Jaccard >= 1/2 verification.
+    DuckDB replicates shingling, permutation mins, banding AND the
+    verify with HUGEINT arithmetic, so LSH hits and misses both match
+    bit-for-bit."""
+    from . import dedup as _dedup
+
+    docs = _t(sf_dir, "documents")
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] < 200]
+        dup = df.copy()
+        dup["text"] = ["Q" * 10 + (t[10:] if isinstance(t, str) else "")
+                       for t in dup["text"]]
+        dup["doc_id"] = dup["doc_id"] + 1_000_000
+        return pd.concat([df, dup], ignore_index=True)
+
+    planted = docs.select_columns(["doc_id", "text"]).map_batches(
+        plant, batch_format="pandas"
+    )
+    return _dedup.minhash_int_pairs(
+        planted, k=8, prefix=200, num_perm=8, bands=4,
+        thresh_num=1, thresh_den=2,
+    )
+
+
+SQL_MINHASH_INT = r"""
+WITH base AS (
+  SELECT doc_id, substr(text, 1, 200) AS s FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000, substr('QQQQQQQQQQ' || substr(text, 11), 1, 200)
+  FROM documents WHERE doc_id < 200
+), cp AS (
+  SELECT doc_id, list_transform(regexp_extract_all(s, '(?s).'),
+         x -> CAST(unicode(x) AS HUGEINT)) AS cps
+  FROM base
+), g AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(cps) >= 8
+    THEN list_transform(range(1, len(cps) - 6), i ->
+         CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), cps[i:i+7]),
+              (acc, b) -> (acc * 257 + b + 1) % 2305843009213693951)
+              AS BIGINT))
+    ELSE CASE WHEN len(cps) > 0 THEN [
+         CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), cps),
+              (acc, b) -> (acc * 257 + b + 1) % 2305843009213693951)
+              AS BIGINT)]
+         ELSE [] END END) AS grams
+  FROM cp
+), sig AS (
+  SELECT doc_id, p,
+         MIN(CAST((CAST(6 * p + 5 AS HUGEINT) * CAST(gh AS HUGEINT)
+             + CAST(1000003 * (p + 1) AS HUGEINT))
+             % 2305843009213693951 AS BIGINT)) AS m
+  FROM g, UNNEST(grams) AS t(gh), UNNEST(range(0, 8)) AS r(p)
+  GROUP BY 1, 2
+), band AS (
+  SELECT doc_id, p // 2 AS band,
+         MIN(CASE WHEN p % 2 = 0 THEN m END) AS k0,
+         MIN(CASE WHEN p % 2 = 1 THEN m END) AS k1
+  FROM sig GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+   AND a.doc_id < b.doc_id
+), v AS (
+  SELECT id_a, id_b,
+         len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS inter,
+         len(ga.grams) + len(gb.grams) AS total
+  FROM cand
+  JOIN g ga ON ga.doc_id = cand.id_a
+  JOIN g gb ON gb.doc_id = cand.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(total - inter AS BIGINT) AS uni
+FROM v WHERE inter * 2 >= (total - inter) * 1
+"""
+
+
 def q_doc_fingerprint(sf_dir: str):
     from . import textstats
 
@@ -3476,6 +3562,7 @@ def catalog():
         "events_asof_join": q_events_asof_join,
         "events_hopping_window": q_events_hopping_window,
         "simhash_int": q_simhash_int,
+        "minhash_near_dup_int": q_minhash_near_dup_int,
         "range_join": q_range_join,
         "point_in_polygon": q_point_in_polygon,
         "pip_zonal": q_pip_zonal,
@@ -3556,6 +3643,7 @@ def sql_catalog():
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "events_hopping_window": SQL_EVENTS_HOPPING_WINDOW,
         "simhash_int": SQL_SIMHASH_INT,
+        "minhash_near_dup_int": SQL_MINHASH_INT,
         "range_join": SQL_RANGE_JOIN,
         "point_in_polygon": _sql_pip_pairs(),
         "pip_zonal": _sql_pip_zonal(),

@@ -237,6 +237,146 @@ def test_contract_task_cap_guard_forces_distributed_h3():
     }
 
 
+def _oracle_from_tables(nodes, edges) -> OracleGraph:
+    g = OracleGraph()
+    for r in nodes.select_columns(["id", "lat_str", "lon_str"]).iter_rows():
+        g.insert_node(r["id"], r["lat_str"], r["lon_str"])
+    for r in edges.select_columns(["u", "v"]).iter_rows():
+        g.insert_edge(r["u"], r["v"])
+    return g
+
+
+def _graph_state(nodes, edges):
+    ids = {r["id"]: (r["lat_str"], r["lon_str"])
+           for r in nodes.select_columns(["id", "lat_str", "lon_str"]).iter_rows()}
+    es = sorted(
+        tuple(sorted((r["u"], r["v"])))
+        for r in edges.select_columns(["u", "v"]).iter_rows()
+    )
+    return ids, es
+
+
+def test_contract_units_matches_oracle_fixture():
+    """Delta-interaction-unit H4/H6 must bit-match the sequential oracle
+    chain (ids, coords AND edges) on a real fixture, after both run the
+    same H3."""
+    for name, delta in (("cailles.graph", 10.0), ("test_bfs.graph", 10.0)):
+        nodes, edges = tables_from(name)
+        n1, e1 = components.remove_degree_two_nodes_distributed(nodes, edges)
+        n2, e2 = components.contract_units(n1, e1, delta, num_buckets=4)
+        oracle = OracleGraph.from_text(load_fixture_text(name))
+        oracle.remove_degree_two_nodes()
+        oracle.remove_under_delta_nodes(delta)
+        oracle.remove_under_delta_links(delta)
+        ids, es = _graph_state(n2, e2)
+        assert ids == dict(oracle.coords), name
+        assert es == oracle.undirected_edges(), name
+
+
+def test_contract_units_random_parity():
+    """Random geometric graphs across a delta sweep: several short-edge
+    clusters, cross edges of every length class, merged-id chains."""
+    rng = np.random.default_rng(149)
+    n = 60
+    lat = 48.0 + rng.random(n) * 0.01
+    lon = 2.0 + rng.random(n) * 0.01
+    ids = [f"n{i:02d}" for i in range(n)]
+    lat_str = [repr(x) for x in lat]
+    lon_str = [repr(x) for x in lon]
+    # connect each node to its 3 nearest (planar) neighbours
+    import itertools
+    pairs = set()
+    for i in range(n):
+        d = (lat - lat[i]) ** 2 + (lon - lon[i]) ** 2
+        for j in np.argsort(d)[1:4]:
+            pairs.add(tuple(sorted((ids[i], ids[int(j)]))))
+    import ray
+    nodes = ray.data.from_pandas(pd.DataFrame({
+        "id": np.array(ids, dtype=object),
+        "lat_str": np.array(lat_str, dtype=object),
+        "lon_str": np.array(lon_str, dtype=object),
+        "lat": lat, "lon": lon,
+    }))
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "u": np.array([p[0] for p in sorted(pairs)], dtype=object),
+        "v": np.array([p[1] for p in sorted(pairs)], dtype=object),
+    }))
+    for delta in (30.0, 120.0, 400.0):
+        n2, e2 = components.contract_units(nodes, edges, delta, num_buckets=4)
+        oracle = _oracle_from_tables(nodes, edges)
+        oracle.remove_under_delta_nodes(delta)
+        oracle.remove_under_delta_links(delta)
+        ids_got, es_got = _graph_state(n2, e2)
+        assert ids_got == dict(oracle.coords), delta
+        assert es_got == oracle.undirected_edges(), delta
+
+
+def _k4_chain_tables(n_clusters: int = 10):
+    """A single 4*n-node component: K4 clusters ~6 m wide, 1.1 km apart,
+    chained by long connector edges. No degree-2 nodes (H3 no-op), so
+    the component survives contraction intact — the shape that used to
+    make contract_components raise above task_cap."""
+    import ray
+
+    ids, lat_s, lon_s, eu, ev = [], [], [], [], []
+    for c in range(n_clusters):
+        base_lon = 2.0 + c * 0.015
+        offs = [(0.0, 0.0), (0.00005, 0.0), (0.0, 0.00006), (0.00005, 0.00007)]
+        members = []
+        for m, (dla, dlo) in enumerate(offs):
+            nid = f"c{c:02d}m{m}"
+            members.append(nid)
+            ids.append(nid)
+            lat_s.append(repr(48.0 + dla))
+            lon_s.append(repr(base_lon + dlo))
+        for i in range(4):
+            for j in range(i + 1, 4):
+                eu.append(members[i])
+                ev.append(members[j])
+        if c > 0:
+            eu.append(f"c{c-1:02d}m0")
+            ev.append(f"c{c:02d}m0")
+    nodes = ray.data.from_pandas(pd.DataFrame({
+        "id": np.array(ids, dtype=object),
+        "lat_str": np.array(lat_s, dtype=object),
+        "lon_str": np.array(lon_s, dtype=object),
+        "lat": np.array([float(x) for x in lat_s]),
+        "lon": np.array([float(x) for x in lon_s]),
+    }))
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "u": np.array(eu, dtype=object), "v": np.array(ev, dtype=object),
+    }))
+    return nodes, edges
+
+
+def test_contract_components_units_fallback_above_task_cap():
+    """A component whose contracted form still exceeds task_cap used to
+    raise; it must now route through contract_units and match the
+    whole-graph oracle chain, on both methods. 40-node component,
+    task_cap=5, delta-units of size 4."""
+    for method in ("local", "labelprop"):
+        nodes, edges = _k4_chain_tables(10)
+        n2, e2 = components.contract_components(
+            nodes, edges, 10.0, method=method, task_cap=5
+        )
+        oracle = _oracle_from_tables(nodes, edges)
+        oracle.remove_degree_two_nodes()
+        oracle.remove_under_delta_nodes(10.0)
+        oracle.remove_under_delta_links(10.0)
+        ids, es = _graph_state(n2, e2)
+        assert ids == dict(oracle.coords), method
+        assert es == oracle.undirected_edges(), method
+
+
+def test_contract_units_dense_unit_still_guarded():
+    """A delta-dense blob that cannot decompose (every edge short) must
+    still raise loudly rather than split inexactly."""
+    nodes, edges = tables_from("cailles.graph")
+    n1, e1 = components.remove_degree_two_nodes_distributed(nodes, edges)
+    with pytest.raises(ValueError, match="delta-interaction unit"):
+        components.contract_units(n1, e1, 10.0, task_cap=5, num_buckets=4)
+
+
 def test_simplify_labelprop_full_composition():
     nodes, edges = tables_from("test_bfs.graph")
     n2, e2 = components.simplify(nodes, edges, 10.0, method="labelprop")

@@ -327,6 +327,65 @@ def test_checkpointed_write_and_resume(snap_inputs, tmp_path):
     assert {r["tile"] for r in recs2} == all_tiles
 
 
+def test_checkpointed_write_concurrent_writers(snap_inputs, tmp_path):
+    """Two checkpointed_write calls racing on the SAME outdir (the
+    multi-node double-submit shape): the per-tile marker + os.replace
+    promotion must leave every tile complete exactly once, no tmp/old
+    leftovers, consistent manifest — regardless of interleaving."""
+    import threading
+
+    pg_ds, eg_ds, _ = snap_inputs
+    result, _ = spatial.knn_snap(pg_ds, eg_ds, res=9, k=1, ring=1,
+                                 hot_threshold=500)
+    result = result.materialize()
+    outdir = str(tmp_path / "race")
+    fp = "fp-race"
+    all_tiles = set(
+        int(t) for t in cells.parent_to(
+            np.array(sorted({r["cell"] for r in
+                             result.select_columns(["cell"]).iter_rows()})), 6
+        )
+    )
+
+    errs = []
+
+    def run():
+        try:
+            ckpt.checkpointed_write(result, outdir, tile_res=6, fingerprint=fp)
+        except Exception as exc:  # surface in the main thread
+            errs.append(exc)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    # every tile durably complete exactly once, marker fingerprint right
+    done = ckpt.scan_tiles(outdir, fp)
+    assert set(done) == all_tiles
+    # no partial/leftover promotion debris
+    leftovers = [d for d in os.listdir(outdir)
+                 if ".__tmp_" in d or ".__old_" in d]
+    assert leftovers == []
+    # exactly one parquet part per tile (no duplicate/partial tile)
+    for t in all_tiles:
+        parts = [f for f in os.listdir(os.path.join(outdir, f"tile={t}"))
+                 if f.endswith(".parquet")]
+        assert parts == ["part-0.parquet"], (t, parts)
+    # manifest consistency: every tile recorded, fingerprints match
+    manifest = ckpt.load_manifest(outdir)
+    assert set(manifest) >= all_tiles
+    assert all(manifest[t]["input_fingerprint"] == fp for t in all_tiles)
+    # content identical to a direct write
+    back = ckpt.read_checkpointed(outdir, fp).to_pandas().sort_values(
+        "url").reset_index(drop=True)
+    direct = result.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(back) == len(direct)
+    assert (back["u"] == direct["u"]).all()
+
+
 def test_geospatial_join_checkpointed_resume(tmp_path):
     from ophois_ray import pipelines
 

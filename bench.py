@@ -32,12 +32,34 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_PER_SF = 2_000_000
 OSM_GRID = 40  # per hotspot city -> ~3*40*40 nodes, ~3*2*40*39 edges
 
-# catalog entries timed in the per-round bench (skip the double-slow ones)
-BENCH_QUERIES = [
+# Heavy pipelines: timed EVERY round (the queries whose regressions
+# matter — the top of the BENCH_r02 cost table plus the new SQL-mirrored
+# integer MinHash).
+BENCH_HEAVY = [
     "edge_dedup",
     "degree_histogram",
-    "cell_assign",
+    "minhash_near_dup",
+    "minhash_near_dup_int",
+    "copurchase_triangles",
+    "events_interarrival",
+    "events_asof_join",
+    "node_triangles",
+    "embed_ivf_topk",
     "spatial_cell_join",
+    "part_random_walks",
+    "part_kcore",
+    "doc_collocations",
+    "part_pagerank",
+    "part_bfs_depths",
+    "training_prep",
+]
+
+# Rarely-regressing SQL-mirror micro-queries: a deterministic rotating
+# sample of BENCH_ROTATE_K of these runs per round (keyed on the day
+# index so consecutive rounds cover different slices); set
+# OPHOIS_BENCH_FULL=1 to time every one.
+BENCH_ROTATE = [
+    "cell_assign",
     "nn_snap_planar",
     "haversine_km_hist",
     "q1_returnflag",
@@ -45,12 +67,9 @@ BENCH_QUERIES = [
     "events_window",
     "doc_token_count",
     "doc_exact_dedup",
-    "minhash_near_dup",
     "embed_topk",
-    "embed_ivf_topk",
     "embed_topk_int",
     "ngram_jaccard",
-    "events_asof_join",
     "events_hopping_window",
     "range_join",
     "point_in_polygon",
@@ -63,32 +82,34 @@ BENCH_QUERIES = [
     "doc_shard_counts",
     "hll_users",
     "doc_tfidf",
-    "copurchase_triangles",
     "cms_tokens",
     "bloom_tokens",
-    "doc_collocations",
-    "part_pagerank",
     "doc_token_count_bpe",
     "corpus_curation",
     "doc_repetition",
     "events_props_extract",
     "events_funnel_pairs",
-    "node_triangles",
-    "part_kcore",
-    "part_random_walks",
     "split_contamination",
     "doc_packing",
     "doc_lm_score",
     "events_top_paths",
     "cell_smooth_topk",
-    "part_bfs_depths",
     "doc_rollup_counts",
-    "training_prep",
     "doc_chunks",
     "segments_crossing",
     "events_trend_state",
-    "events_interarrival",
 ]
+BENCH_ROTATE_K = 15
+
+
+def bench_query_list() -> list[str]:
+    if os.environ.get("OPHOIS_BENCH_FULL"):
+        return BENCH_HEAVY + BENCH_ROTATE
+    day = int(time.time() // 86400)
+    start = (day * BENCH_ROTATE_K) % len(BENCH_ROTATE)
+    rot = [BENCH_ROTATE[(start + i) % len(BENCH_ROTATE)]
+           for i in range(BENCH_ROTATE_K)]
+    return BENCH_HEAVY + rot
 
 
 def _sf_of(path: str) -> float:
@@ -210,12 +231,17 @@ def run_bench() -> dict:
 
     cat = qmod.catalog()
     qtimes = {}
-    for name in BENCH_QUERIES:
+    for name in bench_query_list():
         t0 = time.monotonic()
         res = cat[name](SF_DIR)
         if hasattr(res, "count"):
             res.count()
         qtimes[name] = round(time.monotonic() - t0, 3)
+
+    # actor-pool extraction: the stateful-stage shape (state in
+    # __init__, work in __call__) with a timed consumer — parity with
+    # the task path is pytest-gated (byte-identical)
+    qtimes["extract_actor_pool"] = round(_bench_extract_actor(pages_dir), 3)
 
     out = {
         "metric": "end-to-end joined pages/sec (graph build + page->edge kNN spatial join)",
@@ -231,6 +257,30 @@ def run_bench() -> dict:
     }
     ray.shutdown()
     return out
+
+
+def _bench_extract_actor(pages_dir: str, n_shards: int = 16) -> float:
+    """Time the actor-pool html->text extraction over a fixed shard
+    subset (~1/4 corpus). Actor pools need explicit batch_size /
+    concurrency (they cannot fuse with the read anyway), unlike the
+    task path the flagship uses."""
+    import ray.data
+
+    from ophois_ray import pages
+
+    files = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir)
+        if f.endswith(".parquet")
+    )[:n_shards]
+    pg = ray.data.read_parquet(files, override_num_blocks=len(files))
+    t0 = time.monotonic()
+    out = pages.extract_text(
+        pg.map_batches(lambda t: t.drop_columns(["text"]),
+                       batch_format="pyarrow"),
+        use_actors=True, concurrency=NUM_CPUS, batch_size=512,
+    )
+    out.count()  # row count unknown through UDF maps -> forces execution
+    return time.monotonic() - t0
 
 
 def _warmup(sf: float, osm_dir: str, pages_dir: str) -> None:

@@ -55,6 +55,25 @@ def test_extract_text_distributed_byte_identical(pages_ds):
     assert (out["text"] == out["text_ref"]).all()
 
 
+def test_extract_text_actor_pool_equals_task_path(pages_ds):
+    """The actor-pool path (state built once per actor in __init__) and
+    the fused task path must be byte-identical — the real-model shape's
+    parity gate (the benched `extract_actor_pool` entry relies on it)."""
+    src = pages_ds.map_batches(
+        lambda df: df.drop(columns=["text"]), batch_format="pandas"
+    )
+    # urls repeat across warc_ts (that's why dedup_pages exists) — sort
+    # on the full identity so rows align deterministically
+    key = ["url", "warc_ts", "text"]
+    via_task = pages.extract_text(src).to_pandas().sort_values(
+        key, ignore_index=True)
+    via_actor = pages.extract_text(
+        src, use_actors=True, concurrency=2, batch_size=256
+    ).to_pandas().sort_values(key, ignore_index=True)
+    assert (via_task["text"] == via_actor["text"]).all()
+    assert (via_task["url"] == via_actor["url"]).all()
+
+
 def test_geotag_and_filter(pages_ds):
     tagged = pages.geotag(pages_ds)
     kept = pages.filter_geotagged(tagged).to_pandas()

@@ -987,9 +987,18 @@ def q_minhash_near_dup_int(sf_dir: str):
     DuckDB replicates shingling, permutation mins, banding AND the
     verify with HUGEINT arithmetic, so LSH hits and misses both match
     bit-for-bit."""
+    import pyarrow.dataset as pads
+
     from . import dedup as _dedup
 
-    docs = _t(sf_dir, "documents")
+    # row filter pushes down to parquet row groups: only the 200-doc
+    # working set's text leaves storage (the full-table scan dominated
+    # the first cut)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < 200,
+    )
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["doc_id"] < 200]
@@ -999,12 +1008,15 @@ def q_minhash_near_dup_int(sf_dir: str):
         dup["doc_id"] = dup["doc_id"] + 1_000_000
         return pd.concat([df, dup], ignore_index=True)
 
-    planted = docs.select_columns(["doc_id", "text"]).map_batches(
-        plant, batch_format="pandas"
-    )
+    # the 400-doc working set is barrier-dominated, not data-bound:
+    # dozens of near-empty read blocks multiplied through the op's five
+    # shuffle stages (12 s at sf0.1); repartition(4) + num_buckets=8
+    # measured 1.6-2.6 s. The operator defaults stay sized for real
+    # corpora.
+    planted = docs.map_batches(plant, batch_format="pandas").repartition(4)
     return _dedup.minhash_int_pairs(
         planted, k=8, prefix=200, num_perm=8, bands=4,
-        thresh_num=1, thresh_den=2,
+        thresh_num=1, thresh_den=2, num_buckets=8,
     )
 
 
@@ -1060,6 +1072,30 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(total - inter AS BIGINT) AS uni
 FROM v WHERE inter * 2 >= (total - inter) * 1
 """
+
+
+def q_price_quantiles_kll(sf_dir: str):
+    """Mergeable KLL quantile sketch (sketches.kll_sketch) over
+    l_extendedprice cents: decile readout from a <=k*log2(n/k)-row
+    sketch — the streaming percentile operator exact quantiles can't
+    give at 100 TB (they need a full sort). Deterministic compaction
+    (no rng), so the driver's rerun diff is stable; accuracy, merge
+    associativity and below-capacity exactness are pytest-pinned."""
+    from . import sketches
+
+    li = _t(sf_dir, "lineitem").select_columns(["l_extendedprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cents": np.round(
+                df["l_extendedprice"].to_numpy(np.float64) * 100.0
+            ).astype(np.int64)
+        })
+
+    sk = sketches.kll_sketch(
+        li.map_batches(cents, batch_format="pandas"), "cents"
+    ).to_pandas()
+    return sketches.kll_quantiles(sk, range(1, 10))
 
 
 def q_doc_fingerprint(sf_dir: str):
@@ -3563,6 +3599,7 @@ def catalog():
         "events_hopping_window": q_events_hopping_window,
         "simhash_int": q_simhash_int,
         "minhash_near_dup_int": q_minhash_near_dup_int,
+        "price_quantiles_kll": q_price_quantiles_kll,
         "range_join": q_range_join,
         "point_in_polygon": q_point_in_polygon,
         "pip_zonal": q_pip_zonal,
@@ -3689,6 +3726,14 @@ def no_oracle_reasons():
             "SQL-expressible; gated in pytest against direct numpy PCA "
             "on the materialized table, layout invariance under "
             "repartition, and the projection identity"
+        ),
+        "price_quantiles_kll": (
+            "the KLL compaction cascade is inherently procedural (an "
+            "iterated sort/halve fixpoint) — exact SQL quantiles would "
+            "oracle a DIFFERENT operator; gated in pytest by "
+            "below-capacity exactness vs numpy, an empirical rank-error "
+            "bound at forced compaction, merge associativity, and rerun "
+            "determinism"
         ),
         "minhash_near_dup": (
             "output depends on seeded 64-permutation MinHash band "

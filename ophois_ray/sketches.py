@@ -360,3 +360,102 @@ WITH v AS (
 )
 {union}
 """
+
+
+# ------------------------------------------------------- KLL quantiles
+
+#: default compactor capacity: rank error empirically < 2% at 100k items
+KLL_K = 200
+
+
+def _kll_from_rows(level: np.ndarray, value: np.ndarray) -> list[np.ndarray]:
+    """(level, value) rows -> per-level arrays (level i weight = 2^i)."""
+    levels: list[np.ndarray] = []
+    if len(level):
+        for lv in range(int(level.max()) + 1):
+            levels.append(value[level == lv].astype(np.int64))
+    return levels
+
+
+def _kll_compact(levels: list[np.ndarray], k: int) -> list[np.ndarray]:
+    """Deterministic KLL compaction: any level holding >= k items is
+    sorted and its even- or odd-indexed half (parity = level index, so
+    the low/high bias alternates) is promoted to the next level with
+    doubled weight. Sorting before every compaction makes the result a
+    pure function of the per-level MULTISETS — merge order and
+    within-level row order never matter (the run-determinism the
+    driver's rerun-diff needs). No rng anywhere: the classic randomized
+    parity is replaced by the alternating deterministic one; the rank
+    error stays O(log(n/k)/k), pinned empirically in pytest."""
+    i = 0
+    while i < len(levels):
+        if len(levels[i]) >= k:
+            s = np.sort(levels[i])
+            keep = s[(i & 1):: 2]
+            levels[i] = np.empty(0, np.int64)
+            if i + 1 == len(levels):
+                levels.append(keep)
+            else:
+                levels[i + 1] = np.concatenate([levels[i + 1], keep])
+        i += 1
+    return levels
+
+
+def _kll_rows(levels: list[np.ndarray]) -> pd.DataFrame:
+    lvl = np.concatenate(
+        [np.full(len(v), i, dtype=np.int64) for i, v in enumerate(levels)]
+        or [np.empty(0, np.int64)]
+    )
+    val = np.concatenate(levels or [np.empty(0, np.int64)])
+    return pd.DataFrame({"level": lvl, "value": val.astype(np.int64)})
+
+
+def kll_sketch(ds, col: str, *, k: int = KLL_K, num_final_blocks: int = 1):
+    """Mergeable quantile sketch over an int64 column — the 100-TB
+    answer for percentiles, where exact quantiles need a full sort (or
+    the two-pass counting doc_len_deciles does at driver scale). One
+    streaming pass emits a <= k*log2(n/k)-row partial per batch; the
+    semigroup combine is concat-per-level + deterministic compaction,
+    so shard sketches (or cluster sketches) merge associatively.
+    Returns a one-block Dataset of (level, value) rows — the sketch.
+
+    No SQL mirror: the compaction cascade is inherently procedural
+    (see queries.no_oracle_reasons); gated by exactness below capacity,
+    an empirical rank-error bound, merge/layout tests, and rerun
+    determinism in tests/test_trainops.py."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(np.int64)
+        return _kll_rows(_kll_compact([v], k))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        levels = _kll_from_rows(
+            df["level"].to_numpy(np.int64), df["value"].to_numpy(np.int64)
+        )
+        return _kll_rows(_kll_compact(levels, k))
+
+    parts = ds.map_batches(part, batch_format="pandas")
+    return _finalize(parts, combine, num_final_blocks)
+
+
+def kll_quantiles(sketch: pd.DataFrame, qs_num, qs_den: int = 10) -> pd.DataFrame:
+    """Quantile readout: for each q = num/den, the smallest sketch value
+    whose cumulative weight reaches ceil(q * W) (lower-quantile rank
+    semantics — integer arithmetic end-to-end). Returns (q_num, value)."""
+    lvl = sketch["level"].to_numpy(np.int64)
+    val = sketch["value"].to_numpy(np.int64)
+    w = np.int64(1) << lvl
+    order = np.argsort(val, kind="stable")
+    val, w = val[order], w[order]
+    cum = np.cumsum(w)
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for qn in qs_num:
+        if total == 0:
+            continue
+        rank = max(1, -(-int(qn) * total // qs_den))  # ceil(q*W), >= 1
+        pos = int(np.searchsorted(cum, rank))
+        out_q.append(int(qn))
+        out_v.append(int(val[min(pos, len(val) - 1)]))
+    return pd.DataFrame({"q_num": np.array(out_q, dtype=np.int64),
+                         "value": np.array(out_v, dtype=np.int64)})

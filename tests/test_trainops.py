@@ -841,6 +841,64 @@ def test_bloom_no_false_negatives_and_union_merge(docs):
     assert np.array_equal(merged, np.sort(bits["bit"].to_numpy(np.int64)))
 
 
+def test_kll_exact_below_capacity():
+    """With k > n no compaction ever fires: the sketch holds every value
+    at level 0 and quantile readout IS the exact lower quantile."""
+    from ophois_ray import sketches
+
+    rng = np.random.default_rng(53)
+    v = rng.integers(0, 10_000, 500).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": v})).repartition(4)
+    sk = sketches.kll_sketch(ds, "x", k=1000).to_pandas()
+    assert (sk["level"] == 0).all() and len(sk) == len(v)
+    got = sketches.kll_quantiles(sk, range(1, 10))
+    exact = np.sort(v)
+    for qn, val in zip(got["q_num"], got["value"]):
+        rank = -(-qn * len(v) // 10)  # ceil
+        assert val == exact[rank - 1], qn
+
+
+def test_kll_rank_error_bound_and_merge():
+    """Forced compaction (k=200, n=100k): every decile's rank error
+    must stay under 2%; merging shard sketches must agree with the
+    one-shot sketch within the same bound; rerun is bit-identical."""
+    from ophois_ray import sketches
+
+    rng = np.random.default_rng(59)
+    v = rng.integers(0, 1_000_000, 100_000).astype(np.int64)
+    exact = np.sort(v)
+
+    def rank_err(q_df):
+        worst = 0.0
+        for qn, val in zip(q_df["q_num"], q_df["value"]):
+            r = np.searchsorted(exact, val)
+            worst = max(worst, abs(r - qn * len(v) / 10) / len(v))
+        return worst
+
+    ds = ray.data.from_pandas(pd.DataFrame({"x": v})).repartition(8)
+    sk = sketches.kll_sketch(ds, "x", k=200).to_pandas()
+    assert len(sk) < 2500  # sketch is tiny vs the input
+    assert rank_err(sketches.kll_quantiles(sk, range(1, 10))) < 0.02
+
+    # merge associativity: sketch the halves, combine rows, re-compact
+    a = ray.data.from_pandas(pd.DataFrame({"x": v[:50_000]}))
+    b = ray.data.from_pandas(pd.DataFrame({"x": v[50_000:]}))
+    ska = sketches.kll_sketch(a, "x", k=200).to_pandas()
+    skb = sketches.kll_sketch(b, "x", k=200).to_pandas()
+    both = pd.concat([ska, skb], ignore_index=True)
+    levels = sketches._kll_from_rows(
+        both["level"].to_numpy(np.int64), both["value"].to_numpy(np.int64))
+    merged = sketches._kll_rows(sketches._kll_compact(levels, 200))
+    assert rank_err(sketches.kll_quantiles(merged, range(1, 10))) < 0.02
+
+    # determinism: identical layout -> identical sketch
+    sk2 = sketches.kll_sketch(ds, "x", k=200).to_pandas()
+    pd.testing.assert_frame_equal(
+        sk.sort_values(["level", "value"], ignore_index=True),
+        sk2.sort_values(["level", "value"], ignore_index=True),
+    )
+
+
 def test_collocations_join_fallback_matches_broadcast():
     texts = ["new york is big", "in new york tonight", "new york new york",
              "the big apple is big", "york new"] * 3

@@ -102,11 +102,27 @@ BENCH_ROTATE = [
 BENCH_ROTATE_K = 15
 
 
+def _rotation_index() -> int:
+    """Persisted per-invocation counter: consecutive bench runs really
+    do cover different rotate slices (a calendar-day key would hand two
+    same-day rounds the identical slice). Falls back to 0 on a fresh
+    /tmp — the rotation restarts, it never repeats within a session."""
+    path = os.path.join("/tmp/ophois_bench_cache", "rotation_idx")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        with open(path, encoding="utf-8") as f:
+            idx = int(f.read().strip() or 0)
+    except (FileNotFoundError, ValueError):
+        idx = 0
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(str(idx + 1))
+    return idx
+
+
 def bench_query_list() -> list[str]:
     if os.environ.get("OPHOIS_BENCH_FULL"):
         return BENCH_HEAVY + BENCH_ROTATE
-    day = int(time.time() // 86400)
-    start = (day * BENCH_ROTATE_K) % len(BENCH_ROTATE)
+    start = (_rotation_index() * BENCH_ROTATE_K) % len(BENCH_ROTATE)
     rot = [BENCH_ROTATE[(start + i) % len(BENCH_ROTATE)]
            for i in range(BENCH_ROTATE_K)]
     return BENCH_HEAVY + rot

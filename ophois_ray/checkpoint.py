@@ -98,21 +98,35 @@ def completed_tiles(outdir: str, fingerprint: str) -> set[int]:
     return set(scan_tiles(outdir, fingerprint))
 
 
-def _clean_stale_dirs(outdir: str, grace_s: float = 60.0) -> None:
+def _newest_mtime(d: str) -> float:
+    """Newest mtime of the dir OR anything inside it. The directory's
+    own mtime only changes on entry create/rename — a long in-flight
+    parquet write bumps the FILE mtime as bytes flush, so a live
+    writer's tmp dir always looks fresh through this lens."""
+    try:
+        newest = os.path.getmtime(d)
+        for name in os.listdir(d):
+            newest = max(newest, os.path.getmtime(os.path.join(d, name)))
+        return newest
+    except OSError:
+        return 0.0
+
+
+def _clean_stale_dirs(outdir: str, grace_s: float = 300.0) -> None:
     """Remove leftover tmp/old dirs from a killed run (driver-side, once).
 
-    Dirs younger than ``grace_s`` are left alone: they may belong to a
-    LIVE concurrent writer on the same outdir (two racing
-    checkpointed_write calls are legal — promotion is atomic and
-    idempotent; only the stale-dir sweep could interfere)."""
+    Dirs whose newest inner mtime is younger than ``grace_s`` are left
+    alone: they may belong to a LIVE concurrent writer on the same
+    outdir (two racing checkpointed_write calls are legal — promotion
+    is atomic and idempotent; only this sweep could interfere). A
+    writer stalled with zero I/O progress for the whole grace window
+    is indistinguishable from a dead one — its task fails loudly on
+    the missing dir and Ray retries it."""
     now = time.time()
     for pat in ("tile=*.__tmp_*", "tile=*.__old_*"):
         for d in glob.glob(os.path.join(outdir, pat)):
-            try:
-                if now - os.path.getmtime(d) < grace_s:
-                    continue
-            except OSError:
-                pass
+            if now - _newest_mtime(d) < grace_s:
+                continue
             shutil.rmtree(d, ignore_errors=True)
 
 

@@ -854,9 +854,15 @@ def contract_units(
     uf = _UnionFind()
 
     def unit_col(df: pd.DataFrame, col: str, mref) -> np.ndarray:
+        # C-level hash lookup across the whole column (Series.map),
+        # identity for unmapped comps — never a per-element Python loop
+        # (this path only runs on >task_cap graphs)
         m = _get(mref)
-        vals = df[col].to_numpy(object)
-        return np.array([m.get(x, x) for x in vals], dtype=object)
+        if not m:
+            return df[col].to_numpy(object)
+        s = df[col]
+        out = s.map(m)
+        return out.where(out.notna(), s).to_numpy(object)
 
     for _round in range(max_meta_rounds + 1):
         mref = ray.put({c: uf.find(c) for c in list(uf.parent)})
@@ -1102,6 +1108,8 @@ def contract_units(
     mapping = mapping_parts[0]
     for p in mapping_parts[1:]:
         mapping = mapping.union(p)
+    # two join consumers (fu and fv) — pin or the union lineage re-runs
+    mapping = mapping.materialize()
 
     cross_edges = ec_units.map_batches(
         lambda df: df.loc[df["uu"] != df["uv"], ["u", "v"]],

@@ -829,28 +829,39 @@ def bfs_depths(edges, *, seed_mod: int = 97, rounds: int = 3,
     from .sampling import split_hash
 
     edges = edges.materialize()
-    arcs = edges.map_batches(
-        lambda df: pd.DataFrame({
-            "src": np.concatenate([df["u"].to_numpy(np.int64),
-                                   df["v"].to_numpy(np.int64)]),
-            "dst": np.concatenate([df["v"].to_numpy(np.int64),
-                                   df["u"].to_numpy(np.int64)]),
-        }),
-        batch_format="pandas",
-    ).materialize()
-    nodes_ds = _arc_degrees_ds(arcs, num_buckets=num_buckets).map_batches(
-        lambda df: df[["node"]], batch_format="pandas"
-    ).materialize()
-    if nodes_ds.count() > broadcast_cap:
-        return _bfs_depths_copart(
-            arcs, nodes_ds, seed_mod=seed_mod, rounds=rounds,
-            num_buckets=num_buckets,
-        )
-    nodes = np.sort(np.concatenate(
-        [b["node"].to_numpy(np.int64) for b in nodes_ds.iter_batches(
-            batch_format="pandas", batch_size=None)]
-        or [np.array([], dtype=np.int64)]
-    ))
+    # n_nodes <= 2 * n_edges: under the cap by that proxy, the node set
+    # comes from the zero-shuffle per-batch-partial + driver merge (the
+    # shape the broadcast loop always used — no grouped_apply barrier
+    # on the bench path, same trick as triangle_count)
+    nodes = None
+    if edges.count() <= broadcast_cap:
+        cand = np.sort(
+            _driver_merged_degrees(edges)["node"].to_numpy(np.int64))
+        if len(cand) <= broadcast_cap:
+            nodes = cand
+    if nodes is None:
+        arcs = edges.map_batches(
+            lambda df: pd.DataFrame({
+                "src": np.concatenate([df["u"].to_numpy(np.int64),
+                                       df["v"].to_numpy(np.int64)]),
+                "dst": np.concatenate([df["v"].to_numpy(np.int64),
+                                       df["u"].to_numpy(np.int64)]),
+            }),
+            batch_format="pandas",
+        ).materialize()
+        nodes_ds = _arc_degrees_ds(arcs, num_buckets=num_buckets).map_batches(
+            lambda df: df[["node"]], batch_format="pandas"
+        ).materialize()
+        if nodes_ds.count() > broadcast_cap:
+            return _bfs_depths_copart(
+                arcs, nodes_ds, seed_mod=seed_mod, rounds=rounds,
+                num_buckets=num_buckets,
+            )
+        nodes = np.sort(np.concatenate(
+            [b["node"].to_numpy(np.int64) for b in nodes_ds.iter_batches(
+                batch_format="pandas", batch_size=None)]
+            or [np.array([], dtype=np.int64)]
+        ))
     depth = np.full(len(nodes), -1, dtype=np.int64)
     seeds = nodes[split_hash(nodes) % seed_mod == 0]
     depth[np.searchsorted(nodes, seeds)] = 0
@@ -1134,28 +1145,40 @@ def pagerank_int(edges, *, iters: int = 3, scale: int = 1 << 40,
             }
         )
 
+    edges = edges.materialize()
     arcs = edges.map_batches(to_arcs, batch_format="pandas").materialize()
-    deg_ds = _arc_degrees_ds(arcs, num_buckets=num_buckets).materialize()
-    n = deg_ds.count()
+    # n_nodes <= 2 * n_edges proxy: on the bench path the degree table
+    # comes from the zero-shuffle per-batch-partial + driver merge —
+    # the grouped_apply barrier is paid only when the proxy fails
+    deg = None
+    if edges.count() <= broadcast_cap:
+        cand = _driver_merged_degrees(edges).rename(columns={"deg": "d"})
+        if len(cand) <= broadcast_cap:
+            deg = cand.sort_values("node", ignore_index=True)
+    if deg is None:
+        deg_ds = _arc_degrees_ds(arcs, num_buckets=num_buckets).materialize()
+        n = deg_ds.count()
+        if n > broadcast_cap:
+            ranks_ds = _pagerank_copart(
+                arcs, deg_ds, n, iters=iters, scale=scale,
+                damp_num=damp_num, damp_den=damp_den,
+                num_buckets=num_buckets,
+            )
+            out = pd.concat(
+                [b for b in ranks_ds.iter_batches(batch_format="pandas",
+                                                  batch_size=None)],
+                ignore_index=True,
+            ).sort_values("node", ignore_index=True)
+            return out[["node", "r"]]
+        deg = pd.concat(
+            [b for b in deg_ds.iter_batches(batch_format="pandas",
+                                            batch_size=None)],
+            ignore_index=True,
+        ).sort_values("node", ignore_index=True)
+    n = len(deg)
     if n == 0:
         return pd.DataFrame({"node": pd.Series(dtype=np.int64),
                              "r": pd.Series(dtype=np.int64)})
-    if n > broadcast_cap:
-        ranks_ds = _pagerank_copart(
-            arcs, deg_ds, n, iters=iters, scale=scale,
-            damp_num=damp_num, damp_den=damp_den, num_buckets=num_buckets,
-        )
-        out = pd.concat(
-            [b for b in ranks_ds.iter_batches(batch_format="pandas",
-                                              batch_size=None)],
-            ignore_index=True,
-        ).sort_values("node", ignore_index=True)
-        return out[["node", "r"]]
-    deg = pd.concat(
-        [b for b in deg_ds.iter_batches(batch_format="pandas",
-                                        batch_size=None)],
-        ignore_index=True,
-    ).sort_values("node", ignore_index=True)
     nodes = deg["node"].to_numpy(np.int64)
     degs = deg["d"].to_numpy(np.int64)
     base = (scale * (damp_den - damp_num)) // (damp_den * n)

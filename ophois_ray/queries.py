@@ -1074,6 +1074,55 @@ FROM v WHERE inter * 2 >= (total - inter) * 1
 """
 
 
+def q_doc_bm25(sf_dir: str):
+    """Integer-exact BM25 retrieval scoring (textstats.bm25_topk): the
+    RAG / search ranking operator, with k1=6/5, b=3/4 as cleared
+    rationals so the whole score is int64 floor arithmetic — mirrored
+    division-for-division by DuckDB HUGEINT (top-20 by score desc,
+    doc_id asc for deterministic ties)."""
+    from . import textstats
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return textstats.bm25_topk(docs, ["hash", "join", "merge"], topk=20)
+
+
+SQL_DOC_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS tok
+  FROM documents
+), q(term) AS (VALUES ('hash'), ('join'), ('merge')),
+lens AS (
+  SELECT doc_id, count(*) AS len FROM toks GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) AS total
+), avgl AS (
+  SELECT total // n AS avg FROM stats
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks JOIN q ON tok = term GROUP BY 1
+), tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM toks JOIN q ON tok = term GROUP BY 1, 2
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST((CAST(1048576 AS HUGEINT) * (2 * s.n - 2 * df.df + 1)
+               * 22 * tf.tf * a.avg)
+              // ((2 * df.df + 1)
+                  * (10 * tf.tf * a.avg + 3 * a.avg + 9 * lens.len))
+              AS BIGINT) AS c
+  FROM tf
+  JOIN df USING (term)
+  JOIN lens ON lens.doc_id = tf.doc_id
+  CROSS JOIN stats s CROSS JOIN avgl a
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS score
+FROM contrib GROUP BY 1
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_price_quantiles_kll(sf_dir: str):
     """Mergeable KLL quantile sketch (sketches.kll_sketch) over
     l_extendedprice cents: decile readout from a <=k*log2(n/k)-row
@@ -3600,6 +3649,7 @@ def catalog():
         "simhash_int": q_simhash_int,
         "minhash_near_dup_int": q_minhash_near_dup_int,
         "price_quantiles_kll": q_price_quantiles_kll,
+        "doc_bm25": q_doc_bm25,
         "range_join": q_range_join,
         "point_in_polygon": q_point_in_polygon,
         "pip_zonal": q_pip_zonal,
@@ -3681,6 +3731,7 @@ def sql_catalog():
         "events_hopping_window": SQL_EVENTS_HOPPING_WINDOW,
         "simhash_int": SQL_SIMHASH_INT,
         "minhash_near_dup_int": SQL_MINHASH_INT,
+        "doc_bm25": SQL_DOC_BM25,
         "range_join": SQL_RANGE_JOIN,
         "point_in_polygon": _sql_pip_pairs(),
         "pip_zonal": _sql_pip_zonal(),

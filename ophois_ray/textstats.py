@@ -433,6 +433,107 @@ def tfidf_topk(ds, n_docs: int, *, text_col: str = "text",
     )
 
 
+def bm25_topk(ds, query_terms, *, text_col: str = "text",
+              id_col: str = "doc_id", topk: int = 20, scale: int = 1 << 20):
+    """Integer-exact BM25 retrieval scoring (k1 = 6/5, b = 3/4 as exact
+    rationals): per matching document,
+
+        score = sum over query terms t of
+          (scale * (2N - 2*df_t + 1) * 22 * tf * avg)
+          // ((2*df_t + 1) * (10*tf*avg + 3*avg + 9*len_d))
+
+    i.e. classic BM25 with idf = (N - df + 1/2) / (df + 1/2) and
+    tf-norm (k1+1)*tf / (tf + k1*(1 - b + b*len/avg)), denominators
+    cleared so every factor is non-negative int64 floor arithmetic
+    (floor == trunc) — bit-reproducible across layouts AND replicated
+    verbatim by DuckDB HUGEINT division (queries.SQL_DOC_BM25).
+    ``avg = total_tokens // N`` (integer).
+
+    Scale shape: ONE tokenizing pass over the corpus emits per-batch
+    stats partials (n_docs, total_tokens, df per query term — bounded
+    by the query size) inline with per-doc (len, tf_t) candidate rows
+    for docs matching >= 1 term; the driver merges the tiny stats,
+    then a fused map scores candidates under broadcast constants with
+    a per-block partial top-k, so at most topk x n_blocks rows reach
+    the driver. Returns a pandas (doc_id, score) frame ordered
+    (score DESC, doc_id ASC), at most ``topk`` rows.
+    """
+    terms = list(query_terms)
+    m = len(terms)
+    tf_cols = [f"tf{j}" for j in range(m)]
+
+    def one_pass(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        toks = df[text_col].map(
+            lambda t: t.split() if isinstance(t, str) else [])
+        lens = toks.map(len).to_numpy(np.int64)
+        tf = np.zeros((len(df), m), dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate([np.array(t, dtype=object) if t else
+                                   np.empty(0, object) for t in toks])
+            doc_of = np.repeat(np.arange(len(df)), lens)
+            for j, term in enumerate(terms):
+                hit = doc_of[flat == term]
+                np.add.at(tf[:, j], hit, 1)
+        match = tf.sum(axis=1) > 0
+        cand = pd.DataFrame({
+            "kind": np.zeros(int(match.sum()), dtype=np.int64),
+            id_col: ids[match], "len": lens[match],
+            **{c: tf[match, j] for j, c in enumerate(tf_cols)},
+        })
+        stats = pd.DataFrame({
+            "kind": [np.int64(1)], id_col: [np.int64(len(df))],
+            "len": [np.int64(lens.sum())],
+            **{c: [np.int64((tf[:, j] > 0).sum())]
+               for j, c in enumerate(tf_cols)},
+        })
+        return pd.concat([cand, stats], ignore_index=True)
+
+    rows = ds.map_batches(one_pass, batch_format="pandas").materialize()
+
+    stats = pd.concat(
+        [b[b["kind"] == 1] for b in rows.iter_batches(
+            batch_format="pandas", batch_size=None)],
+        ignore_index=True,
+    )
+    n_docs = int(stats[id_col].sum())
+    total = int(stats["len"].sum())
+    dfs = [int(stats[c].sum()) for c in tf_cols]
+    if n_docs == 0:
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.int64)})
+    avg = total // n_docs
+
+    def score_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["kind"] == 0]
+        ln = df["len"].to_numpy(np.int64)
+        score = np.zeros(len(df), dtype=np.int64)
+        for j in range(m):
+            tf = df[tf_cols[j]].to_numpy(np.int64)
+            idf_num = 2 * n_docs - 2 * dfs[j] + 1
+            tf_max = int(tf.max()) if len(tf) else 0
+            if scale * idf_num * 22 * max(avg, 1) * max(tf_max, 1) >= 1 << 63:
+                raise ValueError("bm25 int64 overflow: lower scale")
+            num = scale * idf_num * 22 * tf * avg
+            den = (2 * dfs[j] + 1) * (10 * tf * avg + 3 * avg + 9 * ln)
+            score += np.where(tf > 0, num // np.maximum(den, 1), 0)
+        out = pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                            "score": score})
+        return out.sort_values(
+            ["score", id_col], ascending=[False, True]).head(topk)
+
+    parts = [
+        b for b in rows.map_batches(score_fn, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    merged = (pd.concat(parts, ignore_index=True) if parts
+              else pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.int64)}))
+    return merged.sort_values(
+        ["score", id_col], ascending=[False, True]
+    ).head(topk).reset_index(drop=True)
+
+
 def collocations(ds, *, text_col: str = "text", k: int = 30,
                  min_count: int = 5, scale: int = 1 << 20,
                  num_buckets: int = 64, broadcast_cap: int = 5_000_000):

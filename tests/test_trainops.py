@@ -841,6 +841,50 @@ def test_bloom_no_false_negatives_and_union_merge(docs):
     assert np.array_equal(merged, np.sort(bits["bit"].to_numpy(np.int64)))
 
 
+def test_bm25_matches_scalar_reference():
+    """bm25_topk must equal a direct scalar evaluation of the cleared
+    integer formula on a hand-built corpus (layout-independent: same
+    answer repartitioned)."""
+    from ophois_ray.textstats import bm25_topk
+
+    texts = [
+        "hash join hash probe build",        # tf(hash)=2, tf(join)=1
+        "merge sort merge merge run",        # tf(merge)=3
+        "scan filter project",               # no match
+        "join join join small",              # tf(join)=3
+        "",                                  # empty doc (counts in N)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": texts})
+    terms = ["hash", "join", "merge"]
+    scale = 1 << 20
+    n = 5
+    lens = [len(t.split()) for t in texts]
+    total = sum(lens)
+    avg = total // n
+    dfs = {t: sum(1 for x in texts if t in x.split()) for t in terms}
+
+    def scalar(i):
+        s = 0
+        for t in terms:
+            tf = texts[i].split().count(t)
+            if tf == 0:
+                continue
+            num = scale * (2 * n - 2 * dfs[t] + 1) * 22 * tf * avg
+            den = (2 * dfs[t] + 1) * (10 * tf * avg + 3 * avg + 9 * lens[i])
+            s += num // den
+        return s
+
+    exp = sorted(((scalar(i), i) for i in range(5) if scalar(i) > 0),
+                 key=lambda p: (-p[0], p[1]))
+    for nparts in (1, 3):
+        got = bm25_topk(
+            ray.data.from_pandas(df).repartition(nparts),
+            terms, topk=10,
+        )
+        assert list(zip(got["score"], got["doc_id"])) == exp, nparts
+
+
 def test_kll_exact_below_capacity():
     """With k > n no compaction ever fires: the sketch holds every value
     at level 0 and quantile readout IS the exact lower quantile."""

@@ -98,6 +98,8 @@ BENCH_ROTATE = [
     "doc_chunks",
     "segments_crossing",
     "events_trend_state",
+    "doc_bm25",
+    "price_quantiles_kll",
 ]
 BENCH_ROTATE_K = 15
 

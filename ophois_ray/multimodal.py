@@ -1,18 +1,20 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media travel as opaque ``binary`` columns with typed metadata columns
-(media_type, width/height or sample_rate, n_frames). Decoders for
-UNCOMPRESSED formats are REAL, pure-numpy (no codec library needed):
-netpbm P6/P5 images (``decode_netpbm``) and PCM16 RIFF/WAV audio
-(``decode_wav_pcm16``) — header parse + ``np.frombuffer``. Compressed
-codecs (JPEG/PNG/MP4) remain STUBBED (``_decode_stub``) because no
-codec exists in this container; swap in PIL/av when the dependency
-exists, nothing else changes.
+(media_type, width/height or sample_rate, n_frames). REAL pure
+numpy/Python decoders (no codec library needed): netpbm P6/P5 images
+(``decode_netpbm``), uncompressed 24-bit BMP (``decode_bmp24``),
+PCM16 RIFF/WAV audio (``decode_wav_pcm16``), and GIF87a/89a
+(``decode_gif``) — the GIF path is a full variable-width LZW decoder
+with interlace support, i.e. a genuinely COMPRESSED codec implemented
+from the spec. JPEG/PNG/MP4 remain STUBBED (``_decode_stub``): their
+entropy coders need a codec library this container doesn't have; swap
+in PIL/av when the dependency exists, nothing else changes.
 
 Stages:
   DecodeImage      actor pool, binary -> float32 pixel tensor column
-                   (mode="ppm" real netpbm decode, mode="fake" stub,
-                   mode="real" raises until a compressed codec exists)
+                   (mode="ppm"/"bmp"/"gif" real decodes, mode="fake"
+                   stub, mode="real" raises until a JPEG codec exists)
   AudioFeatures    actor pool, WAV binary -> integer-exact features
                    (n_samples, sample_rate, zero crossings) + float rms
   resize_features  tensor -> fixed-size feature vector (mean-pool grid)
@@ -93,17 +95,299 @@ def encode_ppm(img_u8: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img_u8.astype(np.uint8).tobytes()
 
 
+# --------------------------------------------------------------- BMP 24-bit
+
+
+def decode_bmp24(raw: bytes) -> np.ndarray:
+    """REAL image decode for uncompressed 24-bit BMP (pure numpy):
+    BITMAPINFOHEADER, BI_RGB, bottom-up or top-down rows, BGR byte
+    order, rows padded to 4 bytes -> (h, w, 3) float32 in [0, 1]."""
+    if raw[:2] != b"BM":
+        raise MediaDecodeError("not a BMP payload")
+    off = int.from_bytes(raw[10:14], "little")
+    hsz = int.from_bytes(raw[14:18], "little")
+    if hsz < 40:
+        raise MediaDecodeError(f"unsupported BMP header size {hsz}")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    comp = int.from_bytes(raw[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise MediaDecodeError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={comp})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = off + stride * h
+    if len(raw) < need:
+        raise MediaDecodeError(
+            f"truncated BMP payload: need {need} bytes, have {len(raw)}")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=off
+                         ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].astype(np.float32) / np.float32(255)
+
+
+def encode_bmp24(img_u8: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> uncompressed bottom-up 24-bit BMP bytes
+    (test/fixture generator; exact inverse of decode_bmp24)."""
+    h, w, _ = img_u8.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = img_u8[::-1, :, ::-1].reshape(h, w * 3)
+    data = body.tobytes()
+    off = 14 + 40
+    header = (b"BM" + (off + len(data)).to_bytes(4, "little") + b"\0\0\0\0"
+              + off.to_bytes(4, "little"))
+    info = ((40).to_bytes(4, "little") + w.to_bytes(4, "little")
+            + h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+            + len(data).to_bytes(4, "little") + (0).to_bytes(4, "little") * 4)
+    return header + info + data
+
+
+# ------------------------------------------------------------- GIF (LZW)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW decode (pure Python int ops): variable-width
+    codes packed LSB-first, clear/end codes, dictionary growth to 4096,
+    code width bumps when the next free code reaches 2^width."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    pos = 0
+    bitbuf = bitcnt = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    # width-bump bookkeeping counts a virtual slot for EVERY code read
+    # (including the first after a clear, which stores no entry) — the
+    # convention real encoders/decoders synchronize on; an entry-count
+    # bump would run one code early and desync at each 2^w boundary
+    vnext = clear + 2
+    prev: bytes | None = None
+    i, n = 0, len(data)
+    while pos < n_pixels:
+        while bitcnt < width:
+            if i >= n:
+                raise MediaDecodeError("truncated LZW stream")
+            bitbuf |= data[i] << bitcnt
+            bitcnt += 8
+            i += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        if code == clear:
+            table = [bytes([j]) for j in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            vnext = clear + 2
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise MediaDecodeError(f"bad LZW code {code}")
+        if pos + len(entry) > n_pixels:
+            entry = entry[: n_pixels - pos]
+        out[pos: pos + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+        pos += len(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if vnext < 4096:
+            vnext += 1
+            if vnext == (1 << width) and width < 12:
+                width += 1
+        prev = table[code] if code < len(table) else entry
+    return out
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode, symmetric with :func:`_lzw_decode`
+    (fixture generator + roundtrip gate): real dictionary compression,
+    clear emitted when the table fills."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bitbuf = bitcnt = 0
+    out = bytearray()
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1   # next real table slot
+    vnext = clear + 2     # per-emit virtual counter — MUST mirror the
+    #                       decoder's, which ticks once per data code
+    #                       read (clear/end excluded), else the two
+    #                       desync at every 2^width boundary
+
+    def emit_data(code: int):
+        nonlocal vnext, width
+        emit(code, width)
+        if vnext < 4096:
+            vnext += 1
+            if vnext == (1 << width) and width < 12:
+                width += 1
+
+    emit(clear, width)
+    w = b""
+    for k in indices.astype(np.uint8).tobytes():
+        kb = bytes([k])
+        wk = w + kb
+        if wk in table:
+            w = wk
+            continue
+        emit_data(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+            vnext = clear + 2
+        w = kb
+    if w:
+        emit_data(table[w])
+    emit(end, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(raw: bytes) -> np.ndarray:
+    """REAL image decode for GIF87a/89a (pure Python/numpy) — a
+    genuinely COMPRESSED codec, no library needed: global or local
+    color table, LZW-compressed first image frame, interlace
+    supported; extensions skipped. Returns (h, w, 3) float32 in
+    [0, 1]. Conformance gates: encode/decode roundtrips crossing the
+    9->10->11-bit code boundaries and table-full clears, the KwKwK
+    self-reference case, interlace reordering, and degenerate
+    clear-heavy streams (tests/test_trainops.py)."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeError("not a GIF payload")
+    flags = raw[10]
+    i = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        palette = np.frombuffer(raw, np.uint8, size * 3, i).reshape(size, 3)
+        i += size * 3
+    while i < len(raw):
+        b = raw[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while raw[i] != 0:
+                i += 1 + raw[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(raw[i + 5:i + 7], "little")
+            h = int.from_bytes(raw[i + 7:i + 9], "little")
+            lflags = raw[i + 9]
+            i += 10
+            if lflags & 0x80:
+                size = 2 << (lflags & 0x07)
+                palette = np.frombuffer(raw, np.uint8, size * 3, i
+                                        ).reshape(size, 3)
+                i += size * 3
+            if palette is None:
+                raise MediaDecodeError("GIF frame without a color table")
+            mcs = raw[i]
+            i += 1
+            chunks = []
+            while raw[i] != 0:
+                ln = raw[i]
+                chunks.append(raw[i + 1:i + 1 + ln])
+                i += 1 + ln
+            idx = _lzw_decode(b"".join(chunks), mcs, w * h)
+            if lflags & 0x40:  # interlaced: 4-pass row order
+                # rows[y] = index of display row y within the STORED
+                # pass-ordered data, so stored[rows] is display order
+                rows = np.empty(h, dtype=np.int64)
+                r = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, h, step):
+                        rows[y] = r
+                        r += 1
+                idx = idx.reshape(h, w)[rows].reshape(-1)
+            pix = palette[np.minimum(idx, len(palette) - 1)]
+            return pix.reshape(h, w, 3).astype(np.float32) / np.float32(255)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise MediaDecodeError(f"unknown GIF block 0x{b:02x}")
+    raise MediaDecodeError("GIF payload holds no image frame")
+
+
+def encode_gif(img_u8: np.ndarray, *, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 -> single-frame GIF with an exact 256-entry
+    palette built from the image's distinct colors (raises if > 256 —
+    fixture generator, not a quantizer). Real LZW compression."""
+    h, w, _ = img_u8.shape
+    flat = img_u8.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    pal = np.zeros((max(2, int(len(colors))), 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    bits = max(1, int(np.ceil(np.log2(len(pal)))))
+    pal_n = 1 << bits
+    full_pal = np.zeros((pal_n, 3), dtype=np.uint8)
+    full_pal[: len(pal)] = pal
+    idx = inv.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            order.extend(range(start, h, step))
+        idx = idx[np.array(order)]
+    mcs = max(2, bits)
+    lzw = _lzw_encode(idx.reshape(-1), mcs)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += full_pal.tobytes()
+    out += b"\x2C" + b"\0\0\0\0" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0])
+    out += bytes([mcs])
+    for j in range(0, len(lzw), 255):
+        chunk = lzw[j:j + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\0\x3B"
+    return bytes(out)
+
+
 class DecodeImage:
     """Actor-pool stage: binary image column -> pixel tensors.
 
     mode="ppm"   REAL pure-numpy netpbm (P6/P5) decode
-    mode="fake"  deterministic stub decode (compressed-codec stand-in)
-    mode="real"  raises MediaDecodeError until a compressed codec exists
+    mode="bmp"   REAL pure-numpy uncompressed 24-bit BMP decode
+    mode="gif"   REAL pure-Python GIF decode (LZW — a compressed codec)
+    mode="fake"  deterministic stub decode (JPEG/PNG/MP4 stand-in)
+    mode="real"  raises MediaDecodeError until a JPEG/PNG codec exists
     """
+
+    _DECODERS = {"ppm": "decode_netpbm", "bmp": "decode_bmp24",
+                 "gif": "decode_gif"}
 
     def __init__(self, mode: str = "fake", in_col: str = "media",
                  h_col: str = "height", w_col: str = "width", out_col: str = "pixels"):
-        if mode not in ("fake", "real", "ppm"):
+        if mode not in ("fake", "real", "ppm", "bmp", "gif"):
             raise ValueError(mode)
         self.mode = mode
         self.in_col, self.h_col, self.w_col, self.out_col = in_col, h_col, w_col, out_col
@@ -111,11 +395,12 @@ class DecodeImage:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.mode == "real":
             raise MediaDecodeError(
-                "no compressed-image codec available in this environment; "
-                "use mode='ppm' for netpbm payloads or mode='fake'"
+                "no JPEG/PNG codec available in this environment; use "
+                "mode='ppm'/'bmp'/'gif' for those payloads or mode='fake'"
             )
-        if self.mode == "ppm":
-            pix = [decode_netpbm(raw) for raw in df[self.in_col]]
+        if self.mode in self._DECODERS:
+            fn = globals()[self._DECODERS[self.mode]]
+            pix = [fn(raw) for raw in df[self.in_col]]
         else:
             pix = [
                 _decode_stub(raw, int(h), int(w))

@@ -245,6 +245,90 @@ def test_netpbm_decode_real_roundtrip():
         multimodal.decode_netpbm(b"JFIF....")
 
 
+def test_bmp24_decode_real_roundtrip():
+    rng = np.random.default_rng(13)
+    # odd widths exercise the 4-byte row padding; (3,1) the degenerate row
+    for h, w in ((5, 7), (16, 16), (3, 1)):
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        dec = multimodal.decode_bmp24(multimodal.encode_bmp24(img))
+        assert dec.shape == (h, w, 3) and dec.dtype == np.float32
+        assert np.array_equal((dec * 255).round().astype(np.uint8), img)
+    with pytest.raises(Exception):
+        multimodal.decode_bmp24(b"PNG....")
+
+
+def test_gif_lzw_decode_real():
+    """GIF = a genuinely COMPRESSED codec, pure Python/numpy: roundtrip
+    across the 9->10->11-bit code-width boundaries, the table-full
+    clear reset, the KwKwK self-reference case, interlace reordering,
+    and a hand-built degenerate clear-heavy stream."""
+    rng = np.random.default_rng(17)
+    cases = (((8, 8), 4, False), ((64, 64), 256, False),
+             ((61, 37), 200, True), ((5, 5), 2, True))
+    for (h, w), ncol, inter in cases:
+        idx = rng.integers(0, ncol, (h, w)).astype(np.uint8)
+        pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        rgb = pal[idx]
+        dec = multimodal.decode_gif(multimodal.encode_gif(rgb, interlace=inter))
+        assert np.array_equal((dec * 255).round().astype(np.uint8), rgb), (
+            (h, w), ncol, inter)
+    # constant image: maximal KwKwK + rapid dictionary growth
+    img = np.full((300, 300, 3), 7, dtype=np.uint8)
+    dec = multimodal.decode_gif(multimodal.encode_gif(img))
+    assert np.array_equal((dec * 255).round().astype(np.uint8), img)
+    # 256-color noise forces the table to 4096 and a mid-stream clear
+    idx = rng.integers(0, 256, (256, 256)).astype(np.uint8)
+    pal = np.arange(256, dtype=np.uint8).repeat(3).reshape(256, 3)
+    rgb = pal[idx]
+    dec = multimodal.decode_gif(multimodal.encode_gif(rgb))
+    assert np.array_equal((dec * 255).round().astype(np.uint8), rgb)
+    # degenerate spec stream: clear before every symbol (table never grows)
+    seq = rng.integers(0, 16, 100).astype(np.uint8)
+    clear, bits = 16, 5
+    buf = cnt = 0
+    out = bytearray()
+
+    def emit(c):
+        nonlocal buf, cnt
+        buf |= c << cnt
+        cnt += bits
+        while cnt >= 8:
+            out.append(buf & 255)
+            buf >>= 8
+            cnt -= 8
+
+    for px in seq:
+        emit(clear)
+        emit(int(px))
+    emit(17)  # end
+    if cnt:
+        out.append(buf & 255)
+    got = multimodal._lzw_decode(bytes(out), 4, len(seq))
+    assert np.array_equal(got, seq)
+    with pytest.raises(Exception):
+        multimodal.decode_gif(b"BM....")
+
+
+def test_decode_images_gif_pipeline():
+    """Actor-pool decode over GIF payloads matches per-row direct decode."""
+    rng = np.random.default_rng(19)
+    rows = []
+    for i in range(8):
+        h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+        pal = rng.integers(0, 256, (32, 3)).astype(np.uint8)
+        rgb = pal[rng.integers(0, 32, (h, w))]
+        rows.append({"media_id": i, "media": multimodal.encode_gif(rgb),
+                     "media_type": "image/gif", "height": h, "width": w,
+                     "__exp": rgb})
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [{k: v for k, v in r.items() if k != "__exp"} for r in rows]))
+    out = multimodal.decode_images(ds, mode="gif", concurrency=2).to_pandas()
+    out = out.sort_values("media_id", ignore_index=True)
+    for i, r in enumerate(rows):
+        got = (np.asarray(out["pixels"][i]) * 255).round().astype(np.uint8)
+        assert np.array_equal(got, r["__exp"]), i
+
+
 def test_decode_images_ppm_pipeline():
     rng = np.random.RandomState(11)
     rows = []

@@ -4,17 +4,19 @@ Media travel as opaque ``binary`` columns with typed metadata columns
 (media_type, width/height or sample_rate, n_frames). REAL pure
 numpy/Python decoders (no codec library needed): netpbm P6/P5 images
 (``decode_netpbm``), uncompressed 24-bit BMP (``decode_bmp24``),
-PCM16 RIFF/WAV audio (``decode_wav_pcm16``), and GIF87a/89a
-(``decode_gif``) — the GIF path is a full variable-width LZW decoder
-with interlace support, i.e. a genuinely COMPRESSED codec implemented
-from the spec. JPEG/PNG/MP4 remain STUBBED (``_decode_stub``): their
-entropy coders need a codec library this container doesn't have; swap
-in PIL/av when the dependency exists, nothing else changes.
+PCM16 RIFF/WAV audio (``decode_wav_pcm16``), GIF87a/89a
+(``decode_gif`` — a full variable-width LZW decoder with interlace,
+i.e. a genuinely COMPRESSED codec from the spec) and PNG
+(``decode_png`` — stdlib zlib DEFLATE + all five spec row filters,
+8-bit gray/RGB/palette/alpha). Only JPEG/MP4 remain STUBBED
+(``_decode_stub``): their entropy coders need a codec library this
+container doesn't have; swap in PIL/av when the dependency exists,
+nothing else changes.
 
 Stages:
   DecodeImage      actor pool, binary -> float32 pixel tensor column
-                   (mode="ppm"/"bmp"/"gif" real decodes, mode="fake"
-                   stub, mode="real" raises until a JPEG codec exists)
+                   (mode="ppm"/"bmp"/"gif"/"png" real decodes,
+                   mode="fake" stub, "real" raises until JPEG exists)
   AudioFeatures    actor pool, WAV binary -> integer-exact features
                    (n_samples, sample_rate, zero crossings) + float rms
   resize_features  tensor -> fixed-size feature vector (mean-pool grid)
@@ -146,6 +148,154 @@ def encode_bmp24(img_u8: np.ndarray) -> bytes:
             + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
             + len(data).to_bytes(4, "little") + (0).to_bytes(4, "little") * 4)
     return header + info + data
+
+
+# ---------------------------------------------------------- PNG (DEFLATE)
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the PNG per-row filters (None/Sub/Up/Average/Paeth, spec
+    section 6). Row loop in Python, per-row math vectorized; Sub/Paeth
+    carry a left-neighbour dependency so those rows scan by pixel
+    column group (width iterations of small numpy ops)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int64)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 1:  # Sub
+            rec = cur.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            rec = cur.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = cur.copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pr) & 0xFF
+        else:
+            raise MediaDecodeError(f"unknown PNG filter {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """REAL image decode for PNG (pure Python/numpy + stdlib zlib — no
+    codec library): 8-bit gray / RGB / palette / gray+alpha / RGBA,
+    non-interlaced. DEFLATE via zlib, all five row filters reversed
+    per spec. Alpha is dropped (plumbing carries RGB tensors).
+    Adam7 interlace raises (rare for CC-scale payloads)."""
+    import zlib
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise MediaDecodeError("not a PNG payload")
+    i, n = 8, len(raw)
+    w = h = None
+    depth = ctype = interlace = None
+    palette = None
+    idat = []
+    while i + 8 <= n:
+        ln = int.from_bytes(raw[i:i + 4], "big")
+        typ = raw[i + 4:i + 8]
+        body = raw[i + 8:i + 8 + ln]
+        if typ == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype = body[8], body[9]
+            interlace = body[12]
+        elif typ == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if w is None or not idat:
+        raise MediaDecodeError("PNG payload missing IHDR/IDAT")
+    if depth != 8:
+        raise MediaDecodeError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace:
+        raise MediaDecodeError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise MediaDecodeError(f"unknown PNG color type {ctype}")
+    data = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * channels
+    if len(data) != h * (stride + 1):
+        raise MediaDecodeError("PNG pixel data size mismatch")
+    img = _png_unfilter(data, h, stride, channels).reshape(h, w, channels)
+    if ctype == 3:
+        if palette is None:
+            raise MediaDecodeError("palette PNG without PLTE")
+        img = palette[np.minimum(img[:, :, 0], len(palette) - 1)]
+    elif ctype == 0:
+        img = np.repeat(img, 3, axis=2)
+    elif ctype == 4:
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    else:
+        img = img[:, :, :3]
+    return img.astype(np.float32) / np.float32(255)
+
+
+def encode_png(img_u8: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 -> RGB PNG bytes (fixture generator). Applies
+    ONE forward filter to every row (0..4) so tests can exercise each
+    reverse filter; real zlib DEFLATE + CRCs."""
+    import zlib
+
+    h, w, _ = img_u8.shape
+    px = img_u8.astype(np.int64)
+    rows = []
+    prev = np.zeros((w, 3), dtype=np.int64)
+    for y in range(h):
+        cur = px[y]
+        left = np.zeros((w, 3), dtype=np.int64)
+        left[1:] = cur[:-1]
+        upleft = np.zeros((w, 3), dtype=np.int64)
+        upleft[1:] = prev[:-1]
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 1:
+            f = cur - left
+        elif filter_type == 2:
+            f = cur - prev
+        elif filter_type == 3:
+            f = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            f = cur - pred
+        else:
+            raise ValueError(filter_type)
+        rows.append(bytes([filter_type]) + (f & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    comp = zlib.compress(b"".join(rows))
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (len(body).to_bytes(4, "big") + typ + body
+                + zlib.crc32(typ + body).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", comp) + chunk(b"IEND", b""))
 
 
 # ------------------------------------------------------------- GIF (LZW)
@@ -378,16 +528,17 @@ class DecodeImage:
     mode="ppm"   REAL pure-numpy netpbm (P6/P5) decode
     mode="bmp"   REAL pure-numpy uncompressed 24-bit BMP decode
     mode="gif"   REAL pure-Python GIF decode (LZW — a compressed codec)
-    mode="fake"  deterministic stub decode (JPEG/PNG/MP4 stand-in)
-    mode="real"  raises MediaDecodeError until a JPEG/PNG codec exists
+    mode="png"   REAL PNG decode (stdlib zlib DEFLATE + spec filters)
+    mode="fake"  deterministic stub decode (JPEG/MP4 stand-in)
+    mode="real"  raises MediaDecodeError until a JPEG codec exists
     """
 
     _DECODERS = {"ppm": "decode_netpbm", "bmp": "decode_bmp24",
-                 "gif": "decode_gif"}
+                 "gif": "decode_gif", "png": "decode_png"}
 
     def __init__(self, mode: str = "fake", in_col: str = "media",
                  h_col: str = "height", w_col: str = "width", out_col: str = "pixels"):
-        if mode not in ("fake", "real", "ppm", "bmp", "gif"):
+        if mode not in ("fake", "real", "ppm", "bmp", "gif", "png"):
             raise ValueError(mode)
         self.mode = mode
         self.in_col, self.h_col, self.w_col, self.out_col = in_col, h_col, w_col, out_col

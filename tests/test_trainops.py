@@ -309,6 +309,48 @@ def test_gif_lzw_decode_real():
         multimodal.decode_gif(b"BM....")
 
 
+def test_png_decode_real():
+    """PNG via stdlib zlib + spec filters: every filter type
+    roundtrips; gray / palette / RGBA color types decode (alpha
+    dropped); non-PNG rejected."""
+    import zlib
+
+    rng = np.random.default_rng(29)
+    for ft in range(5):
+        img = rng.integers(0, 256, (7, 5, 3)).astype(np.uint8)
+        dec = multimodal.decode_png(multimodal.encode_png(img, filter_type=ft))
+        assert np.array_equal((dec * 255).round().astype(np.uint8), img), ft
+
+    def chunk(t, b):
+        return (len(b).to_bytes(4, "big") + t + b
+                + zlib.crc32(t + b).to_bytes(4, "big"))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    h, w = 4, 6
+    # palette (color type 3)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (h, w)).astype(np.uint8)
+    rows = b"".join(b"\0" + idx[y].tobytes() for y in range(h))
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 3, 0, 0, 0]))
+    raw = (sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+           + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+    assert np.array_equal(
+        (multimodal.decode_png(raw) * 255).round().astype(np.uint8), pal[idx])
+    # RGBA (color type 6): alpha dropped
+    rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    rows = b"".join(b"\0" + rgba[y].tobytes() for y in range(h))
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 6, 0, 0, 0]))
+    raw = (sig + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+    assert np.array_equal(
+        (multimodal.decode_png(raw) * 255).round().astype(np.uint8),
+        rgba[:, :, :3])
+    with pytest.raises(Exception):
+        multimodal.decode_png(b"GIF89a....")
+
+
 def test_decode_images_gif_pipeline():
     """Actor-pool decode over GIF payloads matches per-row direct decode."""
     rng = np.random.default_rng(19)

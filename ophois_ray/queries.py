@@ -1074,6 +1074,58 @@ FROM v WHERE inter * 2 >= (total - inter) * 1
 """
 
 
+def q_events_gap_quantiles(sf_dir: str):
+    """Per-event-type inter-arrival-gap quantiles via per-group KLL
+    sketches (sketches.kll_sketch_grouped) — the latency-percentile
+    dashboard query at corpus scale: gaps computed with the same
+    user-bucket vectorized diff kernel as events_interarrival, one
+    partial sketch per (batch, type), one bucketed merge per type,
+    p50/p90/p99 readout from the tiny sketches. Deterministic
+    compaction keeps the driver's rerun diff stable."""
+    from . import sketches
+    from .joins import grouped_apply
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "event_type"])
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype(
+            "int64").to_numpy()
+        df = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "us": us,
+            "event_type": df["event_type"].to_numpy(),
+        }).sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["us"].to_numpy(np.int64)
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        gap = np.empty(len(df), dtype=np.int64)
+        gap[1:] = t[1:] - t[:-1]
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy()[same],
+            "gap_us": gap[same],
+        })
+
+    # a user's events must share a task for exact gaps (one shuffle),
+    # then the sketch pass runs over the gap rows
+    gap_rows = grouped_apply(ev, "user_id", gaps, num_buckets=16)
+    sk = sketches.kll_sketch_grouped(
+        gap_rows, "gap_us", group_cols=["event_type"], num_buckets=8
+    ).to_pandas()
+    out = []
+    for etype, g in sk.groupby("event_type", sort=True):
+        q = sketches.kll_quantiles(g, [50, 90, 99], qs_den=100)
+        q.insert(0, "event_type", etype)
+        out.append(q)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        {"event_type": pd.Series(dtype=object),
+         "q_num": pd.Series(dtype=np.int64),
+         "value": pd.Series(dtype=np.int64)})
+    return res.sort_values(["event_type", "q_num"], ignore_index=True)
+
+
 def q_doc_bm25(sf_dir: str):
     """Integer-exact BM25 retrieval scoring (textstats.bm25_topk): the
     RAG / search ranking operator, with k1=6/5, b=3/4 as cleared
@@ -3649,6 +3701,7 @@ def catalog():
         "simhash_int": q_simhash_int,
         "minhash_near_dup_int": q_minhash_near_dup_int,
         "price_quantiles_kll": q_price_quantiles_kll,
+        "events_gap_quantiles": q_events_gap_quantiles,
         "doc_bm25": q_doc_bm25,
         "range_join": q_range_join,
         "point_in_polygon": q_point_in_polygon,
@@ -3785,6 +3838,13 @@ def no_oracle_reasons():
             "below-capacity exactness vs numpy, an empirical rank-error "
             "bound at forced compaction, merge associativity, and rerun "
             "determinism"
+        ),
+        "events_gap_quantiles": (
+            "per-group KLL sketches (same procedural compaction as "
+            "price_quantiles_kll); the gap kernel it feeds IS "
+            "oracle-checked via events_interarrival, and the grouped "
+            "sketch path is gated by a below-capacity exactness pytest "
+            "against per-group numpy quantiles"
         ),
         "minhash_near_dup": (
             "output depends on seeded 64-permutation MinHash band "

@@ -459,3 +459,64 @@ def kll_quantiles(sketch: pd.DataFrame, qs_num, qs_den: int = 10) -> pd.DataFram
         out_v.append(int(val[min(pos, len(val) - 1)]))
     return pd.DataFrame({"q_num": np.array(out_q, dtype=np.int64),
                          "value": np.array(out_v, dtype=np.int64)})
+
+
+def kll_sketch_grouped(ds, col: str, *, group_cols, k: int = KLL_K,
+                       num_partials: int = 64, num_buckets: int = 16):
+    """Per-group KLL sketches — the latency-percentile-per-key shape
+    (quantiles per tenant / event type / shard) at corpus scale.
+
+    LAYOUT-INDEPENDENT two-stage tree: stage 1 co-partitions rows by
+    (group, value-hash sub-bucket) and compacts each cell's FULL
+    multiset into a partial sketch; stage 2 merges the <= num_partials
+    partial sketches per group. Because every compaction input is a
+    pure function of the DATA (never of batch/block boundaries), the
+    result is identical across layouts and reruns — per-batch partials
+    were measured drifting under Ray's nondeterministic batch
+    coalescing. Stage 1 ships raw values once (any exact-multiset
+    partial must); stage 2 moves only sketch rows. Returns a Dataset of
+    (group_cols..., level, value) sketch rows; read out with
+    :func:`kll_quantiles` per group slice."""
+    from .joins import grouped_apply, stable_hash
+
+    group_cols = list(group_cols)
+
+    def empty() -> pd.DataFrame:
+        base = {c: pd.Series(dtype=object) for c in group_cols}
+        base["level"] = pd.Series(dtype=np.int64)
+        base["value"] = pd.Series(dtype=np.int64)
+        return pd.DataFrame(base)
+
+    def add_sub(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[group_cols + [col]].copy()
+        df["__sub"] = (stable_hash(df[col].to_numpy())
+                       % np.uint64(num_partials)).astype(np.int64)
+        return df
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, g in df.groupby(group_cols + ["__sub"], sort=False):
+            rows = _kll_rows(_kll_compact([g[col].to_numpy(np.int64)], k))
+            for c, v in zip(group_cols, key[:-1]):
+                rows[c] = v
+            out.append(rows)
+        return pd.concat(out, ignore_index=True) if out else empty()
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, g in df.groupby(group_cols, sort=False):
+            levels = _kll_from_rows(g["level"].to_numpy(np.int64),
+                                    g["value"].to_numpy(np.int64))
+            rows = _kll_rows(_kll_compact(levels, k))
+            vals = key if isinstance(key, tuple) else (key,)
+            for c, v in zip(group_cols, vals):
+                rows[c] = v
+            out.append(rows)
+        return pd.concat(out, ignore_index=True) if out else empty()
+
+    parts = grouped_apply(
+        ds.map_batches(add_sub, batch_format="pandas"),
+        group_cols + ["__sub"], per_cell, num_buckets=num_buckets,
+    )
+    return grouped_apply(parts, group_cols, merge_group,
+                         num_buckets=num_buckets)

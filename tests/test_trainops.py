@@ -1028,6 +1028,43 @@ def test_kll_exact_below_capacity():
         assert val == exact[rank - 1], qn
 
 
+def test_kll_grouped_exact_below_capacity():
+    """Per-group sketches with k > group size are exact: decile readout
+    per group equals per-group numpy lower quantiles, regardless of
+    how batches split the groups."""
+    from ophois_ray import sketches
+
+    rng = np.random.default_rng(61)
+    n = 1200
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "x": rng.integers(0, 100_000, n).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    sk = sketches.kll_sketch_grouped(ds, "x", group_cols=["g"],
+                                     k=10_000).to_pandas()
+    for g, rows in sk.groupby("g"):
+        vals = np.sort(df.loc[df["g"] == g, "x"].to_numpy())
+        got = sketches.kll_quantiles(rows, range(1, 10))
+        for qn, v in zip(got["q_num"], got["value"]):
+            rank = -(-qn * len(vals) // 10)
+            assert v == vals[rank - 1], (g, qn)
+    # layout independence under compaction: partials key on value-hash
+    # sub-buckets, never on block boundaries — a different partition
+    # count must yield the bit-identical sketch
+    a = sketches.kll_sketch_grouped(
+        ray.data.from_pandas(df).repartition(2), "x", group_cols=["g"],
+        k=40).to_pandas()
+    b = sketches.kll_sketch_grouped(
+        ray.data.from_pandas(df).repartition(11), "x", group_cols=["g"],
+        k=40).to_pandas()
+    key = ["g", "level", "value"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key, ignore_index=True)[key],
+        b.sort_values(key, ignore_index=True)[key],
+    )
+
+
 def test_kll_rank_error_bound_and_merge():
     """Forced compaction (k=200, n=100k): every decile's rank error
     must stay under 2%; merging shard sketches must agree with the

@@ -100,6 +100,7 @@ BENCH_ROTATE = [
     "events_trend_state",
     "doc_bm25",
     "price_quantiles_kll",
+    "events_gap_quantiles",
 ]
 BENCH_ROTATE_K = 15
 

@@ -155,38 +155,48 @@ def encode_bmp24(img_u8: np.ndarray) -> bytes:
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse the PNG per-row filters (None/Sub/Up/Average/Paeth, spec
-    section 6). Row loop in Python, per-row math vectorized; Sub/Paeth
-    carry a left-neighbour dependency so those rows scan by pixel
-    column group (width iterations of small numpy ops)."""
+    section 6). None/Up are whole-row vector ops; Sub is a per-lane
+    running sum mod 256 (one cumsum per row); Average/Paeth carry a
+    left-neighbour dependency through a nonlinear op, so they scan by
+    PIXEL (w iterations of bpp-lane vector ops per row)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     rows = raw.reshape(h, stride + 1)
+    w = stride // bpp
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
         ftype = int(rows[y, 0])
         cur = rows[y, 1:].astype(np.int64)
         if ftype == 0:
             rec = cur
-        elif ftype == 1:  # Sub
-            rec = cur.copy()
-            for x in range(bpp, stride):
-                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif ftype == 1:  # Sub: rec[x] = sum of deltas mod 256, per lane
+            rec = (np.cumsum(cur.reshape(w, bpp), axis=0) & 0xFF).reshape(-1)
         elif ftype == 2:  # Up
             rec = (cur + prev) & 0xFF
         elif ftype == 3:  # Average
-            rec = cur.copy()
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (rec[x] + ((a + prev[x]) >> 1)) & 0xFF
+            cp = cur.reshape(w, bpp)
+            pv = prev.reshape(w, bpp)
+            rec2 = np.empty((w, bpp), dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                left = (cp[x] + ((left + pv[x]) >> 1)) & 0xFF
+                rec2[x] = left
+            rec = rec2.reshape(-1)
         elif ftype == 4:  # Paeth
-            rec = cur.copy()
-            for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
+            cp = cur.reshape(w, bpp)
+            pv = prev.reshape(w, bpp)
+            rec2 = np.empty((w, bpp), dtype=np.int64)
+            a = np.zeros(bpp, dtype=np.int64)
+            c = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                b = pv[x]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (rec[x] + pr) & 0xFF
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a,
+                                np.where(pb <= pc, b, c))
+                a = (cp[x] + pred) & 0xFF
+                rec2[x] = a
+                c = b
+            rec = rec2.reshape(-1)
         else:
             raise MediaDecodeError(f"unknown PNG filter {ftype}")
         out[y] = rec.astype(np.uint8)
@@ -546,8 +556,9 @@ class DecodeImage:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.mode == "real":
             raise MediaDecodeError(
-                "no JPEG/PNG codec available in this environment; use "
-                "mode='ppm'/'bmp'/'gif' for those payloads or mode='fake'"
+                "no JPEG/MP4 codec available in this environment; use "
+                "mode='ppm'/'bmp'/'gif'/'png' for those payloads or "
+                "mode='fake'"
             )
         if self.mode in self._DECODERS:
             fn = globals()[self._DECODERS[self.mode]]

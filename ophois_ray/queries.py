@@ -1077,44 +1077,23 @@ FROM v WHERE inter * 2 >= (total - inter) * 1
 def q_events_gap_quantiles(sf_dir: str):
     """Per-event-type inter-arrival-gap quantiles via per-group KLL
     sketches (sketches.kll_sketch_grouped) — the latency-percentile
-    dashboard query at corpus scale: gaps computed with the same
-    user-bucket vectorized diff kernel as events_interarrival, one
-    partial sketch per (batch, type), one bucketed merge per type,
-    p50/p90/p99 readout from the tiny sketches. Deterministic
-    compaction keeps the driver's rerun diff stable."""
+    dashboard query at corpus scale: gaps come from THE SAME shared
+    kernel events_interarrival oracle-checks (:func:`_user_gap_rows`),
+    then layout-independent grouped sketching and a p50/p90/p99
+    readout from the tiny per-type sketches."""
     from . import sketches
-    from .joins import grouped_apply
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["user_id", "event_id", "ts", "event_type"])
-
-    def gaps(df: pd.DataFrame) -> pd.DataFrame:
-        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype(
-            "int64").to_numpy()
-        df = pd.DataFrame({
-            "user_id": df["user_id"].to_numpy(np.int64),
-            "event_id": df["event_id"].to_numpy(np.int64),
-            "us": us,
-            "event_type": df["event_type"].to_numpy(),
-        }).sort_values(["user_id", "us", "event_id"], kind="mergesort")
-        uid = df["user_id"].to_numpy(np.int64)
-        t = df["us"].to_numpy(np.int64)
-        same = np.zeros(len(df), dtype=bool)
-        same[1:] = uid[1:] == uid[:-1]
-        gap = np.empty(len(df), dtype=np.int64)
-        gap[1:] = t[1:] - t[:-1]
-        return pd.DataFrame({
-            "event_type": df["event_type"].to_numpy()[same],
-            "gap_us": gap[same],
-        })
-
-    # a user's events must share a task for exact gaps (one shuffle),
-    # then the sketch pass runs over the gap rows
-    gap_rows = grouped_apply(ev, "user_id", gaps, num_buckets=16)
+    gap_rows = _user_gap_rows(sf_dir, num_buckets=16)
     sk = sketches.kll_sketch_grouped(
         gap_rows, "gap_us", group_cols=["event_type"], num_buckets=8
     ).to_pandas()
     out = []
+    if "event_type" not in sk.columns:
+        sk = pd.DataFrame({"event_type": pd.Series(dtype=object),
+                           "level": pd.Series(dtype=np.int64),
+                           "value": pd.Series(dtype=np.int64)})
+    # (0-row to_pandas drops columns — the guard above keeps the
+    # groupby from KeyError-ing on a gapless corpus)
     for etype, g in sk.groupby("event_type", sort=True):
         q = sketches.kll_quantiles(g, [50, 90, 99], qs_den=100)
         q.insert(0, "event_type", etype)
@@ -1568,47 +1547,61 @@ GROUP BY first_type, then_type
 """
 
 
-def q_events_interarrival(sf_dir: str):
-    """Inter-arrival-time histogram per event type: the gap from each
+def _user_gap_rows(sf_dir: str, *, num_buckets: int = 64):
+    """Shared gap kernel: (event_type, gap_us) rows — the gap from each
     user's previous event (any type), attributed to the later event's
-    type, bucketed into capped whole minutes — (event_type, gap_min, n)
-    all integer. One user-bucket shuffle with a vectorized diff kernel;
-    the SQL mirror is a lag window with the identical (ts, event_id)
-    order and the same min(gap // 60e6, 120) cap."""
+    type, via one user-bucket shuffle with a vectorized diff over the
+    (us, event_id)-sorted slice. SINGLE implementation on purpose:
+    events_interarrival oracle-checks these exact gaps against a SQL
+    lag window, and events_gap_quantiles' no_oracle justification
+    leans on feeding the same kernel."""
     ev = _t(sf_dir, "events").select_columns(
         ["user_id", "event_id", "ts", "event_type"])
-
-    def to_us(df: pd.DataFrame) -> pd.DataFrame:
-        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
-        return pd.DataFrame({
-            "user_id": df["user_id"].to_numpy(np.int64),
-            "event_id": df["event_id"].to_numpy(np.int64),
-            "us": us.to_numpy(),
-            "event_type": df["event_type"].to_numpy(),
-        })
 
     from .joins import grouped_apply
 
     def gaps(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype(
+            "int64").to_numpy()
+        df = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "us": us,
+            "event_type": df["event_type"].to_numpy(),
+        }).sort_values(["user_id", "us", "event_id"], kind="mergesort")
         uid = df["user_id"].to_numpy(np.int64)
-        us = df["us"].to_numpy(np.int64)
+        t = df["us"].to_numpy(np.int64)
         same = np.zeros(len(df), dtype=bool)
         same[1:] = uid[1:] == uid[:-1]
         gap = np.empty(len(df), dtype=np.int64)
-        gap[1:] = us[1:] - us[:-1]
-        bucket = np.minimum(gap // 60_000_000, 120)
-        out = pd.DataFrame({
+        gap[1:] = t[1:] - t[:-1]
+        return pd.DataFrame({
             "event_type": df["event_type"].to_numpy()[same],
-            "gap_min": bucket[same],
+            "gap_us": gap[same],
+        })
+
+    return grouped_apply(ev, "user_id", gaps, num_buckets=num_buckets)
+
+
+def q_events_interarrival(sf_dir: str):
+    """Inter-arrival-time histogram per event type (shared gap kernel
+    :func:`_user_gap_rows`), bucketed into capped whole minutes —
+    (event_type, gap_min, n) all integer. The SQL mirror is a lag
+    window with the identical (ts, event_id) order and the same
+    min(gap // 60e6, 120) cap."""
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "gap_min": np.minimum(
+                df["gap_us"].to_numpy(np.int64) // 60_000_000, 120),
         }).groupby(["event_type", "gap_min"], as_index=False).size()
         out = out.rename(columns={"size": "n"})
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    per_bucket = grouped_apply(
-        ev.map_batches(to_us, batch_format="pandas"), "user_id", gaps
-    )
+    per_bucket = _user_gap_rows(sf_dir).map_batches(
+        bucketize, batch_format="pandas")
     pieces = [
         b for b in per_bucket.iter_batches(batch_format="pandas",
                                            batch_size=None)

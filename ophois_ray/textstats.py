@@ -512,8 +512,14 @@ def bm25_topk(ds, query_terms, *, text_col: str = "text",
             tf = df[tf_cols[j]].to_numpy(np.int64)
             idf_num = 2 * n_docs - 2 * dfs[j] + 1
             tf_max = int(tf.max()) if len(tf) else 0
+            ln_max = int(ln.max()) if len(ln) else 0
             if scale * idf_num * 22 * max(avg, 1) * max(tf_max, 1) >= 1 << 63:
                 raise ValueError("bm25 int64 overflow: lower scale")
+            # the denominator wraps silently in int64 too — a wrapped
+            # negative would be clamped to 1 below and blow the score
+            if (2 * dfs[j] + 1) * (10 * tf_max * max(avg, 1)
+                                   + 3 * avg + 9 * ln_max) >= 1 << 63:
+                raise ValueError("bm25 int64 overflow in denominator")
             num = scale * idf_num * 22 * tf * avg
             den = (2 * dfs[j] + 1) * (10 * tf * avg + 3 * avg + 9 * ln)
             score += np.where(tf > 0, num // np.maximum(den, 1), 0)

@@ -1324,3 +1324,59 @@ def contamination_counts(docs, *, n: int = 5, num_buckets: int = 64,
     out["n_test"] = out["n_test"].astype(np.int64)
     out["n_contaminated"] = out["n_contaminated"].fillna(0).astype(np.int64)
     return out.sort_values("group", ignore_index=True)
+
+
+def dup_ngram_counts(docs, *, n: int = 4, num_buckets: int = 64,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Cross-document duplicate n-gram counts — the MassiveText/C4
+    "shared long n-gram" dedup signal: for each document, how many of
+    its DISTINCT whitespace-token ``n``-grams also occur in at least
+    one OTHER document. Returns a Dataset of
+    ``(doc_id, n_grams, n_dup_grams)`` int64 rows; documents with
+    fewer than ``n`` tokens emit no row (mirroring the SQL inner
+    join over the empty gram list).
+
+    Scale shape: per-doc distinct grams stream out of one fused
+    vectorized pass (:func:`ophois_ray.textstats.doc_ngrams` — no
+    per-gram Python loop); ONE gram-bucket shuffle computes each
+    gram's distinct-document count exactly (a gram group lives whole
+    in one bucket) and immediately reduces to per-(bucket, doc)
+    partial counts, so the second shuffle carries at most
+    ``num_buckets`` rows per document — the corpus text never moves
+    twice and nothing materializes on the driver.
+    """
+    from .joins import grouped_apply
+    from .textstats import doc_ngrams, flatten_tokens
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        flat, doc_of, _ = flatten_tokens(df[text_col])
+        grams, gdoc = doc_ngrams(flat, doc_of, n)
+        out = pd.DataFrame({
+            "gram": grams,
+            "doc_id": df[id_col].to_numpy(np.int64)[gdoc],
+        })
+        return out.drop_duplicates()
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (gram, doc_id): a gram's group size IS its
+        # distinct-document count
+        nd = df.groupby("gram")["doc_id"].transform("size")
+        g = (df.assign(dup=(nd >= 2).to_numpy())
+               .groupby("doc_id", as_index=False)
+               .agg(n_grams=("gram", "size"), n_dup_grams=("dup", "sum")))
+        g["n_grams"] = g["n_grams"].astype(np.int64)
+        g["n_dup_grams"] = g["n_dup_grams"].astype(np.int64)
+        return g
+
+    partials = grouped_apply(
+        docs.map_batches(gram_rows, batch_format="pandas"),
+        "gram", mark, num_buckets=num_buckets,
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)[
+            ["n_grams", "n_dup_grams"]].sum()
+        return g.astype(np.int64)
+
+    return grouped_apply(partials, "doc_id", merge,
+                         num_buckets=max(4, num_buckets // 8))

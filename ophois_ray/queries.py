@@ -3169,6 +3169,103 @@ FROM totals LEFT JOIN c ON totals.lang = c.lang
 """
 
 
+def q_doc_dup_ngrams(sf_dir: str):
+    """Cross-document duplicate 4-gram counts per document — the
+    MassiveText/C4 "shared n-gram" dedup signal (dedup.dup_ngram_counts):
+    one gram-bucket shuffle, distinct-doc frequency computed whole per
+    bucket, per-(bucket, doc) partial counts merged in a tiny second
+    shuffle."""
+    from . import dedup as _dedup
+
+    return _dedup.dup_ngram_counts(_t(sf_dir, "documents"), n=4)
+
+
+SQL_DOC_DUP_NGRAMS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS l
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(l) - 2),
+           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS gram
+  FROM tok
+), f AS (
+  SELECT gram, count(*) AS nd FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (WHERE f.nd >= 2) AS BIGINT) AS n_dup_grams
+FROM g JOIN f USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+def q_doc_pii_counts(sf_dir: str):
+    """PII detection + redaction audit (textstats.pii_counts) over a
+    deterministically "dirtied" corpus: synthetic emails / phone
+    numbers / IPv4s derived from doc_id are appended to the documents
+    (the testdata text is clean word-soup, so the detector would be
+    vacuous on it raw), then the RE2 detector counts matches and
+    measures the post-scrub length. The SQL mirror rebuilds the exact
+    same dirty text from doc_id arithmetic and runs the same RE2
+    patterns in DuckDB — detector semantics are identical by
+    construction (both engines are RE2 on the same pattern strings)."""
+    from . import textstats
+
+    docs = _t(sf_dir, "documents")
+
+    def dirty(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        sid = pd.Series(ids).astype(str)
+        email = np.where(
+            ids % 3 == 0, " contact user" + sid + "@example.com now", "")
+        phone = np.where(
+            ids % 5 == 0,
+            " call 555-" + pd.Series(ids % 10000).astype(str).str.zfill(4), "")
+        ip = np.where(
+            ids % 7 == 0,
+            " ip 10." + pd.Series(ids % 256).astype(str) + ".0."
+            + pd.Series((ids // 7) % 256).astype(str), "")
+        return pd.DataFrame({
+            "doc_id": ids,
+            "text": df["text"].to_numpy(object) + email + phone + ip,
+        })
+
+    return textstats.pii_counts(docs.map_batches(dirty, batch_format="pandas"))
+
+
+SQL_DOC_PII = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                      || CAST((doc_id // 7) % 256 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ip,
+       CAST(length(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+             '555-[0-9]{4}', '<PHONE>', 'g'),
+           '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')) AS BIGINT) AS scrub_len
+FROM dirty
+"""
+
+
 def q_part_random_walks(sf_dir: str):
     """Deterministic 3-step random walks from every node of the
     co-purchase graph (graphops.random_walks): step t moves to neighbour
@@ -3715,6 +3812,8 @@ def catalog():
         "part_random_walks": q_part_random_walks,
         "part_bfs_depths": q_part_bfs_depths,
         "split_contamination": q_split_contamination,
+        "doc_dup_ngrams": q_doc_dup_ngrams,
+        "doc_pii_counts": q_doc_pii_counts,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -3797,6 +3896,8 @@ def sql_catalog():
         "part_random_walks": SQL_PART_RANDOM_WALKS,
         "part_bfs_depths": SQL_PART_BFS_DEPTHS,
         "split_contamination": SQL_SPLIT_CONTAMINATION,
+        "doc_dup_ngrams": SQL_DOC_DUP_NGRAMS,
+        "doc_pii_counts": SQL_DOC_PII,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

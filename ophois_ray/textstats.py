@@ -769,3 +769,44 @@ def lm_surprisal(train_docs, eval_docs, *, text_col: str = "text",
         })
 
     return eval_docs.map_batches(score, batch_format="pandas")
+
+
+#: PII detector table: (name, RE2 pattern, scrub mask). Both the engine
+#: (pyarrow/RE2 kernels) and the DuckDB mirror (also RE2) evaluate these
+#: EXACT strings, so match semantics are identical by construction —
+#: keep the list in sync with SQL_DOC_PII in queries.py.
+PII_PATTERNS = (
+    ("email", r"[a-z0-9]+@[a-z0-9]+\.[a-z]+", "<EMAIL>"),
+    ("phone", r"555-[0-9]{4}", "<PHONE>"),
+    ("ip", r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", "<IP>"),
+)
+
+
+def pii_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """PII detection + redaction audit (the pre-training scrub pass):
+    per document, the count of email / phone / IPv4-shaped matches in
+    the raw text plus the character length AFTER masking them (scrub
+    applies the patterns sequentially in ``PII_PATTERNS`` order, counts
+    always run on the original text). Returns
+    ``(id, n_email, n_phone, n_ip, scrub_len)`` int64 columns.
+
+    Scale shape: one fused zero-shuffle pass, ``batch_format="pyarrow"``
+    with RE2 kernels (`count_substring_regex` / `replace_substring_regex`)
+    — no Python row loop, and byte-identical semantics to the DuckDB
+    mirror because both engines run RE2 on the same pattern strings.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        cols = {id_col: batch.column(id_col)}
+        scrub = t
+        for name, pat, mask in PII_PATTERNS:
+            cols["n_" + name] = pc.cast(
+                pc.count_substring_regex(t, pat), pa.int64())
+            scrub = pc.replace_substring_regex(scrub, pat, mask)
+        cols["scrub_len"] = pc.cast(pc.utf8_length(scrub), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

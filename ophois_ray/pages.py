@@ -491,3 +491,59 @@ def dedup_pages(pages, *, strategy: str = "broadcast", num_buckets: int = 64,
         return t.filter(pa.array(mask))
 
     return pages.map_batches(keep, batch_format="pyarrow")
+
+
+_HREF_RE = re.compile(r'href="([^"]*)"')
+_HOST_RE = re.compile(r"^[a-z][a-z0-9+.-]*://([^/]+)")
+
+
+def link_edges(pages, *, url_col: str = "url", html_col: str = "html",
+               num_buckets: int = 64):
+    """Hyperlink graph extraction — the web-corpus link-analysis
+    primitive: parse every ``href="..."`` out of the html payload, map
+    page url and link targets to their domains (``scheme://host``
+    authority component) and aggregate the domain-level edge list.
+    Returns a Dataset of ``(src_domain, dst_domain, n_links)`` with
+    int64 counts; relative/hostless hrefs are dropped.
+
+    Scale shape: href extraction + domain parse run fused with the
+    read (compiled ``re`` per page — the same tradeoff as the HTML
+    extractor, where compiled re measured 1.5x FASTER than Arrow RE2
+    replace on tag-soup); each batch pre-aggregates to (src, dst)
+    partial counts bounded by distinct domain pairs, so the single
+    bucket shuffle carries counts, never the html or the raw href
+    rows.
+    """
+    from .joins import grouped_apply
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        srcs: list = []
+        dsts: list = []
+        for u, h in zip(df[url_col].to_numpy(object),
+                        df[html_col].to_numpy(object)):
+            m = _HOST_RE.match(u) if isinstance(u, str) else None
+            if m is None:
+                continue
+            src = m.group(1)
+            s = h.decode("utf-8") if isinstance(h, (bytes, bytearray)) else str(h)
+            for href in _HREF_RE.findall(s):
+                hm = _HOST_RE.match(href)
+                if hm is not None:
+                    srcs.append(src)
+                    dsts.append(hm.group(1))
+        out = pd.DataFrame({"src_domain": srcs, "dst_domain": dsts})
+        g = out.groupby(["src_domain", "dst_domain"], as_index=False).size()
+        g = g.rename(columns={"size": "n_links"})
+        g["n_links"] = g["n_links"].astype(np.int64)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["src_domain", "dst_domain"], as_index=False)[
+            "n_links"].sum()
+        g["n_links"] = g["n_links"].astype(np.int64)
+        return g
+
+    return grouped_apply(
+        pages.map_batches(edges, batch_format="pandas"),
+        ["src_domain", "dst_domain"], merge, num_buckets=num_buckets,
+    )

@@ -3266,6 +3266,57 @@ FROM dirty
 """
 
 
+def q_pages_link_graph(sf_dir: str):
+    """Domain-level hyperlink graph (pages.link_edges) over a
+    deterministically linked synthetic corpus: each document becomes a
+    page on domain ``site{doc_id % 50}.example`` whose html carries
+    ``1 + doc_id % 3`` anchor links to target pages
+    ``(doc_id * 31 + j * 17) % 50``-th domain. The engine does the
+    REAL work — regex href extraction from the html bytes + authority
+    parse + edge aggregation — while the SQL mirror re-derives the
+    same edges from doc_id arithmetic, so extraction bugs cannot hide
+    (any mis-parse changes a count)."""
+    from . import pages as _pages
+
+    docs = _t(sf_dir, "documents")
+
+    def to_pages(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        ids = df["doc_id"].to_numpy(np.int64)
+        urls, htmls = [], []
+        for i, d in enumerate(ids):
+            urls.append(f"http://site{d % 50}.example/p/{d}")
+            anchors = "".join(
+                f'<a href="http://site{(d * 31 + j * 17) % 50}.example/p/'
+                f'{(d * 31 + j * 17)}">ref {j}</a>'
+                for j in range(1 + d % 3)
+            )
+            htmls.append(
+                f"<html><body><p>{df['text'].iloc[i]}</p>"
+                f"<nav>{anchors}</nav></body></html>"
+            )
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "html": pa.array([h.encode() for h in htmls], type=pa.binary()),
+        })
+
+    linked = docs.map_batches(to_pages, batch_format="pandas")
+    return _pages.link_edges(linked)
+
+
+SQL_PAGES_LINK_GRAPH = """
+WITH l AS (
+  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS j FROM documents
+)
+SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS src_domain,
+       'site' || CAST((doc_id * 31 + j * 17) % 50 AS VARCHAR) || '.example'
+         AS dst_domain,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM l GROUP BY 1, 2
+"""
+
+
 def q_part_random_walks(sf_dir: str):
     """Deterministic 3-step random walks from every node of the
     co-purchase graph (graphops.random_walks): step t moves to neighbour
@@ -3814,6 +3865,7 @@ def catalog():
         "split_contamination": q_split_contamination,
         "doc_dup_ngrams": q_doc_dup_ngrams,
         "doc_pii_counts": q_doc_pii_counts,
+        "pages_link_graph": q_pages_link_graph,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -3898,6 +3950,7 @@ def sql_catalog():
         "split_contamination": SQL_SPLIT_CONTAMINATION,
         "doc_dup_ngrams": SQL_DOC_DUP_NGRAMS,
         "doc_pii_counts": SQL_DOC_PII,
+        "pages_link_graph": SQL_PAGES_LINK_GRAPH,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

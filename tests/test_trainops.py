@@ -1666,3 +1666,62 @@ def test_task_retry_preserves_results(tmp_path):
            .to_pandas().sort_values("k", ignore_index=True))
     assert (out["v"].to_numpy() == df["k"].to_numpy() * 3 + 1).all()
     assert len(os.listdir(marker_dir)) >= 1  # failures really happened
+
+
+def test_dup_ngram_counts_hand_case():
+    # doc 0 and 1 share "a b c d"; doc 2 is unique; doc 3 too short
+    src = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c d e", "x a b c d", "p q r s", "a b c"],
+    }))
+    out = (dedup.dup_ngram_counts(src, n=4, num_buckets=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc0 grams: "a b c d","b c d e"; doc1: "x a b c","a b c d";
+    # doc2: "p q r s"; doc3: none (3 tokens)
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_grams"].tolist() == [2, 2, 1]
+    assert out["n_dup_grams"].tolist() == [1, 1, 0]
+    assert all(out[c].dtype == np.int64 for c in ["n_grams", "n_dup_grams"])
+
+
+def test_dup_ngram_counts_within_doc_repeat_not_dup():
+    # the same gram repeated INSIDE one doc is not a cross-doc dup
+    src = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [7], "text": ["a b a b a b a b"],
+    }))
+    out = dedup.dup_ngram_counts(src, n=4, num_buckets=4).to_pandas()
+    assert out["n_dup_grams"].tolist() == [0]
+
+
+def test_pii_counts_hand_case():
+    src = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["mail me at bob7@mail.com or call 555-0199 from 10.0.0.1",
+                 "clean text only"],
+    }))
+    out = (textstats.pii_counts(src).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, ["n_email", "n_phone", "n_ip"]].tolist() == [1, 1, 1]
+    assert out.loc[1, ["n_email", "n_phone", "n_ip"]].tolist() == [0, 0, 0]
+    scrubbed = ("mail me at <EMAIL> or call <PHONE> from <IP>")
+    assert out.loc[0, "scrub_len"] == len(scrubbed)
+    assert out.loc[1, "scrub_len"] == len("clean text only")
+
+
+def test_link_edges_hand_case():
+    from ophois_ray import pages as pageslib
+
+    html_a = (b'<html><body><a href="http://b.example/x">b</a>'
+              b'<a href="http://b.example/y">b2</a>'
+              b'<a href="/relative">skip</a>'
+              b'<a href="https://c.example/">c</a></body></html>')
+    src = ray.data.from_pandas(pd.DataFrame({
+        "url": ["http://a.example/p", "http://b.example/q"],
+        "html": [html_a, b"<html><body>no links</body></html>"],
+    }))
+    out = (pageslib.link_edges(src, num_buckets=4).to_pandas()
+           .sort_values(["src_domain", "dst_domain"]).reset_index(drop=True))
+    assert out.to_dict("records") == [
+        {"src_domain": "a.example", "dst_domain": "b.example", "n_links": 2},
+        {"src_domain": "a.example", "dst_domain": "c.example", "n_links": 1},
+    ]

@@ -4,7 +4,9 @@ Media travel as opaque ``binary`` columns with typed metadata columns
 (media_type, width/height or sample_rate, n_frames). REAL pure
 numpy/Python decoders (no codec library needed): netpbm P6/P5 images
 (``decode_netpbm``), uncompressed 24-bit BMP (``decode_bmp24``),
-PCM16 RIFF/WAV audio (``decode_wav_pcm16``), GIF87a/89a
+PCM16 RIFF/WAV audio (``decode_wav_pcm16``), IMA/DVI ADPCM WAV
+(``decode_wav_ima_adpcm`` — a compressed 4:1 audio codec, adaptive
+step recurrence decoded position-major across blocks), GIF87a/89a
 (``decode_gif`` — a full variable-width LZW decoder with interlace,
 i.e. a genuinely COMPRESSED codec from the spec) and PNG
 (``decode_png`` — stdlib zlib DEFLATE + all five spec row filters,
@@ -604,6 +606,157 @@ def decode_wav_pcm16(raw: bytes):
     return pcm.astype(np.float32) / np.float32(32768.0), rate
 
 
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+
+
+def _ima_step(pred: np.ndarray, index: np.ndarray, code: np.ndarray):
+    """One IMA-ADPCM update, vectorized over any batch of decoder
+    states: returns (new_pred, new_index). Pure int32 per the spec's
+    bit-shift reconstruction (diff = step>>3 + conditional step>>2,
+    step>>1, step terms; sign in bit 3)."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    diff = diff + np.where(code & 1, step >> 2, 0)
+    diff = diff + np.where(code & 2, step >> 1, 0)
+    diff = diff + np.where(code & 4, step, 0)
+    diff = np.where(code & 8, -diff, diff)
+    pred = np.clip(pred + diff, -32768, 32767)
+    index = np.clip(index + _IMA_INDEX_TABLE[code & 7], 0, 88)
+    return pred, index
+
+
+def decode_wav_ima_adpcm(raw: bytes):
+    """REAL decode of a genuinely COMPRESSED audio codec with no
+    library: RIFF/WAV IMA (DVI) ADPCM, format tag 0x11, mono. 4:1
+    compression — each 4-bit code reconstructs a 16-bit sample through
+    the adaptive step-size recurrence. Returns (samples, rate) with
+    samples (n, 1) float32 in [-1, 1].
+
+    The recurrence is serial WITHIN a block but blocks are
+    independent, so decoding runs position-major: one numpy pass per
+    nibble position, vectorized across ALL blocks of the clip (the
+    same layout trick as the PNG unfilter and the rolling-hash
+    fingerprints)."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise MediaDecodeError("not a RIFF/WAVE payload")
+    i, n = 12, len(raw)
+    rate = block_align = data = None
+    n_samples = None
+    while i + 8 <= n:
+        cid = raw[i:i + 4]
+        size = int.from_bytes(raw[i + 4:i + 8], "little")
+        body = raw[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 0x11 or bits != 4:
+                raise MediaDecodeError("not IMA ADPCM (tag 0x11, 4-bit)")
+            if channels != 1:
+                raise MediaDecodeError("only mono IMA ADPCM is supported")
+        elif cid == b"fact":
+            n_samples = int.from_bytes(body[0:4], "little")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if rate is None or data is None or block_align is None:
+        raise MediaDecodeError("missing fmt/data chunk")
+    if block_align < 5:
+        raise MediaDecodeError("IMA ADPCM block_align must be >= 5")
+    nb = len(data) // block_align
+    if nb == 0:
+        return np.zeros((0, 1), dtype=np.float32), rate
+    blocks = np.frombuffer(
+        data[: nb * block_align], dtype=np.uint8).reshape(nb, block_align)
+    pred = blocks[:, 0:2].copy().view("<i2")[:, 0].astype(np.int32)
+    index = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    body = blocks[:, 4:]
+    ncodes = body.shape[1] * 2
+    codes = np.empty((nb, ncodes), dtype=np.int32)
+    codes[:, 0::2] = body & 0x0F        # low nibble first per spec
+    codes[:, 1::2] = body >> 4
+    out = np.empty((nb, 1 + ncodes), dtype=np.int16)
+    out[:, 0] = pred
+    for t in range(ncodes):             # serial in t, vector across blocks
+        pred, index = _ima_step(pred, index, codes[:, t])
+        out[:, t + 1] = pred
+    flat = out.reshape(-1)
+    if n_samples is not None:
+        flat = flat[:n_samples]
+    return (flat.astype(np.float32) / np.float32(32768.0)).reshape(-1, 1), rate
+
+
+def encode_wav_ima_adpcm(pcm: np.ndarray, rate: int,
+                         samples_per_block: int = 505) -> bytes:
+    """Mono int16 -> RIFF/WAV IMA ADPCM bytes (test/fixture generator;
+    scalar reference encoder). ``samples_per_block`` must be odd so
+    each block is 1 header sample + an even nibble count."""
+    if samples_per_block % 2 == 0:
+        raise ValueError("samples_per_block must be odd")
+    pcm = np.asarray(pcm, dtype=np.int16).reshape(-1).astype(np.int32)
+    block_align = 4 + (samples_per_block - 1) // 2
+    index = 0
+    out = bytearray()
+    for s in range(0, len(pcm), samples_per_block):
+        chunk = pcm[s:s + samples_per_block]
+        pred = int(chunk[0])
+        out += int(pred).to_bytes(2, "little", signed=True)
+        out += bytes([index, 0])
+        nibbles = []
+        for x in chunk[1:]:
+            step = int(_IMA_STEP_TABLE[index])
+            diff = int(x) - pred
+            code = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            p, ix = _ima_step(np.array([pred]), np.array([index]),
+                              np.array([code]))
+            pred, index = int(p[0]), int(ix[0])
+            nibbles.append(code)
+        nibbles += [0] * ((samples_per_block - 1) - len(nibbles))
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+    fmt = (b"fmt " + (20).to_bytes(4, "little")
+           + (0x11).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + ((rate * block_align) // samples_per_block).to_bytes(4, "little")
+           + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+           + (2).to_bytes(2, "little")
+           + samples_per_block.to_bytes(2, "little"))
+    fact = b"fact" + (4).to_bytes(4, "little") + len(pcm).to_bytes(4, "little")
+    data = b"data" + len(out).to_bytes(4, "little") + bytes(out)
+    body = b"WAVE" + fmt + fact + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav(raw: bytes):
+    """Dispatch WAV decode on the fmt tag: 1 -> PCM16, 0x11 -> IMA
+    ADPCM. Returns (samples (n, channels) float32, rate)."""
+    if len(raw) >= 22 and raw[:4] == b"RIFF" and raw[12:16] == b"fmt ":
+        tag = int.from_bytes(raw[20:22], "little")
+        if tag == 0x11:
+            return decode_wav_ima_adpcm(raw)
+    return decode_wav_pcm16(raw)
+
+
 def encode_wav_pcm16(pcm: np.ndarray, rate: int) -> bytes:
     """(n, channels) int16 -> RIFF/WAV bytes (test/fixture generator)."""
     pcm = np.asarray(pcm, dtype="<i2")
@@ -629,7 +782,7 @@ class AudioFeatures:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         rows = {"n_samples": [], "sample_rate": [], "n_zero_cross": [], "rms": []}
         for raw in df[self.in_col]:
-            s, rate = decode_wav_pcm16(raw)
+            s, rate = decode_wav(raw)
             c0 = s[:, 0]
             rows["n_samples"].append(len(s))
             rows["sample_rate"].append(rate)

@@ -3278,6 +3278,13 @@ def q_pages_link_graph(sf_dir: str):
     (any mis-parse changes a count)."""
     from . import pages as _pages
 
+    return _pages.link_edges(_linked_pages(sf_dir))
+
+
+def _linked_pages(sf_dir: str):
+    """Deterministically linked synthetic pages from documents: page
+    doc_id lives on domain ``site{doc_id % 50}.example`` and links to
+    targets ``doc_id * 31 + j * 17`` for j in [0, doc_id % 3]."""
     docs = _t(sf_dir, "documents")
 
     def to_pages(df: pd.DataFrame) -> pd.DataFrame:
@@ -3301,8 +3308,7 @@ def q_pages_link_graph(sf_dir: str):
             "html": pa.array([h.encode() for h in htmls], type=pa.binary()),
         })
 
-    linked = docs.map_batches(to_pages, batch_format="pandas")
-    return _pages.link_edges(linked)
+    return docs.map_batches(to_pages, batch_format="pandas")
 
 
 SQL_PAGES_LINK_GRAPH = """
@@ -3315,6 +3321,50 @@ SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS src_domain,
        CAST(count(*) AS BIGINT) AS n_links
 FROM l GROUP BY 1, 2
 """
+
+
+def q_domain_pagerank(sf_dir: str):
+    """The CommonCrawl-shaped composition end-to-end: extract the
+    hyperlink graph from html (pages.link_edges over the synthetic
+    linked corpus), parse the numeric domain index back OUT OF THE
+    DOMAIN STRINGS (so a mis-extraction upstream changes the ranking),
+    canonicalize to an undirected simple graph, and run integer-exact
+    PageRank (graphops.pagerank_int, 3 rounds). Top-20 by (rank desc,
+    node asc); the SQL mirror re-derives the edge set arithmetically
+    and unrolls the same floor-div rounds."""
+    from . import pages as _pages
+    from .graphops import pagerank_int
+
+    dom_edges = _pages.link_edges(_linked_pages(sf_dir))
+
+    def to_int_edges(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["src_domain"].str.extract(r"^site(\d+)\.example$")[0]
+             .astype(np.int64).to_numpy())
+        b = (df["dst_domain"].str.extract(r"^site(\d+)\.example$")[0]
+             .astype(np.int64).to_numpy())
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
+
+    edges = (dom_edges.map_batches(to_int_edges, batch_format="pandas")
+             .groupby(["u", "v"]).map_groups(
+                 lambda df: df.drop_duplicates(), batch_format="pandas"))
+    pr = pagerank_int(edges, iters=3)
+    pr = pr.sort_values(["r", "node"], ascending=[False, True]).head(20)
+    return pr.reset_index(drop=True)
+
+
+_SQL_DOMAIN_EDGES = """l AS (
+  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS j FROM documents
+), de AS (
+  SELECT DISTINCT doc_id % 50 AS a, (doc_id * 31 + j * 17) % 50 AS b FROM l
+), edges AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM de WHERE a != b
+)"""
+
+
+def _sql_domain_pagerank() -> str:
+    return _sql_pagerank_over(_SQL_DOMAIN_EDGES)
 
 
 def q_part_random_walks(sf_dir: str):
@@ -3593,10 +3643,10 @@ def q_part_pagerank(sf_dir: str):
     return pr.reset_index(drop=True)
 
 
-def _sql_part_pagerank() -> str:
-    S = 1 << 40
-    num, den = 85, 100
-    it = """
+#: one unrolled pagerank_int round as SQL — shared by every query that
+#: mirrors graphops.pagerank_int over some edges CTE (keep the integer
+#: expression in sync with the engine's floor-div damping arithmetic)
+_SQL_PR_ROUND = """
 , c{i} AS (
   SELECT a.dst AS node, SUM(r{j}.r // d.deg) AS s
   FROM arcs a
@@ -3608,12 +3658,21 @@ def _sql_part_pagerank() -> str:
          (({S} * {dd}) // ({den} * nn.n)) + ({num} * COALESCE(c{i}.s, 0)) // {den} AS r
   FROM nodes n CROSS JOIN ncount nn LEFT JOIN c{i} ON c{i}.node = n.node
 )"""
+
+
+def _sql_pagerank_over(edges_cte: str, *, iters: int = 3,
+                       limit: int = 20) -> str:
+    """Unrolled pagerank_int mirror over an ``edges`` CTE (canonical
+    undirected int64 ``u < v`` pairs)."""
+    S = 1 << 40
+    num, den = 85, 100
     rounds = "".join(
-        it.format(i=i, j=i - 1, S=S, num=num, den=den, dd=den - num)
-        for i in range(1, 4)
+        _SQL_PR_ROUND.format(i=i, j=i - 1, S=S, num=num, den=den,
+                             dd=den - num)
+        for i in range(1, iters + 1)
     )
     return f"""
-WITH {_SQL_CHAIN_EDGES},
+WITH {edges_cte},
 arcs AS (
   SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges
 ), deg AS (
@@ -3626,8 +3685,12 @@ arcs AS (
   SELECT n.node, {S} // nn.n AS r FROM nodes n CROSS JOIN ncount nn
 ){rounds}
 SELECT node, CAST(r AS BIGINT) AS r
-FROM r3 ORDER BY r DESC, node ASC LIMIT 20
+FROM r{iters} ORDER BY r DESC, node ASC LIMIT {limit}
 """
+
+
+def _sql_part_pagerank() -> str:
+    return _sql_pagerank_over(_SQL_CHAIN_EDGES)
 
 
 def q_part_fuzzy_pairs(sf_dir: str):
@@ -3866,6 +3929,7 @@ def catalog():
         "doc_dup_ngrams": q_doc_dup_ngrams,
         "doc_pii_counts": q_doc_pii_counts,
         "pages_link_graph": q_pages_link_graph,
+        "domain_pagerank": q_domain_pagerank,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -3951,6 +4015,7 @@ def sql_catalog():
         "doc_dup_ngrams": SQL_DOC_DUP_NGRAMS,
         "doc_pii_counts": SQL_DOC_PII,
         "pages_link_graph": SQL_PAGES_LINK_GRAPH,
+        "domain_pagerank": _sql_domain_pagerank(),
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

@@ -101,6 +101,10 @@ BENCH_ROTATE = [
     "doc_bm25",
     "price_quantiles_kll",
     "events_gap_quantiles",
+    "doc_dup_ngrams",
+    "doc_pii_counts",
+    "pages_link_graph",
+    "domain_pagerank",
 ]
 BENCH_ROTATE_K = 15
 

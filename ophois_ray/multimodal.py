@@ -8,12 +8,14 @@ PCM16 RIFF/WAV audio (``decode_wav_pcm16``), IMA/DVI ADPCM WAV
 (``decode_wav_ima_adpcm`` — a compressed 4:1 audio codec, adaptive
 step recurrence decoded position-major across blocks), GIF87a/89a
 (``decode_gif`` — a full variable-width LZW decoder with interlace,
-i.e. a genuinely COMPRESSED codec from the spec) and PNG
+i.e. a genuinely COMPRESSED codec from the spec), PNG
 (``decode_png`` — stdlib zlib DEFLATE + all five spec row filters,
-8-bit gray/RGB/palette/alpha). Only JPEG/MP4 remain STUBBED
-(``_decode_stub``): their entropy coders need a codec library this
-container doesn't have; swap in PIL/av when the dependency exists,
-nothing else changes.
+8-bit gray/RGB/palette/alpha) and baseline JPEG (``decode_jpeg`` —
+canonical Huffman entropy decode, dequant, orthonormal IDCT, 4:2:0
+chroma upsample, DRI/RSTn restarts, all from ITU-T.81). Only MP4/video
+remains STUBBED (``_decode_stub``): a motion-compensated video codec
+needs a codec library this container doesn't have; swap in av when the
+dependency exists, nothing else changes.
 
 Stages:
   DecodeImage      actor pool, binary -> float32 pixel tensor column
@@ -42,7 +44,7 @@ class MediaDecodeError(NotImplementedError):
 
 def _decode_stub(raw: bytes, height: int, width: int) -> np.ndarray:
     """Deterministic fake decode: bytes -> (h, w, 3) float32 via a seeded
-    hash of the payload. Stands in for a codec; marked clearly."""
+    hash of the payload. Stands in for a VIDEO codec; marked clearly."""
     seed = int.from_bytes(raw[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
     rng = np.random.RandomState(seed)
     return rng.uniform(0, 1, size=(height, width, 3)).astype(np.float32)
@@ -534,6 +536,453 @@ def encode_gif(img_u8: np.ndarray, *, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
+# ------------------------------------------------------------------ JPEG
+# Baseline sequential DCT JPEG (SOF0), pure Python/numpy from the spec:
+# canonical Huffman entropy decode, dequant + zigzag, separable
+# orthonormal IDCT, nearest-neighbour chroma upsample, JFIF YCbCr.
+# Handles 1- and 3-component frames, sampling factors up to 2x2
+# (4:4:4 / 4:2:0 / 4:2:2) and DRI/RSTn restart intervals.
+
+#: zigzag scan: raster position of the k-th zigzag coefficient
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: Annex K luminance quantization table (raster order)
+_JPEG_QTABLE = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+#: Annex K luminance DC/AC Huffman specs (bits[16], values)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis A: FDCT F = A f A^T, IDCT
+    f = A^T F A (A A^T = I, verified by pytest)."""
+    k = np.arange(8, dtype=np.float64)[:, None]
+    n = np.arange(8, dtype=np.float64)[None, :]
+    A = np.cos((2.0 * n + 1.0) * k * np.pi / 16.0) / 2.0
+    A[0, :] *= 1.0 / np.sqrt(2.0)
+    return A
+
+
+_JPEG_A = _jpeg_dct_matrix()
+
+
+def _huff_decode_spec(bits, vals):
+    """Canonical Huffman decode tables (JPEG F.2.2.3): per code length
+    l, (mincode, maxcode, index of first value)."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for l in range(1, 17):
+        valptr[l] = k
+        mincode[l] = code
+        code += bits[l - 1]
+        k += bits[l - 1]
+        maxcode[l] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(vals)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an unstuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self._bits = np.unpackbits(np.frombuffer(bytes(data), dtype=np.uint8))
+        self._pos = 0
+
+    def bit(self) -> int:
+        if self._pos >= len(self._bits):
+            raise MediaDecodeError("truncated JPEG entropy segment")
+        b = int(self._bits[self._pos])
+        self._pos += 1
+        return b
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, spec) -> int:
+        mincode, maxcode, valptr, vals = spec
+        code = self.bit()
+        l = 1
+        while code > maxcode[l]:
+            if l >= 16:
+                raise MediaDecodeError("invalid Huffman code")
+            code = (code << 1) | self.bit()
+            l += 1
+        return vals[valptr[l] + code - mincode[l]]
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """F.2.4.3 magnitude-category sign extension."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(raw: bytes) -> np.ndarray:
+    """REAL baseline JPEG decode with no library — the third compressed
+    IMAGE codec (after GIF-LZW and PNG-DEFLATE): marker parse, canonical
+    Huffman entropy decode, dequantization, orthonormal IDCT, chroma
+    upsample, JFIF YCbCr->RGB. Returns (h, w, 3) float32 in [0, 1]
+    (grayscale frames replicate to 3 channels, matching the other
+    decoders). Baseline sequential (SOF0) only; progressive raises."""
+    if raw[:2] != b"\xff\xd8":
+        raise MediaDecodeError("not a JPEG payload")
+    qt: dict = {}
+    dc_spec: dict = {}
+    ac_spec: dict = {}
+    frame = None
+    scan = None
+    ri = 0
+    i = 2
+    data_pos = None
+    while i + 1 < len(raw):
+        if raw[i] != 0xFF:
+            raise MediaDecodeError("bad JPEG marker stream")
+        m = raw[i + 1]
+        i += 2
+        if m == 0xD9 or m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue
+        L = int.from_bytes(raw[i:i + 2], "big")
+        seg = raw[i + 2:i + L]
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq != 0:
+                    raise MediaDecodeError("only 8-bit quant tables")
+                tbl = np.frombuffer(seg[j + 1:j + 65], dtype=np.uint8)
+                q = np.zeros(64, dtype=np.int64)
+                q[_JPEG_ZIGZAG] = tbl  # DQT is stored in zigzag order
+                qt[tq] = q.reshape(8, 8)
+                j += 65
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17:j + 17 + nv])
+                (dc_spec if tc == 0 else ac_spec)[th] = _huff_decode_spec(
+                    bits, vals)
+                j += 17 + nv
+        elif m == 0xC0:  # SOF0 baseline
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError("only baseline sequential JPEG (SOF0)")
+        elif m == 0xDD:  # DRI
+            ri = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
+                     seg[2 + 2 * c] & 0xF) for c in range(ns)]
+            data_pos = i + L
+            break
+        i += L
+    if frame is None or scan is None:
+        raise MediaDecodeError("missing SOF/SOS")
+
+    # split entropy data into restart segments, unstuffing 0xFF00
+    segs = [bytearray()]
+    j = data_pos
+    while j < len(raw):
+        b = raw[j]
+        if b == 0xFF:
+            m2 = raw[j + 1] if j + 1 < len(raw) else 0xD9
+            if m2 == 0x00:
+                segs[-1].append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= m2 <= 0xD7:
+                segs.append(bytearray())
+                j += 2
+                continue
+            break
+        segs[-1].append(b)
+        j += 1
+
+    comps = frame["comps"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcu_cols = -(-frame["w"] // (8 * max_h))
+    mcu_rows = -(-frame["h"] // (8 * max_v))
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cid, td, ta in scan:
+        c = by_id[cid]
+        c["dc"], c["ac"] = dc_spec[td], ac_spec[ta]
+        c["plane"] = np.zeros(
+            (mcu_rows * c["v"] * 8, mcu_cols * c["h"] * 8), dtype=np.float64)
+        c["pred"] = 0
+        order.append(c)
+
+    A_T, A = _JPEG_A.T, _JPEG_A
+    seg_idx = 0
+    br = _JpegBitReader(segs[0])
+    for mi in range(mcu_rows * mcu_cols):
+        if ri and mi and mi % ri == 0:
+            seg_idx += 1
+            br = _JpegBitReader(segs[seg_idx])
+            for c in order:
+                c["pred"] = 0
+        mr, mc = divmod(mi, mcu_cols)
+        for c in order:
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    coef = np.zeros(64, dtype=np.int64)
+                    s = br.symbol(c["dc"])
+                    c["pred"] += _jpeg_extend(br.read(s), s)
+                    coef[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = br.symbol(c["ac"])
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise MediaDecodeError("AC run past block end")
+                        coef[k] = _jpeg_extend(br.read(s), s)
+                        k += 1
+                    blk = np.zeros(64, dtype=np.float64)
+                    blk[_JPEG_ZIGZAG] = coef
+                    blk = blk.reshape(8, 8) * qt[c["tq"]]
+                    pix = A_T @ blk @ A + 128.0
+                    y0 = (mr * c["v"] + v) * 8
+                    x0 = (mc * c["h"] + hh) * 8
+                    c["plane"][y0:y0 + 8, x0:x0 + 8] = pix
+
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        p = np.repeat(np.repeat(p, max_v // c["v"], axis=0),
+                      max_h // c["h"], axis=1)
+        planes.append(p[: frame["h"], : frame["w"]])
+    if len(planes) == 1:
+        g = np.clip(planes[0], 0.0, 255.0)
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+    else:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        rgb = np.stack([
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ], axis=2)
+        rgb = np.clip(rgb, 0.0, 255.0)
+    return np.round(rgb).astype(np.float32) / np.float32(255)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, val: int, nbits: int):
+        for b in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((val >> b) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                if self._acc == 0xFF:
+                    self.buf.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def align(self):
+        while self._n:
+            self.write(1, 1)
+
+
+def _huff_encode_spec(bits, vals):
+    codes = {}
+    code = 0
+    k = 0
+    for l in range(1, 17):
+        for _ in range(bits[l - 1]):
+            codes[vals[k]] = (code, l)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg(img_u8: np.ndarray, *, quality: int = 85,
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> baseline JPEG bytes (test/fixture
+    generator; Annex K tables, one quant + one DC/AC Huffman table for
+    all components). ``subsample=True`` writes 4:2:0 (2x2 luma
+    sampling); ``restart_interval`` > 0 emits DRI + RSTn markers."""
+    img = np.asarray(img_u8, dtype=np.float64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if quality < 1 or quality > 100:
+        raise ValueError("quality in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((_JPEG_QTABLE * scale + 50) // 100, 1, 255)
+    qmat = q.reshape(8, 8).astype(np.float64)
+
+    if gray:
+        ycc = [img]
+        samp = [(1, 1)]
+    else:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def down(p):
+                # pad odd dims by edge replication BEFORE the 2x2 mean
+                pp = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                            mode="edge")
+                return (pp[0::2, 0::2] + pp[0::2, 1::2]
+                        + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+            ycc = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            ycc = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcu_cols = -(-w // (8 * max_h))
+    mcu_rows = -(-h // (8 * max_v))
+    padded = []
+    for p, (sh, sv) in zip(ycc, samp):
+        th, tw = mcu_rows * sv * 8, mcu_cols * sh * 8
+        pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                    mode="edge")
+        padded.append(pp)
+
+    dc_codes = _huff_encode_spec(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_encode_spec(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    A = _JPEG_A
+    bw = _JpegBitWriter()
+    preds = [0] * len(ycc)
+    n_mcus = mcu_rows * mcu_cols
+    rst = 0
+    for mi in range(n_mcus):
+        if restart_interval and mi and mi % restart_interval == 0:
+            bw.align()
+            bw.buf += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * len(ycc)
+        mr, mc = divmod(mi, mcu_cols)
+        for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+            for v in range(sv):
+                for hh in range(sh):
+                    y0 = (mr * sv + v) * 8
+                    x0 = (mc * sh + hh) * 8
+                    blk = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                    F = A @ blk @ A.T
+                    coef = np.rint(F / qmat).astype(np.int64)
+                    zz = coef.reshape(-1)[_JPEG_ZIGZAG]
+                    diff = int(zz[0]) - preds[ci]
+                    preds[ci] = int(zz[0])
+                    s = _jpeg_category(diff)
+                    code, ln = dc_codes[s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                    run = 0
+                    last = np.nonzero(zz[1:])[0]
+                    last_k = int(last[-1]) + 1 if len(last) else 0
+                    for k in range(1, last_k + 1):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_codes[0xF0]
+                            bw.write(code, ln)
+                            run -= 16
+                        s = _jpeg_category(int(zz[k]))
+                        code, ln = ac_codes[(run << 4) | s]
+                        bw.write(code, ln)
+                        val = int(zz[k])
+                        bw.write(val if val > 0 else val + (1 << s) - 1, s)
+                        run = 0
+                    if last_k < 63:
+                        code, ln = ac_codes[0x00]
+                        bw.write(code, ln)
+    bw.align()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q[_JPEG_ZIGZAG]))
+    sof = bytearray([8])
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(ycc))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+               + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([len(ycc)])
+    for ci in range(len(ycc)):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class DecodeImage:
     """Actor-pool stage: binary image column -> pixel tensors.
 
@@ -541,16 +990,18 @@ class DecodeImage:
     mode="bmp"   REAL pure-numpy uncompressed 24-bit BMP decode
     mode="gif"   REAL pure-Python GIF decode (LZW — a compressed codec)
     mode="png"   REAL PNG decode (stdlib zlib DEFLATE + spec filters)
-    mode="fake"  deterministic stub decode (JPEG/MP4 stand-in)
-    mode="real"  raises MediaDecodeError until a JPEG codec exists
+    mode="jpeg"  REAL baseline JPEG decode (Huffman + IDCT, from spec)
+    mode="fake"  deterministic stub decode (MP4 stand-in)
+    mode="real"  raises MediaDecodeError (only MP4 still needs a codec)
     """
 
     _DECODERS = {"ppm": "decode_netpbm", "bmp": "decode_bmp24",
-                 "gif": "decode_gif", "png": "decode_png"}
+                 "gif": "decode_gif", "png": "decode_png",
+                 "jpeg": "decode_jpeg"}
 
     def __init__(self, mode: str = "fake", in_col: str = "media",
                  h_col: str = "height", w_col: str = "width", out_col: str = "pixels"):
-        if mode not in ("fake", "real", "ppm", "bmp", "gif", "png"):
+        if mode not in ("fake", "real", "ppm", "bmp", "gif", "png", "jpeg"):
             raise ValueError(mode)
         self.mode = mode
         self.in_col, self.h_col, self.w_col, self.out_col = in_col, h_col, w_col, out_col
@@ -558,9 +1009,9 @@ class DecodeImage:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.mode == "real":
             raise MediaDecodeError(
-                "no JPEG/MP4 codec available in this environment; use "
-                "mode='ppm'/'bmp'/'gif'/'png' for those payloads or "
-                "mode='fake'"
+                "no MP4/video codec available in this environment; use "
+                "mode='ppm'/'bmp'/'gif'/'png'/'jpeg' for image payloads "
+                "or mode='fake'"
             )
         if self.mode in self._DECODERS:
             fn = globals()[self._DECODERS[self.mode]]

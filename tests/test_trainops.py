@@ -1815,3 +1815,87 @@ def test_audio_features_dispatches_adpcm():
     assert out["n_samples"].tolist() == [1001, 1001]
     # ADPCM is lossy but zero crossings of a clean sinusoid survive
     assert abs(int(out.loc[0, "n_zero_cross"]) - int(out.loc[1, "n_zero_cross"])) <= 2
+
+
+def _psnr(a, b):
+    e = a.astype(np.float64) - b.astype(np.float64)
+    return 10 * np.log10(255.0 ** 2 / max(np.square(e).mean(), 1e-12))
+
+
+def _jpeg_test_image(h=33, w=41):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        127 + 100 * np.sin(xx / 7.0) * np.cos(yy / 9.0),
+        127 + 90 * np.cos(xx / 11.0),
+        127 + 80 * np.sin((xx + yy) / 13.0),
+    ], axis=2).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_dct_basis_orthonormal():
+    A = multimodal._JPEG_A
+    assert np.allclose(A @ A.T, np.eye(8), atol=1e-12)
+
+
+def test_jpeg_roundtrip_444_and_420():
+    img = _jpeg_test_image()
+    for kw, floor in [(dict(quality=90), 45.0),
+                      (dict(quality=90, subsample=True), 33.0),
+                      (dict(quality=50), 35.0)]:
+        raw = multimodal.encode_jpeg(img, **kw)
+        assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+        dec = (multimodal.decode_jpeg(raw) * 255).round().astype(np.uint8)
+        assert dec.shape == img.shape
+        assert _psnr(img, dec) > floor, (kw, _psnr(img, dec))
+    # compression really happened at default quality
+    assert len(multimodal.encode_jpeg(img)) < img.size
+
+
+def test_jpeg_restart_markers_change_nothing():
+    img = _jpeg_test_image(24, 56)
+    plain = multimodal.decode_jpeg(multimodal.encode_jpeg(img, quality=80))
+    rst = multimodal.decode_jpeg(
+        multimodal.encode_jpeg(img, quality=80, restart_interval=3))
+    # restart intervals re-sync the entropy coder but quantized
+    # coefficients are identical -> bit-identical decode
+    assert np.array_equal(plain, rst)
+
+
+def test_jpeg_gray_and_flat():
+    yy, xx = np.mgrid[0:17, 0:23]
+    g = (127 + 100 * np.sin(xx / 5.0)).clip(0, 255).astype(np.uint8)
+    dec = (multimodal.decode_jpeg(multimodal.encode_jpeg(g, quality=85))
+           * 255).round().astype(np.uint8)
+    assert dec.shape == (17, 23, 3)
+    assert _psnr(np.repeat(g[:, :, None], 3, 2), dec) > 40.0
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    dec = (multimodal.decode_jpeg(multimodal.encode_jpeg(flat, quality=95))
+           * 255).round().astype(np.uint8)
+    assert int(np.abs(dec.astype(int) - 77).max()) == 0
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    img = _jpeg_test_image(16, 16)
+    raw = bytearray(multimodal.encode_jpeg(img))
+    # flip SOF0 (0xC0) to SOF2 progressive (0xC2)
+    i = raw.find(b"\xff\xc0")
+    raw[i + 1] = 0xC2
+    with pytest.raises(multimodal.MediaDecodeError):
+        multimodal.decode_jpeg(bytes(raw))
+    with pytest.raises(multimodal.MediaDecodeError):
+        multimodal.decode_jpeg(b"not a jpeg at all")
+
+
+def test_jpeg_actor_pool_pipeline():
+    imgs = [_jpeg_test_image(16 + 8 * k, 24) for k in range(3)]
+    media = pd.DataFrame({
+        "media": [multimodal.encode_jpeg(im, quality=90) for im in imgs],
+        "height": [im.shape[0] for im in imgs],
+        "width": [im.shape[1] for im in imgs],
+    })
+    out = multimodal.decode_images(
+        ray.data.from_pandas(media), mode="jpeg", concurrency=2,
+        batch_size=2).to_pandas()
+    for im, pix in zip(imgs, out["pixels"]):
+        arr = np.asarray(pix)
+        assert arr.shape == im.shape
+        assert _psnr(im, (arr * 255).round().astype(np.uint8)) > 40.0

@@ -105,6 +105,7 @@ BENCH_ROTATE = [
     "doc_pii_counts",
     "pages_link_graph",
     "domain_pagerank",
+    "url_normalize",
 ]
 BENCH_ROTATE_K = 15
 

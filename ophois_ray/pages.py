@@ -547,3 +547,53 @@ def link_edges(pages, *, url_col: str = "url", html_col: str = "html",
         pages.map_batches(edges, batch_format="pandas"),
         ["src_domain", "dst_domain"], merge, num_buckets=num_buckets,
     )
+
+
+_URL_RE = re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:\d+)?([^?#]*)(\?[^#]*)?(#.*)?$")
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def normalize_url(u: str) -> str | None:
+    """Canonicalize one URL (the pre-dedup web-pipeline normalizer):
+    lowercase scheme and host, strip a leading ``www.``, strip the
+    scheme's default port, drop the fragment, strip a trailing slash
+    from non-root paths (empty path -> ``/``), and rewrite the query
+    with ``utm_*`` tracking params removed and the remaining params
+    sorted (lexicographically on the raw ``name=value`` strings).
+    Returns None for unparseable input."""
+    m = _URL_RE.match(u)
+    if m is None:
+        return None
+    scheme, host, port, path, query, _frag = m.groups()
+    scheme = scheme.lower()
+    host = host.lower()
+    if host.startswith("www."):
+        host = host[4:]
+    if port and port != _DEFAULT_PORTS.get(scheme):
+        host += port
+    if not path:
+        path = "/"
+    elif len(path) > 1 and path.endswith("/"):
+        path = path.rstrip("/") or "/"
+    out = f"{scheme}://{host}{path}"
+    if query and len(query) > 1:
+        params = [p for p in query[1:].split("&")
+                  if p and not p.split("=", 1)[0].startswith("utm_")]
+        if params:
+            out += "?" + "&".join(sorted(params))
+    return out
+
+
+def normalize_urls(pages, *, url_col: str = "url",
+                   out_col: str = "url_norm"):
+    """Fused zero-shuffle map adding the canonical URL column (see
+    :func:`normalize_url`); unparseable urls get null."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[out_col] = [normalize_url(u) if isinstance(u, str) else None
+                       for u in df[url_col].to_numpy(object)]
+        return df
+
+    return pages.map_batches(fn, batch_format="pandas")

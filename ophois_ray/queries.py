@@ -3367,6 +3367,51 @@ def _sql_domain_pagerank() -> str:
     return _sql_pagerank_over(_SQL_DOMAIN_EDGES)
 
 
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization (pages.normalize_urls) over deterministic
+    messy urls: mixed-case scheme/host, www. prefix, default and
+    non-default ports, trailing slashes, utm_* tracking params,
+    unsorted query params and fragments, all derived from doc_id. The
+    engine runs the real parser/normalizer; the SQL mirror constructs
+    the EXPECTED canonical string directly from the same arithmetic,
+    so every normalization rule is checked bit-for-bit."""
+    from . import pages as _pages
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id"])
+
+    def messy(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        urls = []
+        for d in ids:
+            sch = "HTTP" if d % 2 == 0 else "https"
+            port = (":8080" if d % 9 == 0
+                    else (":80" if sch == "HTTP" else ":443")
+                    if d % 3 == 0 else "")
+            path = f"/p/{d}" + ("/" if d % 4 == 0 else "")
+            query = f"?utm_source=x&b={d % 7}&a=1" if d % 5 == 0 else ""
+            frag = "#sec" if d % 6 == 0 else ""
+            urls.append(
+                f"{sch}://WWW.Site{d % 50}.Example{port}{path}{query}{frag}")
+        return pd.DataFrame({"doc_id": ids, "url": urls})
+
+    out = _pages.normalize_urls(
+        docs.map_batches(messy, batch_format="pandas"))
+    return out.select_columns(["doc_id", "url_norm"])
+
+
+SQL_URL_NORMALIZE = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+       || '://site' || CAST(doc_id % 50 AS VARCHAR) || '.example'
+       || CASE WHEN doc_id % 9 = 0 THEN ':8080' ELSE '' END
+       || '/p/' || CAST(doc_id AS VARCHAR)
+       || CASE WHEN doc_id % 5 = 0
+               THEN '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR)
+               ELSE '' END AS url_norm
+FROM documents
+"""
+
+
 def q_part_random_walks(sf_dir: str):
     """Deterministic 3-step random walks from every node of the
     co-purchase graph (graphops.random_walks): step t moves to neighbour
@@ -3930,6 +3975,7 @@ def catalog():
         "doc_pii_counts": q_doc_pii_counts,
         "pages_link_graph": q_pages_link_graph,
         "domain_pagerank": q_domain_pagerank,
+        "url_normalize": q_url_normalize,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -4016,6 +4062,7 @@ def sql_catalog():
         "doc_pii_counts": SQL_DOC_PII,
         "pages_link_graph": SQL_PAGES_LINK_GRAPH,
         "domain_pagerank": _sql_domain_pagerank(),
+        "url_normalize": SQL_URL_NORMALIZE,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

@@ -1899,3 +1899,15 @@ def test_jpeg_actor_pool_pipeline():
         arr = np.asarray(pix)
         assert arr.shape == im.shape
         assert _psnr(im, (arr * 255).round().astype(np.uint8)) > 40.0
+
+
+def test_normalize_url_rules():
+    from ophois_ray.pages import normalize_url
+
+    assert normalize_url("HTTP://WWW.Ex.COM:80/a/?utm_source=t&z=2&a=1#f") \
+        == "http://ex.com/a?a=1&z=2"
+    assert normalize_url("https://Ex.com:443/") == "https://ex.com/"
+    assert normalize_url("https://ex.com:8443/p") == "https://ex.com:8443/p"
+    assert normalize_url("http://ex.com") == "http://ex.com/"
+    assert normalize_url("http://ex.com/p/?utm_a=1&utm_b=2") == "http://ex.com/p"
+    assert normalize_url("not a url") is None

@@ -106,6 +106,7 @@ BENCH_ROTATE = [
     "pages_link_graph",
     "domain_pagerank",
     "url_normalize",
+    "doc_mixture_sample",
 ]
 BENCH_ROTATE_K = 15
 

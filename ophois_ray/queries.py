@@ -3399,6 +3399,27 @@ def q_url_normalize(sf_dir: str):
     return out.select_columns(["doc_id", "url_norm"])
 
 
+def q_doc_mixture_sample(sf_dir: str):
+    """Deterministic source-weighted mixture sampling
+    (sampling.mixture_sample): source srcK keeps hash%10000 <
+    500 + 450*K of its documents — the Pile/Dolma training-mix
+    weighting as one layout-independent zero-shuffle filter. Returns
+    the kept (doc_id, source) rows; the SQL mirror applies the same
+    integer threshold from the source suffix."""
+    from .sampling import mixture_sample
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "source"])
+    rates = {f"src{k}": 500 + 450 * k for k in range(20)}
+    return mixture_sample(docs, "doc_id", "source", rates)
+
+
+SQL_DOC_MIXTURE = """
+SELECT doc_id, source FROM documents
+WHERE ((doc_id * 1103515245 + 12345) % 2305843009213693951) % 10000
+      < 500 + 450 * CAST(substr(source, 4) AS BIGINT)
+"""
+
+
 SQL_URL_NORMALIZE = """
 SELECT doc_id,
        (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
@@ -3976,6 +3997,7 @@ def catalog():
         "pages_link_graph": q_pages_link_graph,
         "domain_pagerank": q_domain_pagerank,
         "url_normalize": q_url_normalize,
+        "doc_mixture_sample": q_doc_mixture_sample,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -4063,6 +4085,7 @@ def sql_catalog():
         "pages_link_graph": SQL_PAGES_LINK_GRAPH,
         "domain_pagerank": _sql_domain_pagerank(),
         "url_normalize": SQL_URL_NORMALIZE,
+        "doc_mixture_sample": SQL_DOC_MIXTURE,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

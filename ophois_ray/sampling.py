@@ -361,3 +361,36 @@ def skyline2d(ds, x_col: str, y_col: str, *, final_cap: int = 10_000_000):
     return cand[_skyline2d_kernel(cand[x_col].to_numpy(np.int64),
                                   cand[y_col].to_numpy(np.int64))
                 ].reset_index(drop=True)
+
+
+def mixture_sample(ds, key_col: str, group_col: str,
+                   rate_num: dict, *, denom: int = 10000,
+                   default_num: int = 0):
+    """Deterministic mixture sampling — the Pile/Dolma source-weighting
+    pass that up-/down-samples each source into the training mix: a row
+    is kept iff ``split_hash(key) % denom < rate_num[group]`` (integer
+    thresholds out of ``denom``; unknown groups fall back to
+    ``default_num``). A pure zero-shuffle filter map: assignment is a
+    function of the row alone, so the sample is identical across block
+    layouts, cluster widths and reruns, and per-group sampled fractions
+    converge to ``rate_num/denom``. ``rate_num`` rides the task closure
+    (it is one small dict, not data).
+    """
+    items = sorted(rate_num.items())
+    groups = np.array([g for g, _ in items], dtype=object)
+    nums = np.array([int(v) for _, v in items], dtype=np.int64)
+    if len(nums) and (nums.min() < 0 or nums.max() > denom):
+        raise ValueError("rate numerators must be in [0, denom]")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = split_hash(df[key_col].to_numpy()) % denom
+        gi = np.searchsorted(groups, df[group_col].to_numpy(object))
+        gi = np.clip(gi, 0, max(len(groups) - 1, 0))
+        if len(groups):
+            hit = groups[gi] == df[group_col].to_numpy(object)
+            thr = np.where(hit, nums[gi], default_num)
+        else:
+            thr = np.full(len(df), default_num, dtype=np.int64)
+        return df[h < thr]
+
+    return ds.map_batches(fn, batch_format="pandas")

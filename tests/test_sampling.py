@@ -112,3 +112,34 @@ def test_shard_by_hash_writes_disjoint_readable_shards(tmp_path):
         back.append(part)
     allback = pd.concat(back, ignore_index=True).sort_values("key")
     assert allback["key"].tolist() == df["key"].tolist()
+
+
+def test_mixture_sample_layout_independent_and_fractions():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ophois_ray.sampling import mixture_sample, split_hash
+
+    n = 20_000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": np.where(np.arange(n) % 2 == 0, "a", "b"),
+    })
+    rates = {"a": 2500, "b": 7500}
+    one = mixture_sample(ray.data.from_pandas(df), "id", "g", rates
+                         ).to_pandas().sort_values("id").reset_index(drop=True)
+    many = mixture_sample(
+        ray.data.from_pandas(df).repartition(13), "id", "g", rates
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert one.equals(many)  # layout-independent membership
+    fa = (one["g"] == "a").sum() / (n / 2)
+    fb = (one["g"] == "b").sum() / (n / 2)
+    assert abs(fa - 0.25) < 0.02 and abs(fb - 0.75) < 0.02
+    # membership really is the hash rule
+    h = split_hash(one["id"].to_numpy()) % 10000
+    thr = np.where(one["g"].to_numpy(object) == "a", 2500, 7500)
+    assert (h < thr).all()
+    # unknown group -> default_num drops everything
+    z = mixture_sample(ray.data.from_pandas(df), "id", "g", {"zzz": 10000})
+    assert z.count() == 0

@@ -107,6 +107,7 @@ BENCH_ROTATE = [
     "domain_pagerank",
     "url_normalize",
     "doc_mixture_sample",
+    "doc_postings",
 ]
 BENCH_ROTATE_K = 15
 

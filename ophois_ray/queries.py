@@ -3413,6 +3413,41 @@ def q_doc_mixture_sample(sf_dir: str):
     return mixture_sample(docs, "doc_id", "source", rates)
 
 
+def q_doc_postings(sf_dir: str):
+    """Inverted-index build (textstats.inverted_index): posting lists
+    (first 20 ascending doc ids) for every token with document
+    frequency in [2, 395] — one token-bucket shuffle over distinct
+    (token, doc) pairs, df + capped list straight from the bucket."""
+    from . import textstats
+
+    return textstats.inverted_index(
+        _t(sf_dir, "documents"), min_df=2, max_df=395, cap=20)
+
+
+SQL_DOC_POSTINGS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                x -> x != '')) AS token
+  FROM documents
+), p AS (
+  SELECT DISTINCT token, doc_id FROM tok
+), d AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token
+), ranked AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM p
+)
+SELECT d.token, d.df,
+       string_agg(CAST(ranked.doc_id AS VARCHAR), ','
+                  ORDER BY ranked.doc_id) AS postings
+FROM d JOIN ranked USING (token)
+WHERE d.df BETWEEN 2 AND 395 AND ranked.rn <= 20
+GROUP BY d.token, d.df
+"""
+
+
 SQL_DOC_MIXTURE = """
 SELECT doc_id, source FROM documents
 WHERE ((doc_id * 1103515245 + 12345) % 2305843009213693951) % 10000
@@ -3998,6 +4033,7 @@ def catalog():
         "domain_pagerank": q_domain_pagerank,
         "url_normalize": q_url_normalize,
         "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_postings": q_doc_postings,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -4086,6 +4122,7 @@ def sql_catalog():
         "domain_pagerank": _sql_domain_pagerank(),
         "url_normalize": SQL_URL_NORMALIZE,
         "doc_mixture_sample": SQL_DOC_MIXTURE,
+        "doc_postings": SQL_DOC_POSTINGS,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

@@ -810,3 +810,51 @@ def pii_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   min_df: int = 2, max_df: int = 10**9, cap: int = 20,
+                   num_buckets: int = 64):
+    """Inverted-index (posting-list) construction — the IR-side build
+    every retrieval corpus needs: token -> the first ``cap`` doc ids
+    (ascending) among documents containing it, for tokens whose
+    document frequency lies in ``[min_df, max_df]``. Returns
+    ``(token, df, postings)`` with ``df`` int64 and ``postings`` a
+    comma-joined ascending id string (a portable, exactly-comparable
+    surrogate for a list column).
+
+    Scale shape: per-batch vectorized tokenize emits DISTINCT
+    (token, doc) pairs (a doc never spans batches); ONE token-bucket
+    shuffle holds each token's whole group, so df and the capped
+    sorted posting list come straight out of a ``grouped_apply`` —
+    no driver state, output bounded by vocab x cap.
+    """
+    from .joins import grouped_apply
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        flat, doc_of, _ = flatten_tokens(df[text_col])
+        out = pd.DataFrame({"token": flat, id_col: ids[doc_of]})
+        return out.drop_duplicates()
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["token", id_col])
+        g = df.groupby("token", sort=True)
+        dfreq = g.size()
+        keep = dfreq[(dfreq >= min_df) & (dfreq <= max_df)]
+        if not len(keep):
+            return pd.DataFrame({
+                "token": pd.Series(dtype=object),
+                "df": pd.Series(dtype=np.int64),
+                "postings": pd.Series(dtype=object)})
+        post = (df[df["token"].isin(keep.index)]
+                .groupby("token", sort=True)[id_col]
+                .apply(lambda s: ",".join(map(str, s.iloc[:cap]))))
+        return pd.DataFrame({
+            "token": keep.index.to_numpy(object),
+            "df": keep.to_numpy(np.int64),
+            "postings": post.to_numpy(object)})
+
+    return grouped_apply(
+        ds.map_batches(pairs, batch_format="pandas"),
+        "token", build, num_buckets=num_buckets)

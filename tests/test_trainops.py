@@ -1911,3 +1911,16 @@ def test_normalize_url_rules():
     assert normalize_url("http://ex.com") == "http://ex.com/"
     assert normalize_url("http://ex.com/p/?utm_a=1&utm_b=2") == "http://ex.com/p"
     assert normalize_url("not a url") is None
+
+
+def test_inverted_index_hand_case():
+    src = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [3, 1, 2],
+        "text": ["a b a", "b c", "b q"],
+    }))
+    out = (textstats.inverted_index(src, min_df=2, cap=2, num_buckets=4)
+           .to_pandas().sort_values("token").reset_index(drop=True))
+    # a: df 1 (dropped); b: df 3 capped to first 2 ids; c/q df 1 dropped
+    assert out.to_dict("records") == [
+        {"token": "b", "df": 3, "postings": "1,2"},
+    ]

@@ -10,12 +10,14 @@ step recurrence decoded position-major across blocks), GIF87a/89a
 (``decode_gif`` — a full variable-width LZW decoder with interlace,
 i.e. a genuinely COMPRESSED codec from the spec), PNG
 (``decode_png`` — stdlib zlib DEFLATE + all five spec row filters,
-8-bit gray/RGB/palette/alpha) and baseline JPEG (``decode_jpeg`` —
+8-bit gray/RGB/palette/alpha) baseline JPEG (``decode_jpeg`` —
 canonical Huffman entropy decode, dequant, orthonormal IDCT, 4:2:0
-chroma upsample, DRI/RSTn restarts, all from ITU-T.81). Only MP4/video
-remains STUBBED (``_decode_stub``): a motion-compensated video codec
-needs a codec library this container doesn't have; swap in av when the
-dependency exists, nothing else changes.
+chroma upsample, DRI/RSTn restarts, all from ITU-T.81) and MJPEG video
+in a RIFF/AVI container (``decode_avi_mjpeg`` + ``VideoFeatures``
+actor pool). Only MP4/H.264 remains STUBBED (``_decode_stub``): a
+motion-compensated video codec needs a codec library this container
+doesn't have; swap in av when the dependency exists, nothing else
+changes.
 
 Stages:
   DecodeImage      actor pool, binary -> float32 pixel tensor column
@@ -1290,6 +1292,117 @@ def pooled_features(ds, *, grid: int = 4, in_col: str = "pixels", out_col: str =
         return df
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=64)
+
+
+# ------------------------------------------------------------------- AVI
+# Motion JPEG in a RIFF/AVI container: a REAL video codec path with no
+# library — the container walk is pure chunk parsing and every frame
+# is a baseline JPEG handled by decode_jpeg above. (MP4/H.264 stays the
+# honest stub: motion compensation needs a codec library.)
+
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) over a RIFF chunk run."""
+    i = start
+    while i + 8 <= end:
+        cid = buf[i:i + 4]
+        size = int.from_bytes(buf[i + 4:i + 8], "little")
+        yield cid, i + 8, i + 8 + size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def decode_avi_mjpeg(raw: bytes):
+    """REAL video decode for MJPEG-in-AVI: walks the RIFF lists, pulls
+    every ``00dc``/``00db`` frame chunk out of the ``movi`` list and
+    decodes it with :func:`decode_jpeg`. Returns
+    ``(frames, fps_micros)``: frames (n, h, w, 3) float32 in [0, 1],
+    and the container's microseconds-per-frame (0 if absent)."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise MediaDecodeError("not a RIFF/AVI payload")
+    usec_per_frame = 0
+    frames = []
+
+    def walk(start, end):
+        nonlocal usec_per_frame
+        for cid, b0, b1 in _riff_chunks(raw, start, end):
+            if cid == b"LIST":
+                walk(b0 + 4, b1)
+            elif cid == b"avih":
+                usec_per_frame = int.from_bytes(raw[b0:b0 + 4], "little")
+            elif cid[2:4] in (b"dc", b"db") and raw[b0:b0 + 2] == b"\xff\xd8":
+                frames.append(decode_jpeg(raw[b0:b1]))
+
+    walk(12, len(raw))
+    if not frames:
+        raise MediaDecodeError("no MJPEG frames in AVI movi list")
+    return np.stack(frames), usec_per_frame
+
+
+def encode_avi_mjpeg(frames_u8, *, fps: int = 10, quality: int = 85) -> bytes:
+    """(n, h, w, 3) uint8 -> minimal MJPEG AVI bytes (fixture
+    generator)."""
+    frames_u8 = np.asarray(frames_u8, dtype=np.uint8)
+    n, h, w = frames_u8.shape[:3]
+    payloads = [encode_jpeg(f, quality=quality) for f in frames_u8]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    u32 = lambda v: int(v).to_bytes(4, "little")
+    avih = (u32(1_000_000 // fps) + u32(0) + u32(0) + u32(0x10) + u32(n)
+            + u32(0) + u32(1) + u32(0) + u32(w) + u32(h) + u32(0) * 4)
+    strh = (b"vids" + b"MJPG" + u32(0) + u32(0) + u32(0) + u32(1)
+            + u32(fps) + u32(0) + u32(n) + u32(0) + u32(0xFFFFFFFF)
+            + u32(0) + u32(0) + u32(0))
+    strf = (u32(40) + u32(w) + u32(h) + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little") + b"MJPG" + u32(w * h * 3)
+            + u32(0) + u32(0) + u32(0) + u32(0))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+class VideoFeatures:
+    """Actor-pool stage: MJPEG-AVI binary -> per-clip features
+    (n_frames int64, usec_per_frame int64, mean_luma float64 over all
+    frames) — the video analogue of AudioFeatures."""
+
+    def __init__(self, in_col: str = "media"):
+        self.in_col = in_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        nfr, upf, luma = [], [], []
+        for raw in df[self.in_col]:
+            fr, u = decode_avi_mjpeg(raw)
+            nfr.append(fr.shape[0])
+            upf.append(u)
+            luma.append(float(
+                (0.299 * fr[..., 0] + 0.587 * fr[..., 1]
+                 + 0.114 * fr[..., 2]).mean()))
+        df = df.drop(columns=[self.in_col]).copy()
+        df["n_frames"] = np.asarray(nfr, dtype=np.int64)
+        df["usec_per_frame"] = np.asarray(upf, dtype=np.int64)
+        df["mean_luma"] = np.asarray(luma, dtype=np.float64)
+        return df
+
+
+def video_features(ds, *, concurrency: int = 4, batch_size: int = 16,
+                   in_col: str = "media"):
+    """Large-binary-aware actor pool over MJPEG-AVI clips (small
+    batches: a clip is n_frames full JPEGs)."""
+    return ds.map_batches(
+        VideoFeatures,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"in_col": in_col},
+    )
 
 
 def frame_sample(ds, *, every_n: int = 10, frames_col: str = "n_frames",

@@ -1924,3 +1924,41 @@ def test_inverted_index_hand_case():
     assert out.to_dict("records") == [
         {"token": "b", "df": 3, "postings": "1,2"},
     ]
+
+
+def test_avi_mjpeg_video_roundtrip():
+    n = 5
+    frames = np.stack([
+        _jpeg_test_image(24, 32) if k % 2 == 0
+        else 255 - _jpeg_test_image(24, 32)
+        for k in range(n)
+    ])
+    raw = multimodal.encode_avi_mjpeg(frames, fps=8, quality=90)
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+    dec, upf = multimodal.decode_avi_mjpeg(raw)
+    assert dec.shape == (n, 24, 32, 3)
+    assert upf == 1_000_000 // 8
+    for k in range(n):
+        got = (dec[k] * 255).round().astype(np.uint8)
+        assert _psnr(frames[k], got) > 40.0
+    with pytest.raises(multimodal.MediaDecodeError):
+        multimodal.decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(multimodal.MediaDecodeError):
+        multimodal.decode_avi_mjpeg(b"nope")
+
+
+def test_video_features_actor_pool():
+    clips = []
+    for c in range(3):
+        frames = np.stack([np.full((16, 16, 3), 40 * c + 10 * k, np.uint8)
+                           for k in range(2 + c)])
+        clips.append(multimodal.encode_avi_mjpeg(frames, fps=5))
+    out = (multimodal.video_features(
+        ray.data.from_pandas(pd.DataFrame({
+            "clip_id": range(3), "media": clips})), concurrency=2)
+        .to_pandas().sort_values("clip_id").reset_index(drop=True))
+    assert out["n_frames"].tolist() == [2, 3, 4]
+    assert out["usec_per_frame"].tolist() == [200_000] * 3
+    # flat gray frames -> mean luma close to the gray levels' mean
+    exp0 = (0 + 10) / 2 / 255
+    assert abs(out.loc[0, "mean_luma"] - exp0) < 0.02

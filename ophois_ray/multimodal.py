@@ -672,6 +672,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     while i + 1 < len(raw):
         if raw[i] != 0xFF:
             raise MediaDecodeError("bad JPEG marker stream")
+        while raw[i + 1] == 0xFF:  # B.1.1.2: fill bytes before a marker
+            i += 1
+            if i + 1 >= len(raw):
+                raise MediaDecodeError("truncated JPEG marker stream")
         m = raw[i + 1]
         i += 2
         if m == 0xD9 or m == 0x01 or 0xD0 <= m <= 0xD7:
@@ -723,6 +727,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
         i += L
     if frame is None or scan is None:
         raise MediaDecodeError("missing SOF/SOS")
+    if len(scan) != len(frame["comps"]):
+        raise MediaDecodeError(
+            "only single-scan interleaved baseline JPEG (the scan must "
+            "cover every frame component)")
 
     # split entropy data into restart segments, unstuffing 0xFF00
     segs = [bytearray()]
@@ -764,6 +772,9 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     for mi in range(mcu_rows * mcu_cols):
         if ri and mi and mi % ri == 0:
             seg_idx += 1
+            if seg_idx >= len(segs):
+                raise MediaDecodeError(
+                    "truncated JPEG: fewer restart segments than DRI implies")
             br = _JpegBitReader(segs[seg_idx])
             for c in order:
                 c["pred"] = 0
@@ -1034,12 +1045,9 @@ def decode_wav_pcm16(raw: bytes):
     in [-1, 1]. Walks the chunk list; rejects non-PCM/non-16-bit."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise MediaDecodeError("not a RIFF/WAVE payload")
-    i, n = 12, len(raw)
     rate, channels, data = None, None, None
-    while i + 8 <= n:
-        cid = raw[i:i + 4]
-        size = int.from_bytes(raw[i + 4:i + 8], "little")
-        body = raw[i + 8:i + 8 + size]
+    for cid, b0, b1 in _riff_chunks(raw, 12, len(raw)):
+        body = raw[b0:b1]
         if cid == b"fmt ":
             fmt = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
@@ -1051,7 +1059,6 @@ def decode_wav_pcm16(raw: bytes):
                 raise MediaDecodeError("WAV fmt chunk declares 0 channels")
         elif cid == b"data":
             data = body
-        i += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise MediaDecodeError("missing fmt/data chunk")
     pcm = np.frombuffer(data, dtype="<i2")
@@ -1101,13 +1108,10 @@ def decode_wav_ima_adpcm(raw: bytes):
     fingerprints)."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise MediaDecodeError("not a RIFF/WAVE payload")
-    i, n = 12, len(raw)
     rate = block_align = data = None
     n_samples = None
-    while i + 8 <= n:
-        cid = raw[i:i + 4]
-        size = int.from_bytes(raw[i + 4:i + 8], "little")
-        body = raw[i + 8:i + 8 + size]
+    for cid, b0, b1 in _riff_chunks(raw, 12, len(raw)):
+        body = raw[b0:b1]
         if cid == b"fmt ":
             fmt = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
@@ -1122,29 +1126,41 @@ def decode_wav_ima_adpcm(raw: bytes):
             n_samples = int.from_bytes(body[0:4], "little")
         elif cid == b"data":
             data = body
-        i += 8 + size + (size & 1)
     if rate is None or data is None or block_align is None:
         raise MediaDecodeError("missing fmt/data chunk")
     if block_align < 5:
         raise MediaDecodeError("IMA ADPCM block_align must be >= 5")
+
+    def decode_blocks(blocks: np.ndarray) -> np.ndarray:
+        nb = blocks.shape[0]
+        pred = blocks[:, 0:2].copy().view("<i2")[:, 0].astype(np.int32)
+        index = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+        body = blocks[:, 4:]
+        ncodes = body.shape[1] * 2
+        codes = np.empty((nb, ncodes), dtype=np.int32)
+        codes[:, 0::2] = body & 0x0F    # low nibble first per spec
+        codes[:, 1::2] = body >> 4
+        out = np.empty((nb, 1 + ncodes), dtype=np.int16)
+        out[:, 0] = pred
+        for t in range(ncodes):         # serial in t, vector across blocks
+            pred, index = _ima_step(pred, index, codes[:, t])
+            out[:, t + 1] = pred
+        return out.reshape(-1)
+
     nb = len(data) // block_align
-    if nb == 0:
+    pieces = []
+    if nb:
+        pieces.append(decode_blocks(np.frombuffer(
+            data[: nb * block_align], dtype=np.uint8).reshape(nb, block_align)))
+    tail = len(data) - nb * block_align
+    if tail:  # spec-legal short FINAL block — decode, don't drop
+        if tail < 5:
+            raise MediaDecodeError("truncated IMA ADPCM final block")
+        pieces.append(decode_blocks(np.frombuffer(
+            data[nb * block_align:], dtype=np.uint8).reshape(1, tail)))
+    if not pieces:
         return np.zeros((0, 1), dtype=np.float32), rate
-    blocks = np.frombuffer(
-        data[: nb * block_align], dtype=np.uint8).reshape(nb, block_align)
-    pred = blocks[:, 0:2].copy().view("<i2")[:, 0].astype(np.int32)
-    index = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
-    body = blocks[:, 4:]
-    ncodes = body.shape[1] * 2
-    codes = np.empty((nb, ncodes), dtype=np.int32)
-    codes[:, 0::2] = body & 0x0F        # low nibble first per spec
-    codes[:, 1::2] = body >> 4
-    out = np.empty((nb, 1 + ncodes), dtype=np.int16)
-    out[:, 0] = pred
-    for t in range(ncodes):             # serial in t, vector across blocks
-        pred, index = _ima_step(pred, index, codes[:, t])
-        out[:, t + 1] = pred
-    flat = out.reshape(-1)
+    flat = np.concatenate(pieces)
     if n_samples is not None:
         flat = flat[:n_samples]
     return (flat.astype(np.float32) / np.float32(32768.0)).reshape(-1, 1), rate
@@ -1202,11 +1218,14 @@ def encode_wav_ima_adpcm(pcm: np.ndarray, rate: int,
 
 def decode_wav(raw: bytes):
     """Dispatch WAV decode on the fmt tag: 1 -> PCM16, 0x11 -> IMA
-    ADPCM. Returns (samples (n, channels) float32, rate)."""
-    if len(raw) >= 22 and raw[:4] == b"RIFF" and raw[12:16] == b"fmt ":
-        tag = int.from_bytes(raw[20:22], "little")
-        if tag == 0x11:
-            return decode_wav_ima_adpcm(raw)
+    ADPCM. Walks the chunk list to find ``fmt `` (it need not be the
+    first chunk). Returns (samples (n, channels) float32, rate)."""
+    if len(raw) >= 12 and raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        for cid, b0, b1 in _riff_chunks(raw, 12, len(raw)):
+            if cid == b"fmt " and b1 - b0 >= 2:
+                if int.from_bytes(raw[b0:b0 + 2], "little") == 0x11:
+                    return decode_wav_ima_adpcm(raw)
+                break
     return decode_wav_pcm16(raw)
 
 

@@ -531,6 +531,13 @@ def link_edges(pages, *, url_col: str = "url", html_col: str = "html",
                 if hm is not None:
                     srcs.append(src)
                     dsts.append(hm.group(1))
+        if not srcs:
+            # typed empty: a schema-less 0-row block downstream of a
+            # shuffle is the documented empty-frame trap (CLAUDE.md)
+            return pd.DataFrame({
+                "src_domain": pd.Series(np.empty(0, dtype=object)),
+                "dst_domain": pd.Series(np.empty(0, dtype=object)),
+                "n_links": pd.Series(np.empty(0, dtype=np.int64))})
         out = pd.DataFrame({"src_domain": srcs, "dst_domain": dsts})
         g = out.groupby(["src_domain", "dst_domain"], as_index=False).size()
         g = g.rename(columns={"size": "n_links"})

@@ -3346,9 +3346,11 @@ def q_domain_pagerank(sf_dir: str):
         a, b = a[keep], b[keep]
         return pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
 
-    edges = (dom_edges.map_batches(to_int_edges, batch_format="pandas")
-             .groupby(["u", "v"]).map_groups(
-                 lambda df: df.drop_duplicates(), batch_format="pandas"))
+    from .joins import grouped_apply
+
+    edges = grouped_apply(
+        dom_edges.map_batches(to_int_edges, batch_format="pandas"),
+        ["u", "v"], lambda df: df.drop_duplicates(), num_buckets=16)
     pr = pagerank_int(edges, iters=3)
     pr = pr.sort_values(["r", "node"], ascending=[False, True]).head(20)
     return pr.reset_index(drop=True)

@@ -384,13 +384,16 @@ def mixture_sample(ds, key_col: str, group_col: str,
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         h = split_hash(df[key_col].to_numpy()) % denom
-        gi = np.searchsorted(groups, df[group_col].to_numpy(object))
-        gi = np.clip(gi, 0, max(len(groups) - 1, 0))
-        if len(groups):
-            hit = groups[gi] == df[group_col].to_numpy(object)
-            thr = np.where(hit, nums[gi], default_num)
-        else:
-            thr = np.full(len(df), default_num, dtype=np.int64)
+        g = df[group_col].to_numpy(object)
+        known = ~pd.isna(g)  # null groups are "unknown" -> default_num
+        thr = np.full(len(df), default_num, dtype=np.int64)
+        if len(groups) and known.any():
+            gk = g[known]
+            gi = np.clip(np.searchsorted(groups, gk), 0, len(groups) - 1)
+            hit = groups[gi] == gk
+            tk = thr[known]
+            tk[hit] = nums[gi[hit]]
+            thr[known] = tk
         return df[h < thr]
 
     return ds.map_batches(fn, batch_format="pandas")

@@ -1962,3 +1962,85 @@ def test_video_features_actor_pool():
     # flat gray frames -> mean luma close to the gray levels' mean
     exp0 = (0 + 10) / 2 / 255
     assert abs(out.loc[0, "mean_luma"] - exp0) < 0.02
+
+
+def test_review_fixes_media_edge_cases():
+    # 1) WAV dispatch finds fmt even when it is not the first chunk
+    t = np.arange(501)
+    pcm = (4000 * np.sin(t / 9.0)).astype(np.int16)
+    raw = bytearray(multimodal.encode_wav_ima_adpcm(pcm, 8000,
+                                                    samples_per_block=101))
+    # splice a LIST/INFO chunk directly after "WAVE"
+    info = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    spliced = bytes(raw[:12]) + info + bytes(raw[12:])
+    spliced = (b"RIFF" + (len(spliced) - 8).to_bytes(4, "little")
+               + spliced[8:])
+    s, rate = multimodal.decode_wav(spliced)
+    assert rate == 8000 and len(s) == 501
+
+    # 2) short final ADPCM block is decoded, not dropped
+    full, _ = multimodal.decode_wav_ima_adpcm(bytes(raw))
+    # chop the data chunk to a partial final block and fix sizes
+    base = multimodal.encode_wav_ima_adpcm(pcm[:201], 8000,
+                                           samples_per_block=101)
+    dpos = base.rfind(b"data")
+    dlen = int.from_bytes(base[dpos + 4:dpos + 8], "little")
+    cut = 20  # drop 20 bytes of the final 53-byte block
+    body = base[dpos + 8:dpos + 8 + dlen - cut]
+    trimmed = (base[:dpos + 4] + len(body).to_bytes(4, "little") + body)
+    trimmed = (b"RIFF" + (len(trimmed) + 2 - 8).to_bytes(4, "little")
+               + trimmed[8:] + b"\x00\x00")
+    # fact still claims 201 samples; decoder must return what exists
+    got, _ = multimodal.decode_wav_ima_adpcm(trimmed)
+    assert 101 < len(got) < 201  # partial final block decoded
+
+    # 3) JPEG fill bytes before markers are legal
+    img = np.full((8, 8, 3), 50, np.uint8)
+    j = multimodal.encode_jpeg(img)
+    i = j.find(b"\xff\xc4")
+    filled = j[:i] + b"\xff\xff\xff" + j[i:]
+    dec = (multimodal.decode_jpeg(filled) * 255).round().astype(np.uint8)
+    assert int(np.abs(dec.astype(int) - 50).max()) <= 1
+
+    # 4) truncated restart stream raises MediaDecodeError, not IndexError
+    img2 = _jpeg_test_image(24, 24)
+    rst = bytearray(multimodal.encode_jpeg(img2, restart_interval=1))
+    first_rst = rst.find(b"\xff\xd0")
+    broken = bytes(rst[:first_rst + 2]) + b"\xff\xd9"
+    with pytest.raises(multimodal.MediaDecodeError):
+        multimodal.decode_jpeg(broken)
+
+    # 5) a scan covering fewer components than the frame raises cleanly
+    j3 = bytearray(multimodal.encode_jpeg(img2))
+    sos = j3.find(b"\xff\xda")
+    # rewrite SOS to ns=1 (keep total length; truncate comp list)
+    ln = 2 + 1 + 2 * 1 + 3
+    j3[sos + 2:sos + 4] = ln.to_bytes(2, "big")
+    j3[sos + 4] = 1
+    body = bytes(j3[:sos + 5 + 2]) + bytes(j3[sos + 2 + 2 + 1 + 6:])
+    with pytest.raises(multimodal.MediaDecodeError):
+        multimodal.decode_jpeg(body)
+
+
+def test_mixture_sample_null_groups_default():
+    import ray.data
+
+    from ophois_ray.sampling import mixture_sample
+
+    df = pd.DataFrame({"id": np.arange(100, dtype=np.int64),
+                       "g": ["a", None] * 50})
+    kept = mixture_sample(ray.data.from_pandas(df), "id", "g",
+                          {"a": 10000}).to_pandas()
+    assert set(kept["g"]) == {"a"}  # nulls -> default_num 0 -> dropped
+    assert len(kept) == 50
+
+
+def test_link_edges_empty_batch_typed():
+    from ophois_ray import pages as pageslib
+
+    src = ray.data.from_pandas(pd.DataFrame({
+        "url": ["not a url", "also bad"],
+        "html": [b"<html><body>plain</body></html>"] * 2,
+    }))
+    out = pageslib.link_edges(src, num_buckets=4).to_pandas()
+    assert len(out) == 0

@@ -2044,3 +2044,19 @@ def test_link_edges_empty_batch_typed():
     }))
     out = pageslib.link_edges(src, num_buckets=4).to_pandas()
     assert len(out) == 0
+
+
+def test_new_shuffle_ops_layout_invariant(docs):
+    # dup_ngram_counts and inverted_index must not depend on block
+    # layout (the repo's standard repartition-invariance gate)
+    one = (dedup.dup_ngram_counts(docs, n=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    many = (dedup.dup_ngram_counts(docs.repartition(13), n=4).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert one.equals(many)
+    a = (textstats.inverted_index(docs, min_df=2, max_df=395).to_pandas()
+         .sort_values("token").reset_index(drop=True))
+    b = (textstats.inverted_index(docs.repartition(13), min_df=2,
+                                  max_df=395).to_pandas()
+         .sort_values("token").reset_index(drop=True))
+    assert a.equals(b)

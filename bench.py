@@ -108,6 +108,7 @@ BENCH_ROTATE = [
     "url_normalize",
     "doc_mixture_sample",
     "doc_postings",
+    "anchor_terms",
 ]
 BENCH_ROTATE_K = 15
 

@@ -604,3 +604,56 @@ def normalize_urls(pages, *, url_col: str = "url",
         return df
 
     return pages.map_batches(fn, batch_format="pandas")
+
+
+_ANCHOR_RE = re.compile(r'<a\s[^>]*?href="([^"]*)"[^>]*>(.*?)</a\s*>',
+                        re.S | re.I)
+
+
+def anchor_term_counts(pages, *, html_col: str = "html",
+                       num_buckets: int = 32):
+    """Anchor-text aggregation — the link-description corpus behind
+    web search and LLM link-context features: parse every
+    ``<a href="...">text</a>`` pair out of the html, attribute the
+    anchor's whitespace tokens to the TARGET domain, and count
+    ``(dst_domain, token)`` occurrences. Hostless hrefs are dropped.
+
+    Scale shape: parse + tokenize fused with the read (compiled re —
+    same measured tradeoff as the extractor); per-batch pre-aggregated
+    counts bound the single bucket shuffle at distinct (domain, token)
+    pairs per block; html never moves.
+    """
+    from .joins import grouped_apply
+
+    def terms(df: pd.DataFrame) -> pd.DataFrame:
+        doms: list = []
+        toks: list = []
+        for h in df[html_col].to_numpy(object):
+            s = h.decode("utf-8") if isinstance(h, (bytes, bytearray)) else str(h)
+            for href, text in _ANCHOR_RE.findall(s):
+                hm = _HOST_RE.match(href)
+                if hm is None:
+                    continue
+                dom = hm.group(1)
+                for w in text.split():
+                    doms.append(dom)
+                    toks.append(w)
+        if not doms:
+            return pd.DataFrame({
+                "dst_domain": pd.Series(np.empty(0, dtype=object)),
+                "token": pd.Series(np.empty(0, dtype=object)),
+                "n": pd.Series(np.empty(0, dtype=np.int64))})
+        g = (pd.DataFrame({"dst_domain": doms, "token": toks})
+             .groupby(["dst_domain", "token"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["dst_domain", "token"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return grouped_apply(
+        pages.map_batches(terms, batch_format="pandas"),
+        ["dst_domain", "token"], merge, num_buckets=num_buckets)

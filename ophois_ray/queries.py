@@ -3323,6 +3323,35 @@ FROM l GROUP BY 1, 2
 """
 
 
+def q_anchor_terms(sf_dir: str):
+    """Anchor-text corpus (pages.anchor_term_counts) over the linked
+    synthetic pages: the engine parses every <a href>text</a> pair out
+    of the html (href AND inner text) and counts anchor tokens per
+    TARGET domain; the SQL mirror re-derives the expected (domain,
+    token) multiset from the doc_id link arithmetic, so both the href
+    parse and the anchor-text parse are hash-checked."""
+    from . import pages as _pages
+
+    return _pages.anchor_term_counts(_linked_pages(sf_dir))
+
+
+SQL_ANCHOR_TERMS = """
+WITH l AS (
+  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS j FROM documents
+), e AS (
+  SELECT 'site' || CAST((doc_id * 31 + j * 17) % 50 AS VARCHAR)
+         || '.example' AS dst_domain, j
+  FROM l
+), t AS (
+  SELECT dst_domain, 'ref' AS token FROM e
+  UNION ALL
+  SELECT dst_domain, CAST(j AS VARCHAR) FROM e
+)
+SELECT dst_domain, token, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2
+"""
+
+
 def q_domain_pagerank(sf_dir: str):
     """The CommonCrawl-shaped composition end-to-end: extract the
     hyperlink graph from html (pages.link_edges over the synthetic
@@ -4036,6 +4065,7 @@ def catalog():
         "url_normalize": q_url_normalize,
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_postings": q_doc_postings,
+        "anchor_terms": q_anchor_terms,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -4125,6 +4155,7 @@ def sql_catalog():
         "url_normalize": SQL_URL_NORMALIZE,
         "doc_mixture_sample": SQL_DOC_MIXTURE,
         "doc_postings": SQL_DOC_POSTINGS,
+        "anchor_terms": SQL_ANCHOR_TERMS,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

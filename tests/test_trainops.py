@@ -2060,3 +2060,23 @@ def test_new_shuffle_ops_layout_invariant(docs):
                                   max_df=395).to_pandas()
          .sort_values("token").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_anchor_term_counts_hand_case():
+    from ophois_ray import pages as pageslib
+
+    html = (b'<html><body>'
+            b'<a href="http://b.example/x">buy cheap buy</a>'
+            b'<a href="/rel">skip this</a>'
+            b'<a class="z" href="http://c.example/">c page</a>'
+            b'</body></html>')
+    src = ray.data.from_pandas(pd.DataFrame({
+        "url": ["http://a.example/"], "html": [html]}))
+    out = (pageslib.anchor_term_counts(src, num_buckets=4).to_pandas()
+           .sort_values(["dst_domain", "token"]).reset_index(drop=True))
+    assert out.to_dict("records") == [
+        {"dst_domain": "b.example", "token": "buy", "n": 2},
+        {"dst_domain": "b.example", "token": "cheap", "n": 1},
+        {"dst_domain": "c.example", "token": "c", "n": 1},
+        {"dst_domain": "c.example", "token": "page", "n": 1},
+    ]

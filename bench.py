@@ -109,6 +109,7 @@ BENCH_ROTATE = [
     "doc_mixture_sample",
     "doc_postings",
     "anchor_terms",
+    "domain_reciprocity",
 ]
 BENCH_ROTATE_K = 15
 

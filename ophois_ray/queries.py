@@ -3352,6 +3352,70 @@ FROM t GROUP BY 1, 2
 """
 
 
+def q_domain_reciprocity(sf_dir: str):
+    """Link reciprocity of the extracted domain graph — the mutual-link
+    ratio web-graph studies report: from the directed domain edges,
+    count ordered pairs a->b (a != b, distinct) and how many are
+    reciprocated by b->a. One bucket shuffle on the CANONICAL pair key
+    (min, max): both directions of a pair land in one bucket, so the
+    mutual test is a whole-group drop_duplicates (no self-join). The
+    SQL mirror self-joins the arithmetic edge set."""
+    from . import pages as _pages
+    from .joins import grouped_apply
+
+    dom_edges = _pages.link_edges(_linked_pages(sf_dir))
+
+    def directed(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["src_domain"].str.extract(r"^site(\d+)\.example$")[0]
+             .astype(np.int64).to_numpy())
+        b = (df["dst_domain"].str.extract(r"^site(\d+)\.example$")[0]
+             .astype(np.int64).to_numpy())
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({
+            "u": np.minimum(a, b), "v": np.maximum(a, b),
+            "fwd": (a < b),
+        })
+
+    def pair_stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates()
+               .groupby(["u", "v"], as_index=False)["fwd"].count())
+        n_pairs = np.int64(len(g))
+        n_mutual = np.int64(int((g["fwd"] == 2).sum()))
+        return pd.DataFrame({
+            "n_directed": [np.int64(g["fwd"].sum())],
+            "n_mutual_pairs": [n_mutual],
+            "n_pairs": [n_pairs]})
+
+    stats = grouped_apply(
+        dom_edges.map_batches(directed, batch_format="pandas"),
+        ["u", "v"], pair_stats, num_buckets=8)
+    out = stats.to_pandas()
+    if not len(out):
+        return pd.DataFrame({"n_directed": [0], "n_mutual_pairs": [0],
+                             "n_pairs": [0]}).astype(np.int64)
+    return (out.sum(axis=0).to_frame().T.astype(np.int64)
+            .reset_index(drop=True))
+
+
+SQL_DOMAIN_RECIPROCITY = """
+WITH l AS (
+  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS j FROM documents
+), de AS (
+  SELECT DISTINCT doc_id % 50 AS a, (doc_id * 31 + j * 17) % 50 AS b
+  FROM l WHERE doc_id % 50 != (doc_id * 31 + j * 17) % 50
+), p AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v,
+         CAST(count(*) AS BIGINT) AS deg
+  FROM de GROUP BY 1, 2
+)
+SELECT CAST(sum(deg) AS BIGINT) AS n_directed,
+       CAST(count(*) FILTER (WHERE deg = 2) AS BIGINT) AS n_mutual_pairs,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p
+"""
+
+
 def q_domain_pagerank(sf_dir: str):
     """The CommonCrawl-shaped composition end-to-end: extract the
     hyperlink graph from html (pages.link_edges over the synthetic
@@ -4066,6 +4130,7 @@ def catalog():
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_postings": q_doc_postings,
         "anchor_terms": q_anchor_terms,
+        "domain_reciprocity": q_domain_reciprocity,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -4156,6 +4221,7 @@ def sql_catalog():
         "doc_mixture_sample": SQL_DOC_MIXTURE,
         "doc_postings": SQL_DOC_POSTINGS,
         "anchor_terms": SQL_ANCHOR_TERMS,
+        "domain_reciprocity": SQL_DOMAIN_RECIPROCITY,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

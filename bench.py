@@ -111,6 +111,7 @@ BENCH_ROTATE = [
     "anchor_terms",
     "domain_reciprocity",
     "events_window_hll",
+    "doc_compression_ratio",
 ]
 BENCH_ROTATE_K = 15
 

@@ -2598,6 +2598,18 @@ def q_events_window_hll(sf_dir: str):
     return sketches.hll_registers(w, "user_id", group_cols=["window_id"], b=8)
 
 
+def q_doc_compression_ratio(sf_dir: str):
+    """zlib-deflate compressibility per document
+    (textstats.compression_ratio) — the Gopher/Dolma quality heuristic.
+    No SQL mirror (DEFLATE is not SQL-expressible); integer outputs
+    are deterministic at a fixed level, so the driver's rows-only
+    rerun check holds, and the operator is pinned by a pytest against
+    direct zlib calls."""
+    from . import textstats
+
+    return textstats.compression_ratio(_t(sf_dir, "documents"))
+
+
 def _sql_events_window_hll() -> str:
     from .sketches import oracle_sql_hll
 
@@ -4162,6 +4174,7 @@ def catalog():
         "anchor_terms": q_anchor_terms,
         "domain_reciprocity": q_domain_reciprocity,
         "events_window_hll": q_events_window_hll,
+        "doc_compression_ratio": q_doc_compression_ratio,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -4295,6 +4308,11 @@ def no_oracle_reasons():
             "oracle-checked via events_interarrival, and the grouped "
             "sketch path is gated by a below-capacity exactness pytest "
             "against per-group numpy quantiles"
+        ),
+        "doc_compression_ratio": (
+            "zlib DEFLATE is not SQL-expressible; integer byte counts "
+            "at a fixed level are deterministic (rows-only rerun check "
+            "holds) and pinned by a direct-zlib parity pytest"
         ),
         "minhash_near_dup": (
             "output depends on seeded 64-permutation MinHash band "

@@ -858,3 +858,31 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return grouped_apply(
         ds.map_batches(pairs, batch_format="pandas"),
         "token", build, num_buckets=num_buckets)
+
+
+def compression_ratio(ds, *, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6):
+    """Compression-ratio quality signal (the Gopher/Dolma heuristic:
+    highly compressible text is repetitive boilerplate, incompressible
+    text is noise/binary junk): per document, the raw utf-8 byte count
+    and its zlib-deflate byte count at a fixed ``level``. Integer
+    outputs; zlib at a fixed level is deterministic, so the result is
+    layout/rerun-invariant (the driver's rows-only rerun check holds)
+    even though DEFLATE is not SQL-expressible.
+
+    One fused zero-shuffle pass; compression runs per row (zlib has no
+    batch API) inside an otherwise columnar kernel."""
+    import zlib
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].to_numpy(object)
+        raw = [t.encode("utf-8") if isinstance(t, str) else b"" for t in texts]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "n_bytes": np.array([len(b) for b in raw], dtype=np.int64),
+            "n_zlib": np.array(
+                [len(zlib.compress(b, level)) for b in raw],
+                dtype=np.int64),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")

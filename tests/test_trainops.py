@@ -2110,3 +2110,24 @@ def test_domain_reciprocity_detects_mutual_pairs():
     u, v = np.minimum(ai, bi), np.maximum(ai, bi)
     g = pd.DataFrame({"u": u, "v": v}).groupby(["u", "v"]).size()
     assert (g == 2).sum() == 1  # exactly the 0-1 pair is mutual
+
+
+def test_compression_ratio_matches_direct_zlib(docs):
+    import zlib
+
+    out = (textstats.compression_ratio(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    src = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp_raw = src["text"].str.encode("utf-8").map(len)
+    assert (out["n_bytes"].to_numpy() == exp_raw.to_numpy()).all()
+    k = 17  # spot-check a row against a direct zlib call
+    assert out.loc[k, "n_zlib"] == len(
+        zlib.compress(src.loc[k, "text"].encode("utf-8"), 6))
+    # repetitive word soup really compresses (short docs can pay more
+    # in deflate overhead than they save, so gate on the bulk)
+    assert (out["n_zlib"] < out["n_bytes"]).mean() > 0.9
+    assert (out["n_zlib"] > 0).all()
+    # rerun determinism (the driver's rows-only check)
+    again = (textstats.compression_ratio(docs.repartition(7)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert out.equals(again)

@@ -112,6 +112,7 @@ BENCH_ROTATE = [
     "domain_reciprocity",
     "events_window_hll",
     "doc_compression_ratio",
+    "doc_above_lang_mean",
 ]
 BENCH_ROTATE_K = 15
 

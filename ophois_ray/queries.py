@@ -2598,6 +2598,54 @@ def q_events_window_hll(sf_dir: str):
     return sketches.hll_registers(w, "user_id", group_cols=["window_id"], b=8)
 
 
+def q_doc_above_lang_mean(sf_dir: str):
+    """Group-normalized length filter — keep documents longer than
+    their LANGUAGE's mean length, the per-group quality-cutoff shape.
+    Exact without any float: the comparison ``n_chars > sum/n`` is
+    cross-multiplied to ``n_chars * n > sum`` (pure int64), so the
+    filter is bit-exact against SQL. Two passes: per-batch (lang, sum,
+    n) partials fold to a tiny stats table broadcast into a fused
+    zero-shuffle filter map — the aggregate-then-filter pattern that
+    never shuffles the corpus."""
+    docs = _t(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False)["n_chars"].agg(["sum", "size"])
+        g.columns = ["lang", "s", "n"]
+        return g
+
+    parts = [b for b in docs.map_batches(partial, batch_format="pandas")
+             .iter_batches(batch_format="pandas", batch_size=None)]
+    stats = (pd.concat(parts, ignore_index=True)
+             .groupby("lang", as_index=False)[["s", "n"]].sum())
+    langs = stats["lang"].to_numpy(object)
+    order = np.argsort(langs)
+    langs = langs[order]
+    s = stats["s"].to_numpy(np.int64)[order]
+    n = stats["n"].to_numpy(np.int64)[order]
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        gi = np.clip(np.searchsorted(langs, df["lang"].to_numpy(object)),
+                     0, len(langs) - 1)
+        nc = df["n_chars"].to_numpy(np.int64)
+        return df[nc * n[gi] > s[gi]][["doc_id", "lang", "n_chars"]]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
+SQL_DOC_ABOVE_LANG_MEAN = """
+WITH a AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, n_chars
+FROM documents d JOIN a ON d.lang = a.lang
+WHERE d.n_chars * a.n > a.s
+"""
+
+
 def q_doc_compression_ratio(sf_dir: str):
     """zlib-deflate compressibility per document
     (textstats.compression_ratio) — the Gopher/Dolma quality heuristic.
@@ -4175,6 +4223,7 @@ def catalog():
         "domain_reciprocity": q_domain_reciprocity,
         "events_window_hll": q_events_window_hll,
         "doc_compression_ratio": q_doc_compression_ratio,
+        "doc_above_lang_mean": q_doc_above_lang_mean,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -4267,6 +4316,7 @@ def sql_catalog():
         "anchor_terms": SQL_ANCHOR_TERMS,
         "domain_reciprocity": SQL_DOMAIN_RECIPROCITY,
         "events_window_hll": _sql_events_window_hll(),
+        "doc_above_lang_mean": SQL_DOC_ABOVE_LANG_MEAN,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

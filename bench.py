@@ -113,6 +113,7 @@ BENCH_ROTATE = [
     "events_window_hll",
     "doc_compression_ratio",
     "doc_above_lang_mean",
+    "orders_profile",
 ]
 BENCH_ROTATE_K = 15
 

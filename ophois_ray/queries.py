@@ -2598,6 +2598,43 @@ def q_events_window_hll(sf_dir: str):
     return sketches.hll_registers(w, "user_id", group_cols=["window_id"], b=8)
 
 
+def q_orders_profile(sf_dir: str):
+    """Data-profiling sweep (profiling.profile_table) over orders: per
+    int/string column, row count, null count and min/max in one
+    streaming pass — the pre-ingest audit. SQL mirror is one UNION ALL
+    branch per profiled column with CAST(... AS VARCHAR) min/max."""
+    from .profiling import profile_table
+
+    return profile_table(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"])
+
+
+SQL_ORDERS_PROFILE = """
+SELECT 'o_custkey' AS column, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+       CAST(min(o_custkey) AS VARCHAR) AS min_s,
+       CAST(max(o_custkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderkey) AS BIGINT),
+       CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderpriority) AS BIGINT),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+"""
+
+
 def q_doc_above_lang_mean(sf_dir: str):
     """Group-normalized length filter — keep documents longer than
     their LANGUAGE's mean length, the per-group quality-cutoff shape.
@@ -4224,6 +4261,7 @@ def catalog():
         "events_window_hll": q_events_window_hll,
         "doc_compression_ratio": q_doc_compression_ratio,
         "doc_above_lang_mean": q_doc_above_lang_mean,
+        "orders_profile": q_orders_profile,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -4317,6 +4355,7 @@ def sql_catalog():
         "domain_reciprocity": SQL_DOMAIN_RECIPROCITY,
         "events_window_hll": _sql_events_window_hll(),
         "doc_above_lang_mean": SQL_DOC_ABOVE_LANG_MEAN,
+        "orders_profile": SQL_ORDERS_PROFILE,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

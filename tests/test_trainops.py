@@ -2131,3 +2131,20 @@ def test_compression_ratio_matches_direct_zlib(docs):
     again = (textstats.compression_ratio(docs.repartition(7)).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
     assert out.equals(again)
+
+
+def test_profile_table_typed_fold_and_nulls():
+    from ophois_ray.profiling import profile_table
+
+    # ints whose STRING min would be wrong ("100" < "99"), plus nulls,
+    # split across many blocks to force the cross-batch fold
+    df = pd.DataFrame({
+        "k": list(range(99, 199)),
+        "s": (["b"] * 50 + [None] * 10 + ["a"] * 40),
+    })
+    out = profile_table(ray.data.from_pandas(df).repartition(9))
+    r = out.set_index("column")
+    assert r.loc["k", "min_s"] == "99" and r.loc["k", "max_s"] == "198"
+    assert r.loc["k", "n"] == 100 and r.loc["k", "n_null"] == 0
+    assert r.loc["s", "n_null"] == 10
+    assert r.loc["s", "min_s"] == "a" and r.loc["s", "max_s"] == "b"

@@ -114,6 +114,7 @@ BENCH_ROTATE = [
     "doc_compression_ratio",
     "doc_above_lang_mean",
     "orders_profile",
+    "doc_rank_global",
 ]
 BENCH_ROTATE_K = 15
 

@@ -2598,6 +2598,27 @@ def q_events_window_hll(sf_dir: str):
     return sketches.hll_registers(w, "user_id", group_cols=["window_id"], b=8)
 
 
+def q_doc_rank_global(sf_dir: str):
+    """Distributed global ORDER BY / dense rank (sampling.rank_global,
+    the TeraSort shape): every document's exact position in the total
+    (n_chars, doc_id) order, computed with deterministic sample cut
+    points, range buckets + an offset scan and per-bucket local sorts
+    — no single-node sort anywhere. The SQL mirror is row_number()
+    over the same total order."""
+    from .sampling import rank_global
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    return rank_global(docs, ["n_chars", "doc_id"], num_buckets=16)
+
+
+SQL_DOC_RANK_GLOBAL = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+         AS rank
+FROM documents
+"""
+
+
 def q_orders_profile(sf_dir: str):
     """Data-profiling sweep (profiling.profile_table) over orders: per
     int/string column, row count, null count and min/max in one
@@ -4262,6 +4283,7 @@ def catalog():
         "doc_compression_ratio": q_doc_compression_ratio,
         "doc_above_lang_mean": q_doc_above_lang_mean,
         "orders_profile": q_orders_profile,
+        "doc_rank_global": q_doc_rank_global,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -4356,6 +4378,7 @@ def sql_catalog():
         "events_window_hll": _sql_events_window_hll(),
         "doc_above_lang_mean": SQL_DOC_ABOVE_LANG_MEAN,
         "orders_profile": SQL_ORDERS_PROFILE,
+        "doc_rank_global": SQL_DOC_RANK_GLOBAL,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

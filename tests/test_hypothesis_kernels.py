@@ -116,3 +116,36 @@ def test_pairs_within_runs_matches_naive(rows):
         if grp[i] == grp[j]
     )
     assert got == exp
+
+
+_URL_CHARS = st.text(
+    alphabet="abcz019./?&=#_-%", min_size=0, max_size=30)
+
+
+@given(host=st.from_regex(r"[A-Za-z0-9.-]{1,20}", fullmatch=True),
+       tail=_URL_CHARS,
+       scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]))
+@settings(max_examples=200, deadline=None)
+def test_normalize_url_idempotent(host, tail, scheme):
+    from ophois_ray.pages import normalize_url
+
+    u = f"{scheme}://{host}/{tail}"
+    once = normalize_url(u)
+    if once is None:
+        return
+    again = normalize_url(once)
+    assert again == once  # canonical form is a fixpoint
+
+
+@given(st.text(alphabet="abc .@019-<>EMAILPHONE", max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_pii_scrub_is_a_fixpoint(text):
+    import re as _re
+
+    from ophois_ray.textstats import PII_PATTERNS
+
+    scrubbed = text
+    for _, pat, mask in PII_PATTERNS:
+        scrubbed = _re.sub(pat, mask, scrubbed)
+    for _, pat, _mask in PII_PATTERNS:
+        assert _re.search(pat, scrubbed) is None

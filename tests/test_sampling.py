@@ -143,3 +143,45 @@ def test_mixture_sample_layout_independent_and_fractions():
     # unknown group -> default_num drops everything
     z = mixture_sample(ray.data.from_pandas(df), "id", "g", {"zzz": 10000})
     assert z.count() == 0
+
+
+def test_rank_global_exact_and_layout_independent():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ophois_ray.sampling import rank_global
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        # heavy ties so per-bucket order must fall back to id
+        "k": rng.integers(0, 40, n).astype(np.int64),
+    })
+    exp = df.sort_values(["k", "id"]).reset_index(drop=True)
+    exp["rank"] = np.arange(n, dtype=np.int64)
+    for parts in (1, 17):
+        src = ray.data.from_pandas(df)
+        if parts > 1:
+            src = src.repartition(parts)
+        got = (rank_global(src, ["k", "id"], num_buckets=8)
+               .to_pandas().sort_values("rank").reset_index(drop=True))
+        assert got[["id", "k", "rank"]].equals(exp[["id", "k", "rank"]])
+
+
+def test_rank_global_tiny_and_empty_sample():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ophois_ray.sampling import rank_global
+
+    # 3 rows: the deterministic sample is almost surely empty ->
+    # single bucket, still exact
+    df = pd.DataFrame({"id": np.array([7, 3, 5], dtype=np.int64),
+                       "k": np.array([1, 1, 0], dtype=np.int64)})
+    got = (rank_global(ray.data.from_pandas(df), ["k", "id"])
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+    assert got["id"].tolist() == [5, 3, 7]
+    assert got["rank"].tolist() == [0, 1, 2]

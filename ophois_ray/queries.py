@@ -2675,8 +2675,13 @@ def q_doc_above_lang_mean(sf_dir: str):
 
     parts = [b for b in docs.map_batches(partial, batch_format="pandas")
              .iter_batches(batch_format="pandas", batch_size=None)]
-    stats = (pd.concat(parts, ignore_index=True)
-             .groupby("lang", as_index=False)[["s", "n"]].sum())
+    if parts:
+        stats = (pd.concat(parts, ignore_index=True)
+                 .groupby("lang", as_index=False)[["s", "n"]].sum())
+    else:
+        stats = pd.DataFrame({"lang": pd.Series(dtype=object),
+                              "s": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
     langs = stats["lang"].to_numpy(object)
     order = np.argsort(langs)
     langs = langs[order]
@@ -2684,10 +2689,17 @@ def q_doc_above_lang_mean(sf_dir: str):
     n = stats["n"].to_numpy(np.int64)[order]
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        gi = np.clip(np.searchsorted(langs, df["lang"].to_numpy(object)),
-                     0, len(langs) - 1)
+        cols = ["doc_id", "lang", "n_chars"]
+        g = df["lang"].to_numpy(object)
+        # null langs have no stats group (groupby dropna, same as the
+        # SQL inner join) — drop them instead of searchsorted on None
+        known = ~pd.isna(g)
+        if not len(langs) or not known.any():
+            return df.iloc[:0][cols]
+        df = df[known]
+        gi = np.clip(np.searchsorted(langs, g[known]), 0, len(langs) - 1)
         nc = df["n_chars"].to_numpy(np.int64)
-        return df[nc * n[gi] > s[gi]][["doc_id", "lang", "n_chars"]]
+        return df[nc * n[gi] > s[gi]][cols]
 
     return docs.map_batches(keep, batch_format="pandas")
 
@@ -3509,9 +3521,15 @@ def q_domain_reciprocity(sf_dir: str):
     mutual test is a whole-group drop_duplicates (no self-join). The
     SQL mirror self-joins the arithmetic edge set."""
     from . import pages as _pages
-    from .joins import grouped_apply
 
-    dom_edges = _pages.link_edges(_linked_pages(sf_dir))
+    return reciprocity_from_domain_edges(
+        _pages.link_edges(_linked_pages(sf_dir)))
+
+
+def reciprocity_from_domain_edges(dom_edges):
+    """Reciprocity kernel over a (src_domain, dst_domain, n_links)
+    edge Dataset (see q_domain_reciprocity for the shape rationale)."""
+    from .joins import grouped_apply
 
     def directed(df: pd.DataFrame) -> pd.DataFrame:
         a = (df["src_domain"].str.extract(r"^site(\d+)\.example$")[0]

@@ -467,23 +467,28 @@ def rank_global(ds, key_cols, *, num_buckets: int = 64,
             bucket += lt
         return bucket
 
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__rb"] = bucket_of(df)
+        return df
+
+    # bucket ONCE and materialize: the count pass and the rank shuffle
+    # both consume this — a lazy dataset would re-execute the upstream
+    # (and the O(cuts x rows) bucket kernel) per consumer
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas").materialize()
+
     def count_pass(df: pd.DataFrame) -> pd.DataFrame:
-        b = bucket_of(df)
-        u, c = np.unique(b, return_counts=True)
+        u, c = np.unique(df["__rb"].to_numpy(np.int64), return_counts=True)
         return pd.DataFrame({"b": u.astype(np.int64),
                              "cnt": c.astype(np.int64)})
 
-    cparts = [p for p in ds.map_batches(count_pass, batch_format="pandas")
+    cparts = [p for p in bucketed.select_columns(["__rb"])
+              .map_batches(count_pass, batch_format="pandas")
               .iter_batches(batch_format="pandas", batch_size=None)]
     counts = np.zeros(max(len(cuts) + 1, 1), dtype=np.int64)
     for p in cparts:
         np.add.at(counts, p["b"].to_numpy(), p["cnt"].to_numpy())
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__rb"] = bucket_of(df)
-        return df
 
     def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # a hash bucket may hold SEVERAL range buckets — rank each
@@ -506,5 +511,5 @@ def rank_global(ds, key_cols, *, num_buckets: int = 64,
     # bucket are positional); grouped_apply's hash partition guarantees
     # exactly that per __rb value
     return grouped_apply(
-        ds.map_batches(add_bucket, batch_format="pandas"),
-        "__rb", rank_bucket, num_buckets=max(num_buckets, len(cuts) + 1))
+        bucketed, "__rb", rank_bucket,
+        num_buckets=max(num_buckets, len(cuts) + 1))

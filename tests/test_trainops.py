@@ -2084,10 +2084,10 @@ def test_anchor_term_counts_hand_case():
 
 def test_domain_reciprocity_detects_mutual_pairs():
     # the sf corpus' link arithmetic yields no mutual pairs (SQL mirror
-    # proves that); pin the mutual branch on a hand-built page set
+    # proves that); pin the mutual branch by running the ACTUAL kernel
+    # on a hand-built page set
     from ophois_ray import pages as pageslib
-    from ophois_ray.joins import grouped_apply
-    from ophois_ray.queries import q_domain_reciprocity  # noqa: F401
+    from ophois_ray.queries import reciprocity_from_domain_edges
 
     html = {
         0: b'<a href="http://site1.example/x">f</a>',
@@ -2099,17 +2099,12 @@ def test_domain_reciprocity_detects_mutual_pairs():
         "url": [f"http://site{k}.example/p" for k in html],
         "html": list(html.values()),
     }))
-    edges = pageslib.link_edges(src, num_buckets=4).to_pandas()
-    # 0<->1 mutual; 1->2 and 2->9 one-way
-    a = edges.set_index(["src_domain", "dst_domain"])["n_links"]
-    assert a[("site0.example", "site1.example")] == 1
-    assert a[("site1.example", "site0.example")] == 1
-    import numpy as np
-    ai = edges["src_domain"].str.extract(r"site(\d+)")[0].astype(np.int64)
-    bi = edges["dst_domain"].str.extract(r"site(\d+)")[0].astype(np.int64)
-    u, v = np.minimum(ai, bi), np.maximum(ai, bi)
-    g = pd.DataFrame({"u": u, "v": v}).groupby(["u", "v"]).size()
-    assert (g == 2).sum() == 1  # exactly the 0-1 pair is mutual
+    edges = pageslib.link_edges(src, num_buckets=4)
+    out = reciprocity_from_domain_edges(edges)
+    # directed: 0->1, 1->0, 1->2, 2->9 = 4; pairs: {0,1},{1,2},{2,9};
+    # mutual: exactly {0,1}
+    assert out.to_dict("records") == [
+        {"n_directed": 4, "n_mutual_pairs": 1, "n_pairs": 3}]
 
 
 def test_compression_ratio_matches_direct_zlib(docs):
@@ -2138,6 +2133,8 @@ def test_profile_table_typed_fold_and_nulls():
 
     # ints whose STRING min would be wrong ("100" < "99"), plus nulls,
     # split across many blocks to force the cross-batch fold
+    import pyarrow as pa
+
     df = pd.DataFrame({
         "k": list(range(99, 199)),
         "s": (["b"] * 50 + [None] * 10 + ["a"] * 40),
@@ -2148,3 +2145,11 @@ def test_profile_table_typed_fold_and_nulls():
     assert r.loc["k", "n"] == 100 and r.loc["k", "n_null"] == 0
     assert r.loc["s", "n_null"] == 10
     assert r.loc["s", "min_s"] == "a" and r.loc["s", "max_s"] == "b"
+    # int column WITH nulls: must stay integer-profiled (the Arrow
+    # int64-with-nulls -> float64 pandas degrade must not skip it)
+    t = pa.table({"j": pa.array([100, None, 99, None, 150],
+                                type=pa.int64())})
+    out2 = profile_table(ray.data.from_arrow(t).repartition(3))
+    r2 = out2.set_index("column")
+    assert r2.loc["j", "n"] == 5 and r2.loc["j", "n_null"] == 2
+    assert r2.loc["j", "min_s"] == "99" and r2.loc["j", "max_s"] == "150"

@@ -115,6 +115,7 @@ BENCH_ROTATE = [
     "doc_above_lang_mean",
     "orders_profile",
     "doc_rank_global",
+    "doc_len_ntile",
 ]
 BENCH_ROTATE_K = 15
 

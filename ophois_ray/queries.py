@@ -2619,6 +2619,26 @@ FROM documents
 """
 
 
+def q_doc_len_ntile(sf_dir: str):
+    """Global quartile bucketing by length (sampling.ntile_global):
+    tile = rank * 4 // n over the exact distributed total order —
+    the curriculum/difficulty-tier assignment, integer-exact."""
+    from .sampling import ntile_global
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    return ntile_global(docs, ["n_chars", "doc_id"], 4, num_buckets=16)
+
+
+SQL_DOC_LEN_NTILE = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+         AS rank,
+       CAST(((row_number() OVER (ORDER BY n_chars, doc_id) - 1) * 4)
+            // (SELECT count(*) FROM documents) AS BIGINT) AS tile
+FROM documents
+"""
+
+
 def q_orders_profile(sf_dir: str):
     """Data-profiling sweep (profiling.profile_table) over orders: per
     int/string column, row count, null count and min/max in one
@@ -4302,6 +4322,7 @@ def catalog():
         "doc_above_lang_mean": q_doc_above_lang_mean,
         "orders_profile": q_orders_profile,
         "doc_rank_global": q_doc_rank_global,
+        "doc_len_ntile": q_doc_len_ntile,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -4397,6 +4418,7 @@ def sql_catalog():
         "doc_above_lang_mean": SQL_DOC_ABOVE_LANG_MEAN,
         "orders_profile": SQL_ORDERS_PROFILE,
         "doc_rank_global": SQL_DOC_RANK_GLOBAL,
+        "doc_len_ntile": SQL_DOC_LEN_NTILE,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

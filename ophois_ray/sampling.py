@@ -513,3 +513,22 @@ def rank_global(ds, key_cols, *, num_buckets: int = 64,
     return grouped_apply(
         bucketed, "__rb", rank_bucket,
         num_buckets=max(num_buckets, len(cuts) + 1))
+
+
+def ntile_global(ds, key_cols, k: int, *, num_buckets: int = 64,
+                 sample_denom: int = 16):
+    """Global k-quantile bucketing (curriculum / difficulty tiers):
+    tile = rank * k // n over the exact total order from
+    :func:`rank_global` — integer arithmetic, so tiles are bit-exact
+    against SQL ``(row_number() - 1) * k // n`` and every tile has
+    floor/ceil(n/k) rows."""
+    ranked = rank_global(ds, key_cols, num_buckets=num_buckets,
+                         sample_denom=sample_denom).materialize()
+    n = ranked.count()
+
+    def tile(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["tile"] = (df["rank"].to_numpy(np.int64) * k) // max(n, 1)
+        return df
+
+    return ranked.map_batches(tile, batch_format="pandas")

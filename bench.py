@@ -116,6 +116,7 @@ BENCH_ROTATE = [
     "orders_profile",
     "doc_rank_global",
     "doc_len_ntile",
+    "events_retention",
 ]
 BENCH_ROTATE_K = 15
 

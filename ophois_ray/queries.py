@@ -2736,6 +2736,66 @@ WHERE d.n_chars * a.n > a.s
 """
 
 
+def q_events_retention(sf_dir: str):
+    """Daily retention cohorts — the product-analytics staple: cohort
+    a user by their FIRST active day, then count distinct users of
+    each cohort active at each day offset. One user-bucket shuffle
+    (a user's whole history lands in one bucket, so first-day and
+    per-day distinctness are exact there) emits pre-aggregated
+    (cohort, offset, users) partials; disjoint user sets make the
+    final per-pair sum exact. Integer day ids (epoch_ms // 86400000,
+    non-negative so floor == SQL trunc division)."""
+    from .joins import grouped_apply
+
+    ev = _t(sf_dir, "events").select_columns(["user_id", "ts"])
+
+    def weeks(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "w": ((us // 1000) // 86400000).astype(np.int64),
+        }).drop_duplicates()
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        cw = df.groupby("user_id")["w"].transform("min")
+        out = pd.DataFrame({
+            "cohort_day": cw.to_numpy(np.int64),
+            "offset_d": (df["w"] - cw).to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+        }).drop_duplicates()
+        g = (out.groupby(["cohort_day", "offset_d"], as_index=False)
+             .agg(n_users=("user_id", "size")))
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    partials = grouped_apply(
+        ev.map_batches(weeks, batch_format="pandas"),
+        "user_id", per_user, num_buckets=32)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["cohort_day", "offset_d"], as_index=False)
+             ["n_users"].sum())
+        return g.astype(np.int64)
+
+    return grouped_apply(partials, ["cohort_day", "offset_d"], merge,
+                         num_buckets=8)
+
+
+SQL_EVENTS_RETENTION = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS w FROM events
+), c AS (
+  SELECT user_id, min(w) AS cw FROM d GROUP BY user_id
+)
+SELECT CAST(c.cw AS BIGINT) AS cohort_day,
+       CAST(d.w - c.cw AS BIGINT) AS offset_d,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_doc_compression_ratio(sf_dir: str):
     """zlib-deflate compressibility per document
     (textstats.compression_ratio) — the Gopher/Dolma quality heuristic.
@@ -4323,6 +4383,7 @@ def catalog():
         "orders_profile": q_orders_profile,
         "doc_rank_global": q_doc_rank_global,
         "doc_len_ntile": q_doc_len_ntile,
+        "events_retention": q_events_retention,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -4419,6 +4480,7 @@ def sql_catalog():
         "orders_profile": SQL_ORDERS_PROFILE,
         "doc_rank_global": SQL_DOC_RANK_GLOBAL,
         "doc_len_ntile": SQL_DOC_LEN_NTILE,
+        "events_retention": SQL_EVENTS_RETENTION,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

@@ -117,6 +117,7 @@ BENCH_ROTATE = [
     "doc_rank_global",
     "doc_len_ntile",
     "events_retention",
+    "q6_revenue_cents",
 ]
 BENCH_ROTATE_K = 15
 

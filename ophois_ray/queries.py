@@ -2736,6 +2736,56 @@ WHERE d.n_chars * a.n > a.s
 """
 
 
+def q_q6_revenue_cents(sf_dir: str):
+    """TPC-H Q6 (forecast revenue) with the integer-cents trick: both
+    float columns quantize by floor(x * 100) — multiplication by 100
+    and floor are correctly rounded identically in numpy and DuckDB —
+    so revenue sums as pure int64 (order-free, layout-free) instead of
+    an unmirrorable float reduction. Filters fuse with the pruned
+    read; one scalar partial per batch; per-year grouping keeps the
+    output a small frame."""
+    li = _t(sf_dir, "lineitem").select_columns(
+        ["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        year = pd.to_datetime(df["l_shipdate"]).dt.year.to_numpy(np.int64)
+        disc = df["l_discount"].to_numpy(np.float64)
+        qty = df["l_quantity"].to_numpy(np.float64)
+        keep = (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
+        pc = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)[keep] * 100.0
+        ).astype(np.int64)
+        dc = np.floor(disc[keep] * 100.0).astype(np.int64)
+        out = pd.DataFrame({"year": year[keep], "rev": pc * dc})
+        g = out.groupby("year", as_index=False)["rev"].sum()
+        g["n"] = (out.groupby("year", as_index=False).size()["size"]
+                  .astype(np.int64))
+        return g.astype(np.int64)
+
+    parts = [b for b in li.map_batches(partial, batch_format="pandas")
+             .iter_batches(batch_format="pandas", batch_size=None)]
+    if not parts:
+        return pd.DataFrame({"year": pd.Series(dtype=np.int64),
+                             "rev": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64)})
+    out = (pd.concat(parts, ignore_index=True)
+           .groupby("year", as_index=False)[["rev", "n"]].sum()
+           .astype(np.int64))
+    return out.sort_values("year", ignore_index=True)
+
+
+SQL_Q6_REVENUE = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS rev,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+GROUP BY 1
+"""
+
+
 def q_events_retention(sf_dir: str):
     """Daily retention cohorts — the product-analytics staple: cohort
     a user by their FIRST active day, then count distinct users of
@@ -4384,6 +4434,7 @@ def catalog():
         "doc_rank_global": q_doc_rank_global,
         "doc_len_ntile": q_doc_len_ntile,
         "events_retention": q_events_retention,
+        "q6_revenue_cents": q_q6_revenue_cents,
         "doc_packing": q_doc_packing,
         "training_prep": q_training_prep,
         "part_skyline": q_part_skyline,
@@ -4481,6 +4532,7 @@ def sql_catalog():
         "doc_rank_global": SQL_DOC_RANK_GLOBAL,
         "doc_len_ntile": SQL_DOC_LEN_NTILE,
         "events_retention": SQL_EVENTS_RETENTION,
+        "q6_revenue_cents": SQL_Q6_REVENUE,
         "doc_packing": SQL_DOC_PACKING,
         "training_prep": SQL_TRAINING_PREP,
         "part_skyline": SQL_PART_SKYLINE,

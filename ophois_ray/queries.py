@@ -35,8 +35,10 @@ RES_ASSIGN = 12
 RES_JOIN = 6
 
 
-def _t(sf_dir: str, name: str):
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _t(sf_dir: str, name: str, columns: list | None = None):
+    # columns= prunes at the SCAN (select_columns doesn't push down)
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
 def _coords_from_key(k: np.ndarray, a: int, b: int):
@@ -2741,25 +2743,26 @@ def q_q6_revenue_cents(sf_dir: str):
     float columns quantize by floor(x * 100) — multiplication by 100
     and floor are correctly rounded identically in numpy and DuckDB —
     so revenue sums as pure int64 (order-free, layout-free) instead of
-    an unmirrorable float reduction. Filters fuse with the pruned
-    read; one scalar partial per batch; per-year grouping keeps the
-    output a small frame."""
-    li = _t(sf_dir, "lineitem").select_columns(
-        ["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"])
+    an unmirrorable float reduction. The 4-column read is pruned at
+    the SCAN (columns= — select_columns doesn't push down); filters
+    run before the datetime conversion; one small per-year partial
+    per batch."""
+    li = _t(sf_dir, "lineitem", columns=[
+        "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        year = pd.to_datetime(df["l_shipdate"]).dt.year.to_numpy(np.int64)
         disc = df["l_discount"].to_numpy(np.float64)
         qty = df["l_quantity"].to_numpy(np.float64)
         keep = (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
+        df = df[keep]
+        year = pd.to_datetime(df["l_shipdate"]).dt.year.to_numpy(np.int64)
         pc = np.floor(
-            df["l_extendedprice"].to_numpy(np.float64)[keep] * 100.0
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0
         ).astype(np.int64)
         dc = np.floor(disc[keep] * 100.0).astype(np.int64)
-        out = pd.DataFrame({"year": year[keep], "rev": pc * dc})
-        g = out.groupby("year", as_index=False)["rev"].sum()
-        g["n"] = (out.groupby("year", as_index=False).size()["size"]
-                  .astype(np.int64))
+        out = pd.DataFrame({"year": year, "rev": pc * dc})
+        g = out.groupby("year", as_index=False).agg(
+            rev=("rev", "sum"), n=("rev", "size"))
         return g.astype(np.int64)
 
     parts = [b for b in li.map_batches(partial, batch_format="pandas")
@@ -2797,21 +2800,21 @@ def q_events_retention(sf_dir: str):
     non-negative so floor == SQL trunc division)."""
     from .joins import grouped_apply
 
-    ev = _t(sf_dir, "events").select_columns(["user_id", "ts"])
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
 
-    def weeks(df: pd.DataFrame) -> pd.DataFrame:
+    def days(df: pd.DataFrame) -> pd.DataFrame:
         us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
         return pd.DataFrame({
             "user_id": df["user_id"].to_numpy(np.int64),
-            "w": ((us // 1000) // 86400000).astype(np.int64),
+            "day": ((us // 1000) // 86400000).astype(np.int64),
         }).drop_duplicates()
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates()
-        cw = df.groupby("user_id")["w"].transform("min")
+        cd = df.groupby("user_id")["day"].transform("min")
         out = pd.DataFrame({
-            "cohort_day": cw.to_numpy(np.int64),
-            "offset_d": (df["w"] - cw).to_numpy(np.int64),
+            "cohort_day": cd.to_numpy(np.int64),
+            "offset_d": (df["day"] - cd).to_numpy(np.int64),
             "user_id": df["user_id"].to_numpy(np.int64),
         }).drop_duplicates()
         g = (out.groupby(["cohort_day", "offset_d"], as_index=False)
@@ -2820,26 +2823,31 @@ def q_events_retention(sf_dir: str):
         return g
 
     partials = grouped_apply(
-        ev.map_batches(weeks, batch_format="pandas"),
+        ev.map_batches(days, batch_format="pandas"),
         "user_id", per_user, num_buckets=32)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby(["cohort_day", "offset_d"], as_index=False)
-             ["n_users"].sum())
-        return g.astype(np.int64)
-
-    return grouped_apply(partials, ["cohort_day", "offset_d"], merge,
-                         num_buckets=8)
+    # final merge is a pure int64 semigroup over <= buckets x pairs
+    # tiny rows — fold on the driver, don't pay a second shuffle
+    parts = [b for b in partials.iter_batches(batch_format="pandas",
+                                              batch_size=None)]
+    if not parts:
+        return pd.DataFrame({"cohort_day": pd.Series(dtype=np.int64),
+                             "offset_d": pd.Series(dtype=np.int64),
+                             "n_users": pd.Series(dtype=np.int64)})
+    out = (pd.concat(parts, ignore_index=True)
+           .groupby(["cohort_day", "offset_d"], as_index=False)
+           ["n_users"].sum().astype(np.int64))
+    return out.sort_values(["cohort_day", "offset_d"], ignore_index=True)
 
 
 SQL_EVENTS_RETENTION = """
 WITH d AS (
-  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS w FROM events
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
 ), c AS (
-  SELECT user_id, min(w) AS cw FROM d GROUP BY user_id
+  SELECT user_id, min(day) AS cd FROM d GROUP BY user_id
 )
-SELECT CAST(c.cw AS BIGINT) AS cohort_day,
-       CAST(d.w - c.cw AS BIGINT) AS offset_d,
+SELECT CAST(c.cd AS BIGINT) AS cohort_day,
+       CAST(d.day - c.cd AS BIGINT) AS offset_d,
        CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
 FROM d JOIN c USING (user_id)
 GROUP BY 1, 2

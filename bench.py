@@ -118,6 +118,7 @@ BENCH_ROTATE = [
     "doc_len_ntile",
     "events_retention",
     "q6_revenue_cents",
+    "semdedup",
 ]
 BENCH_ROTATE_K = 15
 

@@ -1380,3 +1380,140 @@ def dup_ngram_counts(docs, *, n: int = 4, num_buckets: int = 64,
 
     return grouped_apply(partials, "doc_id", merge,
                          num_buckets=max(4, num_buckets // 8))
+
+
+# ---------------------------------------------------------------- semdedup
+
+
+def quantize_embeddings(vecs: np.ndarray, shift: int = 12) -> np.ndarray:
+    """floor(x * 2^shift) int64 quantization — identically rounded in
+    numpy and DuckDB (``CAST(floor(CAST(x AS DOUBLE) * 2^shift) AS
+    BIGINT)``), the exactness bridge every integer-mirrored embedding
+    operator here rides on."""
+    return np.floor(
+        vecs.astype(np.float64) * np.float64(float(1 << shift))
+    ).astype(np.int64)
+
+
+def semdedup_removals(
+    ds,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    shift: int = 12,
+    t_num: int = 81,
+    t_den: int = 100,
+    cluster_cap: int = 500_000,
+    chunk: int = 4096,
+    num_buckets: int = 16,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every
+    embedding to its nearest centroid, then within each cluster
+    remove all but the lowest-id member of every cosine-near-duplicate
+    set. Integer-exact variant: vectors are floor-quantized to int64
+    (``quantize_embeddings``), cluster = argmax centroid dot product
+    (ties -> lowest centroid index), and ``cos(a,b) >= sqrt(t_num/t_den)``
+    is evaluated as ``dot > 0 AND dot^2 * t_den >= t_num * |a|^2 |b|^2``
+    — every op exact in both numpy int64 and DuckDB BIGINT/HUGEINT, so
+    the removal set is SQL-hash-checkable bit-for-bit (unlike the float
+    LSH path ``embedding_near_dup_pairs``).
+
+    Removal rule (mirrors the paper's keep-one-per-dup-group policy in
+    its SQL-expressible form): drop b iff some a < b in the same
+    cluster is near-duplicate with b; ``dup_of`` is the smallest such a.
+
+    Scale shape: centroid matrix broadcast once (C x d int64 in the
+    task closure), assignment + quantization fused with the read; ONE
+    cluster-bucket shuffle of the quantized vectors (8B*d/row); each
+    cluster's pairwise pass is a chunked exact matmul (memory O(g *
+    chunk), the per-cluster work O(g^2/C^2 * corpus^2) is SemDeDup's
+    own cost model — clusters are corpus/C sized, C grows with the
+    corpus). ``cluster_cap`` guards the quadratic loudly.
+
+    Exactness bound (documented, asserted): with unit-norm inputs and
+    |x| <= 0.5, |q| <= 2^(shift-1), norms <= d * 2^(2shift-2); for
+    d=64, shift=12 every product below stays under 2^62 and float64
+    matmul partial sums stay under 2^53 (exact), verified by the
+    parity pytest against a brute-force python oracle.
+    """
+    cent = np.ascontiguousarray(centroids, dtype=np.int64)
+    dim = cent.shape[1]
+    from .joins import grouped_apply
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype=np.int64),
+                "cluster": pd.Series(dtype=np.int64),
+                "nrm": pd.Series(dtype=np.int64),
+                "qb": pd.Series(dtype=object),
+            })
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        q = quantize_embeddings(vecs, shift)
+        # float64 matmul is exact here: every partial sum < 2^53
+        dots = np.rint(q.astype(np.float64) @ cent.T.astype(np.float64)
+                       ).astype(np.int64)
+        cl = np.argmax(dots, axis=1).astype(np.int64)  # first max = lowest id
+        nrm = np.einsum("ij,ij->i", q, q)
+        return pd.DataFrame({
+            "vec_id": df[id_col].to_numpy(np.int64),
+            "cluster": cl,
+            "nrm": nrm,
+            "qb": [row.tobytes() for row in q],
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_cl, out_dup = [], [], []
+        for cl, g in df.groupby("cluster"):
+            g = g.sort_values("vec_id")
+            n = len(g)
+            if n < 2:
+                continue
+            if n > cluster_cap:
+                raise ValueError(
+                    f"semdedup cluster {cl} has {n} rows > cluster_cap="
+                    f"{cluster_cap}; raise n_centroids (SemDeDup sizes "
+                    "clusters ~corpus/C) or the cap")
+            Q = np.frombuffer(
+                b"".join(g["qb"].to_list()), dtype=np.int64
+            ).reshape(n, dim)
+            Qf = Q.astype(np.float64)
+            ids = g["vec_id"].to_numpy(np.int64)
+            nrm = g["nrm"].to_numpy(np.int64)
+            removed = np.zeros(n, dtype=bool)
+            dup_of = np.zeros(n, dtype=np.int64)
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                # exact: partial sums < 2^53
+                G = np.rint(Qf @ Qf[lo:hi].T).astype(np.int64)
+                pred = (G > 0) & (
+                    G * G * np.int64(t_den)
+                    >= np.int64(t_num) * nrm[:, None] * nrm[None, lo:hi]
+                )
+                # strict upper triangle: row index < column index
+                pred &= np.arange(n)[:, None] < np.arange(lo, hi)[None, :]
+                hit = pred.any(axis=0)
+                first = pred.argmax(axis=0)
+                removed[lo:hi][hit] = True
+                dup_of[lo:hi][hit] = ids[first[hit]]
+            out_id.append(ids[removed])
+            out_cl.append(np.full(int(removed.sum()), cl, dtype=np.int64))
+            out_dup.append(dup_of[removed])
+        if not out_id:
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype=np.int64),
+                "cluster": pd.Series(dtype=np.int64),
+                "dup_of": pd.Series(dtype=np.int64),
+            })
+        return pd.DataFrame({
+            "vec_id": np.concatenate(out_id),
+            "cluster": np.concatenate(out_cl),
+            "dup_of": np.concatenate(out_dup),
+        })
+
+    return grouped_apply(assigned, "cluster", per_bucket,
+                         num_buckets=num_buckets)

@@ -4356,6 +4356,103 @@ FROM o GROUP BY lang
 """
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (cluster embeddings, then drop within-cluster cosine
+    near-duplicates; dedup.semdedup_removals) in its integer-exact
+    form: floor-quantized int64 vectors, argmax-centroid assignment
+    (centroids = the 8 lowest vec_ids), and the cosine >= 0.9 test
+    evaluated as dot>0 AND dot^2*100 >= 81*|a|^2|b|^2 — every op exact
+    in both numpy and DuckDB, so the removal set is hash-checkable.
+
+    Near-duplicates are PLANTED (vec_id < 40 re-enters at id+1e6 with
+    embedding[0] += 0.05): natural random pairs top out near cosine
+    0.6, so the raw table would make the removal set vacuously empty.
+    The perturbation is float64-identical on both sides (engine numpy
+    add, SQL CAST(... AS DOUBLE) + CAST('0.05' AS DOUBLE)), and the
+    quantized predicate decides identically by construction — unlike
+    the float LSH query (embedding_near_dup) this one also checks the
+    clustering."""
+    from . import dedup as _dedup
+
+    emb = _t(sf_dir, "embeddings")
+    cdf = (
+        emb.map_batches(lambda df: df[df["vec_id"] < 8],
+                        batch_format="pandas")
+        .to_pandas().sort_values("vec_id")
+    )
+    cvecs = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in cdf["embedding"]])
+    cent = _dedup.quantize_embeddings(cvecs, 12)
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(np.int64)
+        vecs = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in df["embedding"]])
+        m = ids < 40
+        dvec = vecs[m].copy()
+        dvec[:, 0] = dvec[:, 0] + np.float64(0.05)
+        return pd.DataFrame({
+            "vec_id": np.concatenate([ids, ids[m] + 1_000_000]),
+            "embedding": list(vecs) + list(dvec),
+        })
+
+    planted = emb.map_batches(plant, batch_format="pandas")
+    return _dedup.semdedup_removals(
+        planted, cent, shift=12, t_num=81, t_den=100)
+
+
+SQL_SEMDEDUP = """
+WITH planted AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_concat(
+           [CAST(embedding[1] AS DOUBLE) + CAST('0.05' AS DOUBLE)],
+           list_transform(list_slice(embedding, 2, len(embedding)),
+                          x -> CAST(x AS DOUBLE))) AS e
+  FROM embeddings WHERE vec_id < 40
+), q AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 4096.0) AS BIGINT)) AS qv
+  FROM planted
+), qn AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM q
+), cent AS (
+  SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8
+), dots AS (
+  SELECT qn.vec_id, cent.cid,
+         CAST(list_sum(list_transform(list_zip(qn.qv, cent.cv),
+              p -> p[1] * p[2])) AS BIGINT) AS dot
+  FROM qn CROSS JOIN cent
+), clus AS (
+  SELECT vec_id, cid AS cluster
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cid ASC) AS rn
+        FROM dots)
+  WHERE rn = 1
+), pairs AS (
+  SELECT b.vec_id AS idb, ca.cluster AS cluster, a.vec_id AS ida,
+         CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+              p -> p[1] * p[2])) AS BIGINT) AS dot,
+         a.nrm AS na, b.nrm AS nb
+  FROM qn a
+  JOIN clus ca ON a.vec_id = ca.vec_id
+  JOIN clus cb ON ca.cluster = cb.cluster
+  JOIN qn b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+)
+SELECT CAST(idb AS BIGINT) AS vec_id,
+       CAST(min(cluster) AS BIGINT) AS cluster,
+       CAST(min(ida) AS BIGINT) AS dup_of
+FROM pairs
+WHERE dot > 0 AND dot * dot * 100 >= 81 * na * nb
+GROUP BY idb
+"""
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -4461,6 +4558,7 @@ def catalog():
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
+        "semdedup": q_semdedup,
     }
 
 
@@ -4555,6 +4653,7 @@ def sql_catalog():
         "doc_token_count_bpe": _sql_doc_token_count_bpe(),
         "corpus_curation": SQL_CORPUS_CURATION,
         "median_chars_by_lang": SQL_MEDIAN_CHARS_BY_LANG,
+        "semdedup": SQL_SEMDEDUP,
     }
 
 

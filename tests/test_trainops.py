@@ -2153,3 +2153,50 @@ def test_profile_table_typed_fold_and_nulls():
     r2 = out2.set_index("column")
     assert r2.loc["j", "n"] == 5 and r2.loc["j", "n_null"] == 2
     assert r2.loc["j", "min_s"] == "99" and r2.loc["j", "max_s"] == "150"
+
+
+def test_semdedup_matches_bruteforce_oracle(embeds):
+    """semdedup_removals vs an O(n^2) python oracle on the real table
+    (+ planted near-dups), plus layout invariance and the chunked
+    matmul path (chunk smaller than every cluster)."""
+    df = embeds.to_pandas()
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in df["embedding"]])
+    ids = df["vec_id"].to_numpy(np.int64)
+    m = ids < 25
+    dup = vecs[m].copy()
+    dup[:, 0] += np.float64(0.05)
+    allv = np.vstack([vecs, dup])
+    allid = np.concatenate([ids, ids[m] + 1_000_000])
+
+    q = dedup.quantize_embeddings(allv, 12)
+    cent_order = np.argsort(allid[allid < 8])
+    cent = q[allid < 8][cent_order]
+    cl = np.argmax(q @ cent.T, axis=1)
+    nrm = np.einsum("ij,ij->i", q, q)
+    order = np.argsort(allid)
+    expected = {}
+    for b_pos in order:
+        for a_pos in order:
+            if allid[a_pos] >= allid[b_pos] or cl[a_pos] != cl[b_pos]:
+                continue
+            dot = int(q[a_pos] @ q[b_pos])
+            if dot > 0 and dot * dot * 100 >= 81 * int(nrm[a_pos]) * int(nrm[b_pos]):
+                if allid[b_pos] not in expected:
+                    expected[int(allid[b_pos])] = (int(cl[b_pos]),
+                                                   int(allid[a_pos]))
+    planted = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": allid, "embedding": list(allv)}))
+    got = dedup.semdedup_removals(
+        planted, cent, shift=12, t_num=81, t_den=100
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == len(expected) > 0
+    for _, r in got.iterrows():
+        c, a = expected[int(r["vec_id"])]
+        assert int(r["cluster"]) == c and int(r["dup_of"]) == a
+    # layout invariance + forced chunking
+    got2 = dedup.semdedup_removals(
+        planted.repartition(7), cent, shift=12, t_num=81, t_den=100,
+        chunk=16,
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got2)

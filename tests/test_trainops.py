@@ -1947,12 +1947,107 @@ def test_avi_mjpeg_video_roundtrip():
         multimodal.decode_avi_mjpeg(b"nope")
 
 
+def test_mp4_mjpeg_roundtrip_and_demux():
+    """encode_mp4_mjpeg -> decode_mp4_mjpeg: the ISO-BMFF sample-table
+    walk (stsd/stts/stsc/stsz/stco) must recover the exact same JPEG
+    payload bytes the AVI container carries, so both decodes are
+    bit-identical; mp4_metadata scans without decoding; H.26x sample
+    entries raise while the demux itself succeeds."""
+    n = 5
+    frames = np.stack([
+        _jpeg_test_image(24, 32) if k % 2 == 0
+        else 255 - _jpeg_test_image(24, 32)
+        for k in range(n)
+    ])
+    raw = multimodal.encode_mp4_mjpeg(frames, fps=8, quality=90)
+    assert raw[4:8] == b"ftyp"
+    dec, upf = multimodal.decode_mp4_mjpeg(raw)
+    assert dec.shape == (n, 24, 32, 3) and upf == 1_000_000 // 8
+    # same payloads as the AVI path -> bit-identical decoded frames
+    avi_dec, _ = multimodal.decode_avi_mjpeg(
+        multimodal.encode_avi_mjpeg(frames, fps=8, quality=90))
+    np.testing.assert_array_equal(dec, avi_dec)
+
+    meta = multimodal.mp4_metadata(raw)
+    assert meta == {"codec": "jpeg", "n_frames": n, "width": 32,
+                    "height": 24, "usec_per_frame": 125_000}
+
+    # container dispatch
+    via = multimodal.decode_video(raw)
+    np.testing.assert_array_equal(via[0], dec)
+
+    # H.264 sample entry: demux succeeds (metadata works), decode raises
+    h264 = raw
+    idx = h264.find(b"jpeg", h264.find(b"stsd"))
+    h264 = h264[:idx] + b"avc1" + h264[idx + 4:]
+    assert multimodal.mp4_metadata(h264)["codec"] == "avc1"
+    with pytest.raises(multimodal.MediaDecodeError):
+        multimodal.decode_mp4_mjpeg(h264)
+    with pytest.raises(multimodal.MediaDecodeError):
+        multimodal.decode_mp4_mjpeg(b"nope")
+    with pytest.raises(multimodal.MediaDecodeError):
+        multimodal.decode_video(b"\x00" * 16)
+
+
+def test_mp4_multi_chunk_sample_table():
+    """A hand-built MP4 whose samples are split across THREE chunks
+    with a two-run stsc (2+2 then 1) and interleaved junk between
+    chunks — exercises the chunk-offset/prefix-scan path that the
+    single-chunk encoder never hits."""
+    frames = np.stack([np.full((16, 16, 3), 30 * k + 20, np.uint8)
+                       for k in range(5)])
+    payloads = [multimodal.encode_jpeg(f, quality=90) for f in frames]
+
+    u32 = lambda v: int(v).to_bytes(4, "big")
+    u16 = lambda v: int(v).to_bytes(2, "big")
+    box = lambda t, b: u32(8 + len(b)) + t + b
+    full = lambda t, vf, b: box(t, u32(vf) + b)
+
+    ftyp = box(b"ftyp", b"isom" + u32(0x200) + b"isomiso2mp41")
+    # three mdats: samples [0,1], [2,3], [4], junk 'free' boxes between
+    chunks = [payloads[0] + payloads[1], payloads[2] + payloads[3],
+              payloads[4]]
+    out = bytearray(ftyp)
+    offs = []
+    for c in chunks:
+        out += box(b"free", b"\xAA" * 7)
+        offs.append(len(out) + 8)
+        out += box(b"mdat", c)
+
+    entry = (b"\x00" * 6 + u16(1) + b"\x00" * 16 + u16(16) + u16(16)
+             + u32(0x00480000) + u32(0x00480000) + u32(0)
+             + u16(1) + b"\x00" * 32 + u16(24) + u16(0xFFFF))
+    stbl = box(b"stbl",
+               full(b"stsd", 0, u32(1) + box(b"jpeg", entry))
+               + full(b"stts", 0, u32(1) + u32(5) + u32(250_000))
+               + full(b"stsc", 0, u32(2)
+                      + u32(1) + u32(2) + u32(1)      # chunks 1-2: 2 each
+                      + u32(3) + u32(1) + u32(1))     # chunk 3: 1
+               + full(b"stsz", 0, u32(0) + u32(5)
+                      + b"".join(u32(len(p)) for p in payloads))
+               + full(b"stco", 0, u32(3) + b"".join(u32(o) for o in offs)))
+    mdia = box(b"mdia",
+               full(b"mdhd", 0, u32(0) + u32(0) + u32(1_000_000)
+                    + u32(1_250_000) + u16(0x55C4) + u16(0))
+               + full(b"hdlr", 0, u32(0) + b"vide" + b"\x00" * 12 + b"v\x00")
+               + box(b"minf", stbl))
+    moov = box(b"moov", box(b"trak", mdia))
+
+    dec, upf = multimodal.decode_mp4_mjpeg(bytes(out) + moov)
+    ref, _ = multimodal.decode_mp4_mjpeg(
+        multimodal.encode_mp4_mjpeg(frames, fps=4, quality=90))
+    np.testing.assert_array_equal(dec, ref)
+    assert upf == 250_000
+
+
 def test_video_features_actor_pool():
     clips = []
     for c in range(3):
         frames = np.stack([np.full((16, 16, 3), 40 * c + 10 * k, np.uint8)
                            for k in range(2 + c)])
-        clips.append(multimodal.encode_avi_mjpeg(frames, fps=5))
+        enc = (multimodal.encode_mp4_mjpeg if c == 1
+               else multimodal.encode_avi_mjpeg)  # mixed containers
+        clips.append(enc(frames, fps=5))
     out = (multimodal.video_features(
         ray.data.from_pandas(pd.DataFrame({
             "clip_id": range(3), "media": clips})), concurrency=2)

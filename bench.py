@@ -119,6 +119,7 @@ BENCH_ROTATE = [
     "events_retention",
     "q6_revenue_cents",
     "semdedup",
+    "pq_adc",
 ]
 BENCH_ROTATE_K = 15
 

@@ -4453,6 +4453,84 @@ GROUP BY idb
 """
 
 
+def q_pq_adc(sf_dir: str):
+    """Product-quantization ANN (similarity.pq_adc_topk) in its
+    integer-exact form: 64-dim vectors floor-quantized at 2^12, split
+    into m=4 subspaces of 16; codebooks are the subvectors of the 8
+    lowest vec_ids (the SQL-derivable stand-in for pq_train, same
+    recipe as semdedup's centroids); every vector is encoded to its
+    4 nearest codewords by exact int64 squared L2 (ties -> lowest
+    code), and queries (vec_id < 3) rank the whole corpus by ADC —
+    sum of 4 LUT hops — (dist asc, vec_id asc). Every op is exact in
+    both numpy int64 and DuckDB BIGINT, so codes, distances and ranks
+    hash-check bit-for-bit. The float-codebook path (pq_train Lloyd)
+    is pytest-gated."""
+    from . import dedup as _dedup
+    from . import similarity
+
+    emb = _t(sf_dir, "embeddings")
+    cdf = (
+        emb.map_batches(lambda df: df[df["vec_id"] < 8],
+                        batch_format="pandas")
+        .to_pandas().sort_values("vec_id")
+    )
+    cvecs = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in cdf["embedding"]])
+    qcent = _dedup.quantize_embeddings(cvecs, 12)          # (8, 64)
+    books = np.ascontiguousarray(
+        qcent.reshape(8, 4, 16).transpose(1, 0, 2))        # (m=4, 8, 16)
+
+    qdf = (
+        emb.map_batches(lambda df: df[df["vec_id"] < 3],
+                        batch_format="pandas")
+        .to_pandas().sort_values("vec_id")
+    )
+    queries = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in qdf["embedding"]])
+    return similarity.pq_adc_topk(
+        emb, queries, books, k=10, shift=12,
+        query_ids=qdf["vec_id"].to_numpy(np.int64))
+
+
+SQL_PQ_ADC = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS qv
+  FROM embeddings
+), subs AS (
+  SELECT vec_id, j, list_slice(qv, j * 16 + 1, j * 16 + 16) AS sv
+  FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+), books AS (
+  SELECT vec_id AS code, j, sv AS cv FROM subs WHERE vec_id < 8
+), d2 AS (
+  SELECT s.vec_id, s.j, b.code,
+         CAST(list_sum(list_transform(list_zip(s.sv, b.cv),
+              p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+  FROM subs s JOIN books b USING (j)
+), assign AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM d2)
+  WHERE rn = 1
+), lut AS (
+  SELECT vec_id AS query_id, j, code, d2 FROM d2 WHERE vec_id < 3
+), scores AS (
+  SELECT l.query_id, a.vec_id, CAST(sum(l.d2) AS BIGINT) AS dist
+  FROM assign a JOIN lut l ON l.j = a.j AND l.code = a.code
+  GROUP BY l.query_id, a.vec_id
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) - 1 AS rank
+  FROM scores
+)
+SELECT query_id, vec_id, dist, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank < 10
+"""
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -4559,6 +4637,7 @@ def catalog():
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
         "semdedup": q_semdedup,
+        "pq_adc": q_pq_adc,
     }
 
 
@@ -4654,6 +4733,7 @@ def sql_catalog():
         "corpus_curation": SQL_CORPUS_CURATION,
         "median_chars_by_lang": SQL_MEDIAN_CHARS_BY_LANG,
         "semdedup": SQL_SEMDEDUP,
+        "pq_adc": SQL_PQ_ADC,
     }
 
 

@@ -14,6 +14,10 @@
   ids seed; Lloyd rounds are streaming passes emitting per-centroid
   partial sums). nprobe == n_centroids is bit-equal to brute force;
   smaller nprobe does ~nprobe/n_centroids of the scan.
+- pq_train / pq_encode / pq_adc_topk: scale path 3 — product
+  quantization (m codes per vector instead of d floats; the memory
+  play). ADC scoring is m LUT hops per candidate; the int64-codebook
+  variant is exact end-to-end and SQL-mirrored (`pq_adc`).
 """
 
 from __future__ import annotations
@@ -530,3 +534,230 @@ def pca_project(ds, components: np.ndarray, mean: np.ndarray, *,
         })
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# -------------------------------------------------- product quantization
+# PQ (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search"): split d into m subspaces, k-means each subspace to n_codes
+# codewords, store each vector as m uint8 codes (d*4 bytes -> m bytes,
+# the 100-TB memory play), answer queries by Asymmetric Distance
+# Computation — per-query (m, n_codes) lookup table, score = m table
+# hops per candidate instead of a d-wide matmul.
+
+
+def pq_train(ds, *, m: int = 4, n_codes: int = 16, iters: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Distributed per-subspace k-means for PQ codebooks. Returns
+    float64 codebooks (m, n_codes, d//m).
+
+    Same deterministic shape as train_ivf_centroids: seeds are the
+    subvectors of the n_codes smallest keyed-hash ids (layout- and
+    width-independent), every Lloyd round is ONE streaming pass whose
+    batches emit per-(subspace, code) partial (count, sum-bytes) rows
+    — all m subspaces learned in the same pass, the data never
+    collected or shuffled; the driver merge is m x n_codes x n_blocks
+    tiny rows, folded in canonical sorted order so refits are
+    bit-identical across block layouts.
+    """
+    import ray
+
+    from .sampling import split_hash
+
+    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = split_hash(df[id_col].to_numpy())
+        order = np.argsort(h, kind="stable")[:n_codes]
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in df[vec_col].iloc[order]])
+        return pd.DataFrame({"h": h[order], "vec": [r.tobytes() for r in vecs]})
+
+    seeds = ds.map_batches(seed_partial, batch_format="pandas").to_pandas()
+    seeds = seeds.sort_values("h", kind="stable").head(n_codes)
+    seed_m = np.stack([np.frombuffer(b, dtype=np.float64) for b in seeds["vec"]])
+    d = seed_m.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.ascontiguousarray(
+        seed_m.reshape(n_codes, m, dsub).transpose(1, 0, 2))  # (m, n_codes, dsub)
+
+    for _ in range(iters):
+        bref = ray.put(books)
+
+        def lloyd_partial(df: pd.DataFrame) -> pd.DataFrame:
+            bk = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in df[vec_col]]
+            ).reshape(len(df), m, dsub)
+            rows = []
+            for j in range(m):
+                sub = vecs[:, j, :]
+                d2 = (np.einsum("ij,ij->i", sub, sub)[:, None]
+                      - 2.0 * sub @ bk[j].T
+                      + np.einsum("ij,ij->i", bk[j], bk[j])[None, :])
+                assign = np.argmin(d2, axis=1)
+                for cid in np.unique(assign):
+                    sel = sub[assign == cid]
+                    rows.append({"j": j, "cid": int(cid), "n": len(sel),
+                                 "s": sel.sum(axis=0).tobytes()})
+            return pd.DataFrame(rows, columns=["j", "cid", "n", "s"])
+
+        p = ds.map_batches(lloyd_partial, batch_format="pandas").to_pandas()
+        nxt = books.copy()
+        # canonical fold order (sorted bytes) -> bit-identical refits
+        for (j, cid), grp in p.sort_values(
+                ["j", "cid"]).groupby(["j", "cid"], sort=True):
+            s = np.zeros(dsub)
+            for b in sorted(grp["s"]):
+                s += np.frombuffer(b, dtype=np.float64)
+            nxt[int(j), int(cid)] = s / int(grp["n"].sum())
+        books = nxt
+    return books
+
+
+def _pq_assign_int(q: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) int64 vectors x (m, n_codes, dsub) int64 books -> (n, m)
+    int64 codes; nearest by exact integer squared L2, ties -> lowest
+    code (argmin takes the first minimum)."""
+    n = q.shape[0]
+    m, n_codes, dsub = books.shape
+    sub = q.reshape(n, m, dsub)
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        s = sub[:, j, :]
+        d2 = (np.einsum("ij,ij->i", s, s)[:, None]
+              - 2 * s @ books[j].T
+              + np.einsum("ij,ij->i", books[j], books[j])[None, :])
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_encode(ds, codebooks: np.ndarray, *, shift: int = 12,
+              vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Compress the corpus: every vector -> m int64 codes (ship as m
+    uint8/uint16 at rest; int64 here for exact downstream arithmetic).
+    Codebooks are broadcast once; the encode fuses with the read —
+    zero shuffle. Integer-exact when codebooks are int64 (pair with
+    dedup.quantize_embeddings); float codebooks use float L2.
+    Returns a Dataset (id, code_0..code_{m-1})."""
+    import ray
+
+    from .dedup import quantize_embeddings
+
+    books = np.ascontiguousarray(codebooks)
+    bref = ray.put(books)
+    integer = books.dtype == np.int64
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        bk = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+        m = bk.shape[0]
+        out = {id_col: df[id_col].to_numpy(np.int64)}
+        if len(df) == 0:
+            for j in range(m):
+                out[f"code_{j}"] = np.array([], dtype=np.int64)
+            return pd.DataFrame(out)
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        qv = quantize_embeddings(vecs, shift) if integer else vecs
+        codes = _pq_assign_int(qv, bk) if integer else _pq_assign_float(qv, bk)
+        for j in range(m):
+            out[f"code_{j}"] = codes[:, j]
+        return pd.DataFrame(out)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _pq_assign_float(q: np.ndarray, books: np.ndarray) -> np.ndarray:
+    n = q.shape[0]
+    m, n_codes, dsub = books.shape
+    sub = q.reshape(n, m, dsub)
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        s = sub[:, j, :]
+        d2 = (np.einsum("ij,ij->i", s, s)[:, None]
+              - 2.0 * s @ books[j].T
+              + np.einsum("ij,ij->i", books[j], books[j])[None, :])
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_adc_topk(ds, queries: np.ndarray, codebooks: np.ndarray, *,
+                k: int = 10, shift: int | None = 12,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                query_ids: np.ndarray | None = None) -> pd.DataFrame:
+    """PQ top-k by Asymmetric Distance Computation. Zero-shuffle brute
+    shape: (queries, codebooks) broadcast once; each batch encodes its
+    vectors and scores them by LUT gather — per-query (m, n_codes)
+    distance table, dist = sum of m hops — then emits a partial top-k
+    (dist asc, id asc); the driver merges n_query x k x n_blocks rows.
+
+    With int64 codebooks and ``shift`` set, EVERY op is exact int64
+    (quantized diffs <= 2^13, per-subspace d2 < 2^31, ADC sum < 2^33)
+    — the DuckDB-mirrorable variant (`pq_adc` query). ``shift=None``
+    runs the float64 path for float codebooks (pq_train output).
+
+    Returns (query_id, vec_id, dist, rank) — rank 0..k-1 per query,
+    dist int64 on the integer path.
+    """
+    import ray
+
+    from .dedup import quantize_embeddings
+
+    books = np.ascontiguousarray(codebooks)
+    integer = shift is not None and books.dtype == np.int64
+    m, n_codes, dsub = books.shape
+    qm = np.asarray(queries, dtype=np.float64)
+    qsub = (quantize_embeddings(qm, shift) if integer else qm).reshape(
+        len(qm), m, dsub)
+    # per-query LUT: (n_query, m, n_codes) exact squared distances
+    lut = np.empty((len(qm), m, n_codes),
+                   dtype=np.int64 if integer else np.float64)
+    for j in range(m):
+        qs = qsub[:, j, :]
+        lut[:, j, :] = (np.einsum("ij,ij->i", qs, qs)[:, None]
+                        - 2 * qs @ books[j].T
+                        + np.einsum("ij,ij->i", books[j], books[j])[None, :])
+    qids = (np.asarray(query_ids, dtype=np.int64) if query_ids is not None
+            else np.arange(len(qm), dtype=np.int64))
+    ref = ray.put((books, lut, qids))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bk, tbl, qi_ids = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        empty = pd.DataFrame({
+            "query_id": pd.Series(dtype=np.int64),
+            "vec_id": pd.Series(dtype=np.int64),
+            "dist": pd.Series(dtype=tbl.dtype),
+        })
+        if len(df) == 0:
+            return empty
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        qv = quantize_embeddings(vecs, shift) if integer else vecs
+        codes = _pq_assign_int(qv, bk) if integer else _pq_assign_float(qv, bk)
+        ids = df[id_col].to_numpy(np.int64)
+        # ADC: gather per subspace, sum -> (n_query, n_batch)
+        dist = tbl[:, 0, codes[:, 0]]
+        for j in range(1, bk.shape[0]):
+            dist = dist + tbl[:, j, codes[:, j]]
+        kk = min(k, dist.shape[1])
+        out_q, out_v, out_d = [], [], []
+        for qi in range(dist.shape[0]):
+            order = np.lexsort((ids, dist[qi]))[:kk]
+            out_q.append(np.full(kk, qi_ids[qi], dtype=np.int64))
+            out_v.append(ids[order])
+            out_d.append(dist[qi][order])
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "vec_id": np.concatenate(out_v),
+                             "dist": np.concatenate(out_d)})
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["dist", "vec_id"],
+                              ascending=[True, True]).head(k)
+        out.append(grp.assign(rank=np.arange(len(grp), dtype=np.int64)))
+    if not out:
+        return pd.DataFrame({
+            "query_id": pd.Series(dtype=np.int64),
+            "vec_id": pd.Series(dtype=np.int64),
+            "dist": pd.Series(dtype=np.int64 if integer else np.float64),
+            "rank": pd.Series(dtype=np.int64)})
+    return (pd.concat(out, ignore_index=True)
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))

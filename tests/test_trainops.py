@@ -2295,3 +2295,107 @@ def test_semdedup_matches_bruteforce_oracle(embeds):
         chunk=16,
     ).to_pandas().sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_pq_adc_matches_bruteforce_oracle(embeds):
+    """pq_adc_topk (int path) vs a pure-python ADC oracle: quantize,
+    assign each subvector to its nearest codeword (ties lowest code),
+    dist = sum of per-subspace query-to-codeword d2; layout invariance
+    included."""
+    df = embeds.to_pandas()
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in df["embedding"]])
+    ids = df["vec_id"].to_numpy(np.int64)
+    q = dedup.quantize_embeddings(vecs, 12)
+    order8 = np.argsort(ids[ids < 8])
+    books = np.ascontiguousarray(
+        q[ids < 8][order8].reshape(8, 4, 16).transpose(1, 0, 2))
+    qsel = np.argsort(ids[ids < 3])
+    queries = vecs[ids < 3][qsel]
+    qids = ids[ids < 3][qsel]
+    qq = q[ids < 3][qsel].reshape(len(qids), 4, 16)
+
+    # scalar oracle
+    n = len(ids)
+    sub = q.reshape(n, 4, 16)
+    codes = np.empty((n, 4), dtype=np.int64)
+    for i in range(n):
+        for j in range(4):
+            d2 = [int(((sub[i, j] - books[j, c]) ** 2).sum())
+                  for c in range(8)]
+            codes[i, j] = int(np.argmin(d2))
+    exp_rows = []
+    for qi in range(len(qids)):
+        lut = np.array([[int(((qq[qi, j] - books[j, c]) ** 2).sum())
+                         for c in range(8)] for j in range(4)])
+        dist = np.array([int(sum(lut[j, codes[i, j]] for j in range(4)))
+                         for i in range(n)])
+        o = np.lexsort((ids, dist))[:10]
+        for r, pos in enumerate(o):
+            exp_rows.append((int(qids[qi]), int(ids[pos]),
+                             int(dist[pos]), r))
+    exp = pd.DataFrame(exp_rows,
+                       columns=["query_id", "vec_id", "dist", "rank"])
+
+    got = similarity.pq_adc_topk(
+        embeds, queries, books, k=10, shift=12, query_ids=qids
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    got2 = similarity.pq_adc_topk(
+        embeds.repartition(7), queries, books, k=10, shift=12,
+        query_ids=qids).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, exp)
+
+
+def test_pq_encode_and_train(embeds):
+    """pq_encode codes equal the oracle assignment; pq_train is
+    layout-invariant (bit-identical books across repartitions), keeps
+    codebook shape, and one Lloyd round strictly lowers (or keeps) the
+    total quantization error vs the seed books."""
+    df = embeds.to_pandas()
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in df["embedding"]])
+    ids = df["vec_id"].to_numpy(np.int64)
+    q = dedup.quantize_embeddings(vecs, 12)
+    order8 = np.argsort(ids[ids < 8])
+    books = np.ascontiguousarray(
+        q[ids < 8][order8].reshape(8, 4, 16).transpose(1, 0, 2))
+
+    enc = (similarity.pq_encode(embeds, books, shift=12)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    srt = np.argsort(ids)
+    sub = q[srt].reshape(len(ids), 4, 16)
+    for j in range(4):
+        d2 = (np.einsum("ij,ij->i", sub[:, j], sub[:, j])[:, None]
+              - 2 * sub[:, j] @ books[j].T
+              + np.einsum("ij,ij->i", books[j], books[j])[None, :])
+        np.testing.assert_array_equal(
+            enc[f"code_{j}"].to_numpy(), np.argmin(d2, axis=1))
+
+    t1 = similarity.pq_train(embeds, m=4, n_codes=8, iters=2)
+    t2 = similarity.pq_train(embeds.repartition(5), m=4, n_codes=8,
+                             iters=2)
+    assert t1.shape == (4, 8, 16)
+    np.testing.assert_array_equal(t1, t2)
+
+    def total_err(bk):
+        e = 0.0
+        s = vecs.reshape(len(vecs), 4, 16)
+        for j in range(4):
+            d2 = (np.einsum("ij,ij->i", s[:, j], s[:, j])[:, None]
+                  - 2.0 * s[:, j] @ bk[j].T
+                  + np.einsum("ij,ij->i", bk[j], bk[j])[None, :])
+            e += d2.min(axis=1).sum()
+        return e
+
+    t0 = similarity.pq_train(embeds, m=4, n_codes=8, iters=0)
+    assert total_err(t1) <= total_err(t0) + 1e-9
+    # float ADC path smoke: with trained books a query's own row ranks
+    # in its top-10 (reconstruction keeps self near-closest)
+    out = similarity.pq_adc_topk(
+        embeds, vecs[:2], t1, k=10, shift=None,
+        query_ids=ids[:2])
+    assert out["dist"].dtype == np.float64
+    for qi in ids[:2]:
+        grp = out[out["query_id"] == qi]
+        assert int(qi) in grp["vec_id"].tolist()

@@ -120,6 +120,7 @@ BENCH_ROTATE = [
     "q6_revenue_cents",
     "semdedup",
     "pq_adc",
+    "bpe_token_counts",
 ]
 BENCH_ROTATE_K = 15
 

@@ -4531,6 +4531,34 @@ FROM r WHERE rank < 10
 """
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (textstats.bpe_train): ONE distributed
+    pass collapses the corpus to its exact word-frequency table (the
+    only data-sized work); the Sennrich merge loop then learns 60
+    merges over that bounded vocabulary. Deterministic by construction
+    (count-desc/lexicographic tie rule, exact integer counts), so the
+    driver's rows-only rerun check holds; the iterative argmax loop is
+    not SQL-expressible (see no_oracle_reasons) — correctness is
+    pinned by a scalar-oracle pytest."""
+    from . import textstats as _ts
+
+    return _ts.bpe_train(_t(sf_dir, "documents"), 60)
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Tokenize the corpus with its own trained BPE (textstats.
+    bpe_segment_counts over bpe_train's merges) and return the exact
+    token frequency table — the train-then-apply composition every
+    tokenizer pipeline runs. Merge table broadcast once; per-worker
+    distinct-word segmentation memo; one token-bucket shuffle of
+    bounded partials."""
+    from . import textstats as _ts
+
+    docs = _t(sf_dir, "documents")
+    merges = _ts.bpe_train(docs, 60)
+    return _ts.bpe_segment_counts(docs, merges)
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -4638,6 +4666,8 @@ def catalog():
         "knn_pages_snap": q_knn_pages_snap,
         "semdedup": q_semdedup,
         "pq_adc": q_pq_adc,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 
@@ -4766,6 +4796,19 @@ def no_oracle_reasons():
             "zlib DEFLATE is not SQL-expressible; integer byte counts "
             "at a fixed level are deterministic (rows-only rerun check "
             "holds) and pinned by a direct-zlib parity pytest"
+        ),
+        "bpe_merges": (
+            "the Sennrich merge loop is an iterated argmax fixpoint "
+            "(each merge depends on all previous merges) — not "
+            "SQL-expressible; deterministic tie rule + exact integer "
+            "counts make it rerun-stable, and a scalar-oracle pytest "
+            "pins the merge sequence"
+        ),
+        "bpe_token_counts": (
+            "applies bpe_merges' learned table (same iterative "
+            "dependency); segmentation greedy-by-rank is pinned by "
+            "pytest (roundtrip identity + scalar parity), counts are "
+            "exact integers"
         ),
         "minhash_near_dup": (
             "output depends on seeded 64-permutation MinHash band "

@@ -886,3 +886,182 @@ def compression_ratio(ds, *, text_col: str = "text",
         })
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ------------------------------------------------------- BPE training
+# Byte-pair-encoding merge learning (Sennrich et al. 2016, "Neural
+# Machine Translation of Rare Words with Subword Units"): the tokenizer
+# TRAINING step of a data pipeline. The 100-TB shape is the standard
+# two-level one: the corpus collapses to a word-frequency table first
+# (one word-bucket shuffle — the only pass over the data), and the
+# merge loop then runs over that bounded vocabulary, never the corpus.
+
+
+def word_counts(ds, *, text_col: str = "text", num_buckets: int = 32):
+    """Distributed word-frequency table: BPE_SPLIT_PATTERN pretokens
+    (whitespace runs dropped), per-batch Counter partials, exact merge
+    via one word-bucket grouped_apply. Returns a Dataset (word, n)."""
+    from collections import Counter
+
+    from .joins import grouped_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in df[text_col]:
+            if isinstance(t, str):
+                c.update(w for w in _BPE_RE.findall(t) if not w.isspace())
+        if not c:
+            return pd.DataFrame({"word": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"word": list(c.keys()),
+                             "n": np.fromiter(c.values(), dtype=np.int64)})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", sort=False)["n"].sum()
+        return pd.DataFrame({"word": g.index.to_numpy(object),
+                             "n": g.to_numpy(np.int64)})
+
+    return grouped_apply(ds.map_batches(partial, batch_format="pandas"),
+                         "word", merge, num_buckets=num_buckets)
+
+
+def _bpe_merge_loop(vocab: dict, n_merges: int) -> list:
+    """Sennrich merge loop over a word-frequency dict {symbol-tuple:
+    count}. Deterministic: best pair = (count desc, pair lexicographic
+    asc). Incremental pair->words inverted index so each round touches
+    only words containing the merged pair. Returns
+    [(left, right, count), ...] in merge order."""
+    from collections import defaultdict
+
+    words = {w: [list(w), int(n)] for w, n in vocab.items()}
+    pair_n = defaultdict(int)
+    pair_words = defaultdict(set)
+    for key, (syms, n) in words.items():
+        for a, b in zip(syms, syms[1:]):
+            pair_n[(a, b)] += n
+            pair_words[(a, b)].add(key)
+    merges = []
+    for _ in range(n_merges):
+        if not pair_n:
+            break
+        best = min(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))
+        (la, rb), cnt = best
+        if cnt <= 0:
+            break
+        merges.append((la, rb, cnt))
+        joined = la + rb
+        for key in list(pair_words[(la, rb)]):
+            syms, n = words[key]
+            # remove this word's old pair contributions
+            for a, b in zip(syms, syms[1:]):
+                pair_n[(a, b)] -= n
+                if pair_n[(a, b)] <= 0:
+                    del pair_n[(a, b)]
+                pair_words[(a, b)].discard(key)
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == la and syms[i + 1] == rb:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[key][0] = out
+            for a, b in zip(out, out[1:]):
+                pair_n[(a, b)] += n
+                pair_words[(a, b)].add(key)
+    return merges
+
+
+def bpe_train(ds, n_merges: int, *, text_col: str = "text",
+              max_vocab: int = 100_000, num_buckets: int = 32) -> pd.DataFrame:
+    """Learn BPE merges over a document corpus. ONE distributed pass
+    (word_counts) collapses the corpus to its word-frequency table;
+    the vocabulary is bounded to the ``max_vocab`` most frequent words
+    (count desc, word asc — deterministic, and a loud bound instead of
+    an unbounded driver table); the merge loop then runs over symbol
+    tuples (characters + a final '</w>' end-of-word marker). Returns a
+    DataFrame (rank, left, right, count) — layout/rerun-invariant by
+    construction, the rows-only driver check's requirement.
+    """
+    wc = word_counts(ds, text_col=text_col,
+                     num_buckets=num_buckets).to_pandas()
+    if len(wc) > max_vocab:
+        wc = wc.sort_values(["n", "word"],
+                            ascending=[False, True]).head(max_vocab)
+    vocab = {tuple(w) + ("</w>",): int(n)
+             for w, n in zip(wc["word"], wc["n"])}
+    merges = _bpe_merge_loop(vocab, n_merges)
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+        "count": np.array([m[2] for m in merges], dtype=np.int64),
+    })
+
+
+def _bpe_segment_word(word: str, ranks: dict) -> tuple:
+    """Greedy lowest-rank-first merge application to one word."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best, at = None, -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best is None or r < best):
+                best, at = r, i
+        if best is None:
+            break
+        syms[at:at + 2] = [syms[at] + syms[at + 1]]
+    return tuple(syms)
+
+
+def bpe_segment_counts(ds, merges: pd.DataFrame, *,
+                       text_col: str = "text", num_buckets: int = 32):
+    """Apply learned merges to the corpus and return the exact token
+    frequency table (token, n). The merge table is broadcast once
+    (ray.put); each batch segments through a per-worker memo of
+    distinct-word segmentations (Zipf makes the memo hit rate high);
+    counts merge exactly via one token-bucket grouped_apply."""
+    from collections import Counter
+
+    import ray
+
+    from .joins import grouped_apply
+
+    ranks = {(l, r): int(k) for k, l, r in
+             zip(merges["rank"], merges["left"], merges["right"])}
+    rref = ray.put(ranks)
+
+    class Segment:
+        def __init__(self):
+            self.ranks = ray.get(rref) if isinstance(
+                rref, ray.ObjectRef) else rref
+            self.memo = {}
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            c = Counter()
+            for t in df[text_col]:
+                if not isinstance(t, str):
+                    continue
+                for w in _BPE_RE.findall(t):
+                    if w.isspace():
+                        continue
+                    toks = self.memo.get(w)
+                    if toks is None:
+                        toks = _bpe_segment_word(w, self.ranks)
+                        self.memo[w] = toks
+                    c.update(toks)
+            if not c:
+                return pd.DataFrame({"token": pd.Series(dtype=object),
+                                     "n": pd.Series(dtype=np.int64)})
+            return pd.DataFrame({"token": list(c.keys()),
+                                 "n": np.fromiter(c.values(), dtype=np.int64)})
+
+    def merge_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["n"].sum()
+        return pd.DataFrame({"token": g.index.to_numpy(object),
+                             "n": g.to_numpy(np.int64)})
+
+    parts = ds.map_batches(Segment, batch_format="pandas",
+                           concurrency=(1, 8))
+    return grouped_apply(parts, "token", merge_fn, num_buckets=num_buckets)

@@ -2399,3 +2399,89 @@ def test_pq_encode_and_train(embeds):
     for qi in ids[:2]:
         grp = out[out["query_id"] == qi]
         assert int(qi) in grp["vec_id"].tolist()
+
+
+def test_bpe_train_matches_scalar_sennrich_oracle(docs):
+    """bpe_train (distributed word counts + incremental-index merge
+    loop) vs a naive quadratic re-count Sennrich oracle on the real
+    corpus; layout invariance; segmentation roundtrip + consistency
+    with the learned merges."""
+    from collections import Counter
+
+    df = docs.to_pandas()
+    wc = Counter()
+    for t in df["text"]:
+        if isinstance(t, str):
+            wc.update(w for w in textstats._BPE_RE.findall(t)
+                      if not w.isspace())
+    vocab = {tuple(w) + ("</w>",): n for w, n in wc.items()}
+
+    def naive(vocab, n_merges):
+        words = {k: (list(k), n) for k, n in vocab.items()}
+        merges = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for syms, n in words.values():
+                for p in zip(syms, syms[1:]):
+                    pc[p] += n
+            if not pc:
+                break
+            (la, rb), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((la, rb, cnt))
+            for k, (syms, n) in words.items():
+                i, out = 0, []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == la
+                            and syms[i + 1] == rb):
+                        out.append(la + rb)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[k] = (out, n)
+        return merges
+
+    exp = naive(vocab, 40)
+    got = textstats.bpe_train(docs, 40)
+    assert (list(zip(got["left"], got["right"],
+                     got["count"].astype(int))) == exp)
+    got2 = textstats.bpe_train(docs.repartition(7), 40)
+    pd.testing.assert_frame_equal(got, got2)
+
+    # segmentation: concatenating a word's tokens reproduces word+</w>,
+    # and scalar _bpe_segment_word agrees with the distributed counts
+    ranks = {(l, r): int(k) for k, l, r in
+             zip(got["rank"], got["left"], got["right"])}
+    seg_counts = Counter()
+    for w, n in wc.items():
+        toks = textstats._bpe_segment_word(w, ranks)
+        assert "".join(toks) == w + "</w>"
+        for tk in toks:
+            seg_counts[tk] += n
+    out = (textstats.bpe_segment_counts(docs, got)
+           .to_pandas().sort_values("token").reset_index(drop=True))
+    assert dict(zip(out["token"], out["n"])) == dict(seg_counts)
+
+
+def test_bpe_merge_loop_overlaps_and_caps():
+    """Overlapping pairs ('aaaa'), max_vocab bounding, and empty/exhausted
+    corpora."""
+    merges = textstats._bpe_merge_loop({("a", "a", "a", "a", "</w>"): 3}, 10)
+    # round 1: (a,a) count 9 (3 adjacent occurrences x3); greedy
+    # left-to-right replace -> aa aa </w>
+    assert merges[0] == ("a", "a", 9)
+    # tie at 3 between (aa,aa) and (aa,</w>): lexicographic rule picks
+    # (aa,</w>) — '<' sorts before 'a'
+    assert merges[1] == ("aa", "</w>", 3)
+    assert merges[2] == ("aa", "aa</w>", 3)
+    assert len(merges) == 3  # exhausted: single symbol left per word
+
+    src = ray.data.from_pandas(pd.DataFrame({
+        "text": ["xy xy xy zq", "zq pp"]}))
+    m_all = textstats.bpe_train(src, 5)
+    m_cap = textstats.bpe_train(src, 5, max_vocab=1)
+    # cap keeps only the most frequent word ('xy' x3? note leading-space
+    # pretokens: ' xy' differs from 'xy') — the cap must shrink the
+    # learned table, deterministically
+    assert len(m_cap) <= len(m_all)
+    assert (m_cap["count"] <= m_all["count"].max()).all()

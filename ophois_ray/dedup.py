@@ -1429,7 +1429,11 @@ def semdedup_removals(
     cluster's pairwise pass is a chunked exact matmul (memory O(g *
     chunk), the per-cluster work O(g^2/C^2 * corpus^2) is SemDeDup's
     own cost model — clusters are corpus/C sized, C grows with the
-    corpus). ``cluster_cap`` guards the quadratic loudly.
+    corpus). ``cluster_cap`` guards the quadratic TIME loudly; the
+    column chunk is additionally narrowed so each (n x chunk)
+    temporary stays near ~64 MB regardless of cluster size — without
+    that, a big-but-under-cap cluster would OOM the worker before the
+    cap could ever raise.
 
     Exactness bound (documented, asserted): with unit-norm inputs and
     |x| <= 0.5, |q| <= 2^(shift-1), norms <= d * 2^(2shift-2); for
@@ -1486,8 +1490,10 @@ def semdedup_removals(
             nrm = g["nrm"].to_numpy(np.int64)
             removed = np.zeros(n, dtype=bool)
             dup_of = np.zeros(n, dtype=np.int64)
-            for lo in range(0, n, chunk):
-                hi = min(lo + chunk, n)
+            # ~64 MB per (n x chunk) int64 temporary, whatever n is
+            eff_chunk = max(64, min(chunk, (64 << 20) // (8 * n)))
+            for lo in range(0, n, eff_chunk):
+                hi = min(lo + eff_chunk, n)
                 # exact: partial sums < 2^53
                 G = np.rint(Qf @ Qf[lo:hi].T).astype(np.int64)
                 pred = (G > 0) & (

@@ -1463,6 +1463,8 @@ def _mp4_video_track(raw: bytes):
         if hdlr is None or raw[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
             continue
         mdhd = _mp4_find(raw, *mdia, (b"mdhd",))
+        if mdhd is None:
+            raise MediaDecodeError("video trak has no mdhd")
         mver = raw[mdhd[0]]
         timescale = int.from_bytes(
             raw[mdhd[0] + (20 if mver else 12):][:4], "big")
@@ -1470,6 +1472,11 @@ def _mp4_video_track(raw: bytes):
         if stbl is None:
             raise MediaDecodeError("video trak has no stbl")
         boxes = {typ: (b0, b1) for typ, b0, b1 in _mp4_boxes(raw, *stbl)}
+        missing = ({b"stsd", b"stsz", b"stsc"} - boxes.keys()) or (
+            set() if (b"stco" in boxes or b"co64" in boxes) else {b"stco"})
+        if missing:
+            raise MediaDecodeError(
+                f"MP4 stbl missing {sorted(m.decode() for m in missing)}")
         # stsd: first sample entry's fourcc + coded dims
         sd0, _ = boxes[b"stsd"]
         e0 = sd0 + 8  # version/flags + entry_count
@@ -1497,7 +1504,9 @@ def _mp4_video_track(raw: bytes):
         s0, _ = boxes[b"stsc"]
         n_runs = int.from_bytes(raw[s0 + 4:s0 + 8], "big")
         runs = _u32s(raw, s0 + 8, n_runs * 3).reshape(n_runs, 3)
-        per_chunk = np.empty(n_chunks, dtype=np.int64)
+        if n_runs == 0 or int(runs[0, 0]) != 1:
+            raise MediaDecodeError("MP4 stsc runs must start at chunk 1")
+        per_chunk = np.zeros(n_chunks, dtype=np.int64)
         for ri in range(n_runs):
             first = int(runs[ri, 0]) - 1
             last = int(runs[ri + 1, 0]) - 1 if ri + 1 < n_runs else n_chunks

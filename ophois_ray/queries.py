@@ -4385,6 +4385,9 @@ def q_semdedup(sf_dir: str):
     cent = _dedup.quantize_embeddings(cvecs, 12)
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                                 "embedding": pd.Series(dtype=object)})
         ids = df["vec_id"].to_numpy(np.int64)
         vecs = np.stack([np.asarray(v, dtype=np.float64)
                          for v in df["embedding"]])
@@ -4480,11 +4483,7 @@ def q_pq_adc(sf_dir: str):
     books = np.ascontiguousarray(
         qcent.reshape(8, 4, 16).transpose(1, 0, 2))        # (m=4, 8, 16)
 
-    qdf = (
-        emb.map_batches(lambda df: df[df["vec_id"] < 3],
-                        batch_format="pandas")
-        .to_pandas().sort_values("vec_id")
-    )
+    qdf = cdf[cdf["vec_id"] < 3]  # already collected + sorted above
     queries = np.stack([np.asarray(v, dtype=np.float64)
                         for v in qdf["embedding"]])
     return similarity.pq_adc_topk(

@@ -556,14 +556,21 @@ def pq_train(ds, *, m: int = 4, n_codes: int = 16, iters: int = 2,
     batches emit per-(subspace, code) partial (count, sum-bytes) rows
     — all m subspaces learned in the same pass, the data never
     collected or shuffled; the driver merge is m x n_codes x n_blocks
-    tiny rows, folded in canonical sorted order so refits are
-    bit-identical across block layouts.
+    tiny rows, folded in canonical sorted order so RERUNS on the same
+    layout are bit-identical. Like pca_train, the per-batch float
+    partial sums themselves depend on block boundaries, so refits
+    across different layouts can drift by last-ulp on general data
+    (the fixture pytest's exact cross-layout equality holds because
+    its float32-derived sums are exactly representable).
     """
     import ray
 
     from .sampling import split_hash
 
     def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"h": pd.Series(dtype=np.uint64),
+                                 "vec": pd.Series(dtype=object)})
         h = split_hash(df[id_col].to_numpy())
         order = np.argsort(h, kind="stable")[:n_codes]
         vecs = np.stack(
@@ -584,6 +591,11 @@ def pq_train(ds, *, m: int = 4, n_codes: int = 16, iters: int = 2,
         bref = ray.put(books)
 
         def lloyd_partial(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"j": pd.Series(dtype=np.int64),
+                                     "cid": pd.Series(dtype=np.int64),
+                                     "n": pd.Series(dtype=np.int64),
+                                     "s": pd.Series(dtype=object)})
             bk = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
             vecs = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in df[vec_col]]
@@ -614,10 +626,11 @@ def pq_train(ds, *, m: int = 4, n_codes: int = 16, iters: int = 2,
     return books
 
 
-def _pq_assign_int(q: np.ndarray, books: np.ndarray) -> np.ndarray:
-    """(n, d) int64 vectors x (m, n_codes, dsub) int64 books -> (n, m)
-    int64 codes; nearest by exact integer squared L2, ties -> lowest
-    code (argmin takes the first minimum)."""
+def _pq_assign(q: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) vectors x (m, n_codes, dsub) codebooks (both int64 OR
+    both float64 — the arithmetic below is dtype-generic and exact on
+    the int64 path) -> (n, m) int64 codes; nearest by squared L2,
+    ties -> lowest code (argmin takes the first minimum)."""
     n = q.shape[0]
     m, n_codes, dsub = books.shape
     sub = q.reshape(n, m, dsub)
@@ -657,26 +670,12 @@ def pq_encode(ds, codebooks: np.ndarray, *, shift: int = 12,
             return pd.DataFrame(out)
         vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
         qv = quantize_embeddings(vecs, shift) if integer else vecs
-        codes = _pq_assign_int(qv, bk) if integer else _pq_assign_float(qv, bk)
+        codes = _pq_assign(qv, bk)
         for j in range(m):
             out[f"code_{j}"] = codes[:, j]
         return pd.DataFrame(out)
 
     return ds.map_batches(fn, batch_format="pandas")
-
-
-def _pq_assign_float(q: np.ndarray, books: np.ndarray) -> np.ndarray:
-    n = q.shape[0]
-    m, n_codes, dsub = books.shape
-    sub = q.reshape(n, m, dsub)
-    codes = np.empty((n, m), dtype=np.int64)
-    for j in range(m):
-        s = sub[:, j, :]
-        d2 = (np.einsum("ij,ij->i", s, s)[:, None]
-              - 2.0 * s @ books[j].T
-              + np.einsum("ij,ij->i", books[j], books[j])[None, :])
-        codes[:, j] = np.argmin(d2, axis=1)
-    return codes
 
 
 def pq_adc_topk(ds, queries: np.ndarray, codebooks: np.ndarray, *,
@@ -730,7 +729,7 @@ def pq_adc_topk(ds, queries: np.ndarray, codebooks: np.ndarray, *,
             return empty
         vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
         qv = quantize_embeddings(vecs, shift) if integer else vecs
-        codes = _pq_assign_int(qv, bk) if integer else _pq_assign_float(qv, bk)
+        codes = _pq_assign(qv, bk)
         ids = df[id_col].to_numpy(np.int64)
         # ADC: gather per subspace, sum -> (n_query, n_batch)
         dist = tbl[:, 0, codes[:, 0]]

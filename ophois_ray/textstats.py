@@ -986,6 +986,11 @@ def bpe_train(ds, n_merges: int, *, text_col: str = "text",
     """
     wc = word_counts(ds, text_col=text_col,
                      num_buckets=num_buckets).to_pandas()
+    if len(wc) == 0:  # 0-row to_pandas drops columns (CLAUDE.md trap)
+        return pd.DataFrame({"rank": pd.Series(dtype=np.int64),
+                             "left": pd.Series(dtype=object),
+                             "right": pd.Series(dtype=object),
+                             "count": pd.Series(dtype=np.int64)})
     if len(wc) > max_vocab:
         wc = wc.sort_values(["n", "word"],
                             ascending=[False, True]).head(max_vocab)

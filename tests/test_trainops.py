@@ -2039,6 +2039,27 @@ def test_mp4_multi_chunk_sample_table():
     np.testing.assert_array_equal(dec, ref)
     assert upf == 250_000
 
+    # malformed sample tables raise MediaDecodeError, not KeyError:
+    # stbl without stsz, and an stsc whose first run skips chunk 1
+    for bad_stbl in (
+        box(b"stbl", full(b"stsd", 0, u32(1) + box(b"jpeg", entry))),
+        box(b"stbl",
+            full(b"stsd", 0, u32(1) + box(b"jpeg", entry))
+            + full(b"stts", 0, u32(0))
+            + full(b"stsc", 0, u32(1) + u32(2) + u32(1) + u32(1))
+            + full(b"stsz", 0, u32(0) + u32(0))
+            + full(b"stco", 0, u32(0))),
+    ):
+        bad_mdia = box(b"mdia",
+                       full(b"mdhd", 0, u32(0) * 2 + u32(1) + u32(0)
+                            + u16(0x55C4) + u16(0))
+                       + full(b"hdlr", 0, u32(0) + b"vide"
+                              + b"\x00" * 12 + b"v\x00")
+                       + box(b"minf", bad_stbl))
+        bad = bytes(out) + box(b"moov", box(b"trak", bad_mdia))
+        with pytest.raises(multimodal.MediaDecodeError):
+            multimodal.mp4_metadata(bad)
+
 
 def test_video_features_actor_pool():
     clips = []

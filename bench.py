@@ -121,6 +121,7 @@ BENCH_ROTATE = [
     "semdedup",
     "pq_adc",
     "bpe_token_counts",
+    "doc_lang_classifier",
 ]
 BENCH_ROTATE_K = 15
 

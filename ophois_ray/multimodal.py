@@ -1317,6 +1317,71 @@ def pooled_features(ds, *, grid: int = 4, in_col: str = "pixels", out_col: str =
     return ds.map_batches(fn, batch_format="pandas", batch_size=64)
 
 
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pixel-center convention: source index
+    = floor((i + 0.5) * in/out)) — pure integer index arithmetic, so
+    the result is a bit-exact gather of input pixels."""
+    h, w = img.shape[:2]
+    ri = np.minimum(((2 * np.arange(out_h) + 1) * h) // (2 * out_h), h - 1)
+    ci = np.minimum(((2 * np.arange(out_w) + 1) * w) // (2 * out_w), w - 1)
+    return img[ri][:, ci]
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize, half-pixel-center convention (align_corners
+    False — the PIL/torchvision default): src = (dst + 0.5) * in/out
+    - 0.5, edge-clamped. Fully vectorized (separable gather + lerp);
+    float64 output in the input's value range."""
+    src = np.asarray(img, dtype=np.float64)
+    h, w = src.shape[:2]
+
+    def axis_coords(n_in: int, n_out: int):
+        x = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        x = np.clip(x, 0.0, n_in - 1.0)
+        lo = np.floor(x).astype(np.int64)
+        hi = np.minimum(lo + 1, n_in - 1)
+        return lo, hi, (x - lo)
+
+    r0, r1, fr = axis_coords(h, out_h)
+    c0, c1, fc = axis_coords(w, out_w)
+    top = src[r0][:, c0] * (1 - fc)[None, :, None] \
+        + src[r0][:, c1] * fc[None, :, None]
+    bot = src[r1][:, c0] * (1 - fc)[None, :, None] \
+        + src[r1][:, c1] * fc[None, :, None]
+    return top * (1 - fr)[:, None, None] + bot * fr[:, None, None]
+
+
+class ResizeImages:
+    """Actor-pool stage: pixel tensors -> fixed (out_h, out_w)
+    tensors, mode='bilinear' (float) or 'nearest' (bit-exact gather)
+    — the standardize-before-embed step of an image pipeline."""
+
+    def __init__(self, out_h: int, out_w: int, mode: str = "bilinear",
+                 in_col: str = "pixels", out_col: str = "pixels"):
+        if mode not in ("bilinear", "nearest"):
+            raise ValueError(mode)
+        self.fn = resize_bilinear if mode == "bilinear" else resize_nearest
+        self.out_h, self.out_w = out_h, out_w
+        self.in_col, self.out_col = in_col, out_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = [self.fn(t, self.out_h, self.out_w) for t in df[self.in_col]]
+        df = df.drop(columns=[self.in_col]).copy()
+        df[self.out_col] = out
+        return df
+
+
+def resize_images(ds, out_h: int, out_w: int, *, mode: str = "bilinear",
+                  concurrency: int = 4, batch_size: int = 64,
+                  in_col: str = "pixels", out_col: str = "pixels"):
+    return ds.map_batches(
+        ResizeImages, batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w,
+                               "mode": mode, "in_col": in_col,
+                               "out_col": out_col})
+
+
 # ------------------------------------------------------------------- AVI
 # Motion JPEG in a RIFF/AVI container: a REAL video codec path with no
 # library — the container walk is pure chunk parsing and every frame

@@ -4558,6 +4558,34 @@ def q_bpe_token_counts(sf_dir: str):
     return _ts.bpe_segment_counts(docs, merges)
 
 
+def q_doc_lang_classifier(sf_dir: str):
+    """fastText-shaped linear classifier training loop (classifier.
+    train_linear): hashed unigram+bigram features, full-batch softmax
+    GD where each epoch is ONE streaming pass emitting fixed-size
+    gradient partials against a broadcast weight matrix — the corpus
+    is never collected. The synthetic corpus's lang label is
+    independent of its text (vocab overlap 1.0), so a learnable signal
+    is PLANTED deterministically (8 'mk<lang>' marker tokens appended
+    per doc); a correct trainer must reach a perfectly diagonal
+    confusion table — any optimizer/feature/merge bug shows up as
+    off-diagonal mass. Returns (label, pred, n); rerun-deterministic
+    (canonical gradient fold), pinned by scalar-GD-parity pytest."""
+    from . import classifier as _clf
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text"] = [t + (" mk" + l) * 8
+                      for t, l in zip(df["text"], df["lang"])]
+        return df
+
+    planted = docs.map_batches(plant, batch_format="pandas")
+    langs = ["de", "en", "es", "fr", "zh"]
+    w, _ = _clf.train_linear(planted, langs, epochs=10, lr=400.0)
+    return _clf.confusion_counts(planted, w, langs)
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -4667,6 +4695,7 @@ def catalog():
         "pq_adc": q_pq_adc,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "doc_lang_classifier": q_doc_lang_classifier,
     }
 
 
@@ -4808,6 +4837,13 @@ def no_oracle_reasons():
             "dependency); segmentation greedy-by-rank is pinned by "
             "pytest (roundtrip identity + scalar parity), counts are "
             "exact integers"
+        ),
+        "doc_lang_classifier": (
+            "iterative float softmax-GD training is not "
+            "SQL-expressible; the canonical gradient fold makes reruns "
+            "bit-identical (rows-only holds), and pytest pins "
+            "scalar-GD weight parity, planted-signal perfect "
+            "diagonality, and rerun determinism"
         ),
         "minhash_near_dup": (
             "output depends on seeded 64-permutation MinHash band "

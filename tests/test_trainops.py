@@ -2506,3 +2506,105 @@ def test_bpe_merge_loop_overlaps_and_caps():
     # learned table, deterministically
     assert len(m_cap) <= len(m_all)
     assert (m_cap["count"] <= m_all["count"].max()).all()
+
+
+def test_resize_bilinear_and_nearest():
+    """Scalar-oracle bilinear at a known 2x case, identity resize
+    exactness, linear-ramp preservation, nearest bit-exactness, and
+    the actor-pool plumbing (decode ppm -> resize -> pooled features)."""
+    # identity: out == in exactly (fr/fc are all 0)
+    img = np.arange(24 * 2, dtype=np.float64).reshape(4, 6, 2)
+    np.testing.assert_array_equal(
+        multimodal.resize_bilinear(img, 4, 6), img)
+    # a horizontal linear ramp stays linear under any width
+    ramp = np.tile(np.arange(8.0)[None, :, None], (3, 1, 1))
+    up = multimodal.resize_bilinear(ramp, 3, 16)
+    d = np.diff(up[0, 1:-1, 0])
+    np.testing.assert_allclose(d, d[0])
+    # scalar oracle: 1x2 -> 1x4 with half-pixel centers
+    two = np.array([[[0.0], [10.0]]])
+    np.testing.assert_allclose(
+        multimodal.resize_bilinear(two, 1, 4)[0, :, 0],
+        [0.0, 2.5, 7.5, 10.0])
+    # nearest: every output pixel IS an input pixel; 2x upscale
+    # replicates each pixel 2x2
+    src = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    nn = multimodal.resize_nearest(src, 4, 4)
+    assert nn.dtype == np.uint8
+    np.testing.assert_array_equal(nn, np.repeat(np.repeat(src, 2, 0), 2, 1))
+
+    # plumbing: ppm decode -> bilinear resize to 8x8 -> pooled features
+    rng = np.random.RandomState(7)
+    imgs = [(rng.rand(h, w, 3) * 255).astype(np.uint8)
+            for h, w in [(5, 9), (16, 4), (8, 8)]]
+    src_df = pd.DataFrame({
+        "media_id": range(3),
+        "media": [multimodal.encode_ppm(i) for i in imgs]})
+    out = (multimodal.pooled_features(
+        multimodal.resize_images(
+            multimodal.decode_images(
+                ray.data.from_pandas(src_df), mode="ppm", concurrency=2),
+            8, 8, concurrency=2),
+        grid=2)
+        .to_pandas().sort_values("media_id"))
+    assert all(len(f) == 12 for f in out["features"])
+    # the 8x8 input passes through resize unchanged -> features equal
+    # direct pooling of the decoded image
+    direct = imgs[2].astype(np.float64) / 255.0
+    exp = np.stack([direct[a:a+4, b:b+4].mean(axis=(0, 1))
+                    for a in (0, 4) for b in (0, 4)]).ravel()
+    np.testing.assert_allclose(out.iloc[2]["features"], exp)
+
+
+def test_train_linear_matches_scalar_gd_oracle(docs):
+    """Distributed full-batch GD == driver-side numpy GD on the same
+    hashed features (allclose — float partial-sum order differs);
+    planted-marker training reaches a perfectly diagonal confusion
+    table; reruns are bit-identical; empty-label raises."""
+    from ophois_ray import classifier
+
+    df = docs.to_pandas()[["doc_id", "text", "lang"]]
+    df["text"] = [t + (" mk" + l) * 8
+                  for t, l in zip(df["text"], df["lang"])]
+    langs = ["de", "en", "es", "fr", "zh"]
+    B = 1 << 15
+
+    # scalar oracle: same features, same math, one flat loop
+    rows = classifier._feature_rows(df["text"].tolist(), B)
+    y = np.array([langs.index(l) for l in df["lang"]])
+    w_ref = np.zeros((5, B))
+    for _ in range(3):
+        s = classifier._scores(rows, w_ref)
+        s -= s.max(axis=1, keepdims=True)
+        p = np.exp(s); p /= p.sum(axis=1, keepdims=True)
+        g = np.zeros_like(w_ref)
+        for i, (ids, vals) in enumerate(rows):
+            if len(ids) == 0:
+                continue
+            coef = p[i].copy(); coef[y[i]] -= 1.0
+            g[:, ids] += coef[:, None] * vals[None, :]
+        w_ref -= 400.0 * (g / len(rows))
+
+    src = ray.data.from_pandas(df).repartition(5)
+    w, losses = classifier.train_linear(src, langs, epochs=3, lr=400.0)
+    np.testing.assert_allclose(w, w_ref, rtol=1e-9, atol=1e-12)
+    assert losses[0] > losses[-1]
+
+    w2, losses2 = classifier.train_linear(src, langs, epochs=3, lr=400.0)
+    np.testing.assert_array_equal(w, w2)
+    assert losses == losses2
+
+    wf, _ = classifier.train_linear(src, langs, epochs=10, lr=400.0)
+    conf = classifier.confusion_counts(src, wf, langs)
+    assert (conf["label"] == conf["pred"]).all()
+    assert conf["n"].sum() == len(df)
+    pred = (classifier.predict(src, wf, langs)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (pred["pred"].to_numpy()
+            == df.sort_values("doc_id")["lang"].to_numpy()).all()
+
+    with pytest.raises(ValueError):
+        classifier.train_linear(
+            ray.data.from_pandas(pd.DataFrame(
+                {"doc_id": [1], "text": ["a b"], "lang": ["xx"]})),
+            langs, epochs=1)

@@ -122,6 +122,11 @@ BENCH_ROTATE = [
     "pq_adc",
     "bpe_token_counts",
     "doc_lang_classifier",
+    "tile_pyramid",
+    "zorder_stats",
+    "events_latest_per_user",
+    "doc_topk_per_source",
+    "snapshot_diff",
 ]
 BENCH_ROTATE_K = 15
 

@@ -4586,6 +4586,292 @@ def q_doc_lang_classifier(sf_dir: str):
     return _clf.confusion_counts(planted, w, langs)
 
 
+# ------------------------------------------------- tiling / index / CDC
+
+TILE_LEVELS = (12, 9, 6, 3)
+_CELL_RES_MUL = 1 << 58
+_CELL_IX_MUL = 1 << 29
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Multi-zoom tile-pyramid rollup (the tiling-engine flagship shape,
+    reference parity: ophois tiles one level; a serving pyramid needs
+    every zoom): assign each point its res-12 cell once, then roll the
+    count up the parent chain to res 9/6/3 IN THE SAME per-batch pass
+    (4 partial count tables per batch, semigroup int sums), one small
+    int-key grouped merge. At 100 TB this is one streaming pass + a
+    shuffle bounded by the distinct-cell count — the points are never
+    re-read per level. Output (res, cell, n) int64."""
+    cust = _t(sf_dir, "customer", columns=["c_custkey"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 7, 13)
+        fine = cells.cell_of(lat, lon, TILE_LEVELS[0])
+        frames = []
+        for r in TILE_LEVELS:
+            c = fine if r == TILE_LEVELS[0] else cells.parent_to(fine, r)
+            u, n = np.unique(c, return_counts=True)
+            frames.append(pd.DataFrame({
+                "res": np.full(len(u), r, dtype=np.int64),
+                "cell": u,
+                "n": n.astype(np.int64),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    from .joins import grouped_apply
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["res", "cell"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return grouped_apply(
+        cust.map_batches(partials, batch_format="pandas"),
+        ["res", "cell"], merge, num_buckets=16,
+    )
+
+
+def _sql_tile_pyramid() -> str:
+    lat, lon = _sql_coords("c_custkey", 7, 13)
+    fine = cells.oracle_sql_cell_expr(lat, lon, TILE_LEVELS[0])
+    # ix/iy recovered from the fine cell id by non-negative integer
+    # division (DuckDB // truncates == floors here), then each level is
+    # res*2^58 + (ix // 2^steps)*2^29 + (iy // 2^steps) — op-for-op the
+    # engine's decode/parent_to/encode on non-negative fields.
+    parts = []
+    for r in TILE_LEVELS:
+        d = 1 << (TILE_LEVELS[0] - r)
+        parts.append(
+            f"SELECT CAST({r} AS BIGINT) AS res,"
+            f" CAST({r} AS BIGINT) * {_CELL_RES_MUL}"
+            f" + ((cell // {_CELL_IX_MUL}) % {_CELL_IX_MUL}) // {d} * {_CELL_IX_MUL}"
+            f" + (cell % {_CELL_IX_MUL}) // {d} AS cell,"
+            f" count(*) AS n FROM fine GROUP BY 2"
+        )
+    return (
+        f"WITH fine AS (SELECT {fine} AS cell FROM customer) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ZORDER_RES = 12
+
+
+def _morton_interleave(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """Z-order (Morton) key: x bits to odd positions, y to even.
+    Vectorized magic-number bit spread; inputs < 2^16, int64-safe."""
+    def spread(v):
+        v = v.astype(np.int64)
+        v = (v | (v << 8)) & np.int64(0x00FF00FF)
+        v = (v | (v << 4)) & np.int64(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.int64(0x33333333)
+        v = (v | (v << 1)) & np.int64(0x55555555)
+        return v
+
+    return (spread(ix) << 1) | spread(iy)
+
+
+def q_zorder_stats(sf_dir: str):
+    """Space-filling-curve index stats: Morton-interleave each point's
+    res-12 (ix, iy) into a z key, bucket by z // 4096 (== the morton
+    code of the res-6 ancestor — SFC buckets ARE the coarser tiles) and
+    report per-bucket count + z range. The z key is what a range-scan
+    tile store sorts by; (zmin, zmax) per bucket shows the locality
+    packing. Per-batch partials (sum/min/max semigroup), small int
+    merge. Output (zb, n, zmin, zmax) int64."""
+    cust = _t(sf_dir, "customer", columns=["c_custkey"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        lat, lon = _coords_from_key(k, 7, 13)
+        _, ix, iy = cells.decode(cells.cell_of(lat, lon, ZORDER_RES))
+        z = _morton_interleave(ix, iy)
+        t = pd.DataFrame({"zb": z // 4096, "z": z})
+        g = t.groupby("zb").agg(n=("z", "size"), zmin=("z", "min"),
+                                zmax=("z", "max")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    from .joins import grouped_apply
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("zb", as_index=False).agg(
+            n=("n", "sum"), zmin=("zmin", "min"), zmax=("zmax", "max"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return grouped_apply(
+        cust.map_batches(partials, batch_format="pandas"),
+        "zb", merge, num_buckets=16,
+    )
+
+
+def _sql_zorder_stats() -> str:
+    lat, lon = _sql_coords("c_custkey", 7, 13)
+    fine = cells.oracle_sql_cell_expr(lat, lon, ZORDER_RES)
+    # morton as a sum of per-bit terms via non-negative // and % —
+    # identical to the engine's shift/mask interleave on 12-bit fields
+    terms = []
+    for b in range(ZORDER_RES):
+        terms.append(f"((ix // {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"((iy // {1 << b}) % 2) * {1 << (2 * b)}")
+    z = " + ".join(terms)
+    return f"""
+WITH fine AS (SELECT {fine} AS cell FROM customer),
+ixy AS (SELECT (cell // {_CELL_IX_MUL}) % {_CELL_IX_MUL} AS ix,
+               cell % {_CELL_IX_MUL} AS iy FROM fine),
+zs AS (SELECT CAST({z} AS BIGINT) AS z FROM ixy)
+SELECT z // 4096 AS zb, count(*) AS n, min(z) AS zmin, max(z) AS zmax
+FROM zs GROUP BY 1
+"""
+
+
+def q_events_latest_per_user(sf_dir: str):
+    """Snapshot compaction / latest-wins dedup (the (url, warc_ts)
+    'keep newest crawl per url' shape on the events table): one
+    user-bucket shuffle, vectorized per-bucket argmax by (ts,
+    event_id). Per-batch partial argmax first — the shuffle carries at
+    most one row per (batch, user). Output int64 us epoch."""
+    ev = _t(sf_dir, "events",
+            columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "us": us.to_numpy(),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(),
+        })
+        return _latest(out)
+
+    def _latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        return df.groupby("user_id", as_index=False).last()
+
+    from .joins import grouped_apply
+
+    return grouped_apply(
+        ev.map_batches(prep, batch_format="pandas"), "user_id", _latest
+    )
+
+
+SQL_EVENTS_LATEST = """
+SELECT user_id, us, event_id, event_type FROM (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
+def q_doc_topk_per_source(sf_dir: str):
+    """Windowed top-k per group (row_number() <= k): the 3 longest docs
+    per source by (n_chars DESC, doc_id ASC). Per-batch partial head-3
+    per source (the global top-3 is a subset of the union of batch
+    top-3s), then one tiny source-bucket merge — the shuffle carries
+    3 rows per (batch, source), never the corpus."""
+    docs = _t(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def head3(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        out = df.groupby("source", as_index=False).head(3).copy()
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = head3(df)
+        df["rk"] = df.groupby("source").cumcount().to_numpy(np.int64) + 1
+        return df
+
+    from .joins import grouped_apply
+
+    return grouped_apply(
+        docs.map_batches(head3, batch_format="pandas"), "source", final,
+        num_buckets=8,
+    )
+
+
+SQL_DOC_TOPK_PER_SOURCE = """
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+  FROM documents)
+WHERE rk <= 3
+"""
+
+
+def q_snapshot_diff(sf_dir: str):
+    """CDC snapshot diff (added / removed / changed between two crawls
+    of a keyed table — the incremental-recrawl shape): snapshots A and
+    B are derived deterministically from orders by key arithmetic
+    (A drops o_orderkey%11==3, B drops %13==5 and bumps the value where
+    %7==0), tagged, unioned, and diffed inside ONE key-co-partitioned
+    pass — no driver join, unchanged keys never leave their bucket.
+    Missing sides use a -1 sentinel (int columns stay int64)."""
+    a = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    b = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def side_a(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        v = df["o_custkey"].to_numpy(np.int64)
+        m = (k % 11) != 3
+        return pd.DataFrame({"k": k[m], "v": v[m],
+                             "side": np.zeros(int(m.sum()), np.int64)})
+
+    def side_b(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        v = df["o_custkey"].to_numpy(np.int64) + ((k % 7) == 0)
+        m = (k % 13) != 5
+        return pd.DataFrame({"k": k[m], "v": v[m],
+                             "side": np.ones(int(m.sum()), np.int64)})
+
+    both = a.map_batches(side_a, batch_format="pandas").union(
+        b.map_batches(side_b, batch_format="pandas"))
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.pivot_table(index="k", columns="side", values="v",
+                           aggfunc="first")
+        old = p[0].to_numpy() if 0 in p.columns else np.full(len(p), np.nan)
+        new = p[1].to_numpy() if 1 in p.columns else np.full(len(p), np.nan)
+        k = p.index.to_numpy(np.int64)
+        added = np.isnan(old)
+        removed = np.isnan(new)
+        changed = ~added & ~removed & (old != new)
+        keep = added | removed | changed
+        status = np.where(added, "added",
+                          np.where(removed, "removed", "changed"))
+        return pd.DataFrame({
+            "o_orderkey": k[keep],
+            "status": status[keep],
+            "old_val": np.where(added, -1, np.nan_to_num(old)).astype(np.int64)[keep],
+            "new_val": np.where(removed, -1, np.nan_to_num(new)).astype(np.int64)[keep],
+        })
+
+    from .joins import grouped_apply
+
+    return grouped_apply(both, "k", diff)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH a AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders
+           WHERE o_orderkey % 11 != 3),
+     b AS (SELECT o_orderkey AS k,
+                  o_custkey + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS v
+           FROM orders WHERE o_orderkey % 13 != 5)
+SELECT COALESCE(a.k, b.k) AS o_orderkey,
+       CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed' ELSE 'changed' END AS status,
+       CAST(COALESCE(a.v, -1) AS BIGINT) AS old_val,
+       CAST(COALESCE(b.v, -1) AS BIGINT) AS new_val
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL OR a.v != b.v
+"""
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -4696,6 +4982,11 @@ def catalog():
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "doc_lang_classifier": q_doc_lang_classifier,
+        "tile_pyramid": q_tile_pyramid,
+        "zorder_stats": q_zorder_stats,
+        "events_latest_per_user": q_events_latest_per_user,
+        "doc_topk_per_source": q_doc_topk_per_source,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -4792,6 +5083,11 @@ def sql_catalog():
         "median_chars_by_lang": SQL_MEDIAN_CHARS_BY_LANG,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
+        "tile_pyramid": _sql_tile_pyramid(),
+        "zorder_stats": _sql_zorder_stats(),
+        "events_latest_per_user": SQL_EVENTS_LATEST,
+        "doc_topk_per_source": SQL_DOC_TOPK_PER_SOURCE,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
     }
 
 

@@ -127,6 +127,8 @@ BENCH_ROTATE = [
     "events_latest_per_user",
     "doc_topk_per_source",
     "snapshot_diff",
+    "doc_paragraph_dedup",
+    "doc_sample_global",
 ]
 BENCH_ROTATE_K = 15
 

@@ -30,6 +30,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from . import cells, geo, graphops
 from .joins import BroadcastIndex
+from .sampling import SQL_SAMPLE_HASH
 
 RES_ASSIGN = 12
 RES_JOIN = 6
@@ -4872,6 +4873,103 @@ WHERE a.k IS NULL OR b.k IS NULL OR a.v != b.v
 """
 
 
+def q_doc_paragraph_dedup(sf_dir: str):
+    """CCNet-shape paragraph-dedup audit. Paragraph structure is
+    constructed deterministically (the arithmetic-mirrored recipe):
+    each doc contributes P1 = its first 8 words, P2 = the first 8
+    words of its LEADER doc (doc_id - doc_id % 5 — a real bucketed
+    hash join, not arithmetic shortcut, on the engine side), P3 = its
+    words 9..16; empties dropped. Docs sharing a leader therefore
+    share P2 (cross-doc dups) and leaders have P1 == P2 (within-doc
+    dup). The engine does REAL word splitting/joining and real global
+    string-equality counting via textstats.paragraph_dup_stats; any
+    mis-split or mis-join fails the hash."""
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def heads(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        m = (d % 5) == 0
+        texts = df["text"].to_numpy(object)[m]
+        h8 = [" ".join(t.split(" ")[:8]) for t in texts]
+        return pd.DataFrame({"leader": d[m],
+                             "p2": np.array(h8, dtype=object)})
+
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        p1, p3 = [], []
+        for t in df["text"].to_numpy(object):
+            w = t.split(" ")
+            p1.append(" ".join(w[:8]))
+            p3.append(" ".join(w[8:16]))
+        return pd.DataFrame({
+            "doc_id": d, "leader": d - d % 5,
+            "p1": np.array(p1, dtype=object),
+            "p3": np.array(p3, dtype=object),
+        })
+
+    from .joins import hash_join
+
+    joined = hash_join(
+        docs.map_batches(body, batch_format="pandas"),
+        docs.map_batches(heads, batch_format="pandas"),
+        on="leader", num_buckets=16,
+    )
+
+    def flatten(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        frames = [pd.DataFrame({"doc_id": d,
+                                "para": df[c].to_numpy(object)})
+                  for c in ("p1", "p2", "p3")]
+        out = pd.concat(frames, ignore_index=True)
+        return out[out["para"] != ""]
+
+    from . import textstats
+
+    paras = joined.map_batches(flatten, batch_format="pandas")
+    return textstats.paragraph_dup_stats(paras, num_buckets=32)
+
+
+SQL_DOC_PARAGRAPH_DEDUP = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pairs AS (
+  SELECT a.doc_id,
+         array_to_string(list_slice(a.ws, 1, 8), ' ') AS p1,
+         array_to_string(list_slice(b.ws, 1, 8), ' ') AS p2,
+         array_to_string(list_slice(a.ws, 9, 16), ' ') AS p3
+  FROM w a JOIN w b ON b.doc_id = a.doc_id - a.doc_id % 5),
+paras AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, unnest([p1, p2, p3]) AS p FROM pairs)
+  WHERE p <> ''),
+c AS (SELECT doc_id, p, count(*) OVER (PARTITION BY p) AS c FROM paras)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN c >= 2 THEN length(p) ELSE 0 END) AS BIGINT)
+         AS dup_chars
+FROM c GROUP BY doc_id
+"""
+
+
+def q_doc_sample_global(sf_dir: str):
+    """Deterministic global 100-doc sample by hash priority
+    (sampling.sample_global): reproducible across cluster sizes,
+    layouts and appends — the distributed ORDER BY hash LIMIT n."""
+    from . import sampling
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = sampling.sample_global(docs, "doc_id", 100)
+    return out.to_pandas()[["doc_id", "n_chars", "rk"]]
+
+
+SQL_DOC_SAMPLE_GLOBAL = f"""
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (
+         ORDER BY {SQL_SAMPLE_HASH.format(key="doc_id")}, doc_id)
+         AS BIGINT) AS rk
+FROM documents QUALIFY rk <= 100
+"""
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -4987,6 +5085,8 @@ def catalog():
         "events_latest_per_user": q_events_latest_per_user,
         "doc_topk_per_source": q_doc_topk_per_source,
         "snapshot_diff": q_snapshot_diff,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_sample_global": q_doc_sample_global,
     }
 
 
@@ -5088,6 +5188,8 @@ def sql_catalog():
         "events_latest_per_user": SQL_EVENTS_LATEST,
         "doc_topk_per_source": SQL_DOC_TOPK_PER_SOURCE,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
+        "doc_sample_global": SQL_DOC_SAMPLE_GLOBAL,
     }
 
 

@@ -532,3 +532,52 @@ def ntile_global(ds, key_cols, k: int, *, num_buckets: int = 64,
         return df
 
     return ranked.map_batches(tile, batch_format="pandas")
+
+
+#: SQL expression mirroring sample_hash op-for-op (BIGINT throughout).
+SQL_SAMPLE_HASH = (
+    "((((({key} * 1103515245 + 12345) % 2305843009213693951)"
+    " % 2147483648) * 2654435761 + 12345) % 2305843009213693951)"
+)
+
+
+def sample_hash(key: np.ndarray) -> np.ndarray:
+    """Sampling priority: ``split_hash`` is affine, hence
+    ORDER-PRESERVING below its modulus wrap (~2^31 keys) — smallest-n
+    by it would just return the n smallest contiguous ids. Truncating
+    to the low 31 bits first (a per-key scramble: ``k*c mod 2^31``
+    wraps every ~2 keys) and re-expanding breaks the monotonicity while
+    staying pure non-negative BIGINT arithmetic, so DuckDB mirrors it
+    exactly. Max intermediate: (2^31-1) * 2654435761 < 2^63."""
+    h = split_hash(key)
+    return ((h % np.int64(1 << 31)) * np.int64(2654435761)
+            + np.int64(12345)) % np.int64((1 << 61) - 1)
+
+
+def sample_global(ds, key_col: str, n: int):
+    """Deterministic global n-row sample: the n rows with the smallest
+    ``(sample_hash(key), key)`` over the whole dataset, ranked 1..n in
+    ``rk`` — the reproducible, append-stable equivalent of
+    ``ORDER BY hash LIMIT n`` (a new row enters the sample only by
+    displacing the current max). Distributed shape: per-block partial
+    top-n bounds the exchange at n rows per block regardless of data
+    size; the exact final merge runs on one tiny group.
+    """
+
+    def topn(df: pd.DataFrame, rank: bool) -> pd.DataFrame:
+        df = df.assign(__h=sample_hash(df[key_col].to_numpy()))
+        df = df.sort_values(["__h", key_col], kind="stable").head(n)
+        if rank:
+            df = df.assign(rk=np.arange(1, len(df) + 1, dtype=np.int64))
+        return df.drop(columns=["__h"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = topn(df, rank=False).copy()
+        out["__g"] = np.zeros(len(out), dtype=np.int64)
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return topn(df.drop(columns=["__g"]), rank=True)
+
+    return grouped_apply(ds, "__g", final, num_buckets=1,
+                         drop_partial=partial)

@@ -1070,3 +1070,45 @@ def bpe_segment_counts(ds, merges: pd.DataFrame, *,
     parts = ds.map_batches(Segment, batch_format="pandas",
                            concurrency=(1, 8))
     return grouped_apply(parts, "token", merge_fn, num_buckets=num_buckets)
+
+
+def paragraph_dup_stats(paras, *, num_buckets: int = 64):
+    """CCNet-shape exact paragraph-dedup audit over a ``(doc_id, para)``
+    occurrence table: per-doc counts of paragraph occurrences whose
+    TEXT appears >= 2 times anywhere in the corpus (within- or
+    cross-doc), plus the duplicated character mass — the signal CCNet
+    uses to drop boilerplate-heavy documents.
+
+    Scale shape (two pre-aggregated shuffles, corpus never collected):
+    paragraphs hash-bucket by the paragraph STRING, so every occurrence
+    of a given text lands in one bucket and the per-bucket occurrence
+    count IS the exact global count (full-string equality — no
+    hash-collision risk); each bucket emits per-doc int partials
+    (<= |docs touched| rows), merged exactly on the int doc key.
+
+    Output: ``(doc_id, n_paras, n_dup, dup_chars)`` all int64.
+    """
+    from .joins import grouped_apply
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("para")["para"].transform("size").to_numpy(np.int64)
+        dup = c >= 2
+        chars = df["para"].str.len().to_numpy(np.int64)
+        t = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_paras": np.ones(len(df), np.int64),
+            "n_dup": dup.astype(np.int64),
+            "dup_chars": np.where(dup, chars, 0).astype(np.int64),
+        })
+        return t.groupby("doc_id", as_index=False).sum()
+
+    part = grouped_apply(paras, "para", bucket_stats,
+                         num_buckets=num_buckets)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).sum()
+        for c in ("n_paras", "n_dup", "dup_chars"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return grouped_apply(part, "doc_id", merge, num_buckets=16)

@@ -185,3 +185,25 @@ def test_rank_global_tiny_and_empty_sample():
            .to_pandas().sort_values("rank").reset_index(drop=True))
     assert got["id"].tolist() == [5, 3, 7]
     assert got["rank"].tolist() == [0, 1, 2]
+
+
+def test_sample_global_matches_sequential_and_layout_independent():
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"key": rng.permutation(400).astype(np.int64),
+                       "val": rng.randint(0, 50, 400).astype(np.int64)})
+    seq = df.assign(__h=sampling.sample_hash(df["key"].to_numpy()))
+    seq = seq.sort_values(["__h", "key"]).head(25)
+    seq = seq.assign(rk=np.arange(1, 26, dtype=np.int64))
+    # the priority must NOT be order-preserving on contiguous ids
+    # (split_hash is affine — sorting by it would just take ids 0..24)
+    assert seq["key"].tolist() != sorted(seq["key"].tolist())
+    for nparts in (1, 9):
+        got = (
+            sampling.sample_global(
+                ray.data.from_pandas(df).repartition(nparts), "key", 25)
+            .to_pandas().sort_values("rk").reset_index(drop=True)
+        )
+        assert got["key"].tolist() == seq["key"].tolist()
+        assert got["rk"].tolist() == seq["rk"].tolist()
+        assert got["val"].tolist() == seq["val"].tolist()
+        assert "__g" not in got.columns

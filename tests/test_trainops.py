@@ -2608,3 +2608,31 @@ def test_train_linear_matches_scalar_gd_oracle(docs):
             ray.data.from_pandas(pd.DataFrame(
                 {"doc_id": [1], "text": ["a b"], "lang": ["xx"]})),
             langs, epochs=1)
+
+
+def test_paragraph_dup_stats_hand_case_and_layout():
+    from ophois_ray import textstats
+
+    # doc 0: "aa" twice (within-doc dup) + unique "x"
+    # doc 1: "aa" (cross-doc dup) + unique "yy"
+    # doc 2: all unique
+    paras = pd.DataFrame({
+        "doc_id": np.array([0, 0, 0, 1, 1, 2], dtype=np.int64),
+        "para": ["aa", "aa", "x", "aa", "yy", "zzz"],
+    })
+    exp = {
+        0: (3, 2, 4),   # n_paras, n_dup, dup_chars (two "aa" occurrences)
+        1: (2, 1, 2),
+        2: (1, 0, 0),
+    }
+    for nparts in (1, 5):
+        got = (
+            textstats.paragraph_dup_stats(
+                ray.data.from_pandas(paras).repartition(nparts),
+                num_buckets=4)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert {int(i): (int(r.n_paras), int(r.n_dup), int(r.dup_chars))
+                for i, r in got.iterrows()} == exp
+        assert all(got[c].dtype == np.int64
+                   for c in ("n_paras", "n_dup", "dup_chars"))

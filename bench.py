@@ -129,6 +129,7 @@ BENCH_ROTATE = [
     "snapshot_diff",
     "doc_paragraph_dedup",
     "doc_sample_global",
+    "image_phash_neardup",
 ]
 BENCH_ROTATE_K = 15
 

@@ -851,20 +851,42 @@ def simhash_near_dup_pairs(
     lineage log line instead of quadratically.
     """
     with_sh = simhash(ds, text_col)
+    return hash64_near_dup_pairs(
+        with_sh, hash_col="simhash", id_col=id_col,
+        max_hamming=max_hamming, bucket_cap=bucket_cap,
+    )
+
+
+def hash64_near_dup_pairs(
+    with_hash,
+    *,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 2000,
+):
+    """Generic hamming near-dup over ANY precomputed 64-bit hash column
+    (int64-viewed uint64): the banding/verify engine behind
+    ``simhash_near_dup_pairs``, reused verbatim for image perceptual
+    hashes. Bands the 64 bits into 4x16-bit keys (a pair within
+    hamming <= 3 collides on >= 1 band; larger ``max_hamming`` keeps
+    recall via the pigeonhole recursion inside hot buckets), one
+    grouped shuffle on (band, bucket), exact hamming verify.
+    Returns pandas ``(id_a, id_b, hamming)``."""
 
     def bandify(df: pd.DataFrame) -> pd.DataFrame:
-        sh = df["simhash"].to_numpy(np.int64).view(np.uint64)
+        sh = df[hash_col].to_numpy(np.int64).view(np.uint64)
         out = []
         for band in range(4):
             key = ((sh >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
             out.append(
                 pd.DataFrame(
-                    {"band": band, "bucket": key, "id": df[id_col], "simhash": df["simhash"]}
+                    {"band": band, "bucket": key, "id": df[id_col], hash_col: df[hash_col]}
                 )
             )
         return pd.concat(out, ignore_index=True)
 
-    banded = with_sh.map_batches(bandify, batch_format="pandas")
+    banded = with_hash.map_batches(bandify, batch_format="pandas")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=["id"]).sort_values("id")
@@ -875,7 +897,7 @@ def simhash_near_dup_pairs(
         if len(g) < 2:
             return empty
         ids = g["id"].to_numpy()
-        sh = g["simhash"].to_numpy(np.int64).view(np.uint64)
+        sh = g[hash_col].to_numpy(np.int64).view(np.uint64)
         band = int(g["band"].iloc[0])
         free = [b for b in range(64) if not (16 * band <= b < 16 * (band + 1))]
         chunks: list = []

@@ -1775,3 +1775,68 @@ def synthetic_media_table(n: int = 64, seed: int = 3) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+# ------------------------------------------------------- perceptual hash
+# 64-bit pHash for image near-dup detection: resize to 32x32, 2-D
+# DCT-II, keep the 8x8 low-frequency block, bit i = coeff_i > median.
+# Classic pHash construction (Zauner, "Implementation and Benchmarking
+# of Perceptual Image Hash Functions", 2010). Deterministic float64
+# pipeline — rerun/layout-stable, but not SQL-expressible (DCT).
+
+
+def _dct2_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (A @ x == DCT(x))."""
+    k = np.arange(n, dtype=np.float64)
+    a = np.sqrt(2.0 / n) * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    a[0] *= np.sqrt(0.5)
+    return a
+
+
+_PHASH_A32 = _dct2_matrix(32)
+_REC601 = np.array([0.299, 0.587, 0.114], dtype=np.float64)
+
+
+def phash64(img: np.ndarray) -> np.uint64:
+    """64-bit perceptual hash of one image ((H, W) gray or (H, W, 3)
+    RGB, any dtype). Brightness shifts move only the DC coefficient,
+    small noise only high frequencies — near-duplicate images land
+    within a few bits of each other while distinct content is ~32 bits
+    apart (independent coin flips per bit)."""
+    g = np.asarray(img, dtype=np.float64)
+    if g.ndim == 3:
+        g = g @ _REC601
+    if g.shape != (32, 32):
+        g = resize_bilinear(g, 32, 32)
+    d = _PHASH_A32 @ g @ _PHASH_A32.T
+    block = d[:8, :8].ravel()
+    bits = block > np.median(block)
+    return np.uint64(np.packbits(bits).view(">u8")[0])
+
+
+class PHashImages:
+    """Actor-pool stage: pixel tensors -> int64 ``phash`` column (the
+    uint64 hash viewed as int64, matching the simhash storage
+    convention so dedup.hash64_near_dup_pairs consumes it directly).
+    The DCT basis is module-level state — built once per worker, never
+    per batch."""
+
+    def __init__(self, in_col: str = "pixels", out_col: str = "phash"):
+        self.in_col, self.out_col = in_col, out_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        h = np.array([phash64(t) for t in df[self.in_col]],
+                     dtype=np.uint64).view(np.int64)
+        df = df.drop(columns=[self.in_col]).copy()
+        df[self.out_col] = h
+        return df
+
+
+def phash_images(ds, *, concurrency: int = 8, batch_size: int = 64,
+                 in_col: str = "pixels", out_col: str = "phash"):
+    """decode -> phash over a pixel-tensor column; compose with
+    dedup.hash64_near_dup_pairs for image near-dup pairs."""
+    return ds.map_batches(
+        PHashImages, batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"in_col": in_col, "out_col": out_col})

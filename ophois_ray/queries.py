@@ -4970,6 +4970,47 @@ FROM documents QUALIFY rk <= 100
 """
 
 
+def q_image_phash_neardup(sf_dir: str):
+    """Image near-dup via 64-bit perceptual hash — the multimodal twin
+    of simhash dedup. A deterministic image corpus is synthesized per
+    doc (leader = doc_id - doc_id % 7 seeds the base pattern; k =
+    doc_id % 7 adds a low-frequency tilt, so each leader group is a
+    planted near-dup cluster at hamming <= 3), round-tripped through
+    the REAL netpbm encoder/decoder (actor pool), hashed by
+    multimodal.phash64 (32x32 bilinear + 2-D DCT + median bits, actor
+    pool), and paired by the generic banding engine
+    dedup.hash64_near_dup_pairs. no_oracle: the DCT is float; output
+    is rerun/layout-deterministic and pinned by a scalar-oracle
+    pytest. Output (id_a, id_b, hamming) int64."""
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        from . import multimodal as mm
+
+        d = df["doc_id"].to_numpy(np.int64)
+        media = []
+        for k in d:
+            leader = int(k - k % 7)
+            rng = np.random.RandomState(leader % (1 << 31))
+            base = rng.randint(0, 256, (48, 64, 3)).astype(np.int64)
+            t = int(k % 7)
+            tilt = (np.linspace(0, 2 * t, 64)[None, :, None]
+                    + np.linspace(0, t, 48)[:, None, None])
+            img = np.clip(base + tilt.astype(np.int64), 0, 255).astype(np.uint8)
+            media.append(mm.encode_ppm(img))
+        return pd.DataFrame({"doc_id": d, "media": media})
+
+    from . import dedup as _dedup
+    from . import multimodal as mm
+
+    imgs = docs.map_batches(gen, batch_format="pandas")
+    pix = mm.decode_images(imgs, mode="ppm", concurrency=8)
+    hashed = mm.phash_images(pix)
+    pairs = _dedup.hash64_near_dup_pairs(
+        hashed, hash_col="phash", id_col="doc_id", max_hamming=3)
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -5087,6 +5128,7 @@ def catalog():
         "snapshot_diff": q_snapshot_diff,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_sample_global": q_doc_sample_global,
+        "image_phash_neardup": q_image_phash_neardup,
     }
 
 
@@ -5235,6 +5277,12 @@ def no_oracle_reasons():
             "dependency); segmentation greedy-by-rank is pinned by "
             "pytest (roundtrip identity + scalar parity), counts are "
             "exact integers"
+        ),
+        "image_phash_neardup": (
+            "the perceptual hash's 2-D DCT is float and not "
+            "SQL-expressible; the pipeline is rerun/layout-deterministic "
+            "(rows-only holds) and pinned by pytest against the scalar "
+            "phash64 oracle on the same planted near-dup corpus"
         ),
         "doc_lang_classifier": (
             "iterative float softmax-GD training is not "

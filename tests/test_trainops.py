@@ -2636,3 +2636,63 @@ def test_paragraph_dup_stats_hand_case_and_layout():
                 for i, r in got.iterrows()} == exp
         assert all(got[c].dtype == np.int64
                    for c in ("n_paras", "n_dup", "dup_chars"))
+
+
+def test_phash64_properties():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (40, 56, 3)).astype(np.uint8)
+    h = multimodal.phash64(img)
+    pc = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    # deterministic
+    assert multimodal.phash64(img) == h
+    # brightness shift moves only the DC coefficient -> tiny hamming
+    shifted = np.clip(img.astype(np.int64) + 9, 0, 255).astype(np.uint8)
+    assert pc(h, multimodal.phash64(shifted)) <= 3
+    # unrelated content is ~32 bits away
+    other = rng.randint(0, 256, (40, 56, 3)).astype(np.uint8)
+    assert pc(h, multimodal.phash64(other)) > 10
+    # grayscale path accepted
+    gray = (img @ np.array([0.299, 0.587, 0.114])).astype(np.float64)
+    assert multimodal.phash64(gray) == h
+
+
+def test_image_phash_neardup_pipeline_matches_scalar_oracle():
+    """The distributed decode->phash->band pipeline must equal the
+    sequential scalar oracle (phash64 on the same constructed corpus +
+    brute-force hamming filter), on every block layout."""
+    from ophois_ray import queries
+
+    sf = "/root/testdata/sf0.001"
+    got = queries.q_image_phash_neardup(sf)
+
+    # sequential oracle over the same deterministic image corpus
+    import duckdb
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet')"
+    ).df()["doc_id"].to_numpy(np.int64)
+    hashes = {}
+    for k in ids:
+        leader = int(k - k % 7)
+        rng = np.random.RandomState(leader % (1 << 31))
+        base = rng.randint(0, 256, (48, 64, 3)).astype(np.int64)
+        t = int(k % 7)
+        tilt = (np.linspace(0, 2 * t, 64)[None, :, None]
+                + np.linspace(0, t, 48)[:, None, None])
+        img = np.clip(base + tilt.astype(np.int64), 0, 255).astype(np.uint8)
+        # through the same real codec roundtrip as the pipeline
+        hashes[int(k)] = multimodal.phash64(
+            multimodal.decode_netpbm(multimodal.encode_ppm(img)))
+    exp = []
+    sids = sorted(hashes)
+    for i, a in enumerate(sids):
+        for b in sids[i + 1:]:
+            ham = bin(int(hashes[a]) ^ int(hashes[b])).count("1")
+            if ham <= 3:
+                exp.append((a, b, ham))
+    exp.sort()
+    assert exp, "fixture must plant at least one near-dup pair"
+    got_t = sorted(zip(got["id_a"].astype(int), got["id_b"].astype(int),
+                       got["hamming"].astype(int)))
+    assert got_t == exp
+    # near-dups are exactly the planted leader groups
+    assert all(a - a % 7 == b - b % 7 for a, b, _ in exp)

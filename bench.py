@@ -130,6 +130,7 @@ BENCH_ROTATE = [
     "doc_paragraph_dedup",
     "doc_sample_global",
     "image_phash_neardup",
+    "events_watermark_late",
 ]
 BENCH_ROTATE_K = 15
 

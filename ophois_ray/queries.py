@@ -4970,6 +4970,62 @@ FROM documents QUALIFY rk <= 100
 """
 
 
+WATERMARK_WINDOW_US = 3_600_000_000   # 1 h tumbling windows
+WATERMARK_LATENESS_US = 600_000_000   # 10 min allowed lateness
+
+
+WATERMARK_JITTER_US = 1_200_000_000   # arrival disorder bound: 20 min
+
+
+def q_events_watermark_late(sf_dir: str):
+    """Streaming allowed-lateness accounting: replay the events stream
+    in a deterministic arrival order with BOUNDED disorder (arrival =
+    event time + sample_hash(event_id) % 20 min — the realistic
+    network-delay model, so some events overtake others by up to 20
+    min), maintain the watermark = running-max(event time) - 10 min,
+    and count events per (1 h window, late flag) —
+    windows.watermark_late_counts, the exact distributed two-pass
+    prefix-max. Lateness < disorder bound gives a genuine on-time/late
+    mix rather than an all-late degenerate stream."""
+    from . import sampling, windows
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        eid = df["event_id"].to_numpy(np.int64)
+        jitter = sampling.sample_hash(eid) % np.int64(WATERMARK_JITTER_US)
+        return pd.DataFrame({"event_id": eid, "us": us.to_numpy(),
+                             "akey": us.to_numpy() + jitter})
+
+    return windows.watermark_late_counts(
+        ev.map_batches(prep, batch_format="pandas"),
+        window_us=WATERMARK_WINDOW_US, lateness_us=WATERMARK_LATENESS_US,
+    )
+
+
+SQL_EVENTS_WATERMARK_LATE = f"""
+WITH e AS (
+  SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(epoch_us(ts) AS BIGINT)
+           + ({SQL_SAMPLE_HASH.format(key="event_id")})
+             % {WATERMARK_JITTER_US} AS akey
+  FROM events),
+w AS (
+  SELECT us,
+         max(us) OVER (ORDER BY akey, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM e)
+SELECT CAST(us // {WATERMARK_WINDOW_US} AS BIGINT) AS win,
+       CAST(CASE WHEN wm IS NOT NULL
+                  AND us < wm - {WATERMARK_LATENESS_US}
+             THEN 1 ELSE 0 END AS BIGINT) AS late,
+       CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY 1, 2
+"""
+
+
 def q_image_phash_neardup(sf_dir: str):
     """Image near-dup via 64-bit perceptual hash — the multimodal twin
     of simhash dedup. A deterministic image corpus is synthesized per
@@ -5129,6 +5185,7 @@ def catalog():
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_sample_global": q_doc_sample_global,
         "image_phash_neardup": q_image_phash_neardup,
+        "events_watermark_late": q_events_watermark_late,
     }
 
 
@@ -5232,6 +5289,7 @@ def sql_catalog():
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
         "doc_sample_global": SQL_DOC_SAMPLE_GLOBAL,
+        "events_watermark_late": SQL_EVENTS_WATERMARK_LATE,
     }
 
 

@@ -334,3 +334,42 @@ def test_hopping_window_matches_bruteforce(ray_session):
     with pytest.raises(ValueError):
         hopping_window(ray.data.from_pandas(df), ts_col="t",
                        size_us=35, hop_us=10)
+
+
+def test_watermark_late_counts_matches_sequential(ray_session):
+    """Distributed two-pass prefix-max == sequential replay, on every
+    block layout, including arrival-key ties and the global first
+    event (no watermark -> on time)."""
+    import ray.data
+
+    from ophois_ray.windows import watermark_late_counts
+
+    rng = np.random.RandomState(11)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "us": rng.randint(0, 10_000, n).astype(np.int64),
+        # coarse arrival key -> many exact ties, exercising the
+        # (akey, event_id) tie-break across range boundaries
+        "akey": rng.randint(0, 7, n).astype(np.int64) * ((1 << 61) // 8),
+    })
+    W, L = 1000, 300
+
+    # sequential replay oracle
+    seq = df.sort_values(["akey", "event_id"], ignore_index=True)
+    us = seq["us"].to_numpy()
+    wm = np.full(n, -(1 << 62), dtype=np.int64)
+    wm[1:] = np.maximum.accumulate(us[:-1])
+    late = (wm > -(1 << 62)) & (us < wm - L)
+    exp = (pd.DataFrame({"win": us // W, "late": late.astype(np.int64)})
+           .groupby(["win", "late"]).size().to_dict())
+
+    for nparts in (1, 7):
+        got = watermark_late_counts(
+            ray.data.from_pandas(df).repartition(nparts),
+            window_us=W, lateness_us=L,
+        ).to_pandas()
+        gd = {(int(r.win), int(r.late)): int(r.n) for r in got.itertuples()}
+        assert gd == exp
+        assert int(got["n"].sum()) == n
+    assert late.any(), "fixture must produce late events"

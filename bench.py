@@ -131,6 +131,8 @@ BENCH_ROTATE = [
     "doc_sample_global",
     "image_phash_neardup",
     "events_watermark_late",
+    "users_click_not_purchase",
+    "events_running_total",
 ]
 BENCH_ROTATE_K = 15
 

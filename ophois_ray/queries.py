@@ -4974,6 +4974,112 @@ WATERMARK_WINDOW_US = 3_600_000_000   # 1 h tumbling windows
 WATERMARK_LATENESS_US = 600_000_000   # 10 min allowed lateness
 
 
+def q_users_click_not_purchase(sf_dir: str):
+    """Distributed set difference (EXCEPT): distinct (user, day) pairs
+    with a 'click' event minus pairs with a 'purchase' event that day.
+    One int-key bucket shuffle; per-batch pre-dedup of (user, day,
+    side) triples bounds the exchange at distinct-triples-per-block;
+    the per-bucket membership test is exact because a (user, day)
+    pair's every row lands in one bucket."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["event_type"].to_numpy(object)
+        keep = (t == "click") | (t == "purchase")
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64)[keep],
+            "day": (us.to_numpy()[keep] // 86_400_000_000),
+            "side": (t[keep] == "purchase").astype(np.int64),
+        })
+        return out.drop_duplicates()
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates()
+        pos = g.loc[g["side"] == 0, ["user_id", "day"]]
+        neg = g.loc[g["side"] == 1, ["user_id", "day"]]
+        out = pos.merge(neg, on=["user_id", "day"], how="left",
+                        indicator=True)
+        out = out[out["_merge"] == "left_only"][["user_id", "day"]]
+        out = out.sort_values(["user_id", "day"], ignore_index=True)
+        return out.astype(np.int64)
+
+    from .joins import grouped_apply
+
+    return grouped_apply(
+        ev.map_batches(prep, batch_format="pandas"), ["user_id", "day"],
+        diff, num_buckets=16,
+    )
+
+
+SQL_USERS_CLICK_NOT_PURCHASE = """
+SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_events_running_total(sf_dir: str):
+    """Cumulative window aggregate (SUM OVER ... ROWS UNBOUNDED
+    PRECEDING): per-user running total of floor(value*100) cents in
+    (ts, event_id) order, returned for each user's LAST 5 events (ranked
+    from the end so output stays bounded). One user-bucket shuffle;
+    per-bucket vectorized sort + cumsum — a user's history is co-located
+    so the prefix sum is exact; integer cents keep it order-free."""
+    ev = _t(sf_dir, "events",
+            columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "us": us.to_numpy(),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "cents": np.floor(df["value"].to_numpy(np.float64) * 100.0
+                              ).astype(np.int64),
+        })
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"],
+                            ignore_index=True, kind="mergesort")
+        c = df["cents"].to_numpy(np.int64)
+        grp = df["user_id"].to_numpy(np.int64)
+        tot = np.cumsum(c)
+        first = np.ones(len(df), dtype=bool)
+        first[1:] = grp[1:] != grp[:-1]
+        base = np.repeat(tot[first] - c[first],
+                         np.diff(np.append(np.where(first)[0], len(df))))
+        df["running_cents"] = tot - base
+        # keep each user's last 5 events, ranked 1..5 from the end
+        tail = df.groupby("user_id", sort=False).cumcount(ascending=False)
+        out = df[tail < 5].copy()
+        out["rk_from_end"] = (tail[tail < 5] + 1).to_numpy(np.int64)
+        return out[["user_id", "event_id", "running_cents", "rk_from_end"]]
+
+    from .joins import grouped_apply
+
+    return grouped_apply(
+        ev.map_batches(prep, batch_format="pandas"), "user_id", scan,
+        num_buckets=16,
+    )
+
+
+SQL_EVENTS_RUNNING_TOTAL = """
+SELECT user_id, event_id, running_cents, rk_from_end FROM (
+  SELECT user_id, event_id,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+         CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS BIGINT) AS rk_from_end
+  FROM events)
+WHERE rk_from_end <= 5
+"""
+
+
 WATERMARK_JITTER_US = 1_200_000_000   # arrival disorder bound: 20 min
 
 
@@ -5186,6 +5292,8 @@ def catalog():
         "doc_sample_global": q_doc_sample_global,
         "image_phash_neardup": q_image_phash_neardup,
         "events_watermark_late": q_events_watermark_late,
+        "users_click_not_purchase": q_users_click_not_purchase,
+        "events_running_total": q_events_running_total,
     }
 
 
@@ -5290,6 +5398,8 @@ def sql_catalog():
         "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
         "doc_sample_global": SQL_DOC_SAMPLE_GLOBAL,
         "events_watermark_late": SQL_EVENTS_WATERMARK_LATE,
+        "users_click_not_purchase": SQL_USERS_CLICK_NOT_PURCHASE,
+        "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     }
 
 

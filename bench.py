@@ -133,6 +133,7 @@ BENCH_ROTATE = [
     "events_watermark_late",
     "users_click_not_purchase",
     "events_running_total",
+    "video_phash_neardup",
 ]
 BENCH_ROTATE_K = 15
 

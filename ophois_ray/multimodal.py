@@ -1840,3 +1840,56 @@ def phash_images(ds, *, concurrency: int = 8, batch_size: int = 64,
         PHashImages, batch_format="pandas", batch_size=batch_size,
         concurrency=(1, concurrency),
         fn_constructor_kwargs={"in_col": in_col, "out_col": out_col})
+
+
+def video_phash64(frames: np.ndarray, *, max_frames: int = 8) -> np.uint64:
+    """64-bit video fingerprint: pHash up to ``max_frames`` evenly
+    sampled frames (pixel-center sampling, same convention as
+    resize_nearest), then BITWISE-MAJORITY pool across frames (bit set
+    iff set in strictly more than half — ties clear). Temporal pooling
+    keeps the fingerprint stable under re-encode/brightness/mild
+    motion while distinct clips stay ~32 bits apart."""
+    n = len(frames)
+    if n == 0:
+        raise MediaDecodeError("video_phash64: no frames")
+    k = min(n, max_frames)
+    idx = np.unique(((2 * np.arange(k) + 1) * n) // (2 * k))
+    shift = np.arange(64, dtype=np.uint64)
+    bits = np.stack([
+        ((phash64(frames[int(i)]) >> shift) & np.uint64(1)).astype(np.int64)
+        for i in idx])
+    maj = bits.sum(axis=0) * 2 > len(idx)
+    return np.uint64(np.packbits(maj).view(">u8")[0])
+
+
+class VideoPHash:
+    """Actor-pool stage: MJPEG-AVI binary column -> int64 ``vhash``
+    video fingerprints (real container walk + real JPEG decode per
+    sampled frame; uint64 viewed as int64 for
+    dedup.hash64_near_dup_pairs)."""
+
+    def __init__(self, in_col: str = "media", out_col: str = "vhash",
+                 max_frames: int = 8):
+        self.in_col, self.out_col = in_col, out_col
+        self.max_frames = max_frames
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = [video_phash64(decode_avi_mjpeg(raw)[0],
+                              max_frames=self.max_frames)
+                for raw in df[self.in_col]]
+        df = df.drop(columns=[self.in_col]).copy()
+        df[self.out_col] = np.array(sigs, dtype=np.uint64).view(np.int64)
+        return df
+
+
+def video_phash_signatures(ds, *, concurrency: int = 8,
+                           batch_size: int = 16,
+                           in_col: str = "media", out_col: str = "vhash",
+                           max_frames: int = 8):
+    """Binary clips stay in small batches (large payloads); compose
+    with dedup.hash64_near_dup_pairs for video near-dup pairs."""
+    return ds.map_batches(
+        VideoPHash, batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"in_col": in_col, "out_col": out_col,
+                               "max_frames": max_frames})

@@ -5173,6 +5173,53 @@ def q_image_phash_neardup(sf_dir: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_video_phash_neardup(sf_dir: str):
+    """Video near-dup via temporally-pooled perceptual hashing: a
+    deterministic MJPEG-AVI corpus is synthesized per doc (leader =
+    doc_id - doc_id % 5 seeds the base pattern; frames roll the base
+    horizontally — real motion; k = doc_id % 5 adds a tilt, so each
+    leader group is a planted near-dup cluster), round-tripped through
+    the REAL AVI container + baseline JPEG codec (actor pool),
+    fingerprinted by multimodal.video_phash64 (per-frame pHash +
+    bitwise-majority pooling), and paired by
+    dedup.hash64_near_dup_pairs. The clip corpus is deterministically
+    subsampled (doc_id % 4 == 0) — the pure-Python JPEG codec is the
+    honest no-library price and dominates wall time, so the fixture
+    stays bench-sized while still planting multi-member leader groups.
+    no_oracle (float DCT); deterministic, pinned by scalar-oracle
+    pytest. Output (id_a, id_b, hamming)."""
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        from . import multimodal as mm
+
+        d = df["doc_id"].to_numpy(np.int64)
+        d = d[d % 4 == 0]
+        media = []
+        for k in d:
+            leader = int(k - k % 5)
+            rng = np.random.RandomState((leader + 77) % (1 << 31))
+            base = rng.randint(0, 256, (32, 48, 3)).astype(np.int64)
+            t = int(k % 5)
+            tilt = (np.linspace(0, 2 * t, 48)[None, :, None]
+                    + np.linspace(0, t, 32)[:, None, None]).astype(np.int64)
+            frames = np.stack([
+                np.clip(np.roll(base, f, axis=1) + tilt, 0, 255
+                        ).astype(np.uint8)
+                for f in range(4)])
+            media.append(mm.encode_avi_mjpeg(frames, fps=10, quality=85))
+        return pd.DataFrame({"doc_id": d, "media": media})
+
+    from . import dedup as _dedup
+    from . import multimodal as mm
+
+    clips = docs.map_batches(gen, batch_format="pandas")
+    sigs = mm.video_phash_signatures(clips, concurrency=8)
+    pairs = _dedup.hash64_near_dup_pairs(
+        sigs, hash_col="vhash", id_col="doc_id", max_hamming=3)
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -5294,6 +5341,7 @@ def catalog():
         "events_watermark_late": q_events_watermark_late,
         "users_click_not_purchase": q_users_click_not_purchase,
         "events_running_total": q_events_running_total,
+        "video_phash_neardup": q_video_phash_neardup,
     }
 
 
@@ -5445,6 +5493,12 @@ def no_oracle_reasons():
             "dependency); segmentation greedy-by-rank is pinned by "
             "pytest (roundtrip identity + scalar parity), counts are "
             "exact integers"
+        ),
+        "video_phash_neardup": (
+            "per-frame pHash DCT + majority pooling is float and not "
+            "SQL-expressible; the pipeline is rerun/layout-deterministic "
+            "(rows-only holds) and pinned by pytest against the scalar "
+            "video_phash64 oracle on the same planted corpus"
         ),
         "image_phash_neardup": (
             "the perceptual hash's 2-D DCT is float and not "

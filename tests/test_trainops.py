@@ -2696,3 +2696,45 @@ def test_image_phash_neardup_pipeline_matches_scalar_oracle():
     assert got_t == exp
     # near-dups are exactly the planted leader groups
     assert all(a - a % 7 == b - b % 7 for a, b, _ in exp)
+
+
+def test_video_phash_neardup_pipeline_matches_scalar_oracle():
+    """Distributed AVI-decode -> video-phash -> banding pipeline ==
+    sequential scalar oracle on the same constructed clip corpus."""
+    from ophois_ray import queries
+
+    sf = "/root/testdata/sf0.001"
+    got = queries.q_video_phash_neardup(sf)
+
+    import duckdb
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet')"
+    ).df()["doc_id"].to_numpy(np.int64)
+    ids = ids[ids % 4 == 0]  # the query's deterministic clip subsample
+    sigs = {}
+    for k in ids:
+        leader = int(k - k % 5)
+        rng = np.random.RandomState((leader + 77) % (1 << 31))
+        base = rng.randint(0, 256, (32, 48, 3)).astype(np.int64)
+        t = int(k % 5)
+        tilt = (np.linspace(0, 2 * t, 48)[None, :, None]
+                + np.linspace(0, t, 32)[:, None, None]).astype(np.int64)
+        frames = np.stack([
+            np.clip(np.roll(base, f, axis=1) + tilt, 0, 255).astype(np.uint8)
+            for f in range(4)])
+        raw = multimodal.encode_avi_mjpeg(frames, fps=10, quality=85)
+        sigs[int(k)] = multimodal.video_phash64(
+            multimodal.decode_avi_mjpeg(raw)[0])
+    exp = []
+    sids = sorted(sigs)
+    for i, a in enumerate(sids):
+        for b in sids[i + 1:]:
+            ham = bin(int(sigs[a]) ^ int(sigs[b])).count("1")
+            if ham <= 3:
+                exp.append((a, b, ham))
+    exp.sort()
+    assert exp, "fixture must plant at least one near-dup pair"
+    got_t = sorted(zip(got["id_a"].astype(int), got["id_b"].astype(int),
+                       got["hamming"].astype(int)))
+    assert got_t == exp
+    assert all(a - a % 5 == b - b % 5 for a, b, _ in exp)

@@ -212,3 +212,26 @@ def oracle_sql_cell_expr(lat_expr: str, lon_expr: str, res: int) -> str:
         f" + CAST({ix} AS BIGINT) * {1 << _IX_SHIFT}"
         f" + CAST({iy} AS BIGINT))"
     )
+
+
+def oracle_sql_cell_ixiy(cell_expr: str) -> tuple[str, str]:
+    """SQL expressions recovering (ix, iy) from a packed cell id —
+    non-negative integer division, so DuckDB ``//`` (truncating)
+    equals the engine's shift/mask decode. Lives HERE so the bit
+    layout has exactly one SQL mirror alongside oracle_sql_cell_expr
+    (CLAUDE.md invariant: never refactor one side without the other)."""
+    m = 1 << _IX_SHIFT
+    return (f"((({cell_expr}) // {m}) % {m})", f"(({cell_expr}) % {m})")
+
+
+def oracle_sql_parent_expr(cell_expr: str, res: int, fine_res: int) -> str:
+    """SQL expression for parent_to(cell, res) of a ``fine_res`` cell —
+    op-for-op the engine's decode -> ix>>steps -> encode on
+    non-negative fields."""
+    d = 1 << (fine_res - res)
+    ix, iy = oracle_sql_cell_ixiy(cell_expr)
+    return (
+        f"(CAST({res} AS BIGINT) * {1 << _RES_SHIFT}"
+        f" + {ix} // {d} * {1 << _IX_SHIFT}"
+        f" + {iy} // {d})"
+    )

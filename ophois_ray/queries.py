@@ -4590,8 +4590,6 @@ def q_doc_lang_classifier(sf_dir: str):
 # ------------------------------------------------- tiling / index / CDC
 
 TILE_LEVELS = (12, 9, 6, 3)
-_CELL_RES_MUL = 1 << 58
-_CELL_IX_MUL = 1 << 29
 
 
 def q_tile_pyramid(sf_dir: str):
@@ -4636,20 +4634,14 @@ def q_tile_pyramid(sf_dir: str):
 def _sql_tile_pyramid() -> str:
     lat, lon = _sql_coords("c_custkey", 7, 13)
     fine = cells.oracle_sql_cell_expr(lat, lon, TILE_LEVELS[0])
-    # ix/iy recovered from the fine cell id by non-negative integer
-    # division (DuckDB // truncates == floors here), then each level is
-    # res*2^58 + (ix // 2^steps)*2^29 + (iy // 2^steps) — op-for-op the
-    # engine's decode/parent_to/encode on non-negative fields.
-    parts = []
-    for r in TILE_LEVELS:
-        d = 1 << (TILE_LEVELS[0] - r)
-        parts.append(
-            f"SELECT CAST({r} AS BIGINT) AS res,"
-            f" CAST({r} AS BIGINT) * {_CELL_RES_MUL}"
-            f" + ((cell // {_CELL_IX_MUL}) % {_CELL_IX_MUL}) // {d} * {_CELL_IX_MUL}"
-            f" + (cell % {_CELL_IX_MUL}) // {d} AS cell,"
-            f" count(*) AS n FROM fine GROUP BY 2"
-        )
+    # each level re-derived from the fine cell id by the cells.py-owned
+    # parent mirror (decode/shift/encode on non-negative fields)
+    parts = [
+        f"SELECT CAST({r} AS BIGINT) AS res,"
+        f" {cells.oracle_sql_parent_expr('cell', r, TILE_LEVELS[0])} AS cell,"
+        f" count(*) AS n FROM fine GROUP BY 2"
+        for r in TILE_LEVELS
+    ]
     return (
         f"WITH fine AS (SELECT {fine} AS cell FROM customer) "
         + " UNION ALL ".join(parts)
@@ -4718,10 +4710,10 @@ def _sql_zorder_stats() -> str:
         terms.append(f"((ix // {1 << b}) % 2) * {1 << (2 * b + 1)}")
         terms.append(f"((iy // {1 << b}) % 2) * {1 << (2 * b)}")
     z = " + ".join(terms)
+    ix_expr, iy_expr = cells.oracle_sql_cell_ixiy("cell")
     return f"""
 WITH fine AS (SELECT {fine} AS cell FROM customer),
-ixy AS (SELECT (cell // {_CELL_IX_MUL}) % {_CELL_IX_MUL} AS ix,
-               cell % {_CELL_IX_MUL} AS iy FROM fine),
+ixy AS (SELECT {ix_expr} AS ix, {iy_expr} AS iy FROM fine),
 zs AS (SELECT CAST({z} AS BIGINT) AS z FROM ixy)
 SELECT z // 4096 AS zb, count(*) AS n, min(z) AS zmin, max(z) AS zmax
 FROM zs GROUP BY 1
@@ -4749,7 +4741,10 @@ def q_events_latest_per_user(sf_dir: str):
 
     def _latest(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
-        return df.groupby("user_id", as_index=False).last()
+        # tail(1) keeps the last ROW per user; .last() would instead
+        # take the last NON-NULL value per column independently and
+        # could stitch a franken-row on a null-bearing fixture
+        return df.groupby("user_id", sort=False).tail(1)
 
     from .joins import grouped_apply
 
@@ -4813,25 +4808,22 @@ def q_snapshot_diff(sf_dir: str):
     %7==0), tagged, unioned, and diffed inside ONE key-co-partitioned
     pass — no driver join, unchanged keys never leave their bucket.
     Missing sides use a -1 sentinel (int columns stay int64)."""
-    a = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    b = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
-    def side_a(df: pd.DataFrame) -> pd.DataFrame:
+    def both_sides(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE read emits both tagged snapshots (scanning the parquet
+        # twice for identical columns would double the I/O)
         k = df["o_orderkey"].to_numpy(np.int64)
         v = df["o_custkey"].to_numpy(np.int64)
-        m = (k % 11) != 3
-        return pd.DataFrame({"k": k[m], "v": v[m],
-                             "side": np.zeros(int(m.sum()), np.int64)})
+        ma = (k % 11) != 3
+        mb = (k % 13) != 5
+        a = pd.DataFrame({"k": k[ma], "v": v[ma],
+                          "side": np.zeros(int(ma.sum()), np.int64)})
+        b = pd.DataFrame({"k": k[mb], "v": (v + ((k % 7) == 0))[mb],
+                          "side": np.ones(int(mb.sum()), np.int64)})
+        return pd.concat([a, b], ignore_index=True)
 
-    def side_b(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["o_orderkey"].to_numpy(np.int64)
-        v = df["o_custkey"].to_numpy(np.int64) + ((k % 7) == 0)
-        m = (k % 13) != 5
-        return pd.DataFrame({"k": k[m], "v": v[m],
-                             "side": np.ones(int(m.sum()), np.int64)})
-
-    both = a.map_batches(side_a, batch_format="pandas").union(
-        b.map_batches(side_b, batch_format="pandas"))
+    both = orders.map_batches(both_sides, batch_format="pandas")
 
     def diff(df: pd.DataFrame) -> pd.DataFrame:
         p = df.pivot_table(index="k", columns="side", values="v",
@@ -4884,7 +4876,9 @@ def q_doc_paragraph_dedup(sf_dir: str):
     dup). The engine does REAL word splitting/joining and real global
     string-equality counting via textstats.paragraph_dup_stats; any
     mis-split or mis-join fails the hash."""
-    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    # two consumers (body + heads) — materialize or the parquet read
+    # and text decode re-execute per hash_join side (CLAUDE.md rule)
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
 
     def heads(df: pd.DataFrame) -> pd.DataFrame:
         d = df["doc_id"].to_numpy(np.int64)

@@ -399,6 +399,52 @@ def mixture_sample(ds, key_col: str, group_col: str,
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def sampled_range_cuts(ds, keys, *, num_buckets: int = 64,
+                       sample_denom: int = 16):
+    """Stage 1 of the TeraSort shape, shared by rank_global and
+    windows.watermark_late_counts: cut tuples (evenly spaced quantiles
+    of the sorted sample) from rows whose ``split_hash(last key) %
+    sample_denom == 0`` — a pure function of the DATA, so boundaries
+    are identical across layouts, cluster widths and reruns."""
+    last = keys[-1]
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        m = split_hash(df[last].to_numpy()) % sample_denom == 0
+        return df.loc[m, keys]
+
+    sampled = [b for b in ds.map_batches(sample, batch_format="pandas")
+               .iter_batches(batch_format="pandas", batch_size=None)]
+    sdf = (pd.concat(sampled, ignore_index=True) if sampled
+           else pd.DataFrame(columns=keys))
+    if not len(sdf):
+        return []
+    order = np.lexsort([sdf[c].to_numpy(np.int64) for c in reversed(keys)])
+    pos = (np.arange(1, num_buckets) * len(order)) // num_buckets
+    cut_rows = sdf.iloc[order[np.minimum(pos, len(order) - 1)]]
+    return [tuple(int(v) for v in r)
+            for r in cut_rows[keys].itertuples(index=False)]
+
+
+def range_bucket_of(df: pd.DataFrame, keys, cuts) -> np.ndarray:
+    """Stage 2 of the TeraSort shape: vectorized bisect_left of each
+    row's key TUPLE over the cut tuples — bucket = number of cuts
+    strictly less than the row, one lexicographic compare pass per cut
+    (cuts are few, rows are many)."""
+    if not cuts:
+        return np.zeros(len(df), dtype=np.int64)
+    cols = [df[c].to_numpy(np.int64) for c in keys]
+    n = len(df)
+    bucket = np.zeros(n, dtype=np.int64)
+    for cut in cuts:
+        lt = np.zeros(n, dtype=bool)
+        eq = np.ones(n, dtype=bool)
+        for col, cv in zip(cols, cut):
+            lt |= eq & (cv < col)
+            eq &= col == cv
+        bucket += lt
+    return bucket
+
+
 def rank_global(ds, key_cols, *, num_buckets: int = 64,
                 sample_denom: int = 16):
     """Global dense ranking / distributed ORDER BY — the TeraSort
@@ -428,48 +474,12 @@ def rank_global(ds, key_cols, *, num_buckets: int = 64,
     from .joins import grouped_apply
 
     keys = list(key_cols)
-    last = keys[-1]
-
-    def sample(df: pd.DataFrame) -> pd.DataFrame:
-        m = split_hash(df[last].to_numpy()) % sample_denom == 0
-        return df.loc[m, keys]
-
-    sampled = [b for b in ds.map_batches(sample, batch_format="pandas")
-               .iter_batches(batch_format="pandas", batch_size=None)]
-    sdf = (pd.concat(sampled, ignore_index=True) if sampled
-           else pd.DataFrame(columns=keys))
-    if len(sdf):
-        order = np.lexsort([sdf[c].to_numpy(np.int64)
-                            for c in reversed(keys)])
-        pos = (np.arange(1, num_buckets)
-               * len(order)) // num_buckets
-        cut_rows = sdf.iloc[order[np.minimum(pos, len(order) - 1)]]
-        cuts = [tuple(int(v) for v in r)
-                for r in cut_rows[keys].itertuples(index=False)]
-    else:
-        cuts = []
-
-    def bucket_of(df: pd.DataFrame) -> np.ndarray:
-        # vectorized bisect_left over key TUPLES: bucket = number of
-        # cut tuples strictly less than the row, one lexicographic
-        # compare pass per cut (cuts are few, rows are many)
-        if not cuts:
-            return np.zeros(len(df), dtype=np.int64)
-        cols = [df[c].to_numpy(np.int64) for c in keys]
-        n = len(df)
-        bucket = np.zeros(n, dtype=np.int64)
-        for cut in cuts:
-            lt = np.zeros(n, dtype=bool)
-            eq = np.ones(n, dtype=bool)
-            for col, cv in zip(cols, cut):
-                lt |= eq & (cv < col)
-                eq &= col == cv
-            bucket += lt
-        return bucket
+    cuts = sampled_range_cuts(ds, keys, num_buckets=num_buckets,
+                              sample_denom=sample_denom)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__rb"] = bucket_of(df)
+        df["__rb"] = range_bucket_of(df, keys, cuts)
         return df
 
     # bucket ONCE and materialize: the count pass and the rank shuffle

@@ -133,49 +133,16 @@ def watermark_late_counts(ds, *, us_col: str = "us",
     arrival has no watermark (sentinel base) and is on time, matching
     SQL's NULL window frame.
     """
-    from .sampling import split_hash
+    from .sampling import range_bucket_of, sampled_range_cuts
 
     keys = [arrival_col, id_col]
     neg = np.int64(-(1 << 62))
-
-    def sample(df: pd.DataFrame) -> pd.DataFrame:
-        m = split_hash(df[id_col].to_numpy()) % sample_denom == 0
-        return df.loc[m, keys]
-
-    sampled = [b for b in ds.map_batches(sample, batch_format="pandas")
-               .iter_batches(batch_format="pandas", batch_size=None)]
-    sdf = (pd.concat(sampled, ignore_index=True) if sampled
-           else pd.DataFrame(columns=keys))
-    if len(sdf):
-        order = np.lexsort([sdf[c].to_numpy(np.int64)
-                            for c in reversed(keys)])
-        pos = (np.arange(1, num_buckets) * len(order)) // num_buckets
-        cut_rows = sdf.iloc[order[np.minimum(pos, len(order) - 1)]]
-        cuts = [tuple(int(v) for v in r)
-                for r in cut_rows[keys].itertuples(index=False)]
-    else:
-        cuts = []
-
-    def bucket_of(df: pd.DataFrame) -> np.ndarray:
-        # vectorized bisect_left over (arrival, id) tuples, one
-        # lexicographic compare pass per cut (rank_global's kernel)
-        if not cuts:
-            return np.zeros(len(df), dtype=np.int64)
-        cols = [df[c].to_numpy(np.int64) for c in keys]
-        n = len(df)
-        bucket = np.zeros(n, dtype=np.int64)
-        for cut in cuts:
-            lt = np.zeros(n, dtype=bool)
-            eq = np.ones(n, dtype=bool)
-            for col, cv in zip(cols, cut):
-                lt |= eq & (cv < col)
-                eq &= col == cv
-            bucket += lt
-        return bucket
+    cuts = sampled_range_cuts(ds, keys, num_buckets=num_buckets,
+                              sample_denom=sample_denom)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__rb"] = bucket_of(df)
+        df["__rb"] = range_bucket_of(df, keys, cuts)
         return df
 
     bucketed = ds.map_batches(add_bucket, batch_format="pandas").materialize()

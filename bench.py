@@ -134,6 +134,7 @@ BENCH_ROTATE = [
     "users_click_not_purchase",
     "events_running_total",
     "video_phash_neardup",
+    "audio_fingerprint_neardup",
 ]
 BENCH_ROTATE_K = 15
 

@@ -1545,3 +1545,65 @@ def semdedup_removals(
 
     return grouped_apply(assigned, "cluster", per_bucket,
                          num_buckets=num_buckets)
+
+
+def shared_key_pairs(rows, *, id_col: str = "doc_id", key_col: str = "lm",
+                     min_shared: int = 5, bucket_cap: int = 200,
+                     num_buckets: int = 32):
+    """Candidate pairs by shared discrete keys — the posting-list /
+    Shazam-constellation shape: ids sharing >= ``min_shared`` distinct
+    ``key_col`` values become a pair with the exact shared count.
+
+    Scale shape: per-batch (id, key) dedup shrinks the single key
+    shuffle; every occurrence of a key lands in one bucket, so per-key
+    clip sets are complete and per-key pair emission is exact; keys
+    held by > ``bucket_cap`` ids are SKIPPED with a log line (a
+    degenerate key — silence, a zero frame — would otherwise emit
+    quadratically; matching clips share many specific keys, so recall
+    survives); a second tiny int-pair shuffle sums the per-key
+    contributions. Returns pandas ``(id_a, id_b, n_shared)``."""
+    from .joins import grouped_apply
+
+    empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                          "id_b": pd.Series(dtype=np.int64),
+                          "n_shared": pd.Series(dtype=np.int64)})
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates([id_col, key_col])
+
+    def key_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _k, g in df.groupby(key_col, sort=False):
+            ids = np.unique(g[id_col].to_numpy(np.int64))
+            if len(ids) < 2:
+                continue
+            if len(ids) > bucket_cap:
+                _LOG.info("shared_key_pairs: key %s held by %d ids "
+                          "skipped (> bucket_cap=%d)", _k, len(ids),
+                          bucket_cap)
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[ia])
+            outs_b.append(ids[ib])
+        if not outs_a:
+            return empty.copy()
+        t = pd.DataFrame({"id_a": np.concatenate(outs_a),
+                          "id_b": np.concatenate(outs_b)})
+        g = t.groupby(["id_a", "id_b"], as_index=False).size()
+        g["n_shared"] = g.pop("size").astype(np.int64)
+        return g
+
+    cand = grouped_apply(rows, key_col, key_pairs,
+                         num_buckets=num_buckets, drop_partial=pre)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id_a", "id_b"], as_index=False)["n_shared"].sum()
+        g = g[g["n_shared"] >= min_shared].copy()
+        g["n_shared"] = g["n_shared"].astype(np.int64)
+        return g
+
+    out = grouped_apply(cand, ["id_a", "id_b"], merge,
+                        num_buckets=16).to_pandas()
+    if not len(out):     # 0-row Ray datasets drop their schema
+        return empty.copy()
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)

@@ -1893,3 +1893,72 @@ def video_phash_signatures(ds, *, concurrency: int = 8,
         concurrency=(1, concurrency),
         fn_constructor_kwargs={"in_col": in_col, "out_col": out_col,
                                "max_frames": max_frames})
+
+
+# --------------------------------------------------- audio fingerprint
+# Spectral-landmark fingerprinting (the Shazam constellation shape,
+# Wang 2003): per-frame spectral peak, landmarks = (peak_t, peak_{t+d},
+# d) packed into one int64 code. Matching clips share many landmark
+# codes; candidate pairs come from a posting-list shuffle
+# (dedup.shared_key_pairs), never a quadratic clip x clip scan.
+
+
+def audio_landmarks(samples: np.ndarray, *, n_fft: int = 512,
+                    hop: int = 256, fanout: int = 4) -> np.ndarray:
+    """Distinct int64 landmark codes of one clip ((n,) mono or (n, ch)
+    float/int samples, channels downmixed). Per rectangular frame the
+    dominant non-DC rfft bin is the peak (argmax — ties resolve to the
+    lowest bin, deterministic); each peak pairs with the next
+    ``fanout`` frames' peaks: code = f1 << 20 | f2 << 8 | dt."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    n = (len(x) - n_fft) // hop + 1
+    if n < 2:
+        return np.empty(0, dtype=np.int64)
+    idx = np.arange(n)[:, None] * hop + np.arange(n_fft)[None, :]
+    mag = np.abs(np.fft.rfft(x[idx], axis=1))
+    peaks = 1 + np.argmax(mag[:, 1:], axis=1).astype(np.int64)
+    outs = []
+    for d in range(1, fanout + 1):
+        if n - d < 1:
+            break
+        outs.append((peaks[:n - d] << 20) | (peaks[d:] << 8)
+                    | np.int64(d))
+    return np.unique(np.concatenate(outs))
+
+
+class AudioLandmarks:
+    """Actor-pool stage: WAV binary column -> exploded (id, lm) int64
+    landmark rows (real RIFF walk + PCM16/ADPCM decode), ready for the
+    posting-list pair shuffle."""
+
+    def __init__(self, in_col: str = "media", id_col: str = "doc_id",
+                 out_col: str = "lm", n_fft: int = 512, hop: int = 256,
+                 fanout: int = 4):
+        self.in_col, self.id_col, self.out_col = in_col, id_col, out_col
+        self.n_fft, self.hop, self.fanout = n_fft, hop, fanout
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, lms = [], []
+        for i, raw in zip(df[self.id_col].to_numpy(np.int64),
+                          df[self.in_col]):
+            lm = audio_landmarks(decode_wav(raw)[0], n_fft=self.n_fft,
+                                 hop=self.hop, fanout=self.fanout)
+            ids.append(np.full(len(lm), i, dtype=np.int64))
+            lms.append(lm)
+        if not ids:
+            return pd.DataFrame({self.id_col: pd.Series(dtype=np.int64),
+                                 self.out_col: pd.Series(dtype=np.int64)})
+        return pd.DataFrame({self.id_col: np.concatenate(ids),
+                             self.out_col: np.concatenate(lms)})
+
+
+def audio_landmark_rows(ds, *, concurrency: int = 8, batch_size: int = 32,
+                        in_col: str = "media", id_col: str = "doc_id",
+                        out_col: str = "lm"):
+    return ds.map_batches(
+        AudioLandmarks, batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"in_col": in_col, "id_col": id_col,
+                               "out_col": out_col})

@@ -5214,6 +5214,50 @@ def q_video_phash_neardup(sf_dir: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_audio_fingerprint_neardup(sf_dir: str):
+    """Audio near-dup via spectral-landmark fingerprints (the Shazam
+    constellation shape): a deterministic WAV corpus is synthesized per
+    doc (leader = doc_id - doc_id % 6 seeds a 16-segment tone sequence;
+    k = doc_id % 6 applies gain + per-doc seeded noise — near-dup
+    variants of the leader's melody), decoded through the REAL RIFF/
+    PCM16 path, landmarked by multimodal.audio_landmarks (per-frame
+    rfft peak, peak-pair codes) in an actor pool, and paired by the
+    exact posting-list counter dedup.shared_key_pairs (>= 20 shared
+    codes). no_oracle (FFT floats); deterministic, pinned by
+    scalar-oracle pytest. Output (id_a, id_b, n_shared) int64."""
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        from . import multimodal as mm
+
+        d = df["doc_id"].to_numpy(np.int64)
+        d = d[d % 3 == 0]   # deterministic subsample: FFT + codec cost
+        rate = 8000
+        seg = rate // 16
+        t = np.arange(seg)
+        media = []
+        for k in d:
+            leader = int(k - k % 6)
+            rng = np.random.RandomState((leader + 131) % (1 << 31))
+            tones = rng.uniform(200, 3500, 16)
+            base = np.concatenate(
+                [np.sin(2 * np.pi * f * t / rate) for f in tones])
+            rngd = np.random.RandomState((int(k) + 7) % (1 << 31))
+            x = (base * (1.0 + 0.05 * int(k % 6))
+                 + rngd.normal(0, 0.05, len(base)))
+            pcm = np.clip(x / 2.0 * 32767, -32768, 32767).astype(np.int16)
+            media.append(mm.encode_wav_pcm16(pcm[:, None], rate))
+        return pd.DataFrame({"doc_id": d, "media": media})
+
+    from . import dedup as _dedup
+    from . import multimodal as mm
+
+    clips = docs.map_batches(gen, batch_format="pandas")
+    rows = mm.audio_landmark_rows(clips, concurrency=8)
+    return _dedup.shared_key_pairs(rows, id_col="doc_id", key_col="lm",
+                                   min_shared=20)
+
+
 # -------------------------------------------------------------- catalogs
 
 
@@ -5336,6 +5380,7 @@ def catalog():
         "users_click_not_purchase": q_users_click_not_purchase,
         "events_running_total": q_events_running_total,
         "video_phash_neardup": q_video_phash_neardup,
+        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
     }
 
 
@@ -5487,6 +5532,13 @@ def no_oracle_reasons():
             "dependency); segmentation greedy-by-rank is pinned by "
             "pytest (roundtrip identity + scalar parity), counts are "
             "exact integers"
+        ),
+        "audio_fingerprint_neardup": (
+            "spectral-landmark extraction is an FFT (float) and not "
+            "SQL-expressible; the posting-list pair counting is exact "
+            "integers, the pipeline is rerun/layout-deterministic "
+            "(rows-only holds), and pytest pins it to the scalar "
+            "audio_landmarks oracle on the same planted corpus"
         ),
         "video_phash_neardup": (
             "per-frame pHash DCT + majority pooling is float and not "

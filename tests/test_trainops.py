@@ -2738,3 +2738,48 @@ def test_video_phash_neardup_pipeline_matches_scalar_oracle():
                        got["hamming"].astype(int)))
     assert got_t == exp
     assert all(a - a % 5 == b - b % 5 for a, b, _ in exp)
+
+
+def test_audio_fingerprint_neardup_matches_scalar_oracle():
+    """Distributed WAV-decode -> landmark -> posting-list pipeline ==
+    sequential scalar oracle (set-intersection counts) on the same
+    constructed clip corpus."""
+    from ophois_ray import queries
+
+    sf = "/root/testdata/sf0.001"
+    got = queries.q_audio_fingerprint_neardup(sf)
+
+    import duckdb
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet')"
+    ).df()["doc_id"].to_numpy(np.int64)
+    ids = ids[ids % 3 == 0]
+    rate = 8000
+    seg = rate // 16
+    t = np.arange(seg)
+    lms = {}
+    for k in ids:
+        leader = int(k - k % 6)
+        rng = np.random.RandomState((leader + 131) % (1 << 31))
+        tones = rng.uniform(200, 3500, 16)
+        base = np.concatenate(
+            [np.sin(2 * np.pi * f * t / rate) for f in tones])
+        rngd = np.random.RandomState((int(k) + 7) % (1 << 31))
+        x = base * (1.0 + 0.05 * int(k % 6)) + rngd.normal(0, 0.05, len(base))
+        pcm = np.clip(x / 2.0 * 32767, -32768, 32767).astype(np.int16)
+        raw = multimodal.encode_wav_pcm16(pcm[:, None], rate)
+        samples, _r = multimodal.decode_wav(raw)
+        lms[int(k)] = set(multimodal.audio_landmarks(samples).tolist())
+    exp = []
+    sids = sorted(lms)
+    for i, a in enumerate(sids):
+        for b in sids[i + 1:]:
+            s = len(lms[a] & lms[b])
+            if s >= 20:
+                exp.append((a, b, s))
+    exp.sort()
+    assert exp, "fixture must plant at least one near-dup pair"
+    got_t = sorted(zip(got["id_a"].astype(int), got["id_b"].astype(int),
+                       got["n_shared"].astype(int)))
+    assert got_t == exp
+    assert all(a - a % 6 == b - b % 6 for a, b, _ in exp)

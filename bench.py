@@ -135,6 +135,7 @@ BENCH_ROTATE = [
     "events_running_total",
     "video_phash_neardup",
     "audio_fingerprint_neardup",
+    "events_pivot_counts",
 ]
 BENCH_ROTATE_K = 15
 

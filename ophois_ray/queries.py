@@ -5214,6 +5214,56 @@ def q_video_phash_neardup(sf_dir: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot_counts(sf_dir: str):
+    """PIVOT / crosstab: one row per user, one int64 count column per
+    event type plus the row total. Per-batch (user, type) partial
+    counts bound the single int-key shuffle; the per-bucket merge
+    pivots against the FIXED type list (schema is static — a dynamic
+    pivot would make the schema data-dependent, which neither Arrow
+    nor the driver's hash could pin)."""
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(object),
+        }).groupby(["user_id", "event_type"], as_index=False).size()
+        g["n"] = g.pop("size").astype(np.int64)
+        return g
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        wide = g.pivot_table(index="user_id", columns="event_type",
+                             values="n", aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({"user_id": wide.index.to_numpy(np.int64)})
+        total = np.zeros(len(wide), dtype=np.int64)
+        for t in PIVOT_TYPES:
+            col = (wide[t].to_numpy(np.int64) if t in wide.columns
+                   else np.zeros(len(wide), dtype=np.int64))
+            out[f"n_{t}"] = col
+            total += col
+        out["n_total"] = total
+        return out
+
+    from .joins import grouped_apply
+
+    return grouped_apply(
+        ev.map_batches(partial, batch_format="pandas"), "user_id", pivot,
+        num_buckets=16,
+    )
+
+
+def _sql_events_pivot() -> str:
+    cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS n_{t}" for t in PIVOT_TYPES)
+    return (f"SELECT user_id, {cols}, CAST(count(*) AS BIGINT) AS n_total"
+            f" FROM events GROUP BY user_id")
+
+
 def q_audio_fingerprint_neardup(sf_dir: str):
     """Audio near-dup via spectral-landmark fingerprints (the Shazam
     constellation shape): a deterministic WAV corpus is synthesized per
@@ -5381,6 +5431,7 @@ def catalog():
         "events_running_total": q_events_running_total,
         "video_phash_neardup": q_video_phash_neardup,
         "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
+        "events_pivot_counts": q_events_pivot_counts,
     }
 
 
@@ -5487,6 +5538,7 @@ def sql_catalog():
         "events_watermark_late": SQL_EVENTS_WATERMARK_LATE,
         "users_click_not_purchase": SQL_USERS_CLICK_NOT_PURCHASE,
         "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
+        "events_pivot_counts": _sql_events_pivot(),
     }
 
 

@@ -136,6 +136,7 @@ BENCH_ROTATE = [
     "video_phash_neardup",
     "audio_fingerprint_neardup",
     "events_pivot_counts",
+    "bloom_semijoin_revenue",
 ]
 BENCH_ROTATE_K = 15
 

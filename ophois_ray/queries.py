@@ -5214,6 +5214,83 @@ def q_video_phash_neardup(sf_dir: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_bloom_semijoin_revenue(sf_dir: str):
+    """Bloom-pushdown semi-join (the sketch-accelerated join pattern):
+    revenue cents per brand for a sparse part subset (p_partkey % 17 ==
+    3). The small side's Bloom filter (sketches.bloom_bits — built
+    distributed, folded to one dense bitmap, broadcast once via
+    ray.put) prefilters lineitem INSIDE the fused read, so only
+    candidate rows (matches + bounded false positives) reach the hash
+    join; the exact inner join then drops every false positive —
+    output identical to the plain join, which IS the SQL mirror. The
+    100-TB win: the big side never shuffles non-matching rows."""
+    import ray
+
+    from . import sketches
+    from .joins import grouped_apply, hash_join
+
+    m, k = 1 << 15, 3
+    part = _t(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def part_filter(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["p_partkey"].to_numpy(np.int64)
+        keep = (pk % 17) == 3
+        return pd.DataFrame({
+            "p_partkey": pk[keep],
+            "p_brand": df["p_brand"].to_numpy(object)[keep],
+            "pkey_str": pk[keep].astype(str),
+        })
+
+    small = part.map_batches(part_filter, batch_format="pandas").materialize()
+    bits = sketches.bloom_bits(small, "pkey_str", m=m, k=k).to_pandas()
+    dense = np.zeros(m, dtype=bool)
+    if len(bits):
+        dense[bits["bit"].to_numpy(np.int64)] = True
+    dense_ref = ray.put(dense)
+
+    li = _t(sf_dir, "lineitem",
+            columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dense_ref) if isinstance(dense_ref, ray.ObjectRef) \
+            else dense_ref
+        pk = df["l_partkey"].to_numpy(np.int64)
+        # probe the broadcast dense bitmap directly (bloom_contains
+        # would rebuild it from the bit table per batch)
+        h = sketches.hash_strings(pk.astype(str), 257)
+        ok = np.ones(len(pk), dtype=bool)
+        for i in range(k):
+            a, b = sketches.BLOOM_PROBES[i]
+            g = sketches._fold61(sketches._mul_base61(h, a) + np.uint64(b))
+            ok &= d[(g % np.uint64(m)).astype(np.int64)]
+        cents = np.floor(df["l_extendedprice"].to_numpy(np.float64)
+                         * (1.0 - df["l_discount"].to_numpy(np.float64))
+                         * 100.0).astype(np.int64)
+        return pd.DataFrame({"p_partkey": pk[ok], "cents": cents[ok]})
+
+    cand = li.map_batches(prefilter, batch_format="pandas")
+    joined = hash_join(cand, small.map_batches(
+        lambda df: df[["p_partkey", "p_brand"]], batch_format="pandas"),
+        on="p_partkey", num_buckets=16)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", as_index=False)["cents"].sum()
+        g["revenue_cents"] = g.pop("cents").astype(np.int64)
+        return g
+
+    return grouped_apply(joined, "p_brand", agg, num_buckets=8)
+
+
+SQL_BLOOM_SEMIJOIN = """
+SELECT p_brand,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_partkey % 17 = 3
+GROUP BY p_brand
+"""
+
+
 PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -5432,6 +5509,7 @@ def catalog():
         "video_phash_neardup": q_video_phash_neardup,
         "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
         "events_pivot_counts": q_events_pivot_counts,
+        "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
     }
 
 
@@ -5539,6 +5617,7 @@ def sql_catalog():
         "users_click_not_purchase": SQL_USERS_CLICK_NOT_PURCHASE,
         "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
         "events_pivot_counts": _sql_events_pivot(),
+        "bloom_semijoin_revenue": SQL_BLOOM_SEMIJOIN,
     }
 
 

@@ -137,6 +137,7 @@ BENCH_ROTATE = [
     "audio_fingerprint_neardup",
     "events_pivot_counts",
     "bloom_semijoin_revenue",
+    "crawl_refresh",
 ]
 BENCH_ROTATE_K = 15
 

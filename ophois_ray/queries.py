@@ -5214,6 +5214,77 @@ def q_video_phash_neardup(sf_dir: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_crawl_refresh(sf_dir: str):
+    """Incremental recrawl composition (CDC diff -> reprocess only the
+    delta): past crawl A = documents minus doc_id % 9 == 4 (those are
+    NEW now) with text prefixed 'old ' where doc_id % 6 == 1 (those
+    CHANGED); current crawl B = documents minus doc_id % 11 == 7
+    (those were REMOVED). One key-co-partitioned diff pass classifies
+    every doc; only added/changed docs are re-tokenized (the real
+    whitespace tokenizer — the 100-TB point: unchanged docs are never
+    re-processed); per-lang int64 rollup of added/changed/removed
+    counts and re-processed tokens."""
+    from .joins import grouped_apply
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        absent_a = (d % 9) == 4
+        absent_b = (d % 11) == 7
+        added = absent_a & ~absent_b      # in B only
+        removed = absent_b & ~absent_a    # in A only (both-absent docs
+        changed = ~absent_a & ~absent_b & ((d % 6) == 1)   # are in NEITHER crawl)
+        reprocess = added | changed
+        out = pd.DataFrame({
+            "lang": df["lang"].to_numpy(object),
+            "added": added.astype(np.int64),
+            "changed": changed.astype(np.int64),
+            "removed": removed.astype(np.int64),
+            "tok": np.zeros(len(d), dtype=np.int64),
+        })
+        # real tokenization, ONLY on the delta set
+        texts = df["text"].to_numpy(object)[reprocess]
+        out.loc[reprocess, "tok"] = np.array(
+            [len(t.split()) for t in texts], dtype=np.int64)
+        g = out.groupby("lang", as_index=False).sum()
+        for c in ("added", "changed", "removed", "tok"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).sum()
+        g["n_added"] = g.pop("added").astype(np.int64)
+        g["n_changed"] = g.pop("changed").astype(np.int64)
+        g["n_removed"] = g.pop("removed").astype(np.int64)
+        g["tokens_reprocessed"] = g.pop("tok").astype(np.int64)
+        return g
+
+    return grouped_apply(
+        docs.map_batches(classify, batch_format="pandas"), "lang", merge,
+        num_buckets=8,
+    )
+
+
+SQL_CRAWL_REFRESH = r"""
+SELECT lang,
+  CAST(sum(CASE WHEN doc_id % 9 = 4 AND doc_id % 11 != 7
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(sum(CASE WHEN doc_id % 9 != 4 AND doc_id % 11 != 7
+                 AND doc_id % 6 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_changed,
+  CAST(sum(CASE WHEN doc_id % 11 = 7 AND doc_id % 9 != 4
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(sum(CASE WHEN (doc_id % 9 = 4 AND doc_id % 11 != 7)
+                  OR (doc_id % 9 != 4 AND doc_id % 11 != 7
+                      AND doc_id % 6 = 1)
+            THEN len(list_filter(string_split_regex(text, '\s+'),
+                                 x -> x != ''))
+            ELSE 0 END) AS BIGINT) AS tokens_reprocessed
+FROM documents GROUP BY lang
+"""
+
+
 def q_bloom_semijoin_revenue(sf_dir: str):
     """Bloom-pushdown semi-join (the sketch-accelerated join pattern):
     revenue cents per brand for a sparse part subset (p_partkey % 17 ==
@@ -5510,6 +5581,7 @@ def catalog():
         "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
         "events_pivot_counts": q_events_pivot_counts,
         "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
+        "crawl_refresh": q_crawl_refresh,
     }
 
 
@@ -5618,6 +5690,7 @@ def sql_catalog():
         "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
         "events_pivot_counts": _sql_events_pivot(),
         "bloom_semijoin_revenue": SQL_BLOOM_SEMIJOIN,
+        "crawl_refresh": SQL_CRAWL_REFRESH,
     }
 
 

@@ -138,6 +138,7 @@ BENCH_ROTATE = [
     "events_pivot_counts",
     "bloom_semijoin_revenue",
     "crawl_refresh",
+    "embed_ivfpq_topk",
 ]
 BENCH_ROTATE_K = 15
 

@@ -5214,6 +5214,26 @@ def q_video_phash_neardup(sf_dir: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_embed_ivfpq_topk(sf_dir: str):
+    """IVF-PQ ANN (similarity.ivf_pq_topk): IVF centroids restrict
+    which lists each query scans (nprobe=3 of 8), PQ codes (m=4
+    subspaces, Lloyd-trained float codebooks) make each candidate a
+    4-LUT-hop ADC instead of a 64-dim dot — the memory x compute
+    configuration a 100-TB vector corpus actually serves. no_oracle
+    (float Lloyd + ADC); pytest gates nprobe==n_centroids ≡
+    pq_adc_topk bit-identity and layout invariance."""
+    from . import similarity
+
+    emb = _t(sf_dir, "embeddings")
+    head = emb.take(3)
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                        for r in head])
+    cent = similarity.train_ivf_centroids(emb, 8, iters=2)
+    books = similarity.pq_train(emb, m=4, n_codes=16, iters=2)
+    return similarity.ivf_pq_topk(emb, queries, cent, books, k=10,
+                                  nprobe=3)
+
+
 def q_crawl_refresh(sf_dir: str):
     """Incremental recrawl composition (CDC diff -> reprocess only the
     delta): past crawl A = documents minus doc_id % 9 == 4 (those are
@@ -5582,6 +5602,7 @@ def catalog():
         "events_pivot_counts": q_events_pivot_counts,
         "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
         "crawl_refresh": q_crawl_refresh,
+        "embed_ivfpq_topk": q_embed_ivfpq_topk,
     }
 
 
@@ -5736,6 +5757,12 @@ def no_oracle_reasons():
             "dependency); segmentation greedy-by-rank is pinned by "
             "pytest (roundtrip identity + scalar parity), counts are "
             "exact integers"
+        ),
+        "embed_ivfpq_topk": (
+            "float Lloyd codebooks + ADC distances are not "
+            "SQL-expressible (the integer twin pq_adc IS hash-checked); "
+            "deterministic, and pytest gates nprobe==n_centroids "
+            "bit-identity with pq_adc_topk plus layout invariance"
         ),
         "audio_fingerprint_neardup": (
             "spectral-landmark extraction is an FFT (float) and not "

@@ -760,3 +760,104 @@ def pq_adc_topk(ds, queries: np.ndarray, codebooks: np.ndarray, *,
             "rank": pd.Series(dtype=np.int64)})
     return (pd.concat(out, ignore_index=True)
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def ivf_pq_topk(ds, queries: np.ndarray, centroids: np.ndarray,
+                codebooks: np.ndarray, *, k: int = 10, nprobe: int = 2,
+                shift: int | None = None, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> pd.DataFrame:
+    """IVF-PQ — the production ANN configuration: the inverted file
+    restricts WHICH vectors each query scores (nprobe nearest centroid
+    lists, ivf_topk's probe table), product quantization restricts HOW
+    (per-query LUT + m code gathers instead of a d-dim matmul). Same
+    zero-shuffle shape as brute/ivf/pq: (centroids, probe table,
+    codebooks, LUT) broadcast once, per-batch partial top-k (dist asc,
+    id asc), tiny driver merge.
+
+    With ``nprobe == n_centroids`` every vector is scored and the
+    output is bit-identical to pq_adc_topk (the pytest gate, mirroring
+    ivf_topk's nprobe==m ≡ brute gate). ``shift`` as in pq_adc_topk:
+    int64 codebooks + shift -> exact int64 ADC; None -> float64.
+    Returns (query_id, vec_id, dist, rank).
+    """
+    import ray
+
+    from .dedup import quantize_embeddings
+
+    books = np.ascontiguousarray(codebooks)
+    integer = shift is not None and books.dtype == np.int64
+    m, n_codes, dsub = books.shape
+    qm = np.asarray(queries, dtype=np.float64)
+    cen = np.asarray(centroids, dtype=np.float64)
+    n_cent = len(cen)
+    nprobe = min(nprobe, n_cent)
+    qc = _unit(qm) @ cen.T
+    probe_tbl = np.zeros((len(qm), n_cent), dtype=bool)
+    for qi in range(len(qm)):
+        order = np.lexsort((np.arange(n_cent), -qc[qi]))[:nprobe]
+        probe_tbl[qi, order] = True
+    qsub = (quantize_embeddings(qm, shift) if integer else qm).reshape(
+        len(qm), m, dsub)
+    lut = np.empty((len(qm), m, n_codes),
+                   dtype=np.int64 if integer else np.float64)
+    for j in range(m):
+        qs = qsub[:, j, :]
+        lut[:, j, :] = (np.einsum("ij,ij->i", qs, qs)[:, None]
+                        - 2 * qs @ books[j].T
+                        + np.einsum("ij,ij->i", books[j], books[j])[None, :])
+    ref = ray.put((cen, probe_tbl, books, lut))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c, tbl, bk, L = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        empty = pd.DataFrame({
+            "query_id": pd.Series(dtype=np.int64),
+            "vec_id": pd.Series(dtype=np.int64),
+            "dist": pd.Series(dtype=L.dtype),
+        })
+        if len(df) == 0:
+            return empty
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        ids = df[id_col].to_numpy(np.int64)
+        assign = np.argmax(c @ _unit(vecs).T, axis=0)
+        valid = tbl[:, assign]
+        keep = valid.any(axis=0)
+        if not keep.any():
+            return empty
+        vecs, ids, valid = vecs[keep], ids[keep], valid[:, keep]
+        qv = quantize_embeddings(vecs, shift) if integer else vecs
+        codes = _pq_assign(qv, bk)
+        dist = L[:, 0, codes[:, 0]]
+        for j in range(1, bk.shape[0]):
+            dist = dist + L[:, j, codes[:, j]]
+        out_q, out_v, out_d = [], [], []
+        for qi in range(dist.shape[0]):
+            sel = valid[qi]
+            nv = int(sel.sum())
+            if nv == 0:
+                continue
+            kk = min(k, nv)
+            di, ii = dist[qi][sel], ids[sel]
+            order = np.lexsort((ii, di))[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(ii[order])
+            out_d.append(di[order])
+        if not out_q:
+            return empty
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "vec_id": np.concatenate(out_v),
+                             "dist": np.concatenate(out_d)})
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for _qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["dist", "vec_id"],
+                              ascending=[True, True]).head(k)
+        out.append(grp.assign(rank=np.arange(len(grp), dtype=np.int64)))
+    if not out:
+        return pd.DataFrame({
+            "query_id": pd.Series(dtype=np.int64),
+            "vec_id": pd.Series(dtype=np.int64),
+            "dist": pd.Series(dtype=np.int64 if integer else np.float64),
+            "rank": pd.Series(dtype=np.int64)})
+    return (pd.concat(out, ignore_index=True)
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))

@@ -2783,3 +2783,38 @@ def test_audio_fingerprint_neardup_matches_scalar_oracle():
                        got["n_shared"].astype(int)))
     assert got_t == exp
     assert all(a - a % 6 == b - b % 6 for a, b, _ in exp)
+
+
+def test_ivf_pq_topk_full_probe_equals_pq_adc_and_layout():
+    """nprobe == n_centroids scores every vector -> bit-identical to
+    pq_adc_topk on the same codebooks; result invariant to block
+    layout; nprobe < n keeps self-matches (a vector is always in its
+    own assigned list)."""
+    rng = np.random.RandomState(5)
+    n, d = 120, 16
+    vecs = rng.normal(0, 1, (n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v for v in vecs]})
+    ds = ray.data.from_pandas(df).repartition(6)
+    queries = vecs[:4]
+    cent = similarity.train_ivf_centroids(ds, 4, iters=2)
+    books = similarity.pq_train(ds, m=4, n_codes=8, iters=2)
+
+    full = similarity.ivf_pq_topk(ds, queries, cent, books, k=5,
+                                  nprobe=len(cent))
+    ref = similarity.pq_adc_topk(ds, queries, books, k=5, shift=None)
+    pd.testing.assert_frame_equal(full.reset_index(drop=True),
+                                  ref.reset_index(drop=True))
+
+    one = similarity.ivf_pq_topk(ray.data.from_pandas(df), queries, cent,
+                                 books, k=5, nprobe=len(cent))
+    pd.testing.assert_frame_equal(full.reset_index(drop=True),
+                                  one.reset_index(drop=True))
+
+    probed = similarity.ivf_pq_topk(ds, queries, cent, books, k=5,
+                                    nprobe=2)
+    got = dict(zip(probed["query_id"], probed["vec_id"]))
+    # rank-0 rows: each query's own vector is in a probed list and at
+    # ADC distance 0 of itself
+    top = probed[probed["rank"] == 0]
+    assert set(top["query_id"]) == {0, 1, 2, 3}

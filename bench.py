@@ -139,6 +139,7 @@ BENCH_ROTATE = [
     "bloom_semijoin_revenue",
     "crawl_refresh",
     "embed_ivfpq_topk",
+    "users_click_and_purchase",
 ]
 BENCH_ROTATE_K = 15
 

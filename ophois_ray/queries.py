@@ -5015,6 +5015,47 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def q_users_click_and_purchase(sf_dir: str):
+    """Distributed set intersection (INTERSECT): distinct (user, day)
+    pairs with BOTH a 'click' and a 'purchase' that day — same
+    pre-deduped single-shuffle shape as the EXCEPT twin; per-bucket
+    membership is exact by co-location."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["event_type"].to_numpy(object)
+        keep = (t == "click") | (t == "purchase")
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64)[keep],
+            "day": (us.to_numpy()[keep] // 86_400_000_000),
+            "side": (t[keep] == "purchase").astype(np.int64),
+        }).drop_duplicates()
+
+    def isect(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates()
+        n = g.groupby(["user_id", "day"], as_index=False)["side"].nunique()
+        out = n[n["side"] == 2][["user_id", "day"]]
+        return out.sort_values(["user_id", "day"],
+                               ignore_index=True).astype(np.int64)
+
+    from .joins import grouped_apply
+
+    return grouped_apply(
+        ev.map_batches(prep, batch_format="pandas"), ["user_id", "day"],
+        isect, num_buckets=16,
+    )
+
+
+SQL_USERS_CLICK_AND_PURCHASE = """
+SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Cumulative window aggregate (SUM OVER ... ROWS UNBOUNDED
     PRECEDING): per-user running total of floor(value*100) cents in
@@ -5603,6 +5644,7 @@ def catalog():
         "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
         "crawl_refresh": q_crawl_refresh,
         "embed_ivfpq_topk": q_embed_ivfpq_topk,
+        "users_click_and_purchase": q_users_click_and_purchase,
     }
 
 
@@ -5712,6 +5754,7 @@ def sql_catalog():
         "events_pivot_counts": _sql_events_pivot(),
         "bloom_semijoin_revenue": SQL_BLOOM_SEMIJOIN,
         "crawl_refresh": SQL_CRAWL_REFRESH,
+        "users_click_and_purchase": SQL_USERS_CLICK_AND_PURCHASE,
     }
 
 

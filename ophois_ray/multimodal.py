@@ -1910,6 +1910,12 @@ def audio_landmarks(samples: np.ndarray, *, n_fft: int = 512,
     dominant non-DC rfft bin is the peak (argmax — ties resolve to the
     lowest bin, deterministic); each peak pairs with the next
     ``fanout`` frames' peaks: code = f1 << 20 | f2 << 8 | dt."""
+    if n_fft // 2 >= 1 << 12:
+        raise ValueError("audio_landmarks: n_fft//2 must fit the "
+                         "12-bit peak field (n_fft < 8192)")
+    if fanout >= 1 << 8:
+        raise ValueError("audio_landmarks: fanout must fit the 8-bit "
+                         "dt field (< 256)")
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 2:
         x = x.mean(axis=1)

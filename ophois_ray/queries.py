@@ -5265,7 +5265,9 @@ def q_embed_ivfpq_topk(sf_dir: str):
     pq_adc_topk bit-identity and layout invariance."""
     from . import similarity
 
-    emb = _t(sf_dir, "embeddings")
+    # ~8 consumers (take, IVF seed + Lloyd passes, PQ passes, scoring)
+    # — materialize or each pass re-reads the parquet
+    emb = _t(sf_dir, "embeddings").materialize()
     head = emb.take(3)
     queries = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                         for r in head])
@@ -5304,10 +5306,12 @@ def q_crawl_refresh(sf_dir: str):
             "removed": removed.astype(np.int64),
             "tok": np.zeros(len(d), dtype=np.int64),
         })
-        # real tokenization, ONLY on the delta set
+        # real tokenization, ONLY on the delta set; null text counts 0
+        # (SQL: NULL token count is skipped by sum())
         texts = df["text"].to_numpy(object)[reprocess]
         out.loc[reprocess, "tok"] = np.array(
-            [len(t.split()) for t in texts], dtype=np.int64)
+            [len(t.split()) if isinstance(t, str) else 0 for t in texts],
+            dtype=np.int64)
         g = out.groupby("lang", as_index=False).sum()
         for c in ("added", "changed", "removed", "tok"):
             g[c] = g[c].astype(np.int64)
@@ -5387,18 +5391,12 @@ def q_bloom_semijoin_revenue(sf_dir: str):
         d = ray.get(dense_ref) if isinstance(dense_ref, ray.ObjectRef) \
             else dense_ref
         pk = df["l_partkey"].to_numpy(np.int64)
-        # probe the broadcast dense bitmap directly (bloom_contains
-        # would rebuild it from the bit table per batch)
-        h = sketches.hash_strings(pk.astype(str), 257)
-        ok = np.ones(len(pk), dtype=bool)
-        for i in range(k):
-            a, b = sketches.BLOOM_PROBES[i]
-            g = sketches._fold61(sketches._mul_base61(h, a) + np.uint64(b))
-            ok &= d[(g % np.uint64(m)).astype(np.int64)]
-        cents = np.floor(df["l_extendedprice"].to_numpy(np.float64)
-                         * (1.0 - df["l_discount"].to_numpy(np.float64))
-                         * 100.0).astype(np.int64)
-        return pd.DataFrame({"p_partkey": pk[ok], "cents": cents[ok]})
+        ok = sketches.bloom_contains_dense(d, pk.astype(str), k=k)
+        # float cents only for the ~1/17 survivors
+        price = df["l_extendedprice"].to_numpy(np.float64)[ok]
+        disc = df["l_discount"].to_numpy(np.float64)[ok]
+        cents = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
+        return pd.DataFrame({"p_partkey": pk[ok], "cents": cents})
 
     cand = li.map_batches(prefilter, batch_format="pandas")
     joined = hash_join(cand, small.map_batches(
@@ -5448,13 +5446,14 @@ def q_events_pivot_counts(sf_dir: str):
         wide = g.pivot_table(index="user_id", columns="event_type",
                              values="n", aggfunc="sum", fill_value=0)
         out = pd.DataFrame({"user_id": wide.index.to_numpy(np.int64)})
-        total = np.zeros(len(wide), dtype=np.int64)
         for t in PIVOT_TYPES:
-            col = (wide[t].to_numpy(np.int64) if t in wide.columns
-                   else np.zeros(len(wide), dtype=np.int64))
-            out[f"n_{t}"] = col
-            total += col
-        out["n_total"] = total
+            out[f"n_{t}"] = (wide[t].to_numpy(np.int64)
+                             if t in wide.columns
+                             else np.zeros(len(wide), dtype=np.int64))
+        # total over ALL observed types (SQL count(*)), not just the
+        # five pivoted columns — an out-of-list type must still count
+        tot = g.groupby("user_id")["n"].sum()
+        out["n_total"] = tot.loc[wide.index].to_numpy(np.int64)
         return out
 
     from .joins import grouped_apply

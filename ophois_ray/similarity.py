@@ -848,16 +848,19 @@ def ivf_pq_topk(ds, queries: np.ndarray, centroids: np.ndarray,
                              "dist": np.concatenate(out_d)})
 
     partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    typed_empty = pd.DataFrame({
+        "query_id": pd.Series(dtype=np.int64),
+        "vec_id": pd.Series(dtype=np.int64),
+        "dist": pd.Series(dtype=np.int64 if integer else np.float64),
+        "rank": pd.Series(dtype=np.int64)})
+    if not len(partials):     # 0-row Ray datasets drop their schema
+        return typed_empty
     out = []
     for _qid, grp in partials.groupby("query_id"):
         grp = grp.sort_values(["dist", "vec_id"],
                               ascending=[True, True]).head(k)
         out.append(grp.assign(rank=np.arange(len(grp), dtype=np.int64)))
     if not out:
-        return pd.DataFrame({
-            "query_id": pd.Series(dtype=np.int64),
-            "vec_id": pd.Series(dtype=np.int64),
-            "dist": pd.Series(dtype=np.int64 if integer else np.float64),
-            "rank": pd.Series(dtype=np.int64)})
+        return typed_empty
     return (pd.concat(out, ignore_index=True)
             .sort_values(["query_id", "rank"]).reset_index(drop=True))

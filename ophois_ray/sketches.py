@@ -322,12 +322,13 @@ def bloom_bits(ds, col: str, *, m: int = 8192, k: int = 3,
     return _finalize(parts, combine, num_final_blocks)
 
 
-def bloom_contains(bits: pd.DataFrame, values, *, m: int = 8192,
-                   k: int = 3) -> np.ndarray:
-    """Membership test against a set-bit table: True iff all k probe
-    bits are set. Guaranteed True for every inserted value."""
-    dense = np.zeros(m, dtype=bool)
-    dense[bits["bit"].to_numpy(np.int64)] = True
+def bloom_contains_dense(dense: np.ndarray, values, *,
+                         k: int = 3) -> np.ndarray:
+    """Membership test against a PRE-BUILT dense bool bitmap (the
+    broadcast form — build once, probe per batch). The probe formula
+    lives only here, beside BLOOM_PROBES: any change to the probes
+    stays bit-consistent with bloom_bits by construction."""
+    m = len(dense)
     vals = list(values)
     h = hash_strings(vals, 257)
     ok = np.ones(len(vals), dtype=bool)
@@ -336,6 +337,15 @@ def bloom_contains(bits: pd.DataFrame, values, *, m: int = 8192,
         g = _fold61(_mul_base61(h, a) + np.uint64(b))
         ok &= dense[(g % np.uint64(m)).astype(np.int64)]
     return ok
+
+
+def bloom_contains(bits: pd.DataFrame, values, *, m: int = 8192,
+                   k: int = 3) -> np.ndarray:
+    """Membership test against a set-bit table: True iff all k probe
+    bits are set. Guaranteed True for every inserted value."""
+    dense = np.zeros(m, dtype=bool)
+    dense[bits["bit"].to_numpy(np.int64)] = True
+    return bloom_contains_dense(dense, values, k=k)
 
 
 def oracle_sql_bloom(source_sql: str, *, m: int = 8192, k: int = 3) -> str:

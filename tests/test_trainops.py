@@ -2813,7 +2813,6 @@ def test_ivf_pq_topk_full_probe_equals_pq_adc_and_layout():
 
     probed = similarity.ivf_pq_topk(ds, queries, cent, books, k=5,
                                     nprobe=2)
-    got = dict(zip(probed["query_id"], probed["vec_id"]))
     # rank-0 rows: each query's own vector is in a probed list and at
     # ADC distance 0 of itself
     top = probed[probed["rank"] == 0]

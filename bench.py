@@ -140,6 +140,7 @@ BENCH_ROTATE = [
     "crawl_refresh",
     "embed_ivfpq_topk",
     "users_click_and_purchase",
+    "events_props_json",
 ]
 BENCH_ROTATE_K = 15
 

@@ -5255,6 +5255,48 @@ def q_video_phash_neardup(sf_dir: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_events_props_json(sf_dir: str):
+    """Nested-data extraction via a REAL JSON parser (stdlib
+    json.loads per event — not a regex): pull props.k, bucket k // 10,
+    count per (event_type, bucket). Any parse divergence from
+    DuckDB's json_extract_string fails the hash. Per-batch partial
+    counts bound the single shuffle."""
+    import json
+
+    ev = _t(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks = np.array([int(json.loads(p)["k"])
+                       for p in df["props"].to_numpy(object)],
+                      dtype=np.int64)
+        g = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "k_bucket": ks // 10,
+        }).groupby(["event_type", "k_bucket"], as_index=False).size()
+        g["n"] = g.pop("size").astype(np.int64)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "k_bucket"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    from .joins import grouped_apply
+
+    return grouped_apply(
+        ev.map_batches(partial, batch_format="pandas"), "event_type",
+        merge, num_buckets=8,
+    )
+
+
+SQL_EVENTS_PROPS_JSON = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_embed_ivfpq_topk(sf_dir: str):
     """IVF-PQ ANN (similarity.ivf_pq_topk): IVF centroids restrict
     which lists each query scans (nprobe=3 of 8), PQ codes (m=4
@@ -5644,6 +5686,7 @@ def catalog():
         "crawl_refresh": q_crawl_refresh,
         "embed_ivfpq_topk": q_embed_ivfpq_topk,
         "users_click_and_purchase": q_users_click_and_purchase,
+        "events_props_json": q_events_props_json,
     }
 
 
@@ -5754,6 +5797,7 @@ def sql_catalog():
         "bloom_semijoin_revenue": SQL_BLOOM_SEMIJOIN,
         "crawl_refresh": SQL_CRAWL_REFRESH,
         "users_click_and_purchase": SQL_USERS_CLICK_AND_PURCHASE,
+        "events_props_json": SQL_EVENTS_PROPS_JSON,
     }
 
 

@@ -141,6 +141,7 @@ BENCH_ROTATE = [
     "embed_ivfpq_topk",
     "users_click_and_purchase",
     "events_props_json",
+    "doc_dup_spans",
 ]
 BENCH_ROTATE_K = 15
 

@@ -1607,3 +1607,66 @@ def shared_key_pairs(rows, *, id_col: str = "doc_id", key_col: str = "lm",
     if not len(out):     # 0-row Ray datasets drop their schema
         return empty.copy()
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def dup_span_stats(ds, *, n: int = 5, text_col: str = "text",
+                   id_col: str = "doc_id", num_buckets: int = 32):
+    """Exact duplicated-SUBSTRING spans (the "Deduplicating Training
+    Data Makes Language Models Better" ExactSubstr shape, Lee et al.
+    2022, at n-token granularity): a token span of length >= n is
+    duplicated iff every one of its n-grams occurs >= 2 times in the
+    corpus, so the duplicated-position set IS the span map. Returns
+    per-doc ``(doc_id, n_dup_pos, n_spans, covered_tokens)`` for docs
+    with at least one duplicated position — covered_tokens =
+    n_dup_pos + n_spans * (n - 1) by the island identity.
+
+    Scale shape: explode to (gram, doc, pos) with per-batch dedup of
+    nothing (positions are distinct by construction); ONE gram-string
+    bucket shuffle gives exact global occurrence counts (full-string
+    equality, no hash collisions); only DUPLICATED positions re-shuffle
+    on the int doc key (the shrunk set), where a vectorized run-length
+    pass merges consecutive positions into maximal spans."""
+    from .joins import grouped_apply
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, gs = [], [], []
+        for i, t in zip(df[id_col].to_numpy(np.int64),
+                        df[text_col].to_numpy(object)):
+            if not isinstance(t, str):
+                continue
+            w = t.split()
+            for p in range(len(w) - n + 1):
+                ids.append(i)
+                poss.append(p + 1)          # 1-based, matches SQL range
+                gs.append(" ".join(w[p:p + n]))
+        return pd.DataFrame({id_col: np.array(ids, dtype=np.int64),
+                             "pos": np.array(poss, dtype=np.int64),
+                             "gram": np.array(gs, dtype=object)})
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("gram")["gram"].transform("size").to_numpy(np.int64)
+        keep = c >= 2
+        return df.loc[keep, [id_col, "pos"]]
+
+    dup_pos = grouped_apply(
+        ds.map_batches(grams, batch_format="pandas"), "gram", mark,
+        num_buckets=num_buckets)
+
+    def spans(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for i, g in df.groupby(id_col, sort=False):
+            p = np.sort(g["pos"].to_numpy(np.int64))
+            starts = int(np.count_nonzero(np.diff(p) != 1)) + 1
+            outs.append((int(i), len(p), starts,
+                         len(p) + starts * (n - 1)))
+        if not outs:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                "n_dup_pos": pd.Series(dtype=np.int64),
+                "n_spans": pd.Series(dtype=np.int64),
+                "covered_tokens": pd.Series(dtype=np.int64)})
+        a = np.array(outs, dtype=np.int64)
+        return pd.DataFrame({id_col: a[:, 0], "n_dup_pos": a[:, 1],
+                             "n_spans": a[:, 2], "covered_tokens": a[:, 3]})
+
+    return grouped_apply(dup_pos, id_col, spans, num_buckets=16)

@@ -5255,6 +5255,41 @@ def q_video_phash_neardup(sf_dir: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Exact duplicated-substring spans at 5-token granularity
+    (dedup.dup_span_stats — the Lee et al. 2022 ExactSubstr signal):
+    per-doc duplicated-position count, maximal span count, covered
+    token mass. Natural cross-doc duplication in the corpus (no
+    synthetic dirtying needed)."""
+    from . import dedup as _dedup
+
+    return _dedup.dup_span_stats(_t(sf_dir, "documents"), n=5)
+
+
+SQL_DOC_DUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+    i -> {'pos': i, 'g': array_to_string(list_slice(ws, i, i + 4), ' ')}),
+    recursive := true)
+  FROM toks),
+c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM grams),
+d AS (SELECT doc_id, pos FROM c WHERE c >= 2),
+i AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  = pos - 1 THEN 0 ELSE 1 END AS is_start
+      FROM d)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_pos,
+       CAST(sum(is_start) AS BIGINT) AS n_spans,
+       CAST(count(*) + sum(is_start) * 4 AS BIGINT) AS covered_tokens
+FROM i GROUP BY doc_id
+"""
+
+
 def q_events_props_json(sf_dir: str):
     """Nested-data extraction via a REAL JSON parser (stdlib
     json.loads per event — not a regex): pull props.k, bucket k // 10,
@@ -5687,6 +5722,7 @@ def catalog():
         "embed_ivfpq_topk": q_embed_ivfpq_topk,
         "users_click_and_purchase": q_users_click_and_purchase,
         "events_props_json": q_events_props_json,
+        "doc_dup_spans": q_doc_dup_spans,
     }
 
 
@@ -5798,6 +5834,7 @@ def sql_catalog():
         "crawl_refresh": SQL_CRAWL_REFRESH,
         "users_click_and_purchase": SQL_USERS_CLICK_AND_PURCHASE,
         "events_props_json": SQL_EVENTS_PROPS_JSON,
+        "doc_dup_spans": SQL_DOC_DUP_SPANS,
     }
 
 

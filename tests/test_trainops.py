@@ -2817,3 +2817,25 @@ def test_ivf_pq_topk_full_probe_equals_pq_adc_and_layout():
     # ADC distance 0 of itself
     top = probed[probed["rank"] == 0]
     assert set(top["query_id"]) == {0, 1, 2, 3}
+
+
+def test_dup_span_stats_hand_case_and_layout():
+    """Island math: doc 0 has two duplicated 2-gram positions that are
+    ADJACENT (one span covering 3 tokens) plus one isolated (span of
+    2); doc 1 shares the grams. covered = n_dup_pos + n_spans*(n-1)."""
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1], dtype=np.int64),
+        # doc0 2-grams: 'a b','b c','c x','x y' ; doc1: 'a b','b c','q r','x y'
+        "text": ["a b c x y", "a b c q r x y"],
+    })
+    # duplicated grams: 'a b','b c' (both docs), 'x y' (both docs)
+    # doc0 dup positions: 1,2 adjacent + 4 isolated -> spans 2, covered 3+2*1=5
+    # doc1 dup positions: 1,2 adjacent + 6 isolated -> spans 2, covered 5
+    for nparts in (1, 3):
+        got = (dedup.dup_span_stats(
+            ray.data.from_pandas(docs).repartition(nparts), n=2)
+            .to_pandas().set_index("doc_id").sort_index())
+        for d in (0, 1):
+            assert (int(got.loc[d, "n_dup_pos"]),
+                    int(got.loc[d, "n_spans"]),
+                    int(got.loc[d, "covered_tokens"])) == (3, 2, 5)

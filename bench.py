@@ -142,6 +142,7 @@ BENCH_ROTATE = [
     "users_click_and_purchase",
     "events_props_json",
     "doc_dup_spans",
+    "doc_gopher_rules",
 ]
 BENCH_ROTATE_K = 15
 

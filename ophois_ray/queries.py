@@ -5255,6 +5255,86 @@ def q_video_phash_neardup(sf_dir: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+GOPHER_MIN_TOKENS = 40
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3, 10   # mean word length bounds
+GOPHER_MIN_STOPWORDS = 2
+
+
+def q_doc_gopher_rules(sf_dir: str):
+    """Gopher/Dolma rule-based quality filter as an integer-exact
+    bitmask — every ratio threshold cross-multiplied so no float ever
+    enters (the repo's order-free recipe): r_len (token count >= 40),
+    r_mwl (3 <= mean word length <= 10 via 3n <= chars_in_words <=
+    10n), r_punct (sentence punctuation < 10% of chars), r_stop (>= 2
+    English stopwords). Zero-shuffle fused map; keep = all rules.
+    Output (doc_id, n_tokens, r_len, r_mwl, r_punct, r_stop, keep)."""
+    from .textstats import STOPWORDS, _SENT_RE
+
+    stop_en = STOPWORDS["en"]
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rules(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].to_numpy(object)
+        toks = [t.split() if isinstance(t, str) else [] for t in texts]
+        n_tok = np.array([len(w) for w in toks], dtype=np.int64)
+        wchars = np.array([sum(len(x) for x in w) for w in toks],
+                          dtype=np.int64)
+        nchars = np.array([len(t) if isinstance(t, str) else 0
+                           for t in texts], dtype=np.int64)
+        npunct = np.array(
+            [len(_SENT_RE.sub("", t)) if isinstance(t, str) else 0
+             for t in texts], dtype=np.int64)
+        nstop = np.array(
+            [sum(x.lower() in stop_en for x in w) for w in toks],
+            dtype=np.int64)
+        r_len = (n_tok >= GOPHER_MIN_TOKENS).astype(np.int64)
+        r_mwl = ((GOPHER_MIN_MWL * n_tok <= wchars)
+                 & (wchars <= GOPHER_MAX_MWL * n_tok)).astype(np.int64)
+        r_punct = (10 * npunct <= nchars).astype(np.int64)
+        r_stop = (nstop >= GOPHER_MIN_STOPWORDS).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": n_tok, "r_len": r_len, "r_mwl": r_mwl,
+            "r_punct": r_punct, "r_stop": r_stop,
+            "keep": (r_len & r_mwl & r_punct & r_stop).astype(np.int64),
+        })
+
+    return docs.map_batches(rules, batch_format="pandas")
+
+
+def _sql_gopher_rules() -> str:
+    from .textstats import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
+    return rf"""
+WITH f AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+      AS n_tokens,
+    length(regexp_replace(text, '\s', '', 'g')) AS wchars,
+    length(text) AS nchars,
+    length(regexp_replace(text, '[^.!?]', '', 'g')) AS npunct,
+    len(list_filter(string_split_regex(text, '\s+'),
+        x -> list_contains([{stops}], lower(x)))) AS nstop
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens >= {GOPHER_MIN_TOKENS} THEN 1 ELSE 0 END AS r_len,
+    CASE WHEN {GOPHER_MIN_MWL} * n_tokens <= wchars
+          AND wchars <= {GOPHER_MAX_MWL} * n_tokens
+         THEN 1 ELSE 0 END AS r_mwl,
+    CASE WHEN 10 * npunct <= nchars THEN 1 ELSE 0 END AS r_punct,
+    CASE WHEN nstop >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END AS r_stop
+  FROM f)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(r_len AS BIGINT) AS r_len, CAST(r_mwl AS BIGINT) AS r_mwl,
+       CAST(r_punct AS BIGINT) AS r_punct,
+       CAST(r_stop AS BIGINT) AS r_stop,
+       CAST(r_len * r_mwl * r_punct * r_stop AS BIGINT) AS keep
+FROM r
+"""
+
+
 def q_doc_dup_spans(sf_dir: str):
     """Exact duplicated-substring spans at 5-token granularity
     (dedup.dup_span_stats — the Lee et al. 2022 ExactSubstr signal):
@@ -5723,6 +5803,7 @@ def catalog():
         "users_click_and_purchase": q_users_click_and_purchase,
         "events_props_json": q_events_props_json,
         "doc_dup_spans": q_doc_dup_spans,
+        "doc_gopher_rules": q_doc_gopher_rules,
     }
 
 
@@ -5835,6 +5916,7 @@ def sql_catalog():
         "users_click_and_purchase": SQL_USERS_CLICK_AND_PURCHASE,
         "events_props_json": SQL_EVENTS_PROPS_JSON,
         "doc_dup_spans": SQL_DOC_DUP_SPANS,
+        "doc_gopher_rules": _sql_gopher_rules(),
     }
 
 

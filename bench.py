@@ -143,6 +143,7 @@ BENCH_ROTATE = [
     "events_props_json",
     "doc_dup_spans",
     "doc_gopher_rules",
+    "part_sssp",
 ]
 BENCH_ROTATE_K = 15
 

@@ -1207,3 +1207,190 @@ def pagerank_int(edges, *, iters: int = 3, scale: int = 1 << 40,
         ranks = base + (damp_num * s) // damp_den
 
     return pd.DataFrame({"node": nodes, "r": ranks})
+
+
+def _sssp_copart(arcs_w, nodes_ds, *, seed_mod: int, rounds: int,
+                 num_buckets: int):
+    """Co-partitioned bounded Bellman-Ford fallback (n_nodes >
+    broadcast_cap): the distance table stays a Dataset; every round is
+    (changed frontier ⋈ weighted arcs on src) + a bucketed min-merge
+    that also DETECTS improvement (new < old) to form the next
+    frontier — no O(n_nodes) driver state. Bit-matches the broadcast
+    path (forced-cap path-equality pytest)."""
+    from .sampling import split_hash
+
+    big = np.int64(1 << 62)
+
+    def seed_filter(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy(np.int64)
+        keep = node[split_hash(node) % seed_mod == 0]
+        return pd.DataFrame({"node": keep,
+                             "dist": np.zeros(len(keep), dtype=np.int64),
+                             "new": np.ones(len(keep), dtype=np.int64)})
+
+    empty = pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                          "dist": pd.Series(dtype=np.int64),
+                          "new": pd.Series(dtype=np.int64)})
+
+    def pre_min(df: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in df.columns:   # 0-row blocks drop their schema
+            return empty.copy()
+        g = df.groupby(["node", "new"], as_index=False)["dist"].min()
+        g["dist"] = g["dist"].astype(np.int64)
+        return g
+
+    def min_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in df.columns:
+            return empty.copy()
+        g = df.groupby(["node", "new"], as_index=False)["dist"].min()
+        old = g[g["new"] == 0].set_index("node")["dist"]
+        new = g[g["new"] == 1].set_index("node")["dist"]
+        nodes = g["node"].unique()
+        o = old.reindex(nodes).fillna(big).to_numpy(np.int64)
+        nv = new.reindex(nodes).fillna(big).to_numpy(np.int64)
+        improved = nv < o
+        return pd.DataFrame({
+            "node": nodes.astype(np.int64),
+            "dist": np.minimum(o, nv).astype(np.int64),
+            "new": improved.astype(np.int64),
+        })
+
+    dist_ds = nodes_ds.map_batches(
+        seed_filter, batch_format="pandas").materialize()
+    for _r in range(rounds):
+        frontier = dist_ds.map_batches(
+            lambda df: df.loc[df["new"] == 1, ["node", "dist"]].rename(
+                columns={"node": "src"}),
+            batch_format="pandas",
+        )
+        if frontier.count() == 0:
+            break
+        reached = hash_join(arcs_w, frontier, on="src",
+                            num_buckets=num_buckets)
+        cand = reached.map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["dst"].to_numpy(np.int64),
+                "dist": (df["dist"].to_numpy(np.int64)
+                         + df["w"].to_numpy(np.int64)),
+                "new": np.ones(len(df), dtype=np.int64),
+            }),
+            batch_format="pandas",
+        )
+        base = dist_ds.map_batches(
+            lambda df: df.assign(new=np.zeros(len(df), dtype=np.int64)),
+            batch_format="pandas",
+        )
+        dist_ds = grouped_apply(
+            base.union(cand), "node", min_merge,
+            num_buckets=num_buckets, drop_partial=pre_min,
+        ).repartition(max(1, num_buckets // 8)).materialize()
+    return dist_ds.map_batches(lambda df: df[["node", "dist"]],
+                               batch_format="pandas")
+
+
+def sssp_rounds(edges, *, seed_mod: int = 97, rounds: int = 4,
+                weight_mod: int = 9,
+                broadcast_cap: int = DEFAULT_BROADCAST_CAP,
+                num_buckets: int = 64):
+    """Bounded multi-source WEIGHTED shortest paths (Bellman-Ford
+    relaxation rounds) over a canonical distinct edge table (int64
+    ``u < v``): weight w(u, v) = 1 + (u + v) % ``weight_mod`` — a pure
+    function of the ids, so the weighted graph is SQL-mirrorable —
+    seeds = split_hash(node) % ``seed_mod`` == 0 at distance 0, and
+    after k rounds dist(v) = min total weight over paths of <= k edges
+    from any seed (exact SSSP once rounds >= weighted diameter).
+    Returns (node, dist) over reached nodes.
+
+    Frontier-optimized: only nodes IMPROVED in the previous round
+    relax their arcs — identical to full relaxation because distances
+    are monotone non-increasing and an unimproved node's contribution
+    was already integrated. Under ``broadcast_cap`` the changed set
+    ships per round as sorted (nodes, dists) arrays with per-batch
+    partial mins; above it, :func:`_sssp_copart` keeps the distance
+    table distributed (same shape as the BFS fallback)."""
+    import ray
+
+    from .sampling import split_hash
+
+    edges = edges.materialize()
+    nodes = None
+    if edges.count() <= broadcast_cap:
+        cand = np.sort(
+            _driver_merged_degrees(edges)["node"].to_numpy(np.int64))
+        if len(cand) <= broadcast_cap:
+            nodes = cand
+
+    def to_arcs(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        w = 1 + (u + v) % np.int64(weight_mod)
+        return pd.DataFrame({
+            "src": np.concatenate([u, v]),
+            "dst": np.concatenate([v, u]),
+            "w": np.concatenate([w, w]),
+        })
+
+    if nodes is None:
+        arcs = edges.map_batches(to_arcs,
+                                 batch_format="pandas").materialize()
+        nodes_ds = _arc_degrees_ds(arcs, num_buckets=num_buckets).map_batches(
+            lambda df: df[["node"]], batch_format="pandas"
+        ).materialize()
+        if nodes_ds.count() > broadcast_cap:
+            return _sssp_copart(arcs, nodes_ds, seed_mod=seed_mod,
+                                rounds=rounds, num_buckets=num_buckets)
+        nodes = np.sort(np.concatenate(
+            [b["node"].to_numpy(np.int64) for b in nodes_ds.iter_batches(
+                batch_format="pandas", batch_size=None)]
+            or [np.array([], dtype=np.int64)]
+        ))
+
+    big = np.int64(1 << 62)
+    dist = np.full(len(nodes), big, dtype=np.int64)
+    seeds = nodes[split_hash(nodes) % seed_mod == 0]
+    dist[np.searchsorted(nodes, seeds)] = 0
+    changed = seeds
+    for _r in range(rounds):
+        if len(changed) == 0:
+            break
+        order = np.argsort(changed)
+        csort = changed[order]
+        cdist = dist[np.searchsorted(nodes, csort)]
+        fref = ray.put((csort, cdist))
+
+        def relax(df: pd.DataFrame, _f=fref) -> pd.DataFrame:
+            f, fd = ray.get(_f) if isinstance(_f, ray.ObjectRef) else _f
+            u = df["u"].to_numpy(np.int64)
+            v = df["v"].to_numpy(np.int64)
+            w = 1 + (u + v) % np.int64(weight_mod)
+            outs_n, outs_d = [], []
+            for a, b in ((u, v), (v, u)):
+                ia = np.minimum(np.searchsorted(f, a), len(f) - 1)
+                m = len(f) > 0
+                hit = (f[ia] == a) if m else np.zeros(len(a), dtype=bool)
+                outs_n.append(b[hit])
+                outs_d.append(fd[ia[hit]] + w[hit])
+            t = pd.DataFrame({"node": np.concatenate(outs_n),
+                              "d": np.concatenate(outs_d)})
+            g = t.groupby("node", as_index=False)["d"].min()
+            g["d"] = g["d"].astype(np.int64)
+            return g
+
+        pieces = [
+            b for b in edges.map_batches(relax, batch_format="pandas")
+            .iter_batches(batch_format="pandas", batch_size=None)
+        ]
+        if not pieces:
+            break
+        cand = (pd.concat(pieces, ignore_index=True)
+                .groupby("node", as_index=False)["d"].min())
+        pos = np.searchsorted(nodes, cand["node"].to_numpy(np.int64))
+        nd = cand["d"].to_numpy(np.int64)
+        better = nd < dist[pos]
+        dist[pos[better]] = nd[better]
+        changed = cand["node"].to_numpy(np.int64)[better]
+
+    keep = dist < big
+    return ray.data.from_pandas(pd.DataFrame(
+        {"node": nodes[keep], "dist": dist[keep]}
+    ))

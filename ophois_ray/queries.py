@@ -5255,6 +5255,48 @@ def q_video_phash_neardup(sf_dir: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+_SQL_SSSP_ROUND = """, d{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{j}
+    UNION ALL
+    SELECT a.dst AS node, d.dist + a.w AS dist
+    FROM d{j} d JOIN arcs a ON a.src = d.node
+  ) GROUP BY node
+)"""
+
+
+def q_part_sssp(sf_dir: str):
+    """Bounded multi-source WEIGHTED shortest paths
+    (graphops.sssp_rounds) on the part-chain graph: integer weights
+    w = 1 + (u + v) % 9 (pure id arithmetic, mirrorable), seeds by
+    split_hash % 23, four Bellman-Ford relaxation rounds. Bit-exact vs
+    four unrolled DuckDB min-relaxation CTEs."""
+    from .graphops import sssp_rounds
+
+    edges = _chain_edges(sf_dir)
+    return sssp_rounds(edges, seed_mod=23, rounds=4, weight_mod=9)
+
+
+def _sql_part_sssp(iters: int = 4, seed_mod: int = 23) -> str:
+    rounds = "".join(_SQL_SSSP_ROUND.format(i=i, j=i - 1)
+                     for i in range(1, iters + 1))
+    return f"""
+WITH {_SQL_CHAIN_EDGES.strip()},
+arcs AS (
+  SELECT u AS src, v AS dst, 1 + (u + v) % 9 AS w FROM edges
+  UNION ALL
+  SELECT v, u, 1 + (u + v) % 9 FROM edges
+), nodes AS (
+  SELECT DISTINCT src AS node FROM arcs
+), d0 AS (
+  SELECT node, 0 AS dist FROM nodes
+  WHERE ((node * 1103515245 + 12345) % 2305843009213693951)
+        % {seed_mod} = 0
+){rounds}
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{iters}
+"""
+
+
 GOPHER_MIN_TOKENS = 40
 GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3, 10   # mean word length bounds
 GOPHER_MIN_STOPWORDS = 2
@@ -5804,6 +5846,7 @@ def catalog():
         "events_props_json": q_events_props_json,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
+        "part_sssp": q_part_sssp,
     }
 
 
@@ -5917,6 +5960,7 @@ def sql_catalog():
         "events_props_json": SQL_EVENTS_PROPS_JSON,
         "doc_dup_spans": SQL_DOC_DUP_SPANS,
         "doc_gopher_rules": _sql_gopher_rules(),
+        "part_sssp": _sql_part_sssp(),
     }
 
 

@@ -373,3 +373,32 @@ def test_watermark_late_counts_matches_sequential(ray_session):
         assert gd == exp
         assert int(got["n"].sum()) == n
     assert late.any(), "fixture must produce late events"
+
+
+def test_sssp_copart_path_equals_broadcast(ray_session):
+    """Forced-cap co-partitioned Bellman-Ford bit-matches the
+    broadcast path on a random sparse graph (incl. weight ties and
+    multi-seed fronts)."""
+    import ray.data
+
+    from ophois_ray.graphops import sssp_rounds
+
+    rng = np.random.RandomState(23)
+    m = 300
+    u = rng.randint(0, 150, m).astype(np.int64)
+    v = rng.randint(0, 150, m).astype(np.int64)
+    keep = u != v
+    uu, vv = np.minimum(u, v)[keep], np.maximum(u, v)[keep]
+    edges = pd.DataFrame({"u": uu, "v": vv}).drop_duplicates()
+    ds = ray.data.from_pandas(edges).repartition(5)
+
+    # NOTE seed_mod must not divide split_hash's multiplier
+    # (1103515245 % 7 == 0 -> %7 never selects a seed)
+    a = (sssp_rounds(ds, seed_mod=23, rounds=4, weight_mod=9)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (sssp_rounds(ds, seed_mod=23, rounds=4, weight_mod=9,
+                     broadcast_cap=0)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["dist"].tolist() == b["dist"].tolist()
+    assert len(a) > 10 and (a["dist"] > 0).any()

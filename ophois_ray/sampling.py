@@ -64,6 +64,13 @@ def hash_split(
     function of the key alone, so reruns, resumed jobs and different
     cluster widths all agree, and joining two tables on the key keeps
     them in the same split (the property random splits lack).
+
+    GRANULARITY NOTE: split_hash's multiplier is divisible by 5, so
+    hash % 100 only ever lands on the 20 multiples of 5 — splits are
+    uniform at 5% granularity, and fractions should be multiples of 5
+    (97/2/1 silently behaves as 95/5/0). The hash is pinned by green
+    driver mirrors and cannot change; see CLAUDE.md's split_hash
+    hazards note.
     """
     cut_val = train + val
 

@@ -824,6 +824,12 @@ def bfs_depths(edges, *, seed_mod: int = 97, rounds: int = 3,
     O(n_nodes) driver state. Both paths are bit-identical (forced-cap
     path-equality pytest).
     """
+    import math
+    if math.gcd(seed_mod, 1103515245) > 1:
+        raise ValueError(
+            f"seed_mod={seed_mod} shares a factor with split_hash's "
+            "multiplier — the seed set would be empty or skewed "
+            "(CLAUDE.md split_hash hazards); 97 and 23 are safe")
     import ray
 
     from .sampling import split_hash
@@ -1308,6 +1314,12 @@ def sssp_rounds(edges, *, seed_mod: int = 97, rounds: int = 4,
     ships per round as sorted (nodes, dists) arrays with per-batch
     partial mins; above it, :func:`_sssp_copart` keeps the distance
     table distributed (same shape as the BFS fallback)."""
+    import math
+    if math.gcd(seed_mod, 1103515245) > 1:
+        raise ValueError(
+            f"seed_mod={seed_mod} shares a factor with split_hash's "
+            "multiplier — the seed set would be empty or skewed "
+            "(CLAUDE.md split_hash hazards); 97 and 23 are safe")
     import ray
 
     from .sampling import split_hash

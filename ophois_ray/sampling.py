@@ -172,6 +172,14 @@ def shard_by_hash(ds, key_col: str, n_shards: int, outdir: str):
     loader wants (deterministic membership, resumable per directory,
     never one giant file). Returns per-shard row counts (pandas).
     """
+    import math
+
+    if math.gcd(n_shards, 1103515245) > 1:
+        raise ValueError(
+            f"n_shards={n_shards} shares a factor with split_hash's "
+            "multiplier (3^5*5*7*129749): shards would be skewed or "
+            "empty (CLAUDE.md split_hash hazards); pick a coprime "
+            "count (a power of two, 11, 13, ...)")
     import os
     import uuid
 
@@ -382,6 +390,12 @@ def mixture_sample(ds, key_col: str, group_col: str,
     layouts, cluster widths and reruns, and per-group sampled fractions
     converge to ``rate_num/denom``. ``rate_num`` rides the task closure
     (it is one small dict, not data).
+
+    GRANULARITY NOTE: gcd(split_hash's multiplier, 10000) = 5, so for
+    keys below the modulus wrap the residues land on multiples of 5 —
+    effective rate granularity is ~1/2000, i.e. rates quantize to the
+    nearest 0.05% (see CLAUDE.md split_hash hazards). Pinned by the
+    green doc_mixture_sample mirror; do not change the hash.
     """
     items = sorted(rate_num.items())
     groups = np.array([g for g, _ in items], dtype=object)

@@ -824,12 +824,9 @@ def bfs_depths(edges, *, seed_mod: int = 97, rounds: int = 3,
     O(n_nodes) driver state. Both paths are bit-identical (forced-cap
     path-equality pytest).
     """
-    import math
-    if math.gcd(seed_mod, 1103515245) > 1:
-        raise ValueError(
-            f"seed_mod={seed_mod} shares a factor with split_hash's "
-            "multiplier — the seed set would be empty or skewed "
-            "(CLAUDE.md split_hash hazards); 97 and 23 are safe")
+    from .sampling import check_hash_mod
+
+    check_hash_mod(seed_mod, "seed_mod")
     import ray
 
     from .sampling import split_hash
@@ -1314,12 +1311,9 @@ def sssp_rounds(edges, *, seed_mod: int = 97, rounds: int = 4,
     ships per round as sorted (nodes, dists) arrays with per-batch
     partial mins; above it, :func:`_sssp_copart` keeps the distance
     table distributed (same shape as the BFS fallback)."""
-    import math
-    if math.gcd(seed_mod, 1103515245) > 1:
-        raise ValueError(
-            f"seed_mod={seed_mod} shares a factor with split_hash's "
-            "multiplier — the seed set would be empty or skewed "
-            "(CLAUDE.md split_hash hazards); 97 and 23 are safe")
+    from .sampling import check_hash_mod
+
+    check_hash_mod(seed_mod, "seed_mod")
     import ray
 
     from .sampling import split_hash
@@ -1376,10 +1370,11 @@ def sssp_rounds(edges, *, seed_mod: int = 97, rounds: int = 4,
             v = df["v"].to_numpy(np.int64)
             w = 1 + (u + v) % np.int64(weight_mod)
             outs_n, outs_d = [], []
+            # f is never empty here: the round loop breaks on an
+            # empty changed set before shipping it
             for a, b in ((u, v), (v, u)):
                 ia = np.minimum(np.searchsorted(f, a), len(f) - 1)
-                m = len(f) > 0
-                hit = (f[ia] == a) if m else np.zeros(len(a), dtype=bool)
+                hit = f[ia] == a
                 outs_n.append(b[hit])
                 outs_d.append(fd[ia[hit]] + w[hit])
             t = pd.DataFrame({"node": np.concatenate(outs_n),

@@ -5307,7 +5307,7 @@ def q_doc_gopher_rules(sf_dir: str):
     bitmask — every ratio threshold cross-multiplied so no float ever
     enters (the repo's order-free recipe): r_len (token count >= 40),
     r_mwl (3 <= mean word length <= 10 via 3n <= chars_in_words <=
-    10n), r_punct (sentence punctuation < 10% of chars), r_stop (>= 2
+    10n), r_punct (sentence punctuation <= 10% of chars), r_stop (>= 2
     English stopwords). Zero-shuffle fused map; keep = all rules.
     Output (doc_id, n_tokens, r_len, r_mwl, r_punct, r_stop, keep)."""
     from .textstats import STOPWORDS, _SENT_RE
@@ -5385,7 +5385,8 @@ def q_doc_dup_spans(sf_dir: str):
     synthetic dirtying needed)."""
     from . import dedup as _dedup
 
-    return _dedup.dup_span_stats(_t(sf_dir, "documents"), n=5)
+    return _dedup.dup_span_stats(
+        _t(sf_dir, "documents", columns=["doc_id", "text"]), n=5)
 
 
 SQL_DOC_DUP_SPANS = r"""
@@ -5423,12 +5424,19 @@ def q_events_props_json(sf_dir: str):
     ev = _t(sf_dir, "events", columns=["event_type", "props"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ks = np.array([int(json.loads(p)["k"])
-                       for p in df["props"].to_numpy(object)],
-                      dtype=np.int64)
+        # tolerate k-less / non-integer / negative props like the SQL
+        # mirror's TRY_CAST + filter (the sibling events_props_extract
+        # contract allows them); json bools are ints in Python — exclude
+        ks, keep = [], []
+        for p in df["props"].to_numpy(object):
+            v = json.loads(p).get("k") if isinstance(p, str) else None
+            ok = isinstance(v, int) and not isinstance(v, bool) and v >= 0
+            keep.append(ok)
+            ks.append(v if ok else 0)
+        keep = np.array(keep, dtype=bool)
         g = pd.DataFrame({
-            "event_type": df["event_type"].to_numpy(object),
-            "k_bucket": ks // 10,
+            "event_type": df["event_type"].to_numpy(object)[keep],
+            "k_bucket": np.array(ks, dtype=np.int64)[keep] // 10,
         }).groupby(["event_type", "k_bucket"], as_index=False).size()
         g["n"] = g.pop("size").astype(np.int64)
         return g
@@ -5448,9 +5456,12 @@ def q_events_props_json(sf_dir: str):
 
 SQL_EVENTS_PROPS_JSON = """
 SELECT event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+         AS k_bucket,
        CAST(count(*) AS BIGINT) AS n
-FROM events GROUP BY 1, 2
+FROM events
+WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
+GROUP BY 1, 2
 """
 
 

@@ -49,6 +49,30 @@ def split_hash(key: np.ndarray) -> np.ndarray:
     return (k * _A + _B) % P61
 
 
+def check_hash_mod(m: int, what: str = "modulus") -> None:
+    """Reject ``split_hash(key) % m`` moduli that are degenerate for
+    keys below the 2^61-1 wrap: with g = gcd(A, m) > 1 the residue-0
+    class is EMPTY when g does not divide B (no seeds at all — %7
+    selected zero) and g-times over-dense when it does (skewed
+    shards). Moduli >= 2^31 exceed the key range's affine span (e.g.
+    seed_mod = split_hash(k) to select exactly one seed) and are
+    exempt. A, B = split_hash's constants; one guard site for every
+    ``% m`` consumer."""
+    import math
+
+    if m >= 1 << 31:
+        return
+    g = math.gcd(m, _A)
+    if g > 1:
+        kind = ("empty (g does not divide B)" if _B % g
+                else f"{g}x over-dense")
+        raise ValueError(
+            f"{what}={m} shares factor {g} with split_hash's "
+            f"multiplier (3^5*5*7*129749) — the residue-0 class is "
+            f"{kind}; pick a coprime value (97, 23, powers of two) "
+            "(CLAUDE.md split_hash hazards)")
+
+
 def hash_split(
     ds,
     key_col: str,
@@ -172,14 +196,7 @@ def shard_by_hash(ds, key_col: str, n_shards: int, outdir: str):
     loader wants (deterministic membership, resumable per directory,
     never one giant file). Returns per-shard row counts (pandas).
     """
-    import math
-
-    if math.gcd(n_shards, 1103515245) > 1:
-        raise ValueError(
-            f"n_shards={n_shards} shares a factor with split_hash's "
-            "multiplier (3^5*5*7*129749): shards would be skewed or "
-            "empty (CLAUDE.md split_hash hazards); pick a coprime "
-            "count (a power of two, 11, 13, ...)")
+    check_hash_mod(n_shards, "n_shards")
     import os
     import uuid
 

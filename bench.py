@@ -144,6 +144,7 @@ BENCH_ROTATE = [
     "doc_dup_spans",
     "doc_gopher_rules",
     "part_sssp",
+    "events_unpivot_counts",
 ]
 BENCH_ROTATE_K = 15
 

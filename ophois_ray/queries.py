@@ -5682,6 +5682,34 @@ def _sql_events_pivot() -> str:
             f" FROM events GROUP BY user_id")
 
 
+def q_events_unpivot_counts(sf_dir: str):
+    """UNPIVOT / melt — the wide->long inverse of events_pivot_counts:
+    each user's five per-type count columns become (user_id,
+    event_type, n) rows, zeros included (matching SQL UNION ALL
+    semantics). Vectorized pd.melt per batch, zero extra shuffle
+    beyond the pivot's own."""
+    wide = q_events_pivot_counts(sf_dir)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(
+            id_vars=["user_id"],
+            value_vars=[f"n_{t}" for t in PIVOT_TYPES],
+            var_name="event_type", value_name="n")
+        out["event_type"] = out["event_type"].str.slice(2)
+        out["n"] = out["n"].astype(np.int64)
+        return out[["user_id", "event_type", "n"]]
+
+    return wide.map_batches(melt, batch_format="pandas")
+
+
+def _sql_events_unpivot() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT user_id, '{t}' AS event_type,"
+        f" CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS n FROM events GROUP BY user_id" for t in PIVOT_TYPES)
+    return selects
+
+
 def q_audio_fingerprint_neardup(sf_dir: str):
     """Audio near-dup via spectral-landmark fingerprints (the Shazam
     constellation shape): a deterministic WAV corpus is synthesized per
@@ -5858,6 +5886,7 @@ def catalog():
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
+        "events_unpivot_counts": q_events_unpivot_counts,
     }
 
 
@@ -5972,6 +6001,7 @@ def sql_catalog():
         "doc_dup_spans": SQL_DOC_DUP_SPANS,
         "doc_gopher_rules": _sql_gopher_rules(),
         "part_sssp": _sql_part_sssp(),
+        "events_unpivot_counts": _sql_events_unpivot(),
     }
 
 

@@ -145,6 +145,7 @@ BENCH_ROTATE = [
     "doc_gopher_rules",
     "part_sssp",
     "events_unpivot_counts",
+    "doc_kfold_counts",
 ]
 BENCH_ROTATE_K = 15
 

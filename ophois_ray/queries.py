@@ -30,7 +30,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from . import cells, geo, graphops
 from .joins import BroadcastIndex
-from .sampling import SQL_SAMPLE_HASH
+from .sampling import SQL_SAMPLE_HASH, SQL_SPLIT_HASH
 
 RES_ASSIGN = 12
 RES_JOIN = 6
@@ -5682,6 +5682,45 @@ def _sql_events_pivot() -> str:
             f" FROM events GROUP BY user_id")
 
 
+def q_doc_kfold_counts(sf_dir: str):
+    """Deterministic k-fold cross-validation assignment (fold =
+    split_hash(doc_id) % 8 — 8 is coprime to the hash multiplier, see
+    check_hash_mod) with per-(fold, lang) counts: the layout/rerun/
+    cluster-width-stable CV carve a training pipeline needs. Per-batch
+    partial counts, one tiny int-key merge."""
+    from . import sampling
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        fold = (sampling.split_hash(df["doc_id"].to_numpy(np.int64))
+                % np.int64(8)).astype(np.int64)
+        g = pd.DataFrame({"fold": fold,
+                          "lang": df["lang"].to_numpy(object)})
+        g = g.groupby(["fold", "lang"], as_index=False).size()
+        g["n"] = g.pop("size").astype(np.int64)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["fold", "lang"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    from .joins import grouped_apply
+
+    return grouped_apply(
+        docs.map_batches(partial, batch_format="pandas"), "fold", merge,
+        num_buckets=8,
+    )
+
+
+SQL_DOC_KFOLD = f"""
+SELECT CAST({SQL_SPLIT_HASH.format(key="doc_id")} % 8 AS BIGINT) AS fold,
+       lang, CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
 def q_events_unpivot_counts(sf_dir: str):
     """UNPIVOT / melt — the wide->long inverse of events_pivot_counts:
     each user's five per-type count columns become (user_id,
@@ -5887,6 +5926,7 @@ def catalog():
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
         "events_unpivot_counts": q_events_unpivot_counts,
+        "doc_kfold_counts": q_doc_kfold_counts,
     }
 
 
@@ -6002,6 +6042,7 @@ def sql_catalog():
         "doc_gopher_rules": _sql_gopher_rules(),
         "part_sssp": _sql_part_sssp(),
         "events_unpivot_counts": _sql_events_unpivot(),
+        "doc_kfold_counts": SQL_DOC_KFOLD,
     }
 
 

@@ -146,6 +146,7 @@ BENCH_ROTATE = [
     "part_sssp",
     "events_unpivot_counts",
     "doc_kfold_counts",
+    "corpus_report",
 ]
 BENCH_ROTATE_K = 15
 

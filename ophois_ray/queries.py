@@ -5682,6 +5682,90 @@ def _sql_events_pivot() -> str:
             f" FROM events GROUP BY user_id")
 
 
+def q_corpus_report(sf_dir: str):
+    """Dataset-card summary — the one-query corpus report a data team
+    publishes: doc/char/token totals, language/source cardinalities,
+    max doc length and exact-duplicate occurrence count, as (metric,
+    value) int64 rows. Pass A is ONE fused zero-shuffle scan emitting
+    scalar partials (counts/sums/max + tiny lang/source sets, driver
+    fold bounded by distinct categories); pass B is the exact-dup
+    count's text-bucket shuffle (full-string equality). At 100 TB this
+    is two streaming passes, nothing driver-side beyond scalars."""
+    docs = _t(sf_dir, "documents",
+              columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].to_numpy(object)
+        toks = np.array([len(t.split()) if isinstance(t, str) else 0
+                         for t in texts], dtype=np.int64)
+        nch = df["n_chars"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(df))],
+            "total_chars": [nch.sum() if len(df) else np.int64(0)],
+            "total_tokens": [toks.sum() if len(df) else np.int64(0)],
+            "max_doc_chars": [nch.max() if len(df) else np.int64(0)],
+            "langs": [",".join(sorted(set(df["lang"].astype(str))))],
+            "sources": [",".join(sorted(set(df["source"].astype(str))))],
+        })
+
+    pieces = [b for b in docs.map_batches(partials, batch_format="pandas")
+              .iter_batches(batch_format="pandas", batch_size=None)]
+    agg = pd.concat(pieces, ignore_index=True)
+    langs = set()
+    sources = set()
+    for s in agg["langs"]:
+        langs.update(x for x in s.split(",") if x)
+    for s in agg["sources"]:
+        sources.update(x for x in s.split(",") if x)
+
+    def dup_count(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("text")["text"].transform("size").to_numpy(np.int64)
+        return pd.DataFrame({"n": [np.int64((c >= 2).sum())]})
+
+    from .joins import grouped_apply
+
+    dups = grouped_apply(
+        docs.map_batches(lambda df: df[["text"]], batch_format="pandas"),
+        "text", dup_count, num_buckets=16,
+    ).to_pandas()
+    n_dup = int(dups["n"].sum()) if len(dups) else 0
+
+    metrics = {
+        "dup_docs": n_dup,
+        "max_doc_chars": int(agg["max_doc_chars"].max()),
+        "n_docs": int(agg["n_docs"].sum()),
+        "n_langs": len(langs),
+        "n_sources": len(sources),
+        "total_chars": int(agg["total_chars"].sum()),
+        "total_tokens": int(agg["total_tokens"].sum()),
+    }
+    return pd.DataFrame({
+        "metric": sorted(metrics),
+        "value": np.array([metrics[k] for k in sorted(metrics)],
+                          dtype=np.int64),
+    })
+
+
+SQL_CORPUS_REPORT = r"""
+SELECT 'dup_docs' AS metric, CAST(coalesce(sum(c), 0) AS BIGINT) AS value
+FROM (SELECT count(*) AS c FROM documents GROUP BY text
+      HAVING count(*) >= 2)
+UNION ALL SELECT 'max_doc_chars', CAST(max(n_chars) AS BIGINT)
+FROM documents
+UNION ALL SELECT 'n_docs', CAST(count(*) AS BIGINT) FROM documents
+UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT)
+FROM documents
+UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT)
+FROM documents
+UNION ALL SELECT 'total_chars', CAST(sum(n_chars) AS BIGINT)
+FROM documents
+UNION ALL SELECT 'total_tokens',
+  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                           x -> x != ''))) AS BIGINT)
+FROM documents
+"""
+
+
 def q_doc_kfold_counts(sf_dir: str):
     """Deterministic k-fold cross-validation assignment (fold =
     split_hash(doc_id) % 8 — 8 is coprime to the hash multiplier, see
@@ -5927,6 +6011,7 @@ def catalog():
         "part_sssp": q_part_sssp,
         "events_unpivot_counts": q_events_unpivot_counts,
         "doc_kfold_counts": q_doc_kfold_counts,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -6043,6 +6128,7 @@ def sql_catalog():
         "part_sssp": _sql_part_sssp(),
         "events_unpivot_counts": _sql_events_unpivot(),
         "doc_kfold_counts": SQL_DOC_KFOLD,
+        "corpus_report": SQL_CORPUS_REPORT,
     }
 
 

@@ -235,3 +235,19 @@ def oracle_sql_parent_expr(cell_expr: str, res: int, fine_res: int) -> str:
         f" + {ix} // {d} * {1 << _IX_SHIFT}"
         f" + {iy} // {d})"
     )
+
+
+def morton_interleave(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """Z-order (Morton) key: x bits to odd positions, y to even —
+    the space-filling-curve sort key for range-scan tile layouts.
+    Vectorized magic-number bit spread; inputs < 2^16, int64-safe.
+    Mirrored per-bit by queries._sql_zorder_stats' //-% terms."""
+    def spread(v):
+        v = v.astype(np.int64)
+        v = (v | (v << 8)) & np.int64(0x00FF00FF)
+        v = (v | (v << 4)) & np.int64(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.int64(0x33333333)
+        v = (v | (v << 1)) & np.int64(0x55555555)
+        return v
+
+    return (spread(ix) << 1) | spread(iy)

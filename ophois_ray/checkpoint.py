@@ -251,3 +251,80 @@ def read_checkpointed(outdir: str, fingerprint: str | None = None):
             os.path.join(tdir, f) for f in sorted(os.listdir(tdir)) if f.endswith(".parquet")
         )
     return ray.data.read_parquet(paths)
+
+
+def write_zorder_tiles(points, outdir: str, *, res: int = 12,
+                       bucket_bits: int = 12, id_col: str = "id",
+                       lat_col: str = "lat", lon_col: str = "lon",
+                       num_buckets: int = 32) -> pd.DataFrame:
+    """Z-order-clustered serving layout: the range-scan sink a tile
+    store reads. Each point gets its res-``res`` Morton key
+    (cells.morton_interleave); one parquet file per SFC bucket
+    (zb = z >> ``bucket_bits`` — SFC buckets ARE the coarser tiles),
+    rows inside each file SORTED by (z, id) so a spatial range scan
+    reads consecutive rows of consecutive files. Files are written
+    tmp + fsync + os.replace (atomic, rerun-idempotent: a second run
+    re-promotes identical content). Returns the manifest
+    ``(zb, n, zmin, zmax, path)`` sorted by zb — exactly the range
+    index a reader binary-searches.
+
+    Scale shape: ONE zb-bucket shuffle (grouped_apply); a bucket task
+    holds only its tile's rows; the manifest is |tiles| rows on the
+    driver, never the data."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from . import cells
+    from .joins import grouped_apply
+
+    os.makedirs(outdir, exist_ok=True)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = cells.cell_of(df[lat_col].to_numpy(np.float64),
+                          df[lon_col].to_numpy(np.float64), res)
+        _res, ix, iy = cells.decode(c)
+        z = cells.morton_interleave(ix, iy)
+        df = df.copy()
+        df["__z"] = z
+        df["__zb"] = z >> np.int64(bucket_bits)
+        return df
+
+    def write_tile_group(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for zb, g in df.groupby("__zb", sort=False):
+            g = g.sort_values(["__z", id_col], ignore_index=True)
+            z = g["__z"].to_numpy(np.int64)
+            path = os.path.join(outdir, f"zb={int(zb)}.parquet")
+            tmp = f"{path}.__tmp_{os.getpid()}"
+            body = g.drop(columns=["__zb"]).rename(columns={"__z": "z"})
+            pq.write_table(pa.Table.from_pandas(body, preserve_index=False),
+                           tmp)
+            with open(tmp, "rb") as f:
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+            outs.append((int(zb), len(g), int(z[0]), int(z[-1]), path))
+        if not outs:
+            return pd.DataFrame({
+                "zb": pd.Series(dtype=np.int64),
+                "n": pd.Series(dtype=np.int64),
+                "zmin": pd.Series(dtype=np.int64),
+                "zmax": pd.Series(dtype=np.int64),
+                "path": pd.Series(dtype=object)})
+        a = pd.DataFrame(outs, columns=["zb", "n", "zmin", "zmax", "path"])
+        for c in ("zb", "n", "zmin", "zmax"):
+            a[c] = a[c].astype(np.int64)
+        return a
+
+    manifest = grouped_apply(
+        points.map_batches(assign, batch_format="pandas"), "__zb",
+        write_tile_group, num_buckets=num_buckets,
+    ).to_pandas()
+    if not len(manifest):
+        return pd.DataFrame({"zb": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64),
+                             "zmin": pd.Series(dtype=np.int64),
+                             "zmax": pd.Series(dtype=np.int64),
+                             "path": pd.Series(dtype=object)})
+    return manifest.sort_values("zb", ignore_index=True)

@@ -4652,17 +4652,9 @@ ZORDER_RES = 12
 
 
 def _morton_interleave(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
-    """Z-order (Morton) key: x bits to odd positions, y to even.
-    Vectorized magic-number bit spread; inputs < 2^16, int64-safe."""
-    def spread(v):
-        v = v.astype(np.int64)
-        v = (v | (v << 8)) & np.int64(0x00FF00FF)
-        v = (v | (v << 4)) & np.int64(0x0F0F0F0F)
-        v = (v | (v << 2)) & np.int64(0x33333333)
-        v = (v | (v << 1)) & np.int64(0x55555555)
-        return v
-
-    return (spread(ix) << 1) | spread(iy)
+    """Moved to cells.morton_interleave (the bit layout's home module);
+    kept as a thin alias for the zorder query."""
+    return cells.morton_interleave(ix, iy)
 
 
 def q_zorder_stats(sf_dir: str):

@@ -432,3 +432,48 @@ def test_geospatial_join_checkpointed_resume(tmp_path):
     assert (back["u"] == probe["u"]).all()
     # idempotent rerun: nothing left
     assert pipelines.geospatial_join_checkpointed(sf, out)[0] == []
+
+
+def test_write_zorder_tiles_layout_and_idempotence(ray_session, tmp_path):
+    """Z-order sink: one file per SFC bucket, rows sorted by (z, id)
+    inside each file, manifest ranges exact, rerun idempotent."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ophois_ray import cells
+    from ophois_ray.checkpoint import write_zorder_tiles
+
+    rng = np.random.RandomState(9)
+    n = 2000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "lat": rng.uniform(35.0, 55.0, n),
+        "lon": rng.uniform(-10.0, 20.0, n),
+    })
+    out = str(tmp_path / "tiles")
+    m1 = write_zorder_tiles(ray.data.from_pandas(df).repartition(7), out,
+                            res=12, bucket_bits=12)
+    assert len(m1) > 3 and int(m1["n"].sum()) == n
+    assert m1["zb"].is_monotonic_increasing
+
+    # per-file checks: sorted by (z, id), z-range matches manifest,
+    # zb consistent with the file's z values
+    for r in m1.itertuples():
+        t = pq.read_table(r.path).to_pandas()
+        z = t["z"].to_numpy(np.int64)
+        assert (np.diff(z) >= 0).all()
+        assert z[0] == r.zmin and z[-1] == r.zmax and len(t) == r.n
+        assert ((z >> 12) == r.zb).all()
+        # z really is the morton key of each row's res-12 cell
+        _res, ix, iy = cells.decode(
+            cells.cell_of(t["lat"].to_numpy(), t["lon"].to_numpy(), 12))
+        assert (cells.morton_interleave(ix, iy) == z).all()
+
+    # rerun is idempotent: same manifest, same content
+    m2 = write_zorder_tiles(ray.data.from_pandas(df).repartition(3), out,
+                            res=12, bucket_bits=12)
+    pd.testing.assert_frame_equal(m1, m2)
+    files = sorted(os.listdir(out))
+    assert files == sorted(f"zb={int(z)}.parquet" for z in m1["zb"])

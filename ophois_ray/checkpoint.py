@@ -328,3 +328,40 @@ def write_zorder_tiles(points, outdir: str, *, res: int = 12,
                              "zmax": pd.Series(dtype=np.int64),
                              "path": pd.Series(dtype=object)})
     return manifest.sort_values("zb", ignore_index=True)
+
+
+def read_zorder_bbox(outdir: str, manifest: pd.DataFrame,
+                     lat_lo: float, lat_hi: float,
+                     lon_lo: float, lon_hi: float, *,
+                     res: int = 12, bucket_bits: int = 12):
+    """Range-scan reader over a write_zorder_tiles layout: the bbox is
+    covered at resolution ``res``, the covering cells' SFC buckets are
+    intersected with the manifest (the binary-searchable range index),
+    ONLY those files are read (the pruning that makes the layout pay),
+    and the exact bbox filter runs over the pruned rows. Returns
+    ``(rows, n_files_read, n_files_total)`` — the counts make the
+    pruning observable/testable."""
+    import pyarrow.parquet as pq
+
+    from . import cells
+
+    # covering cells of the bbox corners' index ranges
+    c_lo = cells.cell_of(np.array([lat_lo]), np.array([lon_lo]), res)
+    c_hi = cells.cell_of(np.array([lat_hi]), np.array([lon_hi]), res)
+    _r, ix0, iy0 = cells.decode(c_lo)
+    _r, ix1, iy1 = cells.decode(c_hi)
+    ixs = np.arange(int(ix0[0]), int(ix1[0]) + 1, dtype=np.int64)
+    iys = np.arange(int(iy0[0]), int(iy1[0]) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(ixs, iys)
+    zbs = np.unique(cells.morton_interleave(gx.ravel(), gy.ravel())
+                    >> np.int64(bucket_bits))
+    hit = manifest[manifest["zb"].isin(zbs)]
+    frames = []
+    for path in hit["path"]:
+        t = pq.read_table(path).to_pandas()
+        m = ((t["lat"] >= lat_lo) & (t["lat"] <= lat_hi)
+             & (t["lon"] >= lon_lo) & (t["lon"] <= lon_hi))
+        frames.append(t[m])
+    rows = (pd.concat(frames, ignore_index=True) if frames
+            else pd.DataFrame())
+    return rows, len(hit), len(manifest)

@@ -477,3 +477,29 @@ def test_write_zorder_tiles_layout_and_idempotence(ray_session, tmp_path):
     pd.testing.assert_frame_equal(m1, m2)
     files = sorted(os.listdir(out))
     assert files == sorted(f"zb={int(z)}.parquet" for z in m1["zb"])
+
+
+def test_read_zorder_bbox_prunes_and_is_exact(ray_session, tmp_path):
+    """The z-order reader touches only covering-bucket files and
+    returns exactly the brute-force bbox filter."""
+    import ray.data
+
+    from ophois_ray.checkpoint import read_zorder_bbox, write_zorder_tiles
+
+    rng = np.random.RandomState(21)
+    n = 3000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "lat": rng.uniform(35.0, 55.0, n),
+        "lon": rng.uniform(-10.0, 20.0, n),
+    })
+    out = str(tmp_path / "tiles")
+    m = write_zorder_tiles(ray.data.from_pandas(df).repartition(5), out,
+                           res=12, bucket_bits=12)
+    box = (44.0, 46.5, 1.0, 4.0)
+    rows, n_read, n_total = read_zorder_bbox(out, m, *box)
+    exp = df[(df.lat >= box[0]) & (df.lat <= box[1])
+             & (df.lon >= box[2]) & (df.lon <= box[3])]
+    assert sorted(rows["id"]) == sorted(exp["id"])
+    assert len(exp) > 10
+    assert n_read < n_total  # the pruning actually pruned

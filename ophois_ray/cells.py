@@ -242,6 +242,13 @@ def morton_interleave(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
     the space-filling-curve sort key for range-scan tile layouts.
     Vectorized magic-number bit spread; inputs < 2^16, int64-safe.
     Mirrored per-bit by queries._sql_zorder_stats' //-% terms."""
+    ix = np.asarray(ix, dtype=np.int64)
+    iy = np.asarray(iy, dtype=np.int64)
+    if len(ix) and (int(ix.max()) >= 1 << 16 or int(iy.max()) >= 1 << 16):
+        raise ValueError(
+            "morton_interleave inputs must be < 2^16 (res <= 16): the "
+            "bit-spread masks silently truncate higher bits, destroying "
+            "the curve's locality")
     def spread(v):
         v = v.astype(np.int64)
         v = (v | (v << 8)) & np.int64(0x00FF00FF)

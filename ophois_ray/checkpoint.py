@@ -265,8 +265,10 @@ def write_zorder_tiles(points, outdir: str, *, res: int = 12,
     reads consecutive rows of consecutive files. Files are written
     tmp + fsync + os.replace (atomic, rerun-idempotent: a second run
     re-promotes identical content). Returns the manifest
-    ``(zb, n, zmin, zmax, path)`` sorted by zb — exactly the range
-    index a reader binary-searches.
+    ``(zb, n, zmin, zmax, path, res, bucket_bits, lat_col, lon_col)``
+    sorted by zb — path is the bare filename (the reader joins it onto
+    ITS outdir, so the layout relocates), and the layout parameters
+    ride the manifest so a reader can never silently mismatch them.
 
     Scale shape: ONE zb-bucket shuffle (grouped_apply); a bucket task
     holds only its tile's rows; the manifest is |tiles| rows on the
@@ -304,7 +306,8 @@ def write_zorder_tiles(points, outdir: str, *, res: int = 12,
             with open(tmp, "rb") as f:
                 os.fsync(f.fileno())
             os.replace(tmp, path)
-            outs.append((int(zb), len(g), int(z[0]), int(z[-1]), path))
+            outs.append((int(zb), len(g), int(z[0]), int(z[-1]),
+                         os.path.basename(path)))
         if not outs:
             return pd.DataFrame({
                 "zb": pd.Series(dtype=np.int64),
@@ -322,45 +325,72 @@ def write_zorder_tiles(points, outdir: str, *, res: int = 12,
         write_tile_group, num_buckets=num_buckets,
     ).to_pandas()
     if not len(manifest):
-        return pd.DataFrame({"zb": pd.Series(dtype=np.int64),
-                             "n": pd.Series(dtype=np.int64),
-                             "zmin": pd.Series(dtype=np.int64),
-                             "zmax": pd.Series(dtype=np.int64),
-                             "path": pd.Series(dtype=object)})
-    return manifest.sort_values("zb", ignore_index=True)
+        manifest = pd.DataFrame({"zb": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "zmin": pd.Series(dtype=np.int64),
+                                 "zmax": pd.Series(dtype=np.int64),
+                                 "path": pd.Series(dtype=object)})
+    else:
+        manifest = manifest.sort_values("zb", ignore_index=True)
+    manifest["res"] = np.int64(res)
+    manifest["bucket_bits"] = np.int64(bucket_bits)
+    manifest["lat_col"] = lat_col
+    manifest["lon_col"] = lon_col
+    return manifest
 
 
 def read_zorder_bbox(outdir: str, manifest: pd.DataFrame,
                      lat_lo: float, lat_hi: float,
-                     lon_lo: float, lon_hi: float, *,
-                     res: int = 12, bucket_bits: int = 12):
+                     lon_lo: float, lon_hi: float):
     """Range-scan reader over a write_zorder_tiles layout: the bbox is
-    covered at resolution ``res``, the covering cells' SFC buckets are
-    intersected with the manifest (the binary-searchable range index),
-    ONLY those files are read (the pruning that makes the layout pay),
-    and the exact bbox filter runs over the pruned rows. Returns
-    ``(rows, n_files_read, n_files_total)`` — the counts make the
-    pruning observable/testable."""
+    covered at the manifest's recorded resolution, the covering cells'
+    SFC buckets are intersected with the manifest, ONLY those files
+    are read (the pruning that makes the layout pay), and the exact
+    bbox filter runs over the pruned rows. Layout parameters (res,
+    bucket_bits, column names) come FROM the manifest — a reader can
+    never silently disagree with the writer — and file paths are
+    joined onto ``outdir`` so a relocated tile directory still reads.
+    Returns ``(rows, n_files_read, n_files_total)``."""
+    import os
+
     import pyarrow.parquet as pq
 
     from . import cells
 
-    # covering cells of the bbox corners' index ranges
+    if not len(manifest):
+        return pd.DataFrame(), 0, 0
+    res = int(manifest["res"].iloc[0])
+    bucket_bits = int(manifest["bucket_bits"].iloc[0])
+    lat_col = str(manifest["lat_col"].iloc[0])
+    lon_col = str(manifest["lon_col"].iloc[0])
+
     c_lo = cells.cell_of(np.array([lat_lo]), np.array([lon_lo]), res)
     c_hi = cells.cell_of(np.array([lat_hi]), np.array([lon_hi]), res)
     _r, ix0, iy0 = cells.decode(c_lo)
     _r, ix1, iy1 = cells.decode(c_hi)
-    ixs = np.arange(int(ix0[0]), int(ix1[0]) + 1, dtype=np.int64)
-    iys = np.arange(int(iy0[0]), int(iy1[0]) + 1, dtype=np.int64)
-    gx, gy = np.meshgrid(ixs, iys)
-    zbs = np.unique(cells.morton_interleave(gx.ravel(), gy.ravel())
-                    >> np.int64(bucket_bits))
+    if bucket_bits % 2 == 0:
+        # zb = morton(ix, iy) >> bits == morton(ix >> bits/2,
+        # iy >> bits/2): enumerate the COARSE rectangle (4096x fewer
+        # points than the fine meshgrid at the default bits=12)
+        s = bucket_bits // 2
+        ixs = np.arange(int(ix0[0]) >> s, (int(ix1[0]) >> s) + 1,
+                        dtype=np.int64)
+        iys = np.arange(int(iy0[0]) >> s, (int(iy1[0]) >> s) + 1,
+                        dtype=np.int64)
+        gx, gy = np.meshgrid(ixs, iys)
+        zbs = np.unique(cells.morton_interleave(gx.ravel(), gy.ravel()))
+    else:
+        ixs = np.arange(int(ix0[0]), int(ix1[0]) + 1, dtype=np.int64)
+        iys = np.arange(int(iy0[0]), int(iy1[0]) + 1, dtype=np.int64)
+        gx, gy = np.meshgrid(ixs, iys)
+        zbs = np.unique(cells.morton_interleave(gx.ravel(), gy.ravel())
+                        >> np.int64(bucket_bits))
     hit = manifest[manifest["zb"].isin(zbs)]
     frames = []
     for path in hit["path"]:
-        t = pq.read_table(path).to_pandas()
-        m = ((t["lat"] >= lat_lo) & (t["lat"] <= lat_hi)
-             & (t["lon"] >= lon_lo) & (t["lon"] <= lon_hi))
+        t = pq.read_table(os.path.join(outdir, path)).to_pandas()
+        m = ((t[lat_col] >= lat_lo) & (t[lat_col] <= lat_hi)
+             & (t[lon_col] >= lon_lo) & (t[lon_col] <= lon_hi))
         frames.append(t[m])
     rows = (pd.concat(frames, ignore_index=True) if frames
             else pd.DataFrame())

@@ -5687,9 +5687,10 @@ def q_corpus_report(sf_dir: str):
               columns=["doc_id", "text", "lang", "source", "n_chars"])
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df["text"].to_numpy(object)
-        toks = np.array([len(t.split()) if isinstance(t, str) else 0
-                         for t in texts], dtype=np.int64)
+        # ASCII-whitespace run count == RE2 \s+ split (str.split()
+        # would diverge on U+00A0 etc. — the repo's documented trap)
+        toks = (df["text"].str.count(r"[^ \t\n\r\f\v]+")
+                .fillna(0).to_numpy(np.int64))
         nch = df["n_chars"].to_numpy(np.int64)
         return pd.DataFrame({
             "n_docs": [np.int64(len(df))],
@@ -5702,6 +5703,11 @@ def q_corpus_report(sf_dir: str):
 
     pieces = [b for b in docs.map_batches(partials, batch_format="pandas")
               .iter_batches(batch_format="pandas", batch_size=None)]
+    if not pieces:   # 0-row dataset: an all-zero report, not a crash
+        return pd.DataFrame({
+            "metric": ["dup_docs", "max_doc_chars", "n_docs", "n_langs",
+                       "n_sources", "total_chars", "total_tokens"],
+            "value": np.zeros(7, dtype=np.int64)})
     agg = pd.concat(pieces, ignore_index=True)
     langs = set()
     sources = set()
@@ -5710,6 +5716,12 @@ def q_corpus_report(sf_dir: str):
     for s in agg["sources"]:
         sources.update(x for x in s.split(",") if x)
 
+    def hash_text(df: pd.DataFrame) -> pd.DataFrame:
+        # precomputed native-int bucket key; full-string equality still
+        # decides dups (equal texts hash equal -> co-located)
+        h = pd.util.hash_array(df["text"].to_numpy(object)).astype(np.int64)
+        return pd.DataFrame({"__h": h, "text": df["text"].to_numpy(object)})
+
     def dup_count(df: pd.DataFrame) -> pd.DataFrame:
         c = df.groupby("text")["text"].transform("size").to_numpy(np.int64)
         return pd.DataFrame({"n": [np.int64((c >= 2).sum())]})
@@ -5717,8 +5729,8 @@ def q_corpus_report(sf_dir: str):
     from .joins import grouped_apply
 
     dups = grouped_apply(
-        docs.map_batches(lambda df: df[["text"]], batch_format="pandas"),
-        "text", dup_count, num_buckets=16,
+        docs.map_batches(hash_text, batch_format="pandas"),
+        "__h", dup_count, num_buckets=16,
     ).to_pandas()
     n_dup = int(dups["n"].sum()) if len(dups) else 0
 

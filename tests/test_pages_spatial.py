@@ -461,7 +461,7 @@ def test_write_zorder_tiles_layout_and_idempotence(ray_session, tmp_path):
     # per-file checks: sorted by (z, id), z-range matches manifest,
     # zb consistent with the file's z values
     for r in m1.itertuples():
-        t = pq.read_table(r.path).to_pandas()
+        t = pq.read_table(os.path.join(out, r.path)).to_pandas()
         z = t["z"].to_numpy(np.int64)
         assert (np.diff(z) >= 0).all()
         assert z[0] == r.zmin and z[-1] == r.zmax and len(t) == r.n
@@ -498,6 +498,8 @@ def test_read_zorder_bbox_prunes_and_is_exact(ray_session, tmp_path):
                            res=12, bucket_bits=12)
     box = (44.0, 46.5, 1.0, 4.0)
     rows, n_read, n_total = read_zorder_bbox(out, m, *box)
+    # layout params travel in the manifest
+    assert int(m["res"].iloc[0]) == 12 and int(m["bucket_bits"].iloc[0]) == 12
     exp = df[(df.lat >= box[0]) & (df.lat <= box[1])
              & (df.lon >= box[2]) & (df.lon <= box[3])]
     assert sorted(rows["id"]) == sorted(exp["id"])

@@ -147,6 +147,7 @@ BENCH_ROTATE = [
     "events_unpivot_counts",
     "doc_kfold_counts",
     "corpus_report",
+    "doc_len_mad",
 ]
 BENCH_ROTATE_K = 15
 

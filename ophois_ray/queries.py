@@ -5674,6 +5674,77 @@ def _sql_events_pivot() -> str:
             f" FROM events GROUP BY user_id")
 
 
+def q_doc_len_mad(sf_dir: str):
+    """Robust outlier statistics — exact global lower-median, median
+    absolute deviation and |x - med| > 3*MAD outlier count over
+    n_chars, the distribution-free quality screen. Scale shape: the
+    domain is bounded (doc lengths), so each pass is a HISTOGRAM
+    partial (per-batch value counts, shuffle bounded by distinct
+    values, never rows) and the median is a driver-side cumsum select
+    over |distinct values| ints; the outlier count reads off the
+    SECOND histogram — three statistics from two streaming passes.
+    Output one row (n, median_chars, mad_chars, n_outliers) int64."""
+    docs = _t(sf_dir, "documents", columns=["n_chars"])
+
+    def hist(col: str, ds) -> pd.DataFrame:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = (pd.DataFrame({"v": df[col].to_numpy(np.int64)})
+                 .groupby("v", as_index=False).size())
+            g["c"] = g.pop("size").astype(np.int64)
+            return g
+
+        pieces = [b for b in ds.map_batches(partial, batch_format="pandas")
+                  .iter_batches(batch_format="pandas", batch_size=None)]
+        if not pieces:
+            return pd.DataFrame({"v": pd.Series(dtype=np.int64),
+                                 "c": pd.Series(dtype=np.int64)})
+        return (pd.concat(pieces, ignore_index=True)
+                .groupby("v", as_index=False)["c"].sum()
+                .sort_values("v", ignore_index=True))
+
+    def lower_median(h: pd.DataFrame) -> int:
+        n = int(h["c"].sum())
+        cum = np.cumsum(h["c"].to_numpy(np.int64))
+        pos = (n - 1) // 2
+        return int(h["v"].to_numpy(np.int64)[np.searchsorted(cum, pos + 1)])
+
+    h1 = hist("n_chars", docs)
+    n = int(h1["c"].sum())
+    med = lower_median(h1)
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "d": np.abs(df["n_chars"].to_numpy(np.int64) - np.int64(med))})
+
+    h2 = hist("d", docs.map_batches(dev, batch_format="pandas"))
+    mad = lower_median(h2)
+    out = int(h2.loc[h2["v"] > 3 * mad, "c"].sum())
+    return pd.DataFrame({
+        "n": np.array([n], dtype=np.int64),
+        "median_chars": np.array([med], dtype=np.int64),
+        "mad_chars": np.array([mad], dtype=np.int64),
+        "n_outliers": np.array([out], dtype=np.int64),
+    })
+
+
+SQL_DOC_LEN_MAD = """
+WITH med AS (
+  SELECT max(CASE WHEN rn = (cnt - 1) // 2 THEN n_chars END) AS m FROM (
+    SELECT n_chars, row_number() OVER (ORDER BY n_chars) - 1 AS rn,
+           count(*) OVER () AS cnt FROM documents)),
+dev AS (SELECT abs(n_chars - (SELECT m FROM med)) AS d FROM documents),
+mad AS (
+  SELECT max(CASE WHEN rn = (cnt - 1) // 2 THEN d END) AS md FROM (
+    SELECT d, row_number() OVER (ORDER BY d) - 1 AS rn,
+           count(*) OVER () AS cnt FROM dev))
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+       CAST((SELECT m FROM med) AS BIGINT) AS median_chars,
+       CAST((SELECT md FROM mad) AS BIGINT) AS mad_chars,
+       CAST((SELECT count(*) FROM dev
+             WHERE d > 3 * (SELECT md FROM mad)) AS BIGINT) AS n_outliers
+"""
+
+
 def q_corpus_report(sf_dir: str):
     """Dataset-card summary — the one-query corpus report a data team
     publishes: doc/char/token totals, language/source cardinalities,
@@ -6016,6 +6087,7 @@ def catalog():
         "events_unpivot_counts": q_events_unpivot_counts,
         "doc_kfold_counts": q_doc_kfold_counts,
         "corpus_report": q_corpus_report,
+        "doc_len_mad": q_doc_len_mad,
     }
 
 
@@ -6133,6 +6205,7 @@ def sql_catalog():
         "events_unpivot_counts": _sql_events_unpivot(),
         "doc_kfold_counts": SQL_DOC_KFOLD,
         "corpus_report": SQL_CORPUS_REPORT,
+        "doc_len_mad": SQL_DOC_LEN_MAD,
     }
 
 

@@ -1350,6 +1350,252 @@ def q_graph_discretize(sf_dir: str):
     ).astype(np.int64)
 
 
+def _ids(prefix: str, arr: np.ndarray, suffix: str = "") -> np.ndarray:
+    s = pd.Series(arr).astype(str)
+    return (prefix + s + suffix).to_numpy(object)
+
+
+def _chain_ids(k: np.ndarray, i: np.ndarray) -> np.ndarray:
+    s = "c" + pd.Series(k).astype(str) + "x" + pd.Series(i).astype(str)
+    return s.to_numpy(object)
+
+
+def _node_frame(ids: np.ndarray, lat: np.ndarray, lon: np.ndarray) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "id": ids,
+            "lat_str": [repr(x) for x in lat],
+            "lon_str": [repr(x) for x in lon],
+            "lat": lat,
+            "lon": lon,
+            "seq": np.arange(len(ids), dtype=np.int64),
+        }
+    )
+
+
+# Anchor grid for the analytic graphs: rows of 100 anchors 0.01 deg of
+# latitude apart (~1112 m, safely > delta), columns 0.015 deg of
+# longitude apart. 50 m expressed as a latitude offset (distance is
+# then R*dlat exactly, independent of longitude scale at the latitude).
+_AG_LAT0, _AG_LON0 = 48.0, 2.0
+_AG_DLAT, _AG_DLON = 0.01, 0.015
+_AG_50M = 0.00045  # deg lat ~= 50.04 m, < delta=100 with wide margin
+
+
+def _anchor_pos(k: np.ndarray):
+    lat = _AG_LAT0 + (k % 100).astype(np.float64) * _AG_DLAT
+    lon = _AG_LON0 + (k // 100).astype(np.float64) * _AG_DLON
+    return lat, lon
+
+
+def _analytic_sim_graph(sf_dir: str):
+    """Fixture graph whose `simplify` result is predictable from part/
+    supplier key arithmetic alone, making the full H1+H3+H4+H5+H6
+    composition hash-checkable against a SQL mirror that CONSTRUCTS the
+    expected survivors (reference main.rs:66-74 composition; the
+    engine does the real graph work, any mis-simplification fails the
+    driver hash).
+
+    Per part key k in 0..P-1 (P = part row count, keys contiguous):
+      - anchor a{k} on the grid, cycle edge towards a{(k+1)%P} through
+        k%3 degree-2 chain interiors c{k}x{i} (H3 removes them);
+      - long spur leaf t{k} (~744 m, survives H4);
+      - short spur leaf s{k} at 50 m when k%5==0 (H4 removes it);
+      - when k%7==3 a merge gadget near the segment midpoint: ma{k} and
+        mb{k} 50 m apart (H6 contracts them into "ma{k}-mb{k}"), each
+        tied long to one anchor, plus a degree-2 brace gl{k} keeping
+        both out of the H3 snapshot.
+    Per supplier key j: a detached 2-node component x{j}-y{j} that H1
+    (largest component) must drop.
+    """
+    P = _t(sf_dir, "part", columns=["p_partkey"]).count()
+
+    def gen_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].to_numpy(np.int64)
+        nxt = (k + 1) % P
+        la, lo = _anchor_pos(k)
+        nla, nlo = _anchor_pos(nxt)
+        frames = [
+            _node_frame(_ids("a", k), la, lo),
+            _node_frame(_ids("t", k), la, lo + _AG_DLON * 2 / 3),
+        ]
+        ks = k % 5 == 0
+        if ks.any():
+            frames.append(_node_frame(_ids("s", k[ks]), la[ks] + _AG_50M, lo[ks]))
+        kg = k % 7 == 3
+        if kg.any():
+            mla = (la[kg] + nla[kg]) / 2.0
+            mlo = (lo[kg] + nlo[kg]) / 2.0
+            frames.append(_node_frame(_ids("ma", k[kg]), mla, mlo))
+            frames.append(_node_frame(_ids("mb", k[kg]), mla + _AG_50M, mlo))
+            frames.append(_node_frame(_ids("gl", k[kg]), mla + _AG_50M / 2, mlo))
+        m = k % 3
+        rep = np.repeat(np.arange(k.size), m)
+        if rep.size:
+            i_idx = np.arange(rep.size) - np.concatenate(([0], np.cumsum(m)))[rep] + 1
+            t = i_idx.astype(np.float64) / (m[rep] + 1).astype(np.float64)
+            clat = la[rep] + t * (nla[rep] - la[rep])
+            clon = lo[rep] + t * (nlo[rep] - lo[rep])
+            frames.append(_node_frame(_chain_ids(k[rep], i_idx), clat, clon))
+        return pd.concat(frames, ignore_index=True)
+
+    def gen_edges(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].to_numpy(np.int64)
+        nxt = (k + 1) % P
+        a_k, a_n = _ids("a", k), _ids("a", nxt)
+        us = [a_k]
+        vs = [_ids("t", k)]
+        ks = k % 5 == 0
+        if ks.any():
+            us.append(a_k[ks])
+            vs.append(_ids("s", k[ks]))
+        kg = k % 7 == 3
+        if kg.any():
+            ma, mb, gl = _ids("ma", k[kg]), _ids("mb", k[kg]), _ids("gl", k[kg])
+            us.extend([ma, gl, gl, a_k[kg], a_n[kg]])
+            vs.extend([mb, ma, mb, ma, mb])
+        m = k % 3
+        rep = np.repeat(np.arange(k.size), m)
+        if rep.size:
+            i_idx = np.arange(rep.size) - np.concatenate(([0], np.cumsum(m)))[rep] + 1
+            cur = _chain_ids(k[rep], i_idx)
+            prev = _chain_ids(k[rep], i_idx - 1)
+            prev[i_idx == 1] = a_k[rep][i_idx == 1]
+            us.append(prev)
+            vs.append(cur)
+        last = a_k.copy()
+        has = m > 0
+        last[has] = _chain_ids(k[has], m[has])
+        us.append(last)
+        vs.append(a_n)
+        return pd.DataFrame(
+            {"u": np.concatenate(us), "v": np.concatenate(vs)}
+        )
+
+    def gen_junk_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        j = df["s_suppkey"].to_numpy(np.int64)
+        lat = 10.0 + (j % 100).astype(np.float64) * _AG_DLAT
+        lon = 2.0 + (j // 100).astype(np.float64) * _AG_DLON
+        return pd.concat(
+            [
+                _node_frame(_ids("x", j), lat, lon),
+                _node_frame(_ids("y", j), lat + 0.001, lon),
+            ],
+            ignore_index=True,
+        )
+
+    def gen_junk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        j = df["s_suppkey"].to_numpy(np.int64)
+        return pd.DataFrame({"u": _ids("x", j), "v": _ids("y", j)})
+
+    part = _t(sf_dir, "part", columns=["p_partkey"])
+    supp = _t(sf_dir, "supplier", columns=["s_suppkey"])
+    nodes = part.map_batches(gen_nodes, batch_format="pandas").union(
+        supp.map_batches(gen_junk_nodes, batch_format="pandas")
+    )
+    edges = graphops.dedup_edges(
+        part.map_batches(gen_edges, batch_format="pandas").union(
+            supp.map_batches(gen_junk_edges, batch_format="pandas")
+        )
+    )
+    return nodes.materialize(), edges.materialize()
+
+
+def q_graph_simplify_stats(sf_dir: str):
+    """Hash-checkable simplify: real H1..H6 composition over the
+    analytic fixture graph; survivors and their degrees are predicted
+    exactly by the SQL mirror from the same key arithmetic."""
+    from . import components
+
+    nodes, edges = _analytic_sim_graph(sf_dir)
+    n2, e2 = components.simplify(nodes, edges, 100.0)
+    deg = graphops.node_degrees(e2.materialize()).to_pandas()
+    deg["degree"] = deg["degree"].astype(np.int64)
+    return deg.sort_values("id").reset_index(drop=True)
+
+
+def _sql_graph_simplify_stats() -> str:
+    """Expected simplify survivors, constructed: anchors keep cycle(2)
+    + long spur(1) + one edge per incident contracted gadget; long
+    leaves keep degree 1; each k%7==3 gadget survives as the merged
+    node "ma{k}-mb{k}" with degree 2. Chains, short spurs, braces and
+    the x/y junk components must all be gone."""
+    return """
+WITH pc AS (SELECT count(*) AS p FROM part),
+pk AS (SELECT p_partkey AS k FROM part)
+SELECT id, CAST(degree AS BIGINT) AS degree FROM (
+  SELECT 'a' || CAST(k AS VARCHAR) AS id,
+         3 + (CASE WHEN k % 7 = 3 THEN 1 ELSE 0 END)
+           + (CASE WHEN ((k + p - 1) % p) % 7 = 3 THEN 1 ELSE 0 END) AS degree
+  FROM pk, pc
+  UNION ALL
+  SELECT 't' || CAST(k AS VARCHAR), 1 FROM pk
+  UNION ALL
+  SELECT 'ma' || CAST(k AS VARCHAR) || '-mb' || CAST(k AS VARCHAR), 2
+  FROM pk WHERE k % 7 = 3
+)
+"""
+
+
+def _analytic_disc_graph(sf_dir: str):
+    """Fixture for hash-checkable discretize: one detached edge per
+    part key k with designed length (k%6 + 0.5) * 200 m — mid-bucket,
+    so trunc(len/delta) is k%6 with ~100 m of margin against the
+    haversine-vs-planar placement error (~1e-9 relative)."""
+    def gen_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].to_numpy(np.int64)
+        lat = _AG_LAT0 + (k % 100).astype(np.float64) * _AG_DLAT
+        length = ((k % 6).astype(np.float64) + 0.5) * 200.0
+        dlon = np.degrees(length / (geo.EARTH_RADIUS_M * np.cos(np.radians(lat))))
+        return pd.concat(
+            [
+                _node_frame(_ids("u", k), lat, np.full(k.size, _AG_LON0)),
+                _node_frame(_ids("v", k), lat, _AG_LON0 + dlon),
+            ],
+            ignore_index=True,
+        )
+
+    def gen_edges(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"u": _ids("u", k), "v": _ids("v", k)})
+
+    part = _t(sf_dir, "part", columns=["p_partkey"])
+    nodes = part.map_batches(gen_nodes, batch_format="pandas")
+    edges = graphops.dedup_edges(part.map_batches(gen_edges, batch_format="pandas"))
+    return nodes.materialize(), edges.materialize()
+
+
+def q_graph_discretize_stats(sf_dir: str):
+    """Hash-checkable discretize: real splitting over designed-length
+    edges; interpolated ids "u{k}-v{k}:{i}/{p}" (p = k%6) and all
+    degrees are predicted exactly by the SQL mirror."""
+    from . import discretize as _disc
+
+    nodes, edges = _analytic_disc_graph(sf_dir)
+    n2, e2 = _disc.discretize(nodes, edges, 200.0)
+    deg = graphops.node_degrees(e2.materialize()).to_pandas()
+    deg["degree"] = deg["degree"].astype(np.int64)
+    return deg.sort_values("id").reset_index(drop=True)
+
+
+def _sql_graph_discretize_stats() -> str:
+    """Expected discretize output, constructed: endpoints keep degree
+    1; edges with part p=k%6 >= 2 gain p-1 degree-2 interpolated nodes
+    named from the min-id endpoint (reference discretize.rs:5-52)."""
+    return """
+WITH pk AS (SELECT p_partkey AS k, p_partkey % 6 AS p FROM part)
+SELECT id, CAST(degree AS BIGINT) AS degree FROM (
+  SELECT 'u' || CAST(k AS VARCHAR) AS id, 1 AS degree FROM pk
+  UNION ALL
+  SELECT 'v' || CAST(k AS VARCHAR), 1 FROM pk
+  UNION ALL
+  SELECT 'u' || CAST(k AS VARCHAR) || '-v' || CAST(k AS VARCHAR)
+         || ':' || CAST(i AS VARCHAR) || '/' || CAST(p AS VARCHAR), 2
+  FROM (SELECT k, p, unnest(range(1, p)) AS i FROM pk WHERE p >= 2)
+)
+"""
+
+
 def q_knn_pages_snap(sf_dir: str):
     """The flagship: pages derived from documents kNN-snapped to the
     synthetic street graph; returns (url, u, v, rank) rows."""
@@ -5956,7 +6202,89 @@ def q_audio_fingerprint_neardup(sf_dir: str):
 
 
 def catalog():
+    # Ordered so the driver's 50-query verification window (catalog
+    # positions 1-50) covers entries with no green row in
+    # CORRECTNESS_r01-r03: the two new hash-checkable graph fixpoints
+    # first, then 48 SQL-mirrored never-driver-checked queries. The
+    # previously-verified 50 and the no-oracle entries follow; rotate
+    # again next round to cover the remaining 26.
     return {
+        "graph_simplify_stats": q_graph_simplify_stats,
+        "graph_discretize_stats": q_graph_discretize_stats,
+        "doc_sample_per_lang": q_doc_sample_per_lang,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "doc_shard_counts": q_doc_shard_counts,
+        "hll_users": q_hll_users,
+        "doc_tfidf": q_doc_tfidf,
+        "copurchase_triangles": q_copurchase_triangles,
+        "node_triangles": q_node_triangles,
+        "part_kcore": q_part_kcore,
+        "part_random_walks": q_part_random_walks,
+        "part_bfs_depths": q_part_bfs_depths,
+        "split_contamination": q_split_contamination,
+        "doc_dup_ngrams": q_doc_dup_ngrams,
+        "doc_pii_counts": q_doc_pii_counts,
+        "pages_link_graph": q_pages_link_graph,
+        "domain_pagerank": q_domain_pagerank,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_postings": q_doc_postings,
+        "anchor_terms": q_anchor_terms,
+        "domain_reciprocity": q_domain_reciprocity,
+        "events_window_hll": q_events_window_hll,
+        "doc_packing": q_doc_packing,
+        "training_prep": q_training_prep,
+        "part_skyline": q_part_skyline,
+        "polygon_area": q_polygon_area,
+        "doc_lm_score": q_doc_lm_score,
+        "doc_collocations": q_doc_collocations,
+        "part_components": q_part_components,
+        "cms_tokens": q_cms_tokens,
+        "bloom_tokens": q_bloom_tokens,
+        "part_pagerank": q_part_pagerank,
+        "part_fuzzy_pairs": q_part_fuzzy_pairs,
+        "doc_token_count_bpe": q_doc_token_count_bpe,
+        "corpus_curation": q_corpus_curation,
+        "semdedup": q_semdedup,
+        "pq_adc": q_pq_adc,
+        "tile_pyramid": q_tile_pyramid,
+        "zorder_stats": q_zorder_stats,
+        "snapshot_diff": q_snapshot_diff,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_sample_global": q_doc_sample_global,
+        "events_watermark_late": q_events_watermark_late,
+        "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
+        "crawl_refresh": q_crawl_refresh,
+        "events_props_json": q_events_props_json,
+        "doc_dup_spans": q_doc_dup_spans,
+        "doc_gopher_rules": q_doc_gopher_rules,
+        "part_sssp": q_part_sssp,
+        "corpus_report": q_corpus_report,
+        "url_normalize": q_url_normalize,
+        "doc_above_lang_mean": q_doc_above_lang_mean,
+        "orders_profile": q_orders_profile,
+        "doc_rank_global": q_doc_rank_global,
+        "doc_len_ntile": q_doc_len_ntile,
+        "events_retention": q_events_retention,
+        "q6_revenue_cents": q_q6_revenue_cents,
+        "median_chars_by_lang": q_median_chars_by_lang,
+        "events_latest_per_user": q_events_latest_per_user,
+        "doc_topk_per_source": q_doc_topk_per_source,
+        "users_click_not_purchase": q_users_click_not_purchase,
+        "events_running_total": q_events_running_total,
+        "events_pivot_counts": q_events_pivot_counts,
+        "users_click_and_purchase": q_users_click_and_purchase,
+        "events_unpivot_counts": q_events_unpivot_counts,
+        "doc_kfold_counts": q_doc_kfold_counts,
+        "doc_len_mad": q_doc_len_mad,
+        "doc_compression_ratio": q_doc_compression_ratio,
+        "embed_pca_project": q_embed_pca_project,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        "doc_lang_classifier": q_doc_lang_classifier,
+        "image_phash_neardup": q_image_phash_neardup,
+        "video_phash_neardup": q_video_phash_neardup,
+        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
+        "embed_ivfpq_topk": q_embed_ivfpq_topk,
         "edge_dedup": q_edge_dedup,
         "node_first_wins": q_node_first_wins,
         "degree_histogram": q_degree_histogram,
@@ -6011,83 +6339,9 @@ def catalog():
         "polygon_rasterize": q_polygon_rasterize,
         "segments_crossing": q_segments_crossing,
         "doc_split_stats": q_doc_split_stats,
-        "doc_sample_per_lang": q_doc_sample_per_lang,
-        "distinct_users_by_type": q_distinct_users_by_type,
-        "doc_shard_counts": q_doc_shard_counts,
-        "hll_users": q_hll_users,
-        "doc_tfidf": q_doc_tfidf,
-        "copurchase_triangles": q_copurchase_triangles,
-        "node_triangles": q_node_triangles,
-        "part_kcore": q_part_kcore,
-        "part_random_walks": q_part_random_walks,
-        "part_bfs_depths": q_part_bfs_depths,
-        "split_contamination": q_split_contamination,
-        "doc_dup_ngrams": q_doc_dup_ngrams,
-        "doc_pii_counts": q_doc_pii_counts,
-        "pages_link_graph": q_pages_link_graph,
-        "domain_pagerank": q_domain_pagerank,
-        "url_normalize": q_url_normalize,
-        "doc_mixture_sample": q_doc_mixture_sample,
-        "doc_postings": q_doc_postings,
-        "anchor_terms": q_anchor_terms,
-        "domain_reciprocity": q_domain_reciprocity,
-        "events_window_hll": q_events_window_hll,
-        "doc_compression_ratio": q_doc_compression_ratio,
-        "doc_above_lang_mean": q_doc_above_lang_mean,
-        "orders_profile": q_orders_profile,
-        "doc_rank_global": q_doc_rank_global,
-        "doc_len_ntile": q_doc_len_ntile,
-        "events_retention": q_events_retention,
-        "q6_revenue_cents": q_q6_revenue_cents,
-        "doc_packing": q_doc_packing,
-        "training_prep": q_training_prep,
-        "part_skyline": q_part_skyline,
-        "embed_pca_project": q_embed_pca_project,
-        "polygon_area": q_polygon_area,
-        "doc_lm_score": q_doc_lm_score,
-        "doc_collocations": q_doc_collocations,
-        "part_components": q_part_components,
-        "cms_tokens": q_cms_tokens,
-        "bloom_tokens": q_bloom_tokens,
-        "part_pagerank": q_part_pagerank,
-        "part_fuzzy_pairs": q_part_fuzzy_pairs,
-        "doc_token_count_bpe": q_doc_token_count_bpe,
-        "corpus_curation": q_corpus_curation,
-        "median_chars_by_lang": q_median_chars_by_lang,
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
-        "semdedup": q_semdedup,
-        "pq_adc": q_pq_adc,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        "doc_lang_classifier": q_doc_lang_classifier,
-        "tile_pyramid": q_tile_pyramid,
-        "zorder_stats": q_zorder_stats,
-        "events_latest_per_user": q_events_latest_per_user,
-        "doc_topk_per_source": q_doc_topk_per_source,
-        "snapshot_diff": q_snapshot_diff,
-        "doc_paragraph_dedup": q_doc_paragraph_dedup,
-        "doc_sample_global": q_doc_sample_global,
-        "image_phash_neardup": q_image_phash_neardup,
-        "events_watermark_late": q_events_watermark_late,
-        "users_click_not_purchase": q_users_click_not_purchase,
-        "events_running_total": q_events_running_total,
-        "video_phash_neardup": q_video_phash_neardup,
-        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
-        "events_pivot_counts": q_events_pivot_counts,
-        "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
-        "crawl_refresh": q_crawl_refresh,
-        "embed_ivfpq_topk": q_embed_ivfpq_topk,
-        "users_click_and_purchase": q_users_click_and_purchase,
-        "events_props_json": q_events_props_json,
-        "doc_dup_spans": q_doc_dup_spans,
-        "doc_gopher_rules": q_doc_gopher_rules,
-        "part_sssp": q_part_sssp,
-        "events_unpivot_counts": q_events_unpivot_counts,
-        "doc_kfold_counts": q_doc_kfold_counts,
-        "corpus_report": q_corpus_report,
-        "doc_len_mad": q_doc_len_mad,
     }
 
 
@@ -6182,6 +6436,8 @@ def sql_catalog():
         "doc_token_count_bpe": _sql_doc_token_count_bpe(),
         "corpus_curation": SQL_CORPUS_CURATION,
         "median_chars_by_lang": SQL_MEDIAN_CHARS_BY_LANG,
+        "graph_simplify_stats": _sql_graph_simplify_stats(),
+        "graph_discretize_stats": _sql_graph_discretize_stats(),
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "tile_pyramid": _sql_tile_pyramid(),

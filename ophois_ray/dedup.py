@@ -58,22 +58,48 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     return grouped_apply(hashed, "content_hash", agg)
 
 
-def exact_dedup_filter(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Filter variant: drop all but the keeper row per distinct content."""
-    winners = exact_dedup(ds, text_col, id_col).to_pandas()
-    import ray
+def exact_dedup_filter(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    broadcast_cap: int | None = None,
+):
+    """Filter variant: drop all but the keeper row per distinct content.
 
-    ref = ray.put(
-        BroadcastIndex(
-            winners["keep_id"].to_numpy(), {}
-        )
-    )
+    Same broadcast-under-cap ladder as the graph ops: when the winner
+    set (one id per distinct content) fits under ``broadcast_cap`` it
+    ships once as a sorted numpy array and every batch filters locally;
+    above the cap nothing is materialized on the driver — the corpus is
+    bucketed hash-semi-joined against the winner-id Dataset, so the
+    filter holds at billions of distinct documents. A forced-cap pytest
+    pins both paths row-identical.
+    """
+    from .joins import DEFAULT_BROADCAST_CAP, hash_join
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        idx = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        return df[idx.contains(df[id_col].to_numpy())]
+    if broadcast_cap is None:
+        broadcast_cap = DEFAULT_BROADCAST_CAP
+    winners = exact_dedup(ds, text_col, id_col).materialize()
+    if winners.count() <= broadcast_cap:
+        import ray
 
-    return ds.map_batches(keep, batch_format="pandas")
+        keep_ids = winners.select_columns(["keep_id"]).to_pandas()
+        ref = ray.put(BroadcastIndex(keep_ids["keep_id"].to_numpy(), {}))
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            idx = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            return df[idx.contains(df[id_col].to_numpy())]
+
+        return ds.map_batches(keep, batch_format="pandas")
+
+    # winner ids are unique (one keeper per content, one content per
+    # id), so the inner join is an exact semi-join with no fan-out;
+    # keys keep their native dtype end-to-end.
+    def to_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: df["keep_id"]})
+
+    keepers = winners.map_batches(to_key, batch_format="pandas")
+    return hash_join(ds, keepers, id_col, how="inner")
 
 
 # ----------------------------------------------------------------- shingles
@@ -841,7 +867,8 @@ def simhash_near_dup_pairs(
 ):
     """SimHash near-dup: band the 64 bits into 4x16-bit keys (any pair
     within hamming distance 3 collides on >= 1 band), groupby bucket,
-    verify hamming distance exactly. Returns pandas (id_a, id_b, hamming).
+    verify hamming distance exactly. Returns a Dataset of
+    (id_a, id_b, hamming) — never a driver frame.
 
     Hot buckets (> ``bucket_cap`` members — e.g. the all-zeros band of
     short/empty texts at web scale) never do all-pairs: they recurse by
@@ -872,7 +899,7 @@ def hash64_near_dup_pairs(
     hamming <= 3 collides on >= 1 band; larger ``max_hamming`` keeps
     recall via the pigeonhole recursion inside hot buckets), one
     grouped shuffle on (band, bucket), exact hamming verify.
-    Returns pandas ``(id_a, id_b, hamming)``."""
+    Returns a Dataset of ``(id_a, id_b, hamming)``."""
 
     def bandify(df: pd.DataFrame) -> pd.DataFrame:
         sh = df[hash_col].to_numpy(np.int64).view(np.uint64)
@@ -918,8 +945,16 @@ def hash64_near_dup_pairs(
         outs = [pairs(g) for _, g in df.groupby(["band", "bucket"], sort=False)]
         return pd.concat(outs, ignore_index=True) if outs else pairs(df)
 
-    out = grouped_apply(banded, ["band", "bucket"], bucket_pairs, num_buckets=32).to_pandas()
-    return out.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+    found = grouped_apply(banded, ["band", "bucket"], bucket_pairs, num_buckets=32)
+
+    # a pair can collide in up to 4 bands — dedup stays distributed
+    # (pair-keyed buckets), never a driver materialization: the total
+    # pair set of a heavily-duplicated 100-TB corpus needn't fit one
+    # process even when each bucket is capped.
+    def drop_dup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])
+
+    return grouped_apply(found, ["id_a", "id_b"], drop_dup_pairs, num_buckets=32)
 
 
 # ------------------------------------------------------- embedding near-dup
@@ -1000,7 +1035,7 @@ def embedding_near_dup_pairs(
     regions — 2^n_planes buckets fill linearly with corpus size) are
     recursively split by extra deterministic hyperplanes instead of
     doing quadratic all-pairs; every split is logged as lineage.
-    Returns pandas (id_a, id_b, cosine).
+    Returns a Dataset of (id_a, id_b, cosine).
     """
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
@@ -1048,8 +1083,12 @@ def embedding_near_dup_pairs(
         outs = [pairs(g) for _, g in df.groupby("bucket", sort=False)]
         return pd.concat(outs, ignore_index=True) if outs else pairs(df)
 
-    out = grouped_apply(bucketed, "bucket", bucket_pairs, num_buckets=32).to_pandas()
-    return out.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+    # each vector lives in exactly one bucket and the recursion
+    # partitions within it, so pairs are unique by construction — the
+    # Dataset is returned as-is (no driver materialization; callers
+    # that want a driver frame collect behind their own, documented,
+    # fixture-sized cap).
+    return grouped_apply(bucketed, "bucket", bucket_pairs, num_buckets=32)
 
 
 # ------------------------------------------------- edit-distance linkage

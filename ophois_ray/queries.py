@@ -830,7 +830,12 @@ def q_embedding_near_dup(sf_dir: str):
         return pd.concat([df, dup], ignore_index=True)
 
     planted = _t(sf_dir, "embeddings").map_batches(plant, batch_format="pandas")
-    pairs = _dedup.embedding_near_dup_pairs(planted, threshold=0.98)
+    # driver collection is the planted-pair set only (~40 rows + the
+    # measured-zero natural pairs), not the corpus
+    pairs = _dedup.embedding_near_dup_pairs(planted, threshold=0.98).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64)})
     out = pairs[["id_a", "id_b"]].copy()
     out["id_a"] = out["id_a"].astype(np.int64)
     out["id_b"] = out["id_b"].astype(np.int64)
@@ -5442,7 +5447,8 @@ def q_image_phash_neardup(sf_dir: str):
     pix = mm.decode_images(imgs, mode="ppm", concurrency=8)
     hashed = mm.phash_images(pix)
     pairs = _dedup.hash64_near_dup_pairs(
-        hashed, hash_col="phash", id_col="doc_id", max_hamming=3)
+        hashed, hash_col="phash", id_col="doc_id", max_hamming=3
+    ).to_pandas()  # planted near-dup clusters only — fixture-sized
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -5489,7 +5495,8 @@ def q_video_phash_neardup(sf_dir: str):
     clips = docs.map_batches(gen, batch_format="pandas")
     sigs = mm.video_phash_signatures(clips, concurrency=8)
     pairs = _dedup.hash64_near_dup_pairs(
-        sigs, hash_col="vhash", id_col="doc_id", max_hamming=3)
+        sigs, hash_col="vhash", id_col="doc_id", max_hamming=3
+    ).to_pandas()  # planted leader groups only — fixture-sized
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

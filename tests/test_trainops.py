@@ -36,6 +36,18 @@ def test_exact_dedup_counts(docs):
     assert len(kept) == len(out)
 
 
+def test_exact_dedup_filter_paths_equal(docs):
+    # broadcast_cap=0 forces the bucketed hash-semi-join fallback; it
+    # must be row-identical (and dtype-identical) to the broadcast path
+    a = dedup.exact_dedup_filter(docs).to_pandas()
+    b = dedup.exact_dedup_filter(docs, broadcast_cap=0).to_pandas()
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    a2 = a[cols].sort_values(cols).reset_index(drop=True)
+    b2 = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a2, b2)
+
+
 def test_minhash_detects_planted_near_dups(docs):
     full = docs.to_pandas()
     base = full.iloc[0]["text"]
@@ -80,7 +92,7 @@ def test_simhash_near_dup(docs):
          "source": ["p"], "n_chars": [1]}
     )
     ds = ray.data.from_pandas(pd.concat([full, planted], ignore_index=True))
-    pairs = dedup.simhash_near_dup_pairs(ds, max_hamming=8)
+    pairs = dedup.simhash_near_dup_pairs(ds, max_hamming=8).to_pandas()
     hit = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 200001)]
     assert len(hit) == 1
     assert hit.iloc[0]["hamming"] <= 8
@@ -92,7 +104,7 @@ def test_embedding_near_dup(embeds):
     near = v + 0.001
     planted = pd.DataFrame({"vec_id": [900001], "embedding": [near.tolist()], "label": [0]})
     ds = ray.data.from_pandas(pd.concat([full, planted], ignore_index=True))
-    pairs = dedup.embedding_near_dup_pairs(ds, threshold=0.999)
+    pairs = dedup.embedding_near_dup_pairs(ds, threshold=0.999).to_pandas()
     hit = pairs[(pairs["id_a"] == full.iloc[0]["vec_id"]) & (pairs["id_b"] == 900001)]
     assert len(hit) == 1
 

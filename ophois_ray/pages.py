@@ -59,6 +59,21 @@ def oracle_extract_text(html_bytes) -> str:
     return " ".join(s.split())
 
 
+def extract_text_batch(strs) -> list[str]:
+    """One batch call of the extraction contract over decoded strings —
+    same compiled patterns, same op order as ``oracle_extract_text``,
+    so the output is byte-identical per element (pytest-pinned). Saves
+    the per-row function dispatch and the encode/decode round-trip when
+    the caller already holds str html (the pages datagen)."""
+    sub_c, sub_s = _COMMENT_RE.sub, _SCRIPT_RE.sub
+    sub_y, sub_t = _STYLE_RE.sub, _TAG_RE.sub
+    unesc = _html.unescape
+    return [
+        " ".join(unesc(sub_t(" ", sub_y(" ", sub_s(" ", sub_c(" ", s))))).split())
+        for s in strs
+    ]
+
+
 class ExtractText:
     """Actor-pool map_batches stage: compiled patterns built once per
     actor (__init__), batches of html -> text (__call__).

@@ -92,12 +92,6 @@ def discretize_graph(nodes, edges, delta: float, *, metrics_dir: str | None = No
     return n2, e2
 
 
-_PAGE_TEMPLATE = (
-    "<html><head><title>doc {doc_id}</title><script>var t=1;</script></head>"
-    "<body><p>{text}</p><p>location coords {lat},{lon} here</p></body></html>"
-)
-
-
 def pages_from_documents(sf_dir: str):
     """Derive a pages table of exactly the input_hint shape from the
     driver's documents.parquet, deterministically: coordinates come from
@@ -115,29 +109,34 @@ def pages_from_documents(sf_dir: str):
         lat = lat0 + ((h // 7) % 1000) / 1000.0 * 0.02 - 0.01
         lon = lon0 + ((h // 11) % 1000) / 1000.0 * 0.03 - 0.015
         has = (h % 32) != 0
-        htmls = []
-        for i in range(len(df)):
-            if has[i]:
-                body = _PAGE_TEMPLATE.format(
-                    doc_id=doc_id[i], text=df["text"].iloc[i],
-                    lat=f"{lat[i]:.7f}", lon=f"{lon[i]:.7f}",
-                )
-            else:
-                body = (
-                    f"<html><body><p>{df['text'].iloc[i]}</p></body></html>"
-                )
-            htmls.append(body.encode())
+        # vectorized template assembly (Series concat; %.7f via
+        # np.char.mod is byte-identical to the f-string float format),
+        # then ONE batched extract call on the str htmls — this stage
+        # sits inside the timed flagship chain, so no per-row Python
+        sid = pd.Series(doc_id).astype(str)
+        text = df["text"].astype(str).reset_index(drop=True)
+        lat_s = pd.Series(np.char.mod("%.7f", lat))
+        lon_s = pd.Series(np.char.mod("%.7f", lon))
+        with_coords = (
+            "<html><head><title>doc " + sid
+            + "</title><script>var t=1;</script></head><body><p>" + text
+            + "</p><p>location coords " + lat_s + "," + lon_s
+            + " here</p></body></html>"
+        )
+        plain = "<html><body><p>" + text + "</p></body></html>"
+        html_s = with_coords.where(pd.Series(has), plain)
+        texts = pages.extract_text_batch(html_s.to_numpy(object))
         import pyarrow as pa
 
         ts = (np.int64(1_600_000_000_000_000) + doc_id * 1_000_000).astype("datetime64[us]")
         return pa.table(
             {
-                "url": pa.array([f"doc://{d}" for d in doc_id], type=pa.string()),
+                "url": pa.array(("doc://" + sid).to_numpy(object), type=pa.string()),
                 "warc_ts": pa.array(ts, type=pa.timestamp("us")),
-                "html": pa.array(htmls, type=pa.binary()),
-                "text": pa.array(
-                    [pages.oracle_extract_text(b) for b in htmls], type=pa.string()
+                "html": pa.array(
+                    html_s.str.encode("utf-8").to_numpy(object), type=pa.binary()
                 ),
+                "text": pa.array(texts, type=pa.string()),
                 "lang": pa.array(df["lang"].to_numpy(object), type=pa.string()),
             }
         )

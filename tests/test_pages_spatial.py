@@ -41,6 +41,15 @@ def test_extract_text_oracle():
         b"<!-- secret --><div>c\n\n  d</div></body></html>"
     )
     assert pages.oracle_extract_text(html) == "A & B c d"
+    # the batched extractor (datagen hot path) is byte-identical
+    assert pages.extract_text_batch([html.decode("utf-8")]) == ["A & B c d"]
+
+
+def test_extract_text_batch_byte_parity(pages_ds):
+    html = pages_ds.to_pandas()["html"]
+    got = pages.extract_text_batch([b.decode("utf-8") for b in html])
+    exp = [pages.oracle_extract_text(b) for b in html]
+    assert got == exp
 
 
 def test_extract_text_distributed_byte_identical(pages_ds):

@@ -286,10 +286,19 @@ def run_bench() -> dict:
     sf = _sf_of(SF_DIR)
     pages_dir, osm_dir, n_pages = prepare_inputs(sf)
     _warmup(sf, osm_dir, pages_dir)
-    # min-of-3: this host shows multi-10s co-tenancy swings between
-    # IDENTICAL runs (measured 96 s / 161 s / 215 s for one config);
-    # a single sample is a lottery ticket, the min is the engine
-    runs = [headline(pages_dir, osm_dir) for _ in range(3)]
+    # min-of-5 interleaved with a light CPU soak: this host shows
+    # multi-10s co-tenancy swings between IDENTICAL runs (measured
+    # 96 s / 161 s / 215 s for one config, and a 138.7 s / 32.7 s
+    # spread inside one recorded triple). A single sample is a lottery
+    # ticket, the min is the engine — and the soak samples beside each
+    # run let any reader of the recorded JSON see whether the window
+    # itself was loaded (host_soak_mops vs the quiet-window reference).
+    n_head = int(os.environ.get("OPHOIS_BENCH_HEADLINE_RUNS", "5"))
+    runs, soaks = [], []
+    for _ in range(n_head):
+        soaks.append(round(_cpu_soak_rate(NUM_CPUS, per_task=4_000_000, rounds=2), 1))
+        runs.append(headline(pages_dir, osm_dir))
+    soaks.append(round(_cpu_soak_rate(NUM_CPUS, per_task=4_000_000, rounds=2), 1))
     head = min(runs, key=lambda h: h["sec"])
     head_runs = [round(h["sec"], 3) for h in runs]
 
@@ -320,6 +329,15 @@ def run_bench() -> dict:
         "pages_per_sec": round(n_pages / head["sec"], 1),
         "headline_runs": head_runs,
         "headline_detail": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in head.items()},
+        # in-window host calibration: pure-CPU Mops/s sampled before/
+        # between/after the headline runs, vs the quiet-window
+        # reference — a window_load well below 1.0 means the wall-clock
+        # numbers above were taken on a co-tenant-loaded host
+        "host_soak_mops": soaks,
+        "host_soak_ref_mops": _SOAK_REF_MOPS_32 if NUM_CPUS == 32 else None,
+        "host_window_load": round(max(soaks) / _SOAK_REF_MOPS_32, 3)
+        if NUM_CPUS == 32 and soaks
+        else None,
     }
     ray.shutdown()
     return out
@@ -393,7 +411,14 @@ def _soak_burn(n):
     return x
 
 
-def _cpu_soak_rate(workers: int, per_task: int = 8_000_000) -> float:
+#: quiet-window reference for _cpu_soak_rate(32) on this host
+#: (best of repeated samples, 2026-08-19: 333.7 / 313.8 / 322.2).
+#: Emitted beside every headline so the recorded JSON self-documents
+#: whether the measurement window was co-tenant-loaded.
+_SOAK_REF_MOPS_32 = 334.0
+
+
+def _cpu_soak_rate(workers: int, per_task: int = 8_000_000, rounds: int = 6) -> float:
     """Mops/s achieved by `workers` pure-CPU python processes.
 
     Measures what THIS HOST physically delivers at that width — an
@@ -408,9 +433,9 @@ def _cpu_soak_rate(workers: int, per_task: int = 8_000_000) -> float:
     with mp.Pool(workers) as p:
         p.map(_soak_burn, [100] * workers)  # warm the pool
         t0 = time.monotonic()
-        p.map(_soak_burn, [per_task] * (workers * 6))
+        p.map(_soak_burn, [per_task] * (workers * rounds))
         dt = time.monotonic() - t0
-    return workers * 6 * per_task / dt / 1e6
+    return workers * rounds * per_task / dt / 1e6
 
 
 def run_scaling():

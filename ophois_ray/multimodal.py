@@ -17,10 +17,14 @@ in BOTH containers — RIFF/AVI (``decode_avi_mjpeg``) and ISO-BMFF/MP4
 (``decode_mp4_mjpeg``: a real box-tree + sample-table demuxer,
 stsd/stts/stsc/stsz/stco resolved vectorized; ``mp4_metadata`` is the
 no-decode container scan) — dispatched by ``decode_video`` into the
-``VideoFeatures`` actor pool. Only the H.264/H.26x/VPx *bitstream*
-remains STUBBED: the MP4 demux is real, but motion-compensated entropy
-decode needs a codec library this container doesn't have; swap in av
-when the dependency exists, nothing else changes.
+``VideoFeatures`` actor pool. H.264 gets a REAL standards-subset
+intra path (``encode_h264_ipcm`` / ``decode_h264_ipcm``: Annex B NAL
+syntax, Exp-Golomb SPS/PPS/slice headers, emulation prevention, VUI
+timing, all-I_PCM IDR macroblocks — the MJPEG-equivalent
+every-frame-independent regime, lossless in YUV). Only the
+*motion-compensated / CAVLC-residual* H.26x/VPx paths remain STUBBED:
+those need a full codec library this container doesn't have; swap in
+av when the dependency exists, nothing else changes.
 
 Stages:
   DecodeImage      actor pool, binary -> float32 pixel tensor column
@@ -1689,14 +1693,412 @@ def encode_mp4_mjpeg(frames_u8, *, fps: int = 10, quality: int = 85) -> bytes:
     return ftyp + mdat + moov
 
 
+# ------------------------------------------- H.264 intra (I_PCM) subset
+#
+# A REAL standards-subset H.264/AVC codec (ITU-T H.264 Annex B byte
+# streams, baseline profile): Exp-Golomb SPS/PPS/slice-header syntax,
+# emulation-prevention escaping, VUI timing, IDR slices whose
+# macroblocks are all I_PCM (spec 7.3.5 / 8.3.5 — raw 4:2:0 samples,
+# the lossless intra tool). This is the MJPEG-equivalent intra path:
+# every frame decodes independently, no motion compensation. The
+# CAVLC residual + intra-prediction path (and anything inter) remains
+# out of scope and raises MediaDecodeError with the reason.
+
+
+class _H264BitWriter:
+    """MSB-first RBSP bit writer (no emulation escaping — that is a
+    separate byte-level pass, per spec 7.4.1)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def u(self, val: int, nbits: int):
+        for b in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((int(val) >> b) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                self._acc = 0
+                self._n = 0
+
+    def ue(self, v: int):
+        code = int(v) + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def se(self, v: int):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def align_zero(self):
+        while self._n:
+            self.u(0, 1)
+
+    def raw_bytes(self, b: bytes):
+        if self._n:
+            raise ValueError("raw_bytes on unaligned writer")
+        self.buf += b
+
+    def trailing(self):
+        self.u(1, 1)
+        self.align_zero()
+
+
+class _H264BitReader:
+    """MSB-first RBSP bit reader with Exp-Golomb decode."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+
+    def u(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            byte = self.d[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise MediaDecodeError("bad Exp-Golomb code")
+        return ((1 << zeros) | self.u(zeros)) - 1 if zeros else 0
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def byte_align(self):
+        self.pos = (self.pos + 7) & ~7
+
+    def raw_bytes(self, n: int) -> bytes:
+        if self.pos & 7:
+            raise MediaDecodeError("unaligned PCM samples")
+        i = self.pos >> 3
+        if i + n > len(self.d):
+            raise MediaDecodeError("truncated PCM macroblock")
+        self.pos += 8 * n
+        return self.d[i:i + n]
+
+
+def _ebsp_escape(rbsp: bytes) -> bytes:
+    """Insert emulation_prevention_three_byte after every 00 00 that
+    precedes a byte <= 0x03 (spec 7.4.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 0x03:
+            out.append(0x03)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _ebsp_unescape(ebsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i, n = 0, len(ebsp)
+    while i < n:
+        b = ebsp[i]
+        if zeros >= 2 and b == 0x03 and i + 1 < n and ebsp[i + 1] <= 0x03:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def _rgb_to_yuv420(img_u8: np.ndarray):
+    """(h, w, 3) uint8 -> (Y, Cb, Cr) uint8 planes, chroma 2x2-mean
+    subsampled — same JFIF/Rec.601 coefficients as the JPEG codec."""
+    img = np.asarray(img_u8, dtype=np.float64)
+    r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def down(p):
+        h2, w2 = p.shape[0] // 2 * 2, p.shape[1] // 2 * 2
+        q = p[:h2, :w2]
+        return (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2] + q[1::2, 1::2]) / 4.0
+
+    to8 = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)
+    return to8(y), to8(down(cb)), to8(down(cr))
+
+
+def _yuv420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """uint8 planes -> (h, w, 3) float32 in [0, 1] (nearest-neighbour
+    chroma upsample; inverse coefficients match decode_jpeg)."""
+    yf = y.astype(np.float64)
+    cbf = np.repeat(np.repeat(cb.astype(np.float64), 2, axis=0), 2, axis=1)
+    crf = np.repeat(np.repeat(cr.astype(np.float64), 2, axis=0), 2, axis=1)
+    cbf = cbf[: yf.shape[0], : yf.shape[1]] - 128.0
+    crf = crf[: yf.shape[0], : yf.shape[1]] - 128.0
+    rgb = np.stack(
+        [yf + 1.402 * crf, yf - 0.344136 * cbf - 0.714136 * crf, yf + 1.772 * cbf],
+        axis=2,
+    )
+    return (np.round(np.clip(rgb, 0.0, 255.0)).astype(np.float32) / np.float32(255))
+
+
+_H264_START = b"\x00\x00\x00\x01"
+
+
+def _h264_sps_rbsp(w_mbs: int, h_mbs: int, crop_r: int, crop_b: int, fps: int) -> bytes:
+    w = _H264BitWriter()
+    w.u(66, 8)          # profile_idc: baseline (implies 4:2:0, no SPS chroma fields)
+    w.u(0, 8)           # constraint flags + reserved zero bits
+    w.u(30, 8)          # level_idc 3.0
+    w.ue(0)             # seq_parameter_set_id
+    w.ue(0)             # log2_max_frame_num_minus4 -> frame_num is u(4)
+    w.ue(2)             # pic_order_cnt_type: order == decode order (all-IDR)
+    w.ue(1)             # max_num_ref_frames
+    w.u(0, 1)           # gaps_in_frame_num_value_allowed_flag
+    w.ue(w_mbs - 1)
+    w.ue(h_mbs - 1)
+    w.u(1, 1)           # frame_mbs_only_flag
+    w.u(0, 1)           # direct_8x8_inference_flag
+    crop = 1 if (crop_r or crop_b) else 0
+    w.u(crop, 1)
+    if crop:            # crop units are 2 luma samples for 4:2:0 frames
+        w.ue(0)
+        w.ue(crop_r // 2)
+        w.ue(0)
+        w.ue(crop_b // 2)
+    w.u(1, 1)           # vui_parameters_present_flag
+    w.u(0, 1)           # aspect_ratio_info_present_flag
+    w.u(0, 1)           # overscan_info_present_flag
+    w.u(0, 1)           # video_signal_type_present_flag
+    w.u(0, 1)           # chroma_loc_info_present_flag
+    w.u(1, 1)           # timing_info_present_flag
+    w.u(1, 32)          # num_units_in_tick
+    w.u(2 * fps, 32)    # time_scale (two ticks per frame)
+    w.u(1, 1)           # fixed_frame_rate_flag
+    w.u(0, 1)           # nal_hrd_parameters_present_flag
+    w.u(0, 1)           # vcl_hrd_parameters_present_flag
+    w.u(0, 1)           # pic_struct_present_flag
+    w.u(0, 1)           # bitstream_restriction_flag
+    w.trailing()
+    return bytes(w.buf)
+
+
+def _h264_pps_rbsp() -> bytes:
+    w = _H264BitWriter()
+    w.ue(0)             # pic_parameter_set_id
+    w.ue(0)             # seq_parameter_set_id
+    w.u(0, 1)           # entropy_coding_mode_flag: CAVLC
+    w.u(0, 1)           # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)             # num_slice_groups_minus1
+    w.ue(0)             # num_ref_idx_l0_default_active_minus1
+    w.ue(0)             # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)           # weighted_pred_flag
+    w.u(0, 2)           # weighted_bipred_idc
+    w.se(0)             # pic_init_qp_minus26
+    w.se(0)             # pic_init_qs_minus26
+    w.se(0)             # chroma_qp_index_offset
+    w.u(0, 1)           # deblocking_filter_control_present_flag
+    w.u(0, 1)           # constrained_intra_pred_flag
+    w.u(0, 1)           # redundant_pic_cnt_present_flag
+    w.trailing()
+    return bytes(w.buf)
+
+
+def encode_h264_ipcm(frames_u8, *, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 -> H.264 Annex B byte stream of all-I_PCM IDR
+    frames (fixture generator / lossless-in-YUV intra encoder). h and w
+    must be even (4:2:0 chroma + crop units of 2)."""
+    frames_u8 = np.asarray(frames_u8, dtype=np.uint8)
+    n, h, wdt = frames_u8.shape[:3]
+    if h % 2 or wdt % 2:
+        raise MediaDecodeError("I_PCM subset needs even frame dims (4:2:0)")
+    w_mbs = (wdt + 15) // 16
+    h_mbs = (h + 15) // 16
+    pw, ph = 16 * w_mbs, 16 * h_mbs
+    out = bytearray()
+    out += _H264_START + b"\x67" + _ebsp_escape(
+        _h264_sps_rbsp(w_mbs, h_mbs, pw - wdt, ph - h, fps))
+    out += _H264_START + b"\x68" + _ebsp_escape(_h264_pps_rbsp())
+    for fi in range(n):
+        y, cb, cr = _rgb_to_yuv420(frames_u8[fi])
+        yp = np.pad(y, ((0, ph - h), (0, pw - wdt)), mode="edge")
+        cbp = np.pad(cb, ((0, (ph - h) // 2), (0, (pw - wdt) // 2)), mode="edge")
+        crp = np.pad(cr, ((0, (ph - h) // 2), (0, (pw - wdt) // 2)), mode="edge")
+        w = _H264BitWriter()
+        w.ue(0)              # first_mb_in_slice
+        w.ue(7)              # slice_type: I (all slices of this picture)
+        w.ue(0)              # pic_parameter_set_id
+        w.u(0, 4)            # frame_num (log2_max_frame_num == 4)
+        w.ue(fi % 2)         # idr_pic_id (alternates per spec 7.4.3)
+        w.u(0, 1)            # no_output_of_prior_pics_flag
+        w.u(0, 1)            # long_term_reference_flag
+        w.se(0)              # slice_qp_delta
+        for mby in range(h_mbs):
+            for mbx in range(w_mbs):
+                w.ue(25)     # mb_type: I_PCM
+                w.align_zero()  # pcm_alignment_zero_bit
+                w.raw_bytes(
+                    yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16].tobytes())
+                w.raw_bytes(
+                    cbp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8].tobytes())
+                w.raw_bytes(
+                    crp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8].tobytes())
+        w.trailing()
+        out += _H264_START + b"\x65" + _ebsp_escape(bytes(w.buf))
+    return bytes(out)
+
+
+def _h264_nals(raw: bytes):
+    """Split an Annex B byte stream on 00 00 (00) 01 start codes."""
+    pos, n, nals = 0, len(raw), []
+    while pos < n:
+        i = raw.find(b"\x00\x00\x01", pos)
+        if i < 0:
+            break
+        start = i + 3
+        j = raw.find(b"\x00\x00\x01", start)
+        end = j if j >= 0 else n
+        nal = raw[start:end]
+        while nal and nal[-1] == 0:   # trailing_zero_8bits of this NAL
+            nal = nal[:-1]
+        if nal:
+            nals.append(nal)
+        pos = end
+    if not nals:
+        raise MediaDecodeError("no Annex B start codes found")
+    return nals
+
+
+def _h264_parse_sps(r: "_H264BitReader") -> dict:
+    profile = r.u(8)
+    r.u(8)
+    r.u(8)                       # constraint flags, level
+    r.ue()                       # sps id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise MediaDecodeError("only baseline-profile SPS supported")
+    log2_mfn = r.ue() + 4
+    poc_type = r.ue()
+    if poc_type != 2:
+        raise MediaDecodeError("only pic_order_cnt_type 2 supported")
+    r.ue()                       # max_num_ref_frames
+    r.u(1)                       # gaps_in_frame_num
+    w_mbs = r.ue() + 1
+    h_mbs = r.ue() + 1
+    if r.u(1) != 1:              # frame_mbs_only_flag
+        raise MediaDecodeError("interlaced H.264 not supported")
+    r.u(1)                       # direct_8x8_inference_flag
+    crop_r = crop_b = 0
+    if r.u(1):                   # frame_cropping_flag
+        r.ue()
+        crop_r = 2 * r.ue()
+        r.ue()
+        crop_b = 2 * r.ue()
+    upf = 0
+    if r.u(1):                   # vui_parameters_present_flag
+        if r.u(1):
+            raise MediaDecodeError("aspect_ratio VUI not supported")
+        if r.u(1):
+            r.u(1)               # overscan_appropriate_flag
+        if r.u(1):
+            raise MediaDecodeError("video_signal_type VUI not supported")
+        if r.u(1):
+            r.ue()
+            r.ue()               # chroma sample loc
+        if r.u(1):               # timing_info_present_flag
+            nuit = r.u(32)
+            tscale = r.u(32)
+            r.u(1)               # fixed_frame_rate_flag
+            if tscale:
+                upf = 2_000_000 * nuit // tscale
+    return {
+        "w_mbs": w_mbs, "h_mbs": h_mbs,
+        "w": 16 * w_mbs - crop_r, "h": 16 * h_mbs - crop_b,
+        "log2_max_frame_num": log2_mfn, "usec_per_frame": upf,
+    }
+
+
+def decode_h264_ipcm(raw: bytes):
+    """REAL decode of the H.264 Annex B intra subset: SPS/PPS/IDR
+    slices whose macroblocks are all I_PCM. Any other macroblock type
+    (CAVLC residual, intra prediction, inter frames) raises
+    MediaDecodeError naming the missing tool. Returns
+    ``(frames float32 [0,1], usec_per_frame)`` like the MJPEG paths."""
+    sps = None
+    frames = []
+    for nal in _h264_nals(raw):
+        typ = nal[0] & 0x1F
+        rbsp = _ebsp_unescape(nal[1:])
+        if typ == 7:
+            sps = _h264_parse_sps(_H264BitReader(rbsp))
+        elif typ == 8 or typ == 6 or typ == 9:
+            continue             # PPS trusted to match the written one; SEI/AUD skipped
+        elif typ in (1, 5):
+            if sps is None:
+                raise MediaDecodeError("slice before SPS")
+            r = _H264BitReader(rbsp)
+            r.ue()               # first_mb_in_slice
+            stype = r.ue()       # slice_type
+            if stype % 5 != 2:
+                raise MediaDecodeError(
+                    "non-I slice: inter (motion-compensated) decode not implemented")
+            r.ue()               # pic_parameter_set_id
+            r.u(sps["log2_max_frame_num"])   # frame_num
+            if typ == 5:
+                r.ue()           # idr_pic_id
+            if (nal[0] >> 5) & 3:            # nal_ref_idc -> dec_ref_pic_marking
+                if typ == 5:
+                    r.u(2)       # no_output_of_prior_pics + long_term_reference
+                elif r.u(1):
+                    raise MediaDecodeError("adaptive ref pic marking not supported")
+            r.se()               # slice_qp_delta
+            w_mbs, h_mbs = sps["w_mbs"], sps["h_mbs"]
+            yp = np.empty((16 * h_mbs, 16 * w_mbs), dtype=np.uint8)
+            cbp = np.empty((8 * h_mbs, 8 * w_mbs), dtype=np.uint8)
+            crp = np.empty((8 * h_mbs, 8 * w_mbs), dtype=np.uint8)
+            for mb in range(w_mbs * h_mbs):
+                mb_type = r.ue()
+                if mb_type != 25:
+                    raise MediaDecodeError(
+                        f"I-slice mb_type {mb_type}: only the I_PCM intra "
+                        "subset is implemented (CAVLC residual + intra "
+                        "prediction need a full codec)")
+                r.byte_align()
+                mby, mbx = divmod(mb, w_mbs)
+                yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = (
+                    np.frombuffer(r.raw_bytes(256), dtype=np.uint8).reshape(16, 16))
+                cbp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = (
+                    np.frombuffer(r.raw_bytes(64), dtype=np.uint8).reshape(8, 8))
+                crp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = (
+                    np.frombuffer(r.raw_bytes(64), dtype=np.uint8).reshape(8, 8))
+            h, w = sps["h"], sps["w"]
+            frames.append(_yuv420_to_rgb(
+                yp[:h, :w], cbp[:(h + 1) // 2, :(w + 1) // 2],
+                crp[:(h + 1) // 2, :(w + 1) // 2]))
+        else:
+            raise MediaDecodeError(f"unsupported NAL unit type {typ}")
+    if not frames:
+        raise MediaDecodeError("H.264 stream has no decodable slices")
+    return np.stack(frames), int(sps["usec_per_frame"])
+
+
 def decode_video(raw: bytes):
     """Container dispatch (magic-sniffed, like decode_wav): RIFF/AVI ->
-    decode_avi_mjpeg, ISO-BMFF/MP4 -> decode_mp4_mjpeg. Returns
+    decode_avi_mjpeg, ISO-BMFF/MP4 -> decode_mp4_mjpeg, Annex B start
+    code -> decode_h264_ipcm (intra/I_PCM subset). Returns
     ``(frames, usec_per_frame)``."""
     if raw[:4] == b"RIFF":
         return decode_avi_mjpeg(raw)
     if len(raw) >= 12 and raw[4:8] == b"ftyp":
         return decode_mp4_mjpeg(raw)
+    if raw[:4] == _H264_START or raw[:3] == b"\x00\x00\x01":
+        return decode_h264_ipcm(raw)
     raise MediaDecodeError("unrecognized video container")
 
 

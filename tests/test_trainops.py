@@ -1959,6 +1959,54 @@ def test_avi_mjpeg_video_roundtrip():
         multimodal.decode_avi_mjpeg(b"nope")
 
 
+def test_h264_ipcm_roundtrip_and_syntax():
+    """H.264 Annex B intra subset: grayscale frames round-trip EXACTLY
+    through the real NAL/SPS/PPS/slice syntax (Exp-Golomb headers,
+    emulation-prevention escaping, I_PCM macroblocks), VUI timing is
+    recovered, cropping handles non-multiple-of-16 dims, and the two
+    unsupported regimes (odd dims, non-I_PCM macroblocks) raise
+    MediaDecodeError naming the missing tool."""
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 256, (3, 32, 48)).astype(np.uint8)
+    frames = np.repeat(g[..., None], 3, axis=3)
+    raw = multimodal.encode_h264_ipcm(frames, fps=25)
+    assert raw[:5] == b"\x00\x00\x00\x01\x67"  # SPS first
+    dec, upf = multimodal.decode_h264_ipcm(raw)
+    assert upf == 1_000_000 // 25
+    assert np.array_equal((dec * 255).round().astype(np.uint8), frames)
+    # container dispatch
+    d2, u2 = multimodal.decode_video(raw)
+    assert np.array_equal(d2, dec) and u2 == upf
+    # all-zero frames force a dense emulation-prevention pattern
+    z = np.zeros((2, 16, 16, 3), np.uint8)
+    rz = multimodal.encode_h264_ipcm(z)
+    assert rz.count(b"\x00\x00\x03") > 0
+    dz, _ = multimodal.decode_h264_ipcm(rz)
+    assert np.array_equal((dz * 255).round().astype(np.uint8), z)
+    # cropping: even, non-multiple-of-16 dims survive the crop math
+    c = rng.randint(0, 256, (2, 34, 50)).astype(np.uint8)
+    cf = np.repeat(c[..., None], 3, axis=3)
+    dc, _ = multimodal.decode_h264_ipcm(multimodal.encode_h264_ipcm(cf))
+    assert dc.shape == (2, 34, 50, 3)
+    assert np.array_equal((dc * 255).round().astype(np.uint8), cf)
+    # color: 4:2:0 luma identity holds on in-gamut smooth content
+    yy, xx = np.mgrid[0:32, 0:48]
+    smooth = np.stack(
+        [(96 + 16 * np.sin(xx / 8) + yy // 2).astype(np.uint8),
+         (128 + 8 * np.cos(yy / 5) + 0 * xx).astype(np.uint8),
+         (100 + xx // 2).astype(np.uint8)], axis=2)[None]
+    ds, _ = multimodal.decode_h264_ipcm(multimodal.encode_h264_ipcm(smooth))
+    y_in = np.round(0.299 * smooth[..., 0] + 0.587 * smooth[..., 1]
+                    + 0.114 * smooth[..., 2])
+    y_out = np.round((0.299 * ds[..., 0] + 0.587 * ds[..., 1]
+                      + 0.114 * ds[..., 2]) * 255)
+    assert np.abs(y_in - y_out).max() <= 1.0
+    with pytest.raises(multimodal.MediaDecodeError):
+        multimodal.encode_h264_ipcm(np.zeros((1, 33, 48, 3), np.uint8))
+    with pytest.raises(multimodal.MediaDecodeError):
+        multimodal.decode_h264_ipcm(b"\x00\x00\x01\x65nope")
+
+
 def test_mp4_mjpeg_roundtrip_and_demux():
     """encode_mp4_mjpeg -> decode_mp4_mjpeg: the ISO-BMFF sample-table
     walk (stsd/stts/stsc/stsz/stco) must recover the exact same JPEG

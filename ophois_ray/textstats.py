@@ -673,11 +673,38 @@ BPE_SPLIT_PATTERN = (
 _BPE_RE = re.compile(BPE_SPLIT_PATTERN)
 
 
-def token_count_bpe(ds, text_col: str = "text", out_col: str = "n_tokens_bpe"):
+def token_count_bpe(ds, text_col: str = "text", out_col: str = "n_tokens_bpe",
+                    *, kernel: str = "arrow"):
     """BPE-style pretoken count per row (the token-budget estimate a
     training pipeline runs before tokenizing for real): number of
-    ``BPE_SPLIT_PATTERN`` matches. The pattern is chosen so DuckDB's
-    RE2 ``regexp_extract_all`` counts identically (oracle-checked)."""
+    ``BPE_SPLIT_PATTERN`` matches. The pattern is restricted to
+    constructs with identical Python-re / RE2 semantics, so DuckDB's
+    ``regexp_extract_all`` AND Arrow's RE2 ``count_substring_regex``
+    count identically (oracle-checked + parity pytest).
+
+    kernel="arrow" (default) runs the count as one Arrow RE2 kernel
+    call per batch — measured 1.2x faster than the per-row compiled-re
+    ``findall`` loop when the source is Arrow-native parquet (0.28 s
+    vs 0.33 s min-of-3, 250k docs @ 32 CPUs; counting avoids
+    findall's per-match Python objects). From PANDAS-block sources the
+    per-batch pandas->arrow conversion flips it (0.79 s vs 0.40 s) —
+    the catalog query reads parquet, so arrow is the default;
+    kernel="python" keeps the findall loop (the parity reference)."""
+    if kernel == "arrow":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def fn_a(batch: "pa.Table") -> "pa.Table":
+            n = pc.cast(
+                pc.count_substring_regex(
+                    batch[text_col], pattern=BPE_SPLIT_PATTERN),
+                pa.int64(),
+            )
+            if out_col in batch.schema.names:
+                batch = batch.drop_columns([out_col])
+            return batch.append_column(out_col, n)
+
+        return ds.map_batches(fn_a, batch_format="pyarrow")
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

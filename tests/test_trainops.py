@@ -1202,6 +1202,15 @@ def test_token_count_bpe_matches_duckdb(docs):
             FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"""
     ).df()
     assert (got["n_tokens_bpe"].to_numpy() == exp["n"].to_numpy()).all()
+    # the Arrow RE2 kernel (default) and the compiled-re findall loop
+    # must count identically (RE2 and sre both match leftmost-first on
+    # the restricted pattern)
+    py = (
+        textstats.token_count_bpe(docs, kernel="python")
+        .select_columns(["doc_id", "n_tokens_bpe"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["n_tokens_bpe"].equals(py["n_tokens_bpe"])
     # BPE pretokens are at least as many as whitespace tokens
     ws = textstats.token_count(docs).select_columns(["doc_id", "n_tokens"]).to_pandas()
     ws = ws.sort_values("doc_id").reset_index(drop=True)

@@ -5452,6 +5452,66 @@ def q_image_phash_neardup(sf_dir: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_video_h264_stats(sf_dir: str):
+    """HASH-CHECKED H.264 decode: per sampled doc a deterministic
+    grayscale all-I_PCM Annex B clip is synthesized ((k%3)+2 frames of
+    constant value (k*7 + f*13) % 256 at fps (k%4)+5), round-tripped
+    through the REAL encoder + decoder (NAL/Exp-Golomb/emulation-
+    prevention syntax both ways; grayscale I_PCM is bit-exact), and
+    reduced to integers the SQL mirror CONSTRUCTS from the same
+    arithmetic: any mis-parse of the stream, frame count, VUI timing
+    or sample placement fails the driver hash. A 16x16 constant frame
+    makes the float mean exact (sum = 256*v, /256 is a power of two)."""
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        from . import multimodal as mm
+
+        d = df["doc_id"].to_numpy(np.int64)
+        d = d[d % 5 == 0]
+        media = []
+        for k in d:
+            n = int(k % 3) + 2
+            frames = np.stack([
+                np.full((16, 16, 3), (int(k) * 7 + f * 13) % 256, np.uint8)
+                for f in range(n)
+            ])
+            media.append(mm.encode_h264_ipcm(frames, fps=int(k % 4) + 5))
+        return pd.DataFrame({"doc_id": d, "media": media})
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        from . import multimodal as mm
+
+        ks, nf, upf, ls = [], [], [], []
+        for k, raw in zip(df["doc_id"].to_numpy(np.int64), df["media"]):
+            fr, u = mm.decode_video(raw)
+            luma = np.round(fr[..., 0] * 255.0).astype(np.int64)
+            ks.append(int(k))
+            nf.append(fr.shape[0])
+            upf.append(int(u))
+            ls.append(int(luma.mean(axis=(1, 2)).sum()))
+        return pd.DataFrame({
+            "doc_id": np.array(ks, dtype=np.int64),
+            "n_frames": np.array(nf, dtype=np.int64),
+            "usec_per_frame": np.array(upf, dtype=np.int64),
+            "luma_sum": np.array(ls, dtype=np.int64),
+        })
+
+    return docs.map_batches(gen, batch_format="pandas").map_batches(
+        feats, batch_format="pandas")
+
+
+SQL_VIDEO_H264_STATS = """
+WITH d AS (SELECT doc_id AS k FROM documents WHERE doc_id % 5 = 0),
+f AS (SELECT k, unnest(range(0, (k % 3) + 2)) AS fi FROM d)
+SELECT k AS doc_id,
+       CAST((k % 3) + 2 AS BIGINT) AS n_frames,
+       CAST(1000000 // ((k % 4) + 5) AS BIGINT) AS usec_per_frame,
+       CAST(sum((k * 7 + fi * 13) % 256) AS BIGINT) AS luma_sum
+FROM f GROUP BY k
+"""
+
+
 def q_video_phash_neardup(sf_dir: str):
     """Video near-dup via temporally-pooled perceptual hashing: a
     deterministic MJPEG-AVI corpus is synthesized per doc (leader =
@@ -6261,11 +6321,12 @@ def catalog():
         "events_watermark_late": q_events_watermark_late,
         "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
         "crawl_refresh": q_crawl_refresh,
-        "events_props_json": q_events_props_json,
+        "video_h264_stats": q_video_h264_stats,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
         "corpus_report": q_corpus_report,
+        "events_props_json": q_events_props_json,
         "url_normalize": q_url_normalize,
         "doc_above_lang_mean": q_doc_above_lang_mean,
         "orders_profile": q_orders_profile,
@@ -6445,6 +6506,7 @@ def sql_catalog():
         "median_chars_by_lang": SQL_MEDIAN_CHARS_BY_LANG,
         "graph_simplify_stats": _sql_graph_simplify_stats(),
         "graph_discretize_stats": _sql_graph_discretize_stats(),
+        "video_h264_stats": SQL_VIDEO_H264_STATS,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "tile_pyramid": _sql_tile_pyramid(),

@@ -148,6 +148,9 @@ BENCH_ROTATE = [
     "doc_kfold_counts",
     "corpus_report",
     "doc_len_mad",
+    "graph_simplify_stats",
+    "graph_discretize_stats",
+    "video_h264_stats",
 ]
 BENCH_ROTATE_K = 15
 
@@ -293,7 +296,7 @@ def run_bench() -> dict:
     # ticket, the min is the engine — and the soak samples beside each
     # run let any reader of the recorded JSON see whether the window
     # itself was loaded (host_soak_mops vs the quiet-window reference).
-    n_head = int(os.environ.get("OPHOIS_BENCH_HEADLINE_RUNS", "5"))
+    n_head = max(1, int(os.environ.get("OPHOIS_BENCH_HEADLINE_RUNS", "5")))
     runs, soaks = [], []
     for _ in range(n_head):
         soaks.append(round(_cpu_soak_rate(NUM_CPUS, per_task=4_000_000, rounds=2), 1))

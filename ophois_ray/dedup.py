@@ -80,7 +80,10 @@ def exact_dedup_filter(
     if broadcast_cap is None:
         broadcast_cap = DEFAULT_BROADCAST_CAP
     winners = exact_dedup(ds, text_col, id_col).materialize()
-    if winners.count() <= broadcast_cap:
+    n_winners = winners.count()
+    if n_winners == 0:
+        return ds.limit(0)  # empty corpus: 0-row to_pandas drops columns
+    if n_winners <= broadcast_cap:
         import ray
 
         keep_ids = winners.select_columns(["keep_id"]).to_pandas()

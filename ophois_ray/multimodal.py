@@ -1754,6 +1754,8 @@ class _H264BitReader:
         self.pos = 0
 
     def u(self, nbits: int) -> int:
+        if self.pos + nbits > 8 * len(self.d):
+            raise MediaDecodeError("truncated H.264 RBSP")
         v = 0
         for _ in range(nbits):
             byte = self.d[self.pos >> 3]

@@ -47,31 +47,31 @@ _TAG_RE = re.compile(r"<[^>]*>")
 _COORD_RE = re.compile(r"coords (-?\d+\.\d+),(-?\d+\.\d+)")
 
 
-def oracle_extract_text(html_bytes) -> str:
-    """Single-process reference extractor (the per-url byte-identity
-    oracle). Accepts bytes (utf-8) or str."""
-    s = html_bytes.decode("utf-8") if isinstance(html_bytes, (bytes, bytearray)) else str(html_bytes)
+def _strip_one(s: str) -> str:
+    """THE extraction contract on one decoded string: the 4 strip
+    passes + entity decode + whitespace normalize, in fixed order.
+    Every extraction path (oracle, actor pool, batched datagen) calls
+    this single definition so they cannot drift op-for-op."""
     s = _COMMENT_RE.sub(" ", s)
     s = _SCRIPT_RE.sub(" ", s)
     s = _STYLE_RE.sub(" ", s)
     s = _TAG_RE.sub(" ", s)
-    s = _html.unescape(s)
-    return " ".join(s.split())
+    return " ".join(_html.unescape(s).split())
+
+
+def oracle_extract_text(html_bytes) -> str:
+    """Single-process reference extractor (the per-url byte-identity
+    oracle). Accepts bytes (utf-8) or str."""
+    s = html_bytes.decode("utf-8") if isinstance(html_bytes, (bytes, bytearray)) else str(html_bytes)
+    return _strip_one(s)
 
 
 def extract_text_batch(strs) -> list[str]:
-    """One batch call of the extraction contract over decoded strings —
-    same compiled patterns, same op order as ``oracle_extract_text``,
-    so the output is byte-identical per element (pytest-pinned). Saves
-    the per-row function dispatch and the encode/decode round-trip when
-    the caller already holds str html (the pages datagen)."""
-    sub_c, sub_s = _COMMENT_RE.sub, _SCRIPT_RE.sub
-    sub_y, sub_t = _STYLE_RE.sub, _TAG_RE.sub
-    unesc = _html.unescape
-    return [
-        " ".join(unesc(sub_t(" ", sub_y(" ", sub_s(" ", sub_c(" ", s))))).split())
-        for s in strs
-    ]
+    """One batch call of the extraction contract over decoded strings
+    (byte-identical to ``oracle_extract_text`` by sharing
+    ``_strip_one``; pytest-pinned). Saves the encode/decode round-trip
+    when the caller already holds str html (the pages datagen)."""
+    return [_strip_one(s) for s in strs]
 
 
 class ExtractText:
@@ -86,24 +86,14 @@ class ExtractText:
     """
 
     def __init__(self, out_col: str = "text", in_col: str = "html"):
-        # per-actor compiled state (regexes are module-level compiled
-        # already; re-reference them so the pickled actor class carries
-        # no bound pattern objects)
+        # compiled patterns are module-level (shared via _strip_one);
+        # the pickled actor class carries no bound pattern objects
         self.out_col = out_col
         self.in_col = in_col
-        self.comment = _COMMENT_RE
-        self.script = _SCRIPT_RE
-        self.style = _STYLE_RE
-        self.tag = _TAG_RE
 
     def _one(self, raw) -> str:
         s = raw.decode("utf-8") if isinstance(raw, (bytes, bytearray)) else str(raw)
-        s = self.comment.sub(" ", s)
-        s = self.script.sub(" ", s)
-        s = self.style.sub(" ", s)
-        s = self.tag.sub(" ", s)
-        s = _html.unescape(s)
-        return " ".join(s.split())
+        return _strip_one(s)
 
     # The same 4 strip passes as Arrow RE2 kernels. MEASURED SLOWER than
     # the Python loop on this corpus (0.42 s vs 0.29 s per 512 x 37 KB

@@ -1366,11 +1366,13 @@ def _chain_ids(k: np.ndarray, i: np.ndarray) -> np.ndarray:
 
 
 def _node_frame(ids: np.ndarray, lat: np.ndarray, lon: np.ndarray) -> pd.DataFrame:
+    # new coordinate strings go through geo.float_repr (the repo-wide
+    # invariant: Rust shortest-round-trip form, '48' not '48.0')
     return pd.DataFrame(
         {
             "id": ids,
-            "lat_str": [repr(x) for x in lat],
-            "lon_str": [repr(x) for x in lon],
+            "lat_str": [geo.float_repr(x) for x in lat],
+            "lon_str": [geo.float_repr(x) for x in lon],
             "lat": lat,
             "lon": lon,
             "seq": np.arange(len(ids), dtype=np.int64),
@@ -5449,6 +5451,9 @@ def q_image_phash_neardup(sf_dir: str):
     pairs = _dedup.hash64_near_dup_pairs(
         hashed, hash_col="phash", id_col="doc_id", max_hamming=3
     ).to_pandas()  # planted near-dup clusters only — fixture-sized
+    if pairs.empty:  # 0-row to_pandas drops columns
+        return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                             for c in ("id_a", "id_b", "hamming")})
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -5557,6 +5562,9 @@ def q_video_phash_neardup(sf_dir: str):
     pairs = _dedup.hash64_near_dup_pairs(
         sigs, hash_col="vhash", id_col="doc_id", max_hamming=3
     ).to_pandas()  # planted leader groups only — fixture-sized
+    if pairs.empty:  # 0-row to_pandas drops columns
+        return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                             for c in ("id_a", "id_b", "hamming")})
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -706,6 +706,9 @@ def token_count_bpe(ds, text_col: str = "text", out_col: str = "n_tokens_bpe",
 
         return ds.map_batches(fn_a, batch_format="pyarrow")
 
+    if kernel != "python":
+        raise ValueError(f"kernel must be 'arrow' or 'python', got {kernel!r}")
+
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df[out_col] = (

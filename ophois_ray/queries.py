@@ -126,7 +126,27 @@ def q_degree_histogram(sf_dir: str):
         )
     )
     deg = graphops.node_degrees(edges)
-    return deg.groupby("degree").aggregate(Count(alias_name="n_nodes"))
+
+    # the histogram domain is tiny (~80 distinct degrees): per-block
+    # value_counts partials merged on the driver replace a third
+    # barriered groupby over ~60k rows (key-partitioned aggregate
+    # barrier time is parallelism-independent; measured 3.99 s -> 3.83 s
+    # min-of-3 at sf0.1 — the cost is the upstream string-key dedup, but
+    # the partial merge removes the last barrier; see BASELINE.md round 4)
+    def vc(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["degree"].value_counts()
+        return pd.DataFrame({
+            "degree": c.index.to_numpy(np.int64),
+            "n_nodes": c.to_numpy(np.int64),
+        })
+
+    parts = deg.map_batches(vc, batch_format="pandas").to_pandas()
+    if parts.empty:  # 0-row to_pandas drops columns
+        return pd.DataFrame({"degree": pd.Series(dtype=np.int64),
+                             "n_nodes": pd.Series(dtype=np.int64)})
+    out = parts.groupby("degree", as_index=False)["n_nodes"].sum()
+    out["n_nodes"] = out["n_nodes"].astype(np.int64)
+    return out.sort_values("degree").reset_index(drop=True)
 
 
 SQL_DEGREE_HISTOGRAM = """

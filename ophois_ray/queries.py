@@ -4804,6 +4804,86 @@ FROM r WHERE rank < 10
 """
 
 
+def q_embed_kmeans(sf_dir: str):
+    """Distributed k-means clustering (similarity.kmeans_int) in its
+    integer-exact form — the curation-scale clustering operator
+    (SemDeDup / IVF both sit on one): 64-dim vectors quantized to the
+    non-negative grid floor((x+1)*512) in [0, 1024), seeded with the
+    8 lowest vec_ids, 2 exact Lloyd rounds (int64 squared distances,
+    ties -> lowest cid, centroid update by per-dimension floor
+    division, empty clusters carried), then a final assignment pass.
+    Per-cluster output (size, id-sum, centroid norm) is bit-exact
+    against the unrolled SQL mirror because every step is integer —
+    unlike train_ivf_centroids' float Lloyd, which is only
+    rows-checked."""
+    from .similarity import kmeans_int
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    summary, _cent = kmeans_int(emb, k=8, iters=2)
+    return summary
+
+
+def _sql_embed_kmeans(k: int = 8, iters: int = 2, d: int = 64) -> str:
+    """Unrolled Lloyd mirror of similarity.kmeans_int: one
+    assignment+update CTE pair per round (same integer ops in the
+    same order as the engine; `//` trunc == numpy floor because the
+    grid is non-negative), COALESCE carries empty clusters."""
+    dist = ("list_sum(list_transform(list_zip(p.x, c.m), "
+            "q -> (q[1] - q[2]) * (q[1] - q[2])))")
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+, a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT p.vec_id, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM pts p CROSS JOIN c{t - 1} c)
+  WHERE rn = 1
+), g{t} AS (
+  SELECT cid, pos, CAST(SUM(v) // COUNT(*) AS BIGINT) AS mm
+  FROM (SELECT a.cid, unnest(p.x) AS v,
+               unnest(range(1, {d + 1})) AS pos
+        FROM a{t} a JOIN pts p USING (vec_id))
+  GROUP BY cid, pos
+), c{t} AS (
+  SELECT c.cid, COALESCE(g.m, c.m) AS m
+  FROM c{t - 1} c LEFT JOIN
+       (SELECT cid, list(mm ORDER BY pos) AS m FROM g{t} GROUP BY cid) g
+       USING (cid)
+)""")
+    return f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> LEAST(GREATEST(
+             CAST(floor((CAST(x AS DOUBLE) + 1.0) * 512.0) AS BIGINT),
+             0), 1023)) AS x
+  FROM embeddings
+), c0 AS (
+  SELECT cid, m FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x AS m
+    FROM pts)
+  WHERE cid < {k}
+){"".join(rounds)}
+, af AS (
+  SELECT vec_id, cid FROM (
+    SELECT p.vec_id, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM pts p CROSS JOIN c{iters} c)
+  WHERE rn = 1
+)
+SELECT c.cid AS cluster_id,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_points,
+       CAST(COALESCE(s.id_sum, 0) AS BIGINT) AS id_sum,
+       CAST(list_sum(list_transform(c.m, v -> v * v)) AS BIGINT) AS cnorm2
+FROM c{iters} c LEFT JOIN
+     (SELECT cid, count(*) AS n, sum(vec_id) AS id_sum
+      FROM af GROUP BY cid) s USING (cid)
+ORDER BY cluster_id
+"""
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training (textstats.bpe_train): ONE distributed
     pass collapses the corpus to its exact word-frequency table (the
@@ -6300,9 +6380,10 @@ def catalog():
     # Ordered so the driver's 50-query verification window (catalog
     # positions 1-50) covers entries with no green row in
     # CORRECTNESS_r01-r03: the two new hash-checkable graph fixpoints
-    # first, then 48 SQL-mirrored never-driver-checked queries. The
-    # previously-verified 50 and the no-oracle entries follow; rotate
-    # again next round to cover the remaining 26.
+    # first, then 47 SQL-mirrored never-driver-checked queries plus
+    # the new embed_kmeans. The previously-verified 50 and the
+    # no-oracle entries follow; rotate again next round to cover the
+    # remaining 27 (corpus_report onward).
     return {
         "graph_simplify_stats": q_graph_simplify_stats,
         "graph_discretize_stats": q_graph_discretize_stats,
@@ -6341,6 +6422,7 @@ def catalog():
         "corpus_curation": q_corpus_curation,
         "semdedup": q_semdedup,
         "pq_adc": q_pq_adc,
+        "embed_kmeans": q_embed_kmeans,
         "tile_pyramid": q_tile_pyramid,
         "zorder_stats": q_zorder_stats,
         "snapshot_diff": q_snapshot_diff,
@@ -6537,6 +6619,7 @@ def sql_catalog():
         "video_h264_stats": SQL_VIDEO_H264_STATS,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
+        "embed_kmeans": _sql_embed_kmeans(),
         "tile_pyramid": _sql_tile_pyramid(),
         "zorder_stats": _sql_zorder_stats(),
         "events_latest_per_user": SQL_EVENTS_LATEST,

@@ -18,6 +18,10 @@
   quantization (m codes per vector instead of d floats; the memory
   play). ADC scoring is m LUT hops per candidate; the int64-codebook
   variant is exact end-to-end and SQL-mirrored (`pq_adc`).
+- kmeans_int: integer-exact distributed Lloyd's k-means over a
+  quantized grid — the hash-checkable clustering operator
+  (SQL-mirrored `embed_kmeans`); the curation-side counterpart of
+  train_ivf_centroids.
 """
 
 from __future__ import annotations
@@ -864,3 +868,163 @@ def ivf_pq_topk(ds, queries: np.ndarray, centroids: np.ndarray,
         return typed_empty
     return (pd.concat(out, ignore_index=True)
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def _list_flat(col):
+    """Flattened values array + element count per row for an arrow
+    list / fixed_size_list / tensor-extension column."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ExtensionArray):   # Ray ArrowTensorArray
+        col = col.storage
+    n = len(col)
+    flat = col.values if isinstance(col, pa.FixedSizeListArray) else col.flatten()
+    d = len(flat) // n if n else 0
+    return flat, d
+
+
+def _fixed_list_mat(col, d: int | None = None) -> np.ndarray:
+    """(rows, d) int64 matrix from an arrow (fixed-size-)list column,
+    zero-copy through the flattened values buffer."""
+    flat, dd = _list_flat(col)
+    if d is None:
+        d = dd
+    return flat.to_numpy(zero_copy_only=False).reshape(-1, d)
+
+
+def quantize_grid_int(ds, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id", levels: int = 1024,
+                      scale: float = 512.0):
+    """Quantize a list<float> column to non-negative int64 grid
+    coordinates: floor((float64(v) + 1.0) * scale) clipped to
+    [0, levels-1].
+
+    Non-negative by construction so downstream floor divisions equal
+    DuckDB's truncating `//` (the numpy-floors/DuckDB-truncates trap —
+    see CLAUDE.md). Arrow-native: the list column is flattened
+    zero-copy and returned as a fixed_size_list<int64> column ``x``;
+    the float payload is dropped.
+    """
+    import pyarrow as pa
+
+    def fn(batch: "pa.Table") -> "pa.Table":
+        flat, d = _list_flat(batch[vec_col])
+        v = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.clip(np.floor((v + 1.0) * scale), 0, levels - 1)
+        xs = pa.FixedSizeListArray.from_arrays(
+            pa.array(q.astype(np.int64)), d)
+        return pa.table({id_col: batch[id_col], "x": xs})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _kmeans_assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Exact int64 squared-Euclidean argmin; numpy integer matmul is
+    exact (no BLAS float path) and np.argmin takes the FIRST minimum,
+    i.e. ties break to the lowest cluster id — matching the SQL
+    mirror's ORDER BY dist, cid."""
+    d2 = ((X * X).sum(axis=1, keepdims=True)
+          - 2 * (X @ C.T)
+          + (C * C).sum(axis=1)[None, :])
+    return np.argmin(d2, axis=1)
+
+
+def kmeans_int(ds, *, k: int = 8, iters: int = 2,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               levels: int = 1024, scale: float = 512.0):
+    """Integer-exact distributed Lloyd's k-means — the hash-checkable
+    clustering operator (cf. `train_ivf_centroids`, the float
+    k-means-lite inside IVF, which is only rows-checked).
+
+    Everything is integer, so the fixpoint is bit-reproducible across
+    block layouts and parallelism AND constructible by an unrolled SQL
+    mirror (queries._sql_embed_kmeans):
+
+    - coordinates: `quantize_grid_int` non-negative grid ints;
+    - seeds: the vectors of the k smallest ids, cid in id order;
+    - assignment: exact int64 squared distance, ties to lowest cid;
+    - update: per-dimension floor division sum // count (operands
+      non-negative, so numpy floor == DuckDB trunc); empty clusters
+      keep their previous centroid;
+    - partials are per-block (count[k], sum[k, d]) int64 buffers —
+      an associative semigroup, so merge order cannot change the
+      result (no float canonical-order caveat).
+
+    One streaming pass per round over the materialized quantized
+    dataset (id + d int64 — the float payload is dropped before the
+    loop); vectors are never collected or shuffled. Returns
+    (summary DataFrame [cluster_id, n_points, id_sum, cnorm2],
+    centroids int64 (k, d)).
+    """
+    import pyarrow as pa
+
+    # the loop re-reads the (tiny-rows) quantized projection each
+    # round: materialize once (lazy Datasets recompute per consumer)
+    qds = quantize_grid_int(ds, vec_col=vec_col, id_col=id_col,
+                            levels=levels, scale=scale).materialize()
+
+    def seed_partial(batch: "pa.Table") -> "pa.Table":
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:k]
+        X = _fixed_list_mat(batch["x"])[order]
+        d = X.shape[1] if X.size else 0
+        xs = pa.FixedSizeListArray.from_arrays(pa.array(X.ravel()), d)
+        return pa.table({id_col: pa.array(ids[order]), "x": xs})
+
+    seeds = pa.concat_tables(
+        qds.map_batches(seed_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    sids = seeds[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(sids, kind="stable")[:k]
+    C = _fixed_list_mat(seeds["x"])[order].astype(np.int64)
+    d = C.shape[1]
+
+    def lloyd_partial(batch: "pa.Table") -> "pa.Table":
+        X = _fixed_list_mat(batch["x"], d)
+        assign = _kmeans_assign(X, C)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, assign, X)
+        return pa.table({"n": pa.array([counts.tobytes()]),
+                         "s": pa.array([sums.tobytes()])})
+
+    for _ in range(iters):
+        parts = qds.map_batches(
+            lloyd_partial, batch_format="pyarrow").take_all()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.int64)
+        for row in parts:
+            counts += np.frombuffer(row["n"], dtype=np.int64)
+            sums += np.frombuffer(row["s"], dtype=np.int64).reshape(k, d)
+        nxt = C.copy()
+        nz = counts > 0
+        nxt[nz] = sums[nz] // counts[nz, None]   # non-negative: floor==trunc
+        C = nxt
+
+    def final_partial(batch: "pa.Table") -> "pa.Table":
+        X = _fixed_list_mat(batch["x"], d)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        assign = _kmeans_assign(X, C)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        idsum = np.zeros(k, dtype=np.int64)
+        np.add.at(idsum, assign, ids)
+        return pa.table({"n": pa.array([counts.tobytes()]),
+                         "i": pa.array([idsum.tobytes()])})
+
+    parts = qds.map_batches(
+        final_partial, batch_format="pyarrow").take_all()
+    counts = np.zeros(k, dtype=np.int64)
+    idsum = np.zeros(k, dtype=np.int64)
+    for row in parts:
+        counts += np.frombuffer(row["n"], dtype=np.int64)
+        idsum += np.frombuffer(row["i"], dtype=np.int64)
+
+    summary = pd.DataFrame({
+        "cluster_id": np.arange(k, dtype=np.int64),
+        "n_points": counts,
+        "id_sum": idsum,
+        "cnorm2": (C * C).sum(axis=1).astype(np.int64),
+    })
+    return summary, C

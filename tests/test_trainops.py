@@ -2908,3 +2908,76 @@ def test_dup_span_stats_hand_case_and_layout():
             assert (int(got.loc[d, "n_dup_pos"]),
                     int(got.loc[d, "n_spans"]),
                     int(got.loc[d, "covered_tokens"])) == (3, 2, 5)
+
+
+def _kmeans_scalar_reference(ids, X, k, iters):
+    """Single-process transcription of similarity.kmeans_int over an
+    already-quantized int64 matrix (seed = k smallest ids, exact int
+    distances, ties to lowest cid, floor-div update, empty carry)."""
+    order = np.argsort(ids, kind="stable")[:k]
+    C = X[order].astype(np.int64)
+    for t in range(iters + 1):  # iters updates + final assignment
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        if t == iters:
+            break
+        nxt = C.copy()
+        for cid in range(k):
+            sel = X[assign == cid]
+            if len(sel):
+                nxt[cid] = sel.sum(axis=0) // len(sel)
+        C = nxt
+    return assign, C
+
+
+def _quantize_ref(mat):
+    return np.clip(np.floor((mat.astype(np.float64) + 1.0) * 512.0),
+                   0, 1023).astype(np.int64)
+
+
+def test_kmeans_int_matches_scalar_reference(embeds):
+    full = embeds.to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in full["embedding"]])
+    ids = full["vec_id"].to_numpy(np.int64)
+    X = _quantize_ref(mat)
+    exp_assign, exp_C = _kmeans_scalar_reference(ids, X, k=8, iters=2)
+    summary, C = similarity.kmeans_int(embeds, k=8, iters=2)
+    assert (C == exp_C).all()
+    exp_counts = np.bincount(exp_assign, minlength=8)
+    assert (summary["n_points"].to_numpy() == exp_counts).all()
+    exp_idsum = np.zeros(8, dtype=np.int64)
+    np.add.at(exp_idsum, exp_assign, ids)
+    assert (summary["id_sum"].to_numpy() == exp_idsum).all()
+    assert (summary["cnorm2"].to_numpy() == (exp_C * exp_C).sum(axis=1)).all()
+
+
+def test_kmeans_int_layout_invariant(embeds):
+    s1, c1 = similarity.kmeans_int(embeds, k=5, iters=2)
+    s2, c2 = similarity.kmeans_int(embeds.repartition(7), k=5, iters=2)
+    assert (c1 == c2).all()
+    assert s1.equals(s2)
+
+
+def test_kmeans_int_separates_planted_blobs(ray_session):
+    # two tight blobs far apart on the grid; k=2 must split them
+    rng = np.random.default_rng(7)
+    a = rng.uniform(-0.9, -0.7, size=(40, 8))
+    b = rng.uniform(0.7, 0.9, size=(40, 8))
+    rows = [{"vec_id": i, "embedding": v.astype(np.float32)}
+            for i, v in enumerate(np.vstack([a, b]))]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    summary, C = similarity.kmeans_int(ds, k=2, iters=3)
+    assert sorted(summary["n_points"]) == [40, 40]
+    # blob a holds ids 0..39 (sum 780), blob b ids 40..79 (sum 2380)
+    assert sorted(summary["id_sum"]) == [780, 2380]
+
+
+def test_kmeans_int_empty_cluster_carries_seed(ray_session):
+    # 3 identical points, k=2: everything assigns to cid 0 (tie ->
+    # lowest), cluster 1 goes empty and must keep its seed centroid
+    v = np.full(4, 0.5, dtype=np.float32)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [{"vec_id": i, "embedding": v} for i in range(3)]))
+    summary, C = similarity.kmeans_int(ds, k=2, iters=2)
+    assert summary["n_points"].tolist() == [3, 0]
+    assert (C[0] == C[1]).all()   # carried seed == identical point

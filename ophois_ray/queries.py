@@ -4823,11 +4823,13 @@ def q_embed_kmeans(sf_dir: str):
     return summary
 
 
-def _sql_embed_kmeans(k: int = 8, iters: int = 2, d: int = 64) -> str:
-    """Unrolled Lloyd mirror of similarity.kmeans_int: one
+def _sql_kmeans_ctes(k: int = 8, iters: int = 2, d: int = 64) -> str:
+    """Unrolled Lloyd CTE chain mirroring similarity.kmeans_int: one
     assignment+update CTE pair per round (same integer ops in the
     same order as the engine; `//` trunc == numpy floor because the
-    grid is non-negative), COALESCE carries empty clusters."""
+    grid is non-negative), COALESCE carries empty clusters. Ends with
+    ``af`` = the final assignment over centroids c{iters} — shared by
+    the embed_kmeans and embed_ivf_topk_int mirrors."""
     dist = ("list_sum(list_transform(list_zip(p.x, c.m), "
             "q -> (q[1] - q[2]) * (q[1] - q[2])))")
     rounds = []
@@ -4872,7 +4874,11 @@ WITH pts AS (
                               ORDER BY {dist} ASC, c.cid ASC) AS rn
     FROM pts p CROSS JOIN c{iters} c)
   WHERE rn = 1
-)
+)"""
+
+
+def _sql_embed_kmeans(k: int = 8, iters: int = 2, d: int = 64) -> str:
+    return f"""{_sql_kmeans_ctes(k, iters, d)}
 SELECT c.cid AS cluster_id,
        CAST(COALESCE(s.n, 0) AS BIGINT) AS n_points,
        CAST(COALESCE(s.id_sum, 0) AS BIGINT) AS id_sum,
@@ -4881,6 +4887,54 @@ FROM c{iters} c LEFT JOIN
      (SELECT cid, count(*) AS n, sum(vec_id) AS id_sum
       FROM af GROUP BY cid) s USING (cid)
 ORDER BY cluster_id
+"""
+
+
+def q_embed_ivf_topk_int(sf_dir: str):
+    """Integer-exact IVF ANN (similarity.ivf_topk_int) — the
+    hash-checked twin of embed_ivf_topk's float path: kmeans_int
+    centroids (k=8, 2 rounds) partition the corpus into inverted
+    lists; queries (vec_id < 3, the pq_adc convention) probe their 3
+    nearest centroids by exact int64 squared L2 and rank the probed
+    lists' vectors (dist asc, vec_id asc), top-10. Every op is
+    integer, so lists, probes, distances and ranks hash-check
+    bit-for-bit against the unrolled mirror."""
+    from .similarity import ivf_topk_int
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk_int(emb, np.array([0, 1, 2]), k=10, nprobe=3,
+                        n_centroids=8, iters=2)
+
+
+def _sql_embed_ivf_topk_int(k: int = 8, iters: int = 2, d: int = 64,
+                            nprobe: int = 3, topk: int = 10) -> str:
+    qdist = ("list_sum(list_transform(list_zip(q.qx, c.m), "
+             "t -> (t[1] - t[2]) * (t[1] - t[2])))")
+    return f"""{_sql_kmeans_ctes(k, iters, d)}
+, qs AS (
+  SELECT vec_id AS query_id, x AS qx FROM pts WHERE vec_id < 3
+), probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {qdist} ASC, c.cid ASC) AS rn
+    FROM qs q CROSS JOIN c{iters} c)
+  WHERE rn <= {nprobe}
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         CAST(list_sum(list_transform(list_zip(q.qx, x.x),
+              t -> (t[1] - t[2]) * (t[1] - t[2]))) AS BIGINT) AS dist
+  FROM probe p JOIN af a USING (cid)
+       JOIN qs q USING (query_id)
+       JOIN pts x ON x.vec_id = a.vec_id
+)
+SELECT query_id, vec_id, dist, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) - 1 AS rank
+  FROM scored)
+WHERE rank < {topk}
+ORDER BY query_id, rank
 """
 
 
@@ -6380,10 +6434,10 @@ def catalog():
     # Ordered so the driver's 50-query verification window (catalog
     # positions 1-50) covers entries with no green row in
     # CORRECTNESS_r01-r03: the two new hash-checkable graph fixpoints
-    # first, then 47 SQL-mirrored never-driver-checked queries plus
-    # the new embed_kmeans. The previously-verified 50 and the
-    # no-oracle entries follow; rotate again next round to cover the
-    # remaining 27 (corpus_report onward).
+    # first, then 46 SQL-mirrored never-driver-checked queries plus
+    # the new embed_kmeans / embed_ivf_topk_int. The
+    # previously-verified 50 and the no-oracle entries follow; rotate
+    # again next round to cover the remaining 28 (part_sssp onward).
     return {
         "graph_simplify_stats": q_graph_simplify_stats,
         "graph_discretize_stats": q_graph_discretize_stats,
@@ -6423,6 +6477,7 @@ def catalog():
         "semdedup": q_semdedup,
         "pq_adc": q_pq_adc,
         "embed_kmeans": q_embed_kmeans,
+        "embed_ivf_topk_int": q_embed_ivf_topk_int,
         "tile_pyramid": q_tile_pyramid,
         "zorder_stats": q_zorder_stats,
         "snapshot_diff": q_snapshot_diff,
@@ -6620,6 +6675,7 @@ def sql_catalog():
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),
+        "embed_ivf_topk_int": _sql_embed_ivf_topk_int(),
         "tile_pyramid": _sql_tile_pyramid(),
         "zorder_stats": _sql_zorder_stats(),
         "events_latest_per_user": SQL_EVENTS_LATEST,
@@ -6737,10 +6793,11 @@ def no_oracle_reasons():
             "oracle-exact integer variant of the same operator)"
         ),
         "embed_ivf_topk": (
-            "IVF probing over float k-means centroids (Lloyd iterations "
-            "are not SQL-expressible); exactness gated in pytest — "
-            "nprobe=n_centroids is bit-equal to the brute path, which "
-            "itself mirrors embed_topk_int's SQL oracle"
+            "IVF probing over float k-means centroids (float Lloyd "
+            "iterations are not SQL-expressible; the integer twin "
+            "embed_ivf_topk_int IS hash-checked); exactness gated in "
+            "pytest — nprobe=n_centroids is bit-equal to the brute "
+            "path, which itself mirrors embed_topk_int's SQL oracle"
         ),
         "graph_simplify": (
             "iterative whole-graph fixpoint (degree-2 contraction, "

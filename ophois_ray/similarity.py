@@ -18,10 +18,11 @@
   quantization (m codes per vector instead of d floats; the memory
   play). ADC scoring is m LUT hops per candidate; the int64-codebook
   variant is exact end-to-end and SQL-mirrored (`pq_adc`).
-- kmeans_int: integer-exact distributed Lloyd's k-means over a
-  quantized grid — the hash-checkable clustering operator
-  (SQL-mirrored `embed_kmeans`); the curation-side counterpart of
-  train_ivf_centroids.
+- kmeans_int / ivf_topk_int: integer-exact distributed Lloyd's
+  k-means over a quantized grid, and IVF probing over its centroids —
+  the hash-checkable clustering + ANN pair (SQL-mirrored
+  `embed_kmeans` / `embed_ivf_topk_int`); the exact twins of
+  train_ivf_centroids / ivf_topk.
 """
 
 from __future__ import annotations
@@ -920,6 +921,25 @@ def quantize_grid_int(ds, *, vec_col: str = "embedding",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _subset_rows(batch, ids: np.ndarray, idx: np.ndarray, id_col: str):
+    """Tiny (id, x) projection of selected rows, preserving the x
+    column's fixed_size_list type even when the selection (or the
+    batch) is empty — FixedSizeListArray.from_arrays rejects
+    list_size 0, so the type is taken from the input schema."""
+    import pyarrow as pa
+
+    xtype = batch.schema.field("x").type
+    if len(idx) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "x": pa.array([], xtype)})
+    flat, d = _list_flat(batch["x"])
+    X = flat.to_numpy(zero_copy_only=False).reshape(-1, d)[idx]
+    xs = pa.FixedSizeListArray.from_arrays(
+        pa.array(X.ravel(), pa.int64()), d)
+    return pa.table({id_col: pa.array(ids[idx].astype(np.int64)),
+                     "x": xs})
+
+
 def _kmeans_assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     """Exact int64 squared-Euclidean argmin; numpy integer matmul is
     exact (no BLAS float path) and np.argmin takes the FIRST minimum,
@@ -968,10 +988,7 @@ def kmeans_int(ds, *, k: int = 8, iters: int = 2,
     def seed_partial(batch: "pa.Table") -> "pa.Table":
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")[:k]
-        X = _fixed_list_mat(batch["x"])[order]
-        d = X.shape[1] if X.size else 0
-        xs = pa.FixedSizeListArray.from_arrays(pa.array(X.ravel()), d)
-        return pa.table({id_col: pa.array(ids[order]), "x": xs})
+        return _subset_rows(batch, ids, order, id_col)
 
     seeds = pa.concat_tables(
         qds.map_batches(seed_partial, batch_format="pyarrow")
@@ -1028,3 +1045,110 @@ def kmeans_int(ds, *, k: int = 8, iters: int = 2,
         "cnorm2": (C * C).sum(axis=1).astype(np.int64),
     })
     return summary, C
+
+
+def ivf_topk_int(ds, query_ids: np.ndarray, *, k: int = 10,
+                 nprobe: int = 3, n_centroids: int = 8, iters: int = 2,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 levels: int = 1024, scale: float = 512.0):
+    """Integer-exact IVF top-k — the hash-checkable twin of `ivf_topk`
+    (whose float Lloyd centroids keep it rows-only): trains
+    `kmeans_int` centroids on the quantized grid, assigns every vector
+    to its exact-nearest centroid (ties -> lowest cid), probes each
+    query's ``nprobe`` nearest centroids, and ranks candidates by
+    exact int64 squared L2 (dist asc, vec_id asc).
+
+    Queries are the corpus vectors with ids in ``query_ids`` (the
+    SQL-derivable convention pq_adc uses). Same zero-shuffle scaling
+    shape as ivf_topk: (queries, centroids, probe table) broadcast
+    once, every batch emits at most n_query x k partial winners, the
+    driver merges tiny partials. nprobe == n_centroids scores every
+    candidate, so it is bit-equal to the unpartitioned scan (the
+    pytest gate); smaller nprobe does ~nprobe/n_centroids of the work.
+    """
+    import pyarrow as pa
+    import ray
+
+    _summary, C = kmeans_int(ds, k=n_centroids, iters=iters,
+                             vec_col=vec_col, id_col=id_col,
+                             levels=levels, scale=scale)
+    qds = quantize_grid_int(ds, vec_col=vec_col, id_col=id_col,
+                            levels=levels, scale=scale).materialize()
+
+    qid_set = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
+
+    def pick_queries(batch: "pa.Table") -> "pa.Table":
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(np.isin(ids, qid_set))
+        return _subset_rows(batch, ids, sel, id_col)
+
+    qtab = pa.concat_tables(
+        qds.map_batches(pick_queries, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    qorder = np.argsort(qtab[id_col].to_numpy(zero_copy_only=False),
+                        kind="stable")
+    qids = qtab[id_col].to_numpy(zero_copy_only=False)[qorder]
+    Q = _fixed_list_mat(qtab["x"])[qorder]
+    nprobe = min(nprobe, n_centroids)
+
+    # per-query probed centroids: exact int distance, ties lowest cid
+    probe_tbl = np.zeros((len(Q), n_centroids), dtype=bool)
+    qc = ((Q * Q).sum(axis=1, keepdims=True) - 2 * (Q @ C.T)
+          + (C * C).sum(axis=1)[None, :])
+    for qi in range(len(Q)):
+        order = np.lexsort((np.arange(n_centroids), qc[qi]))[:nprobe]
+        probe_tbl[qi, order] = True
+
+    bref = ray.put((Q, qids, C, probe_tbl))
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        Qm, qid_arr, Cm, tbl = (ray.get(bref)
+                                if isinstance(bref, ray.ObjectRef) else bref)
+        X = _fixed_list_mat(batch["x"])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        assign = _kmeans_assign(X, Cm)
+        valid = tbl[:, assign]                       # (n_query, n_batch)
+        keep = valid.any(axis=0)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())})
+        if not keep.any():
+            return empty
+        X, ids, valid = X[keep], ids[keep], valid[:, keep]
+        d2 = ((X * X).sum(axis=1)[None, :] - 2 * (Qm @ X.T)
+              + (Qm * Qm).sum(axis=1)[:, None])
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(Qm)):
+            sel = valid[qi]
+            nv = int(sel.sum())
+            if nv == 0:
+                continue
+            kk = min(k, nv)
+            di, ii = d2[qi][sel], ids[sel]
+            order = np.lexsort((ii, di))[:kk]
+            out_q.append(np.full(kk, qid_arr[qi], dtype=np.int64))
+            out_v.append(ii[order])
+            out_d.append(di[order])
+        if not out_q:
+            return empty
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "dist": pa.array(np.concatenate(out_d))})
+
+    parts = qds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    typed_empty = pd.DataFrame({
+        "query_id": pd.Series(dtype=np.int64),
+        "vec_id": pd.Series(dtype=np.int64),
+        "dist": pd.Series(dtype=np.int64),
+        "rank": pd.Series(dtype=np.int64)})
+    if not len(parts):        # 0-row Ray datasets drop their schema
+        return typed_empty
+    out = []
+    for _qid, grp in parts.groupby("query_id"):
+        grp = grp.sort_values(["dist", "vec_id"],
+                              ascending=[True, True]).head(k)
+        out.append(grp.assign(rank=np.arange(len(grp), dtype=np.int64)))
+    if not out:
+        return typed_empty
+    return (pd.concat(out, ignore_index=True)
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))

@@ -2981,3 +2981,38 @@ def test_kmeans_int_empty_cluster_carries_seed(ray_session):
     summary, C = similarity.kmeans_int(ds, k=2, iters=2)
     assert summary["n_points"].tolist() == [3, 0]
     assert (C[0] == C[1]).all()   # carried seed == identical point
+
+
+def test_ivf_topk_int_full_probe_matches_full_scan(embeds):
+    # nprobe == n_centroids scores every vector -> must equal the
+    # exact unpartitioned int ranking
+    full = embeds.to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in full["embedding"]])
+    ids = full["vec_id"].to_numpy(np.int64)
+    X = _quantize_ref(mat)
+    got = similarity.ivf_topk_int(embeds, np.array([0, 1, 2]), k=10,
+                                  nprobe=8, n_centroids=8, iters=2)
+    for qid in (0, 1, 2):
+        q = X[ids == qid][0]
+        d2 = ((X - q) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))[:10]
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert (sub["vec_id"].to_numpy() == ids[order]).all()
+        assert (sub["dist"].to_numpy() == d2[order]).all()
+
+
+def test_ivf_topk_int_layout_invariant_and_probed_subset(embeds):
+    a = similarity.ivf_topk_int(embeds, np.array([0, 1, 2]), k=10,
+                                nprobe=3, n_centroids=8, iters=2)
+    b = similarity.ivf_topk_int(embeds.repartition(7), np.array([0, 1, 2]),
+                                k=10, nprobe=3, n_centroids=8, iters=2)
+    assert a.equals(b)
+    # probed ranking is a sub-ranking of the full scan: each returned
+    # dist must be >= the full-scan dist at the same rank
+    fullscan = similarity.ivf_topk_int(embeds, np.array([0, 1, 2]), k=10,
+                                       nprobe=8, n_centroids=8, iters=2)
+    m = a.merge(fullscan, on=["query_id", "rank"], suffixes=("_p", "_f"))
+    assert (m["dist_p"] >= m["dist_f"]).all()
+    # every query's self-match (dist 0) is always found
+    self_rows = a[a["dist"] == 0]
+    assert set(self_rows["query_id"]) == {0, 1, 2}

@@ -4938,6 +4938,48 @@ ORDER BY query_id, rank
 """
 
 
+def q_doc_dsir_weights(sf_dir: str):
+    """DSIR-style importance resampling weights (textstats.
+    dsir_weights): every non-English document scored by how
+    English-like its unigrams are — the contrastive
+    target-vs-raw-corpus data-selection operator, in the integer
+    log2-floor proxy form that makes per-token contributions exact
+    int64 (bit-length of the fixed-point smoothed likelihood ratio),
+    so document weights hash-check bit-for-bit against the SQL
+    mirror's `length(bin(..)) - 1`."""
+    from . import textstats
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return textstats.dsir_weights(docs)
+
+
+SQL_DOC_DSIR_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS w
+  FROM documents
+), ct AS (
+  SELECT w,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_t,
+         CAST(count(*) FILTER (WHERE lang != 'en') AS BIGINT) AS c_r
+  FROM toks GROUP BY w
+), lw AS (
+  -- bin() is unpadded, so length(bin(x)) - 1 == floor(log2(x)): the
+  -- same exact integer log2 as the engine's bit-length kernel
+  SELECT w,
+         CAST(length(bin((1048576 * (c_t + 1)) // (c_r + 1))) - 1
+              AS BIGINT) AS lw
+  FROM ct
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(l.lw) AS BIGINT) AS dsir_w
+FROM toks t JOIN lw l USING (w)
+WHERE t.lang != 'en'
+GROUP BY t.doc_id
+"""
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training (textstats.bpe_train): ONE distributed
     pass collapses the corpus to its exact word-frequency table (the
@@ -6434,10 +6476,11 @@ def catalog():
     # Ordered so the driver's 50-query verification window (catalog
     # positions 1-50) covers entries with no green row in
     # CORRECTNESS_r01-r03: the two new hash-checkable graph fixpoints
-    # first, then 46 SQL-mirrored never-driver-checked queries plus
-    # the new embed_kmeans / embed_ivf_topk_int. The
-    # previously-verified 50 and the no-oracle entries follow; rotate
-    # again next round to cover the remaining 28 (part_sssp onward).
+    # first, then 45 SQL-mirrored never-driver-checked queries plus
+    # the new embed_kmeans / embed_ivf_topk_int / doc_dsir_weights.
+    # The previously-verified 50 and the no-oracle entries follow;
+    # rotate again next round to cover the remaining 29
+    # (doc_gopher_rules onward).
     return {
         "graph_simplify_stats": q_graph_simplify_stats,
         "graph_discretize_stats": q_graph_discretize_stats,
@@ -6478,6 +6521,7 @@ def catalog():
         "pq_adc": q_pq_adc,
         "embed_kmeans": q_embed_kmeans,
         "embed_ivf_topk_int": q_embed_ivf_topk_int,
+        "doc_dsir_weights": q_doc_dsir_weights,
         "tile_pyramid": q_tile_pyramid,
         "zorder_stats": q_zorder_stats,
         "snapshot_diff": q_snapshot_diff,
@@ -6676,6 +6720,7 @@ def sql_catalog():
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),
         "embed_ivf_topk_int": _sql_embed_ivf_topk_int(),
+        "doc_dsir_weights": SQL_DOC_DSIR_WEIGHTS,
         "tile_pyramid": _sql_tile_pyramid(),
         "zorder_stats": _sql_zorder_stats(),
         "events_latest_per_user": SQL_EVENTS_LATEST,

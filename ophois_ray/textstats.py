@@ -801,6 +801,114 @@ def lm_surprisal(train_docs, eval_docs, *, text_col: str = "text",
     return eval_docs.map_batches(score, batch_format="pandas")
 
 
+def _ilog2_exact(x: np.ndarray) -> np.ndarray:
+    """floor(log2(x)) for positive int64, exact at ANY magnitude —
+    float log2 misrounds just below powers of two once x > 2^53, so
+    this is a branchless 6-step integer bit-length instead."""
+    v = x.astype(np.int64).copy()
+    r = np.zeros(len(v), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.int64(1) << s)
+        r[m] += s
+        v[m] >>= s
+    return r
+
+
+def dsir_weights(ds, *, target_col: str = "lang", target_val: str = "en",
+                 text_col: str = "text", id_col: str = "doc_id",
+                 scale: int = 1 << 20, num_buckets: int = 16,
+                 vocab_cap: int = 50_000_000):
+    """DSIR-style data selection (Xie et al. 2023, importance
+    resampling with hashed/unigram n-gram features), integer-exact
+    variant: score every RAW document (rows where ``target_col !=
+    target_val``) by how target-like its unigrams are.
+
+    True DSIR weighs log p_target(w) - log p_raw(w); floats would pin
+    the result to a summation order, so each token contributes the
+    exact integer proxy
+
+        lw(w) = floor(log2( (scale * (c_t(w)+1)) // (c_r(w)+1) ))
+
+    (add-one smoothed likelihood ratio in fixed point, then an exact
+    bit-length log2 — ~1-bit granularity per token, monotone in the
+    true ratio) and a document's weight is the plain int64 sum of its
+    tokens' lw. Every step is integer, so weights are bit-reproducible
+    across layouts and SQL-mirrorable (`length(bin(..)) - 1` is the
+    same exact floor-log2). Returns a Dataset
+    (id, n_tokens, dsir_w) over raw docs with >= 1 token; resampling
+    = thresholding / top-k on dsir_w downstream.
+
+    Scale shape: ONE token-bucket shuffle builds BOTH corpora's counts
+    (per-batch partials carry a target/raw split, so the contrastive
+    model costs the same as lm_surprisal's single-corpus one); the
+    (token, lw) table broadcasts once (vocab_cap guard, same
+    co-partition escape hatch); scoring is a fused zero-shuffle map.
+    """
+    import ray
+
+    from .joins import grouped_apply
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, doc_of, _ = flatten_tokens(df[text_col])
+        is_t = (df[target_col].to_numpy(object) == target_val)[doc_of]
+        g = (pd.DataFrame({"w": flat, "c_t": is_t.astype(np.int64),
+                           "c_r": (~is_t).astype(np.int64)})
+             .groupby("w", as_index=False)[["c_t", "c_r"]].sum())
+        g["c_t"] = g["c_t"].astype(np.int64)
+        g["c_r"] = g["c_r"].astype(np.int64)
+        return g
+
+    def tok_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("w", as_index=False)[["c_t", "c_r"]].sum()
+        g["c_t"] = g["c_t"].astype(np.int64)
+        g["c_r"] = g["c_r"].astype(np.int64)
+        return g
+
+    counts = grouped_apply(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        "w", tok_merge, num_buckets=num_buckets,
+    )
+    pieces = [
+        b for b in counts.iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    vocab = (pd.concat(pieces, ignore_index=True).sort_values(
+        "w", ignore_index=True)) if pieces else pd.DataFrame(
+        {"w": pd.Series(dtype=object), "c_t": pd.Series(dtype=np.int64),
+         "c_r": pd.Series(dtype=np.int64)})
+    if len(vocab) > vocab_cap:
+        raise ValueError(
+            f"vocabulary {len(vocab)} exceeds vocab_cap {vocab_cap}; "
+            "co-partition by token hash instead of broadcasting"
+        )
+    words = vocab["w"].to_numpy(object)
+    ratio = (scale * (vocab["c_t"].to_numpy(np.int64) + 1)
+             ) // (vocab["c_r"].to_numpy(np.int64) + 1)
+    lw = _ilog2_exact(ratio) if len(ratio) else np.zeros(0, np.int64)
+    mref = ray.put((words, lw))
+    oov = int(_ilog2_exact(np.array([scale], dtype=np.int64))[0])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        words_, lw_ = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref
+        raw = df[df[target_col].to_numpy(object) != target_val]
+        flat, doc_of, ndocs = flatten_tokens(raw[text_col])
+        if len(words_) and len(flat):
+            pos = np.minimum(np.searchsorted(words_, flat), len(words_) - 1)
+            tl = np.where(words_[pos] == flat, lw_[pos], np.int64(oov))
+        else:
+            tl = np.full(len(flat), oov, dtype=np.int64)
+        n_tok = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        s = np.zeros(ndocs, dtype=np.int64)
+        np.add.at(s, doc_of, tl)
+        keep = n_tok > 0
+        return pd.DataFrame({
+            id_col: raw[id_col].to_numpy(np.int64)[keep],
+            "n_tokens": n_tok[keep],
+            "dsir_w": s[keep],
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 #: PII detector table: (name, RE2 pattern, scrub mask). Both the engine
 #: (pyarrow/RE2 kernels) and the DuckDB mirror (also RE2) evaluate these
 #: EXACT strings, so match semantics are identical by construction —

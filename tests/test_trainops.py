@@ -3016,3 +3016,40 @@ def test_ivf_topk_int_layout_invariant_and_probed_subset(embeds):
     # every query's self-match (dist 0) is always found
     self_rows = a[a["dist"] == 0]
     assert set(self_rows["query_id"]) == {0, 1, 2}
+
+
+def test_ilog2_exact_matches_bit_length():
+    xs = np.array([1, 2, 3, 7, 8, 1023, 1024, (1 << 53) - 1, 1 << 53,
+                   (1 << 62) - 1, 1 << 62], dtype=np.int64)
+    got = textstats._ilog2_exact(xs)
+    exp = np.array([int(x).bit_length() - 1 for x in xs], dtype=np.int64)
+    assert (got == exp).all()
+    # float log2 would misround (1<<62)-1 up to 62; the exact kernel doesn't
+    assert got[-2] == 61
+
+
+def test_dsir_weights_prefers_target_like_docs(ray_session):
+    rows = []
+    # target corpus: english-ish unigrams
+    for i in range(20):
+        rows.append({"doc_id": i, "lang": "en",
+                     "text": "the quick brown fox jumps over the lazy dog"})
+    # raw doc 100 shares the target vocabulary; raw doc 101 is disjoint
+    rows.append({"doc_id": 100, "lang": "de",
+                 "text": "the quick brown fox jumps over the lazy dog"})
+    rows.append({"doc_id": 101, "lang": "de",
+                 "text": "xq zv wq kj pq mn vb xz qq"})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = textstats.dsir_weights(ds).to_pandas().set_index("doc_id")
+    assert set(out.index) == {100, 101}
+    # same token count, so the per-token normalization is moot here
+    assert out.loc[100, "n_tokens"] == out.loc[101, "n_tokens"]
+    assert out.loc[100, "dsir_w"] > out.loc[101, "dsir_w"]
+
+
+def test_dsir_weights_layout_invariant(docs):
+    a = textstats.dsir_weights(docs).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    b = textstats.dsir_weights(docs.repartition(7)).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert a.equals(b)

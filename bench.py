@@ -297,11 +297,13 @@ def run_bench() -> dict:
     # run let any reader of the recorded JSON see whether the window
     # itself was loaded (host_soak_mops vs the quiet-window reference).
     n_head = max(1, int(os.environ.get("OPHOIS_BENCH_HEADLINE_RUNS", "5")))
-    runs, soaks = [], []
+    runs, soaks, membws = [], [], []
     for _ in range(n_head):
         soaks.append(round(_cpu_soak_rate(NUM_CPUS, per_task=4_000_000, rounds=2), 1))
+        membws.append(round(_membw_rate(), 1))
         runs.append(headline(pages_dir, osm_dir))
     soaks.append(round(_cpu_soak_rate(NUM_CPUS, per_task=4_000_000, rounds=2), 1))
+    membws.append(round(_membw_rate(), 1))
     head = min(runs, key=lambda h: h["sec"])
     head_runs = [round(h["sec"], 3) for h in runs]
 
@@ -341,6 +343,15 @@ def run_bench() -> dict:
         "host_window_load": round(max(soaks) / _SOAK_REF_MOPS_32, 3)
         if NUM_CPUS == 32 and soaks
         else None,
+        # memory-bandwidth samples: this host's bandwidth is BIMODAL
+        # (~33 vs ~66 GB/s — a co-tenant takes half periodically); the
+        # page pipeline is bandwidth-sensitive while the CPU soak is
+        # not, so a low membw mode explains slow wall-clocks the soak
+        # calls quiet
+        "host_membw_gbps": membws,
+        "host_membw_ref_gbps": _MEMBW_REF_GBPS,
+        "host_membw_load": round(max(membws) / _MEMBW_REF_GBPS, 3)
+        if membws else None,
     }
     ray.shutdown()
     return out
@@ -419,6 +430,63 @@ def _soak_burn(n):
 #: Emitted beside every headline so the recorded JSON self-documents
 #: whether the measurement window was co-tenant-loaded.
 _SOAK_REF_MOPS_32 = 334.0
+
+
+_MEMBW_BUFS = None
+
+
+def _membw_init(n_mb):
+    """Pool initializer: preallocate + touch per-worker buffers so the
+    timed region is pure stream copy (no page faults / zeroing)."""
+    import numpy as np
+
+    global _MEMBW_BUFS
+    a = np.full(n_mb * 131072, 1.0)           # n_mb MB of float64
+    b = np.full(n_mb * 131072, 2.0)
+    _MEMBW_BUFS = (a, b)
+
+
+def _membw_burn(_):
+    """Memory-bandwidth work unit: ping-pong stream copy over the
+    preallocated buffers (8 passes, read+write)."""
+    import numpy as np
+
+    a, b = _MEMBW_BUFS
+    for _ in range(4):
+        np.copyto(b, a)
+        np.copyto(a, b)
+    return float(a[0])
+
+
+#: quiet-window reference for _membw_rate() on this host (best of 13
+#: samples, 2026-08-19: the distribution is BIMODAL — ~32-36 GB/s and
+#: ~61-66 GB/s modes alternate within minutes, i.e. a co-tenant
+#: periodically takes half the memory bandwidth). The CPU soak is
+#: cache-resident and blind to this channel: scaling window D recorded
+#: cpu_soak_efficiency 0.98 while the page pipeline ran 13-60% slow at
+#: BOTH parallelism levels — the bandwidth-mode signature. The membw
+#: sample beside each record closes that blind spot.
+_MEMBW_REF_GBPS = 66.0
+
+
+def _membw_rate(workers: int = 4, n_mb: int = 256, rounds: int = 3) -> float:
+    """GB/s of concurrent stream copies (read+write bytes touched):
+    the host-ceiling channel the pure-CPU soak cannot see. Buffers are
+    preallocated and pre-touched in a pool initializer; best-of-rounds
+    inside one pool smooths scheduler jitter (the co-tenant drift we
+    WANT to see is multi-second, not per-round)."""
+    import multiprocessing as mp
+
+    best = 0.0
+    with mp.Pool(workers, initializer=_membw_init, initargs=(n_mb,)) as p:
+        p.map(_membw_burn, [0] * workers)     # warm
+        for _ in range(rounds):
+            t0 = time.monotonic()
+            p.map(_membw_burn, [0] * workers)
+            dt = time.monotonic() - t0
+            # 8 copyto passes/worker, each touching 2 x n_mb MB
+            best = max(best, workers * n_mb * 16 / dt / 1024)
+    return best
 
 
 def _cpu_soak_rate(workers: int, per_task: int = 8_000_000, rounds: int = 6) -> float:
@@ -500,15 +568,17 @@ def run_scaling():
     soak_hi = _cpu_soak_rate(hi)
     soak_eff = round((soak_hi / soak_lo) / (hi / lo), 3)
 
-    runs_lo, runs_hi, pair_eff = [], [], []
+    runs_lo, runs_hi, pair_eff, membws = [], [], [], []
     pages = None
     for _ in range(cycles):
+        membws.append(round(_membw_rate(), 1))
         r_lo = one(lo)
         r_hi = one(hi)
         pages = r_hi["pages"]
         runs_lo.append(r_lo["value"])
         runs_hi.append(r_hi["value"])
         pair_eff.append(round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3))
+    membws.append(round(_membw_rate(), 1))
     t_lo, t_hi = min(runs_lo), min(runs_hi)
     # three statistics, honestly labelled (see BASELINE.md — the gate is
     # judged on the MEDIAN pairwise value; best/min-of-N are context for
@@ -541,6 +611,12 @@ def run_scaling():
                 "efficiency_vs_host": round(min(eff_median / soak_eff, 1.0), 3)
                 if soak_eff
                 else None,
+                # bandwidth mode per cycle (see _MEMBW_REF_GBPS: this
+                # host alternates ~33 / ~66 GB/s as a co-tenant grabs
+                # half the bandwidth; the pipeline is
+                # bandwidth-sensitive, the CPU soak is not)
+                "host_membw_gbps": membws,
+                "host_membw_ref_gbps": _MEMBW_REF_GBPS,
             }
         )
     )

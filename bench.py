@@ -151,6 +151,9 @@ BENCH_ROTATE = [
     "graph_simplify_stats",
     "graph_discretize_stats",
     "video_h264_stats",
+    "embed_kmeans",
+    "embed_ivf_topk_int",
+    "doc_dsir_weights",
 ]
 BENCH_ROTATE_K = 15
 

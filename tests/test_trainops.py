@@ -3053,3 +3053,27 @@ def test_dsir_weights_layout_invariant(docs):
     b = textstats.dsir_weights(docs.repartition(7)).to_pandas().sort_values(
         "doc_id", ignore_index=True)
     assert a.equals(b)
+
+
+def test_minhash_band_batch_bit_identical_to_scalar(docs):
+    full = docs.to_pandas()
+    a, b = dedup._perm_params(64, 7)
+    ref = dedup._minhash_band_rows_scalar(
+        full["doc_id"].to_numpy(), full["text"], 5, a, b, 16)
+    got = dedup._minhash_band_batch(
+        full["doc_id"].to_numpy(), full["text"], 5, a, b, 16)
+    assert ref.reset_index(drop=True).equals(got.reset_index(drop=True))
+    # short / empty / non-string edge rows hash via the same convention
+    ids = np.array([1, 2, 3], dtype=np.int64)
+    texts = pd.Series(["ab", "", None])
+    assert dedup._minhash_band_rows_scalar(ids, texts, 5, a, b, 16).equals(
+        dedup._minhash_band_batch(ids, texts, 5, a, b, 16))
+
+
+def test_shingle_sets_batch_bit_identical(docs):
+    full = docs.to_pandas().head(100)
+    got = dedup._shingle_sets_batch(full["text"], 5)
+    exp = [dedup._shingle_hashes(t, 5).tobytes() for t in full["text"]]
+    assert got == exp
+    assert dedup._shingle_sets_batch(pd.Series(["ab", "", None]), 5) == [
+        dedup._shingle_hashes(t, 5).tobytes() for t in ["ab", "", None]]

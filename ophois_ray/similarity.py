@@ -37,32 +37,39 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / n[:, None]
 
 
-class _BruteScorer:
-    """Actor-pool stage: holds the broadcast (normalized) query matrix."""
+def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> pd.DataFrame:
+    """Exact cosine top-k for each query row. Returns pandas
+    (query_id, vec_id, cosine, rank) sorted by (query_id, rank);
+    deterministic tiebreak on (cosine desc, vec_id asc).
 
-    def __init__(self, query_ref, vec_col: str, id_col: str, k: int):
-        import ray
+    Task-pool function with a per-worker broadcast cache
+    (pages._fetch_cached), not an actor pool: the stage's only state
+    is the broadcast query matrix (normalized ONCE on the driver), and
+    an actor pool costs seconds of startup per run while its explicit
+    batch_size/concurrency poison read fusion (the repo's measured
+    rule) — fixed overhead dominated this stage at bench scale."""
+    import ray
 
-        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
-        self.q = _unit(np.asarray(q, dtype=np.float64))
-        self.vec_col = vec_col
-        self.id_col = id_col
-        self.k = k
+    from .pages import _fetch_cached
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        vecs = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in df[self.vec_col]]))
-        ids = df[self.id_col].to_numpy()
-        sims = self.q @ vecs.T  # (n_query, n_batch)
-        k = min(self.k, sims.shape[1])
+    qref = ray.put(_unit(np.asarray(queries, dtype=np.float64)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q = _fetch_cached(qref)
+        vecs = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]]))
+        ids = df[id_col].to_numpy()
+        sims = q @ vecs.T  # (n_query, n_batch)
+        kk = min(k, sims.shape[1])
         # deterministic (cosine desc, vec_id asc) tiebreak INSIDE the
         # batch: argpartition alone resolves boundary ties by row order,
         # which depends on block arrival
         out_v, out_c = [], []
         for qi in range(sims.shape[0]):
-            order = np.lexsort((ids, -sims[qi]))[:k]
+            order = np.lexsort((ids, -sims[qi]))[:kk]
             out_v.append(ids[order])
             out_c.append(sims[qi][order])
-        qidx = np.repeat(np.arange(sims.shape[0]), k)
+        qidx = np.repeat(np.arange(sims.shape[0]), kk)
         return pd.DataFrame(
             {
                 "query_id": qidx.astype(np.int64),
@@ -71,23 +78,7 @@ class _BruteScorer:
             }
         )
 
-
-def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10, vec_col: str = "embedding",
-                     id_col: str = "vec_id", concurrency: int = 4, batch_size: int = 4096
-                     ) -> pd.DataFrame:
-    """Exact cosine top-k for each query row. Returns pandas
-    (query_id, vec_id, cosine, rank) sorted by (query_id, rank);
-    deterministic tiebreak on (cosine desc, vec_id asc)."""
-    import ray
-
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = ds.map_batches(
-        _BruteScorer,
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=(1, concurrency),
-        fn_constructor_args=(qref, vec_col, id_col, k),
-    ).to_pandas()
+    partials = ds.map_batches(score, batch_format="pandas").to_pandas()
     out = []
     for qid, grp in partials.groupby("query_id"):
         grp = grp.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
@@ -100,37 +91,40 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10, vec_col: str = "em
     )
 
 
-class _IntScorer:
-    """Actor-pool stage for the ORACLE-EXACT integer top-k: embeddings
-    quantized floor(x * 2^shift) to int64 on both engines; scores are
-    exact int64 dot products (64 dims x 21-bit components < 2^63), so
+def quantized_topk(ds, queries: np.ndarray, *, k: int = 10, vec_col: str = "embedding",
+                   id_col: str = "vec_id", shift: int = 20) -> pd.DataFrame:
+    """ORACLE-EXACT integer inner-product top-k: embeddings quantized
+    floor(x * 2^shift) to int64 on both engines; scores are exact
+    int64 dot products (64 dims x 21-bit components < 2^63), so
     ranking is bit-reproducible in ANSI SQL — no float summation order
-    anywhere."""
+    anywhere. Returns pandas (query_id, vec_id, score, rank) with the
+    deterministic (score desc, vec_id asc) tiebreak — bit-identical to
+    the DuckDB mirror in queries.py. Task-pool function + per-worker
+    broadcast cache (see brute_force_topk for the measured reasoning);
+    queries are quantized once on the driver."""
+    import ray
 
-    def __init__(self, query_ref, vec_col: str, id_col: str, k: int, shift: int):
-        import ray
+    from .pages import _fetch_cached
 
-        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
-        self.q = np.floor(np.asarray(q, dtype=np.float64) * (1 << shift)).astype(np.int64)
-        self.vec_col = vec_col
-        self.id_col = id_col
-        self.k = k
-        self.shift = shift
+    qref = ray.put(
+        np.floor(np.asarray(queries, dtype=np.float64) * (1 << shift))
+        .astype(np.int64))
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q = _fetch_cached(qref)
         vecs = np.floor(
-            np.stack([np.asarray(v, dtype=np.float64) for v in df[self.vec_col]])
-            * (1 << self.shift)
+            np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+            * (1 << shift)
         ).astype(np.int64)
-        ids = df[self.id_col].to_numpy()
-        scores = self.q @ vecs.T  # exact int64
-        k = min(self.k, scores.shape[1])
+        ids = df[id_col].to_numpy()
+        scores = q @ vecs.T  # exact int64
+        kk = min(k, scores.shape[1])
         out_v, out_s = [], []
         for qi in range(scores.shape[0]):
-            order = np.lexsort((ids, -scores[qi]))[:k]
+            order = np.lexsort((ids, -scores[qi]))[:kk]
             out_v.append(ids[order])
             out_s.append(scores[qi][order])
-        qidx = np.repeat(np.arange(scores.shape[0]), k)
+        qidx = np.repeat(np.arange(scores.shape[0]), kk)
         return pd.DataFrame(
             {
                 "query_id": qidx.astype(np.int64),
@@ -139,24 +133,7 @@ class _IntScorer:
             }
         )
 
-
-def quantized_topk(ds, queries: np.ndarray, *, k: int = 10, vec_col: str = "embedding",
-                   id_col: str = "vec_id", shift: int = 20, concurrency: int = 4,
-                   batch_size: int = 4096) -> pd.DataFrame:
-    """Exact integer-arithmetic inner-product top-k (see _IntScorer).
-    Returns pandas (query_id, vec_id, score, rank) with the
-    deterministic (score desc, vec_id asc) tiebreak — bit-identical to
-    the DuckDB mirror in queries.py."""
-    import ray
-
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = ds.map_batches(
-        _IntScorer,
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=(1, concurrency),
-        fn_constructor_args=(qref, vec_col, id_col, k, shift),
-    ).to_pandas()
+    partials = ds.map_batches(score, batch_format="pandas").to_pandas()
     out = []
     for qid, grp in partials.groupby("query_id"):
         grp = grp.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
@@ -215,62 +192,60 @@ def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, vec_col: str = "embedding"
 
     import ray
 
+    from .pages import _fetch_cached
+
     qref = ray.put((queries, planes, probe_tbl))
 
-    class Scorer:
+    def score(df: pd.DataFrame) -> pd.DataFrame:
         """Per-batch partial top-k per query (the same shape as
-        _BruteScorer): candidates outside a query's probed buckets are
-        masked to -inf, survivors are ranked with the deterministic
+        brute_force_topk): candidates outside a query's probed buckets
+        are masked to -inf, survivors are ranked with the deterministic
         (cosine desc, vec_id asc) tiebreak, and only n_query x k tiny
-        partial rows leave the task — never raw candidates."""
+        partial rows leave the task — never raw candidates. Task-pool
+        function + per-worker broadcast cache (see brute_force_topk)."""
+        q, pl, tbl = _fetch_cached(qref)
+        vecs = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]]))
+        s = (vecs @ pl) >= 0
+        sig = np.zeros(len(vecs), dtype=np.int64)
+        for i in range(n_planes):
+            sig |= s[:, i].astype(np.int64) << i
+        any_probe = tbl.any(axis=0)
+        m = any_probe[sig]
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype=np.int64),
+             "vec_id": pd.Series(dtype=df[id_col].dtype),
+             "cosine": pd.Series(dtype=np.float64)}
+        )
+        if not m.any():
+            return empty
+        cand = vecs[m]
+        cand_ids = df[id_col].to_numpy()[m]
+        cand_sig = sig[m]
+        sims = q @ cand.T  # (n_query, n_cand)
+        valid = tbl[:, cand_sig]  # (n_query, n_cand)
+        sims = np.where(valid, sims, -np.inf)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            nvalid = int(valid[qi].sum())
+            if nvalid == 0:
+                continue
+            kk = min(k, nvalid)
+            order = np.lexsort((cand_ids, -row))[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(cand_ids[order])
+            out_c.append(row[order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "cosine": np.concatenate(out_c),
+            }
+        )
 
-        def __init__(self):
-            q, pl, tbl = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
-            self.q, self.planes, self.tbl = q, pl, tbl
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            vecs = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]]))
-            s = (vecs @ self.planes) >= 0
-            sig = np.zeros(len(vecs), dtype=np.int64)
-            for i in range(n_planes):
-                sig |= s[:, i].astype(np.int64) << i
-            any_probe = self.tbl.any(axis=0)
-            m = any_probe[sig]
-            empty = pd.DataFrame(
-                {"query_id": pd.Series(dtype=np.int64),
-                 "vec_id": pd.Series(dtype=df[id_col].dtype),
-                 "cosine": pd.Series(dtype=np.float64)}
-            )
-            if not m.any():
-                return empty
-            cand = vecs[m]
-            cand_ids = df[id_col].to_numpy()[m]
-            cand_sig = sig[m]
-            sims = self.q @ cand.T  # (n_query, n_cand)
-            valid = self.tbl[:, cand_sig]  # (n_query, n_cand)
-            sims = np.where(valid, sims, -np.inf)
-            out_q, out_v, out_c = [], [], []
-            for qi in range(sims.shape[0]):
-                row = sims[qi]
-                nvalid = int(valid[qi].sum())
-                if nvalid == 0:
-                    continue
-                kk = min(k, nvalid)
-                order = np.lexsort((cand_ids, -row))[:kk]
-                out_q.append(np.full(kk, qi, dtype=np.int64))
-                out_v.append(cand_ids[order])
-                out_c.append(row[order])
-            if not out_q:
-                return empty
-            return pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "vec_id": np.concatenate(out_v),
-                    "cosine": np.concatenate(out_c),
-                }
-            )
-
-    partials = ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    partials = ds.map_batches(score, batch_format="pandas").to_pandas()
     out = []
     for qid, grp in partials.groupby("query_id"):
         grp = grp.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
@@ -382,57 +357,57 @@ def ivf_topk(ds, queries: np.ndarray, centroids: np.ndarray, *, k: int = 10,
         order = np.lexsort((np.arange(n_cent), -qc[qi]))[:nprobe]
         probe_tbl[qi, order] = True
 
+    from .pages import _fetch_cached
+
     qref = ray.put((queries, centroids, probe_tbl))
 
-    class Scorer:
-        def __init__(self):
-            q, c, tbl = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
-            self.q, self.c, self.tbl = q, c, tbl
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        # task-pool function + per-worker broadcast cache (see
+        # brute_force_topk for the measured actor-pool reasoning)
+        q, c, tbl = _fetch_cached(qref)
+        vecs = _unit(
+            np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        )
+        ids = df[id_col].to_numpy()
+        assign = np.argmax(c @ vecs.T, axis=0)
+        valid = tbl[:, assign]  # (n_query, n_batch)
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype=np.int64),
+             "vec_id": pd.Series(dtype=ids.dtype),
+             "cosine": pd.Series(dtype=np.float64)}
+        )
+        if not valid.any():
+            return empty
+        # subset the batch to vectors in SOME probed list BEFORE the
+        # query matmul — this is where the ~nprobe/n_centroids work
+        # reduction actually happens (masking after a full matmul
+        # would do strictly more work than brute force)
+        keep = valid.any(axis=0)
+        vecs = vecs[keep]
+        ids = ids[keep]
+        valid = valid[:, keep]
+        sims = np.where(valid, q @ vecs.T, -np.inf)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(sims.shape[0]):
+            nvalid = int(valid[qi].sum())
+            if nvalid == 0:
+                continue
+            kk = min(k, nvalid)
+            order = np.lexsort((ids, -sims[qi]))[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(ids[order])
+            out_c.append(sims[qi][order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "cosine": np.concatenate(out_c),
+            }
+        )
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            vecs = _unit(
-                np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
-            )
-            ids = df[id_col].to_numpy()
-            assign = np.argmax(self.c @ vecs.T, axis=0)
-            valid = self.tbl[:, assign]  # (n_query, n_batch)
-            empty = pd.DataFrame(
-                {"query_id": pd.Series(dtype=np.int64),
-                 "vec_id": pd.Series(dtype=ids.dtype),
-                 "cosine": pd.Series(dtype=np.float64)}
-            )
-            if not valid.any():
-                return empty
-            # subset the batch to vectors in SOME probed list BEFORE the
-            # query matmul — this is where the ~nprobe/n_centroids work
-            # reduction actually happens (masking after a full matmul
-            # would do strictly more work than brute force)
-            keep = valid.any(axis=0)
-            vecs = vecs[keep]
-            ids = ids[keep]
-            valid = valid[:, keep]
-            sims = np.where(valid, self.q @ vecs.T, -np.inf)
-            out_q, out_v, out_c = [], [], []
-            for qi in range(sims.shape[0]):
-                nvalid = int(valid[qi].sum())
-                if nvalid == 0:
-                    continue
-                kk = min(k, nvalid)
-                order = np.lexsort((ids, -sims[qi]))[:kk]
-                out_q.append(np.full(kk, qi, dtype=np.int64))
-                out_v.append(ids[order])
-                out_c.append(sims[qi][order])
-            if not out_q:
-                return empty
-            return pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "vec_id": np.concatenate(out_v),
-                    "cosine": np.concatenate(out_c),
-                }
-            )
-
-    partials = ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    partials = ds.map_batches(score, batch_format="pandas").to_pandas()
     out = []
     for qid, grp in partials.groupby("query_id"):
         grp = grp.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)

@@ -155,17 +155,16 @@ def degree_histogram(nodes, edges) -> dict[int, int]:
 # ----------------------------------------------------------- coord joins
 
 
-class _CoordAttacher:
-    """Actor-pool stage: holds the broadcast node index (fetched once per
-    actor) and stamps endpoint coordinates onto edge batches."""
+def _attach_coords_fn(index_ref):
+    """Task-pool coordinate stamper over the broadcast node index —
+    fetched once per WORKER via the pages._fetch_cached cache, not once
+    per actor: the stage is stateless apart from the broadcast, and an
+    actor pool costs seconds of startup per run while its explicit
+    concurrency poisons read fusion (the repo's measured rule)."""
+    from .pages import _fetch_cached
 
-    def __init__(self, index_ref):
-        import ray
-
-        self.index = ray.get(index_ref)
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        idx = self.index
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        idx = _fetch_cached(index_ref)
         u = df["u"].to_numpy(object)
         v = df["v"].to_numpy(object)
         df = df.copy()
@@ -175,14 +174,17 @@ class _CoordAttacher:
         df["v_lon"] = idx.lookup(v, "lon")
         return df
 
+    return fn
 
-class _CoordAttacherDrop(_CoordAttacher):
-    """Variant that drops edges with a dangling endpoint (engine policy
-    for refs to missing nodes — the reference would panic,
-    graph.rs:148; SURVEY.md §7.4)."""
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        idx = self.index
+def _attach_coords_drop_fn(index_ref):
+    """Dangling-endpoint-dropping variant (engine policy for refs to
+    missing nodes — the reference would panic, graph.rs:148;
+    SURVEY.md §7.4)."""
+    from .pages import _fetch_cached
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        idx = _fetch_cached(index_ref)
         u = df["u"].to_numpy(object)
         v = df["v"].to_numpy(object)
         ula, fu = idx.lookup_with_mask(u, "lat")
@@ -194,6 +196,8 @@ class _CoordAttacherDrop(_CoordAttacher):
         df["u_lat"], df["u_lon"], df["v_lat"], df["v_lon"] = ula, ulo, vla, vlo
         return df[ok]
 
+    return fn
+
 
 def attach_coords(
     edges,
@@ -201,7 +205,6 @@ def attach_coords(
     *,
     method: str = "broadcast",
     drop_dangling: bool = False,
-    concurrency: int = 4,
     cap: int = DEFAULT_BROADCAST_CAP,
 ):
     """Join edge endpoints to node coordinates -> adds u_lat/u_lon/v_lat/v_lon.
@@ -213,13 +216,9 @@ def attach_coords(
     """
     if method == "broadcast":
         ref = put_index(nodes, "id", ["lat", "lon"], cap=cap)
-        cls = _CoordAttacherDrop if drop_dangling else _CoordAttacher
-        return edges.map_batches(
-            cls,
-            batch_format="pandas",
-            fn_constructor_args=(ref,),
-            concurrency=(1, concurrency),
-        )
+        fn = (_attach_coords_drop_fn if drop_dangling
+              else _attach_coords_fn)(ref)
+        return edges.map_batches(fn, batch_format="pandas")
     coords = nodes.select_columns(["id", "lat", "lon"])
     step1 = hash_join(
         edges,

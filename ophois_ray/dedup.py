@@ -127,19 +127,41 @@ def _shingle_sets_batch(texts, k: int) -> list:
     (pd.util.hash_array is elementwise; its fixed cost dominated the
     per-doc form). The per-doc np.unique is kept: it defines the
     sorted set bytes the Jaccard verifier consumes."""
+    flat, bounds = _hash_shingles_flat(texts, k)
+    if flat is None:
+        return []
+    return [np.unique(flat[s:e]).tobytes()
+            for s, e in zip(bounds, bounds[1:])]
+
+
+#: flush the batched shingle-string buffer at this many entries so the
+#: transient Python-string footprint stays bounded for big-text rows
+#: (hashing is elementwise — chunking cannot change any value)
+_SHINGLE_FLUSH = 1 << 21
+
+
+def _hash_shingles_flat(texts, k: int):
+    """(flat uint64 hash array, per-doc bounds) over every doc's
+    shingles, hashing in bounded chunks (see _SHINGLE_FLUSH)."""
+    hashed: list = []
     shingles: list = []
     bounds = [0]
     for text in texts:
         if not isinstance(text, str) or len(text) < k:
             shingles.append(text or "")
+            bounds.append(bounds[-1] + 1)
         else:
             shingles.extend(text[i:i + k] for i in range(len(text) - k + 1))
-        bounds.append(len(shingles))
-    if not shingles:
-        return []
-    flat = stable_hash(np.array(shingles, dtype=object))
-    return [np.unique(flat[s:e]).tobytes()
-            for s, e in zip(bounds, bounds[1:])]
+            bounds.append(bounds[-1] + len(text) - k + 1)
+        if len(shingles) >= _SHINGLE_FLUSH:
+            hashed.append(stable_hash(np.array(shingles, dtype=object)))
+            shingles = []
+    if shingles:
+        hashed.append(stable_hash(np.array(shingles, dtype=object)))
+    if not hashed:
+        return None, bounds
+    flat = hashed[0] if len(hashed) == 1 else np.concatenate(hashed)
+    return flat, bounds
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -202,26 +224,14 @@ def _minhash_band_batch(ids, texts, shingle_k, a, b, bands):
     cannot change a min. The (n_shingles x num_perm) intermediate is
     chunked by docs to stay cache/heap-bounded at any batch size."""
     num_perm = len(a)
-    shingles: list = []
-    starts: list = []
-    n = 0
-    for text in texts:
-        starts.append(n)
-        if not isinstance(text, str) or len(text) < shingle_k:
-            shingles.append(text or "")     # hash_text_u64 convention
-            n += 1
-        else:
-            m = len(text) - shingle_k + 1
-            shingles.extend(text[i:i + shingle_k] for i in range(m))
-            n += m
-    ndocs = len(starts)
-    if not ndocs:
+    flat, bounds_list = _hash_shingles_flat(texts, shingle_k)
+    ndocs = len(bounds_list) - 1
+    if flat is None or not ndocs:
         return pd.DataFrame({"band": pd.Series(dtype=np.int64),
                              "bucket": pd.Series(dtype=np.int64),
                              "id": pd.Series(dtype=np.asarray(ids).dtype
                                              if len(ids) else np.int64)})
-    flat = stable_hash(np.array(shingles, dtype=object))
-    bounds = np.array(starts + [n], dtype=np.int64)
+    bounds = np.array(bounds_list, dtype=np.int64)
     sig = np.empty((ndocs, num_perm), dtype=np.uint64)
     CH = 512
     for lo in range(0, ndocs, CH):

@@ -240,6 +240,7 @@ def asof_join(
     how: str = "left",
     num_buckets: int = 64,
     right_suffix: str = "_r",
+    right_prep=None,
 ):
     """Distributed as-of join — the event-stream/time-series join Ray
     Data has no primitive for: each left row picks the single right row
@@ -258,7 +259,12 @@ def asof_join(
     applicable here, raise ``num_buckets`` for many-group skew instead.
     DETERMINISM: the right side must be unique per (by, on) — with
     duplicate right timestamps ``merge_asof`` keeps whichever sorts
-    last — so pre-aggregate duplicates away (see q_events_asof_join).
+    last — so pre-aggregate duplicates away. ``right_prep`` runs that
+    dedup INSIDE each co-partition task (on the bucket's right slice,
+    post-rename — every row of a ``by`` group is present, so a
+    per-bucket groupby equals the global one) instead of as a separate
+    keyed shuffle on the same key the join immediately re-shuffles on
+    — one exchange saved (see q_events_asof_join).
     """
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
@@ -296,6 +302,8 @@ def asof_join(
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         lf = df[df["__side"] == 0][lcols].infer_objects()
         rf = df[df["__side"] == 1][[by, on] + out_rcols].infer_objects()
+        if right_prep is not None and len(rf):
+            rf = right_prep(rf)
         if len(lf) == 0:
             out = lf.copy()
             for c in out_rcols:

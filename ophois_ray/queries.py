@@ -2190,41 +2190,52 @@ FROM documents
 def q_events_asof_join(sf_dir: str):
     """As-of join (joins.asof_join): each purchase event picks the most
     recent click at-or-before it by the same user — the event-stream
-    attribution join. Right side is pre-deduplicated to max event_id per
+    attribution join. Right side is deduplicated to max event_id per
     (user_id, us) so the as-of winner is unique; all outputs are int64,
-    mirrored exactly by DuckDB's native ASOF JOIN."""
-    from .joins import asof_join, grouped_apply
+    mirrored exactly by DuckDB's native ASOF JOIN.
 
-    def side(event_type: str):
-        # vectorized filter+cast fused with the read (one pass per
-        # side); a per-row `filter(lambda ...)` here measured 36 s at
-        # sf0.1 vs ~3 s for the two fused vectorized passes
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df[df["event_type"].to_numpy(object) == event_type]
-            us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
-            return pd.DataFrame(
-                {"event_id": df["event_id"].to_numpy(np.int64),
-                 "user_id": df["user_id"].to_numpy(np.int64),
-                 "us": us.to_numpy()}
-            )
+    Plan shape (was 2 reads + 2 shuffles; now 1 read + 1 shuffle): ONE
+    fused vectorized read projects both event types (a per-row
+    `filter(lambda ...)` here measured 36 s at sf0.1 vs ~3 s fused) and
+    materializes the compact int projection once for both sides; the
+    right-side (user_id, us) dedup runs INSIDE the as-of co-partition
+    tasks (asof_join right_prep) instead of as its own shuffle on the
+    very key the join re-shuffles."""
+    from .joins import asof_join
 
-        return _t(sf_dir, "events").select_columns(
-            ["event_id", "user_id", "ts", "event_type"]
-        ).map_batches(fn, batch_format="pandas")
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["event_type"].to_numpy(object)
+        keep = (t == "purchase") | (t == "click")
+        df = df[keep]
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(np.int64),
+             "user_id": df["user_id"].to_numpy(np.int64),
+             "us": us.to_numpy(),
+             "is_p": (t[keep] == "purchase")}
+        )
 
-    left = side("purchase")
-    clicks = side("click")
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(proj, batch_format="pandas").materialize()
 
-    def dedup_right(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["user_id", "us"], as_index=False).agg(
-            r_event_id=("event_id", "max")
+    left = ev.map_batches(
+        lambda df: df[df["is_p"].to_numpy()][["event_id", "user_id", "us"]],
+        batch_format="pandas")
+    right = ev.map_batches(
+        lambda df: df[~df["is_p"].to_numpy()][["event_id", "user_id", "us"]]
+        .rename(columns={"event_id": "r_event_id"}),
+        batch_format="pandas")
+
+    def dedup_right(rf: pd.DataFrame) -> pd.DataFrame:
+        g = rf.groupby(["user_id", "us"], as_index=False).agg(
+            r_event_id=("r_event_id", "max")
         )
         g["r_event_id"] = g["r_event_id"].astype(np.int64)
         return g
 
-    right = grouped_apply(clicks, "user_id", dedup_right)
-
-    out = asof_join(left, right, on="us", by="user_id", how="inner")
+    out = asof_join(left, right, on="us", by="user_id", how="inner",
+                    right_prep=dedup_right)
 
     def cast(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -402,3 +402,36 @@ def test_sssp_copart_path_equals_broadcast(ray_session):
     assert a["node"].tolist() == b["node"].tolist()
     assert a["dist"].tolist() == b["dist"].tolist()
     assert len(a) > 10 and (a["dist"] > 0).any()
+
+
+def test_asof_join_right_prep_equals_global_dedup(ray_session):
+    import ray.data
+    from ophois_ray.joins import asof_join
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame({
+        "g": rng.randint(0, 8, 200),
+        "t": rng.randint(0, 300, 200).astype(np.int64),
+        "x": np.arange(200),
+    })
+    # right WITH duplicate (g, t) keys; dedup keeps max y
+    right = pd.DataFrame({
+        "g": rng.randint(0, 8, 300),
+        "t": rng.randint(0, 300, 300).astype(np.int64),
+        "y": rng.randint(0, 1000, 300).astype(np.int64),
+    })
+
+    def dedup(rf):
+        g = rf.groupby(["g", "t"], as_index=False).agg(y=("y", "max"))
+        g["y"] = g["y"].astype(np.int64)
+        return g
+
+    via_prep = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="t", by="g", how="inner", num_buckets=5, right_prep=dedup,
+    ).to_pandas().sort_values(["g", "t", "x"]).reset_index(drop=True)
+    pre_deduped = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(dedup(right)),
+        on="t", by="g", how="inner", num_buckets=5,
+    ).to_pandas().sort_values(["g", "t", "x"]).reset_index(drop=True)
+    assert via_prep.equals(pre_deduped)

@@ -238,7 +238,23 @@ def q_spatial_cell_join(sf_dir: str):
         supp_cells, batch_format="pandas"
     )
     joined = hash_join(c, s, "cell", num_buckets=16)
-    return joined.groupby("cell").aggregate(Count(alias_name="n_pairs"))
+
+    # the join already co-partitioned by cell, so a cell's pairs all
+    # sit in one output block: per-block value_counts partials merged
+    # on the driver replace a second keyed groupby barrier over the
+    # exploded pair set (the repo's measured barrier anti-pattern)
+    def vc(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["cell"].value_counts()
+        return pd.DataFrame({"cell": cnt.index.to_numpy(np.int64),
+                             "n_pairs": cnt.to_numpy(np.int64)})
+
+    parts = joined.map_batches(vc, batch_format="pandas").to_pandas()
+    if parts.empty:  # 0-row to_pandas drops columns
+        return pd.DataFrame({"cell": pd.Series(dtype=np.int64),
+                             "n_pairs": pd.Series(dtype=np.int64)})
+    out = parts.groupby("cell", as_index=False)["n_pairs"].sum()
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.sort_values("cell").reset_index(drop=True)
 
 
 def _sql_spatial_cell_join() -> str:

@@ -300,11 +300,13 @@ def run_bench() -> dict:
     # run let any reader of the recorded JSON see whether the window
     # itself was loaded (host_soak_mops vs the quiet-window reference).
     n_head = max(1, int(os.environ.get("OPHOIS_BENCH_HEADLINE_RUNS", "5")))
-    runs, soaks, membws = [], [], []
+    runs, soaks, membws, steals = [], [], [], []
     for _ in range(n_head):
         soaks.append(round(_cpu_soak_rate(NUM_CPUS, per_task=4_000_000, rounds=2), 1))
         membws.append(round(_membw_rate(), 1))
+        s0 = _proc_cpu_times()
         runs.append(headline(pages_dir, osm_dir))
+        steals.append(_steal_between(s0, _proc_cpu_times()))
     soaks.append(round(_cpu_soak_rate(NUM_CPUS, per_task=4_000_000, rounds=2), 1))
     membws.append(round(_membw_rate(), 1))
     head = min(runs, key=lambda h: h["sec"])
@@ -355,6 +357,11 @@ def run_bench() -> dict:
         "host_membw_ref_gbps": _MEMBW_REF_GBPS,
         "host_membw_load": round(max(membws) / _MEMBW_REF_GBPS, 3)
         if membws else None,
+        # hypervisor steal / iowait DURING each headline run
+        # (/proc/stat delta — zero perturbation, can't miss a mid-run
+        # co-tenant the way between-run probes can)
+        "host_steal_during_runs": [s["steal_pct"] for s in steals],
+        "host_iowait_during_runs": [s["iowait_pct"] for s in steals],
     }
     ray.shutdown()
     return out
@@ -472,6 +479,37 @@ def _membw_burn(_):
 _MEMBW_REF_GBPS = 66.0
 
 
+def _proc_cpu_times():
+    """(total, steal, iowait) jiffies from /proc/stat — the
+    hypervisor's own ledger of co-tenancy. Sampling around a run and
+    differencing gives the EXACT share of CPU the host stole DURING
+    that run, with zero perturbation (unlike the soak/membw probes,
+    which sample between runs and can miss a co-tenant that arrives
+    mid-run — window G's failure mode)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return None
+    total = sum(vals)
+    steal = vals[7] if len(vals) > 7 else 0
+    iowait = vals[4] if len(vals) > 4 else 0
+    return total, steal, iowait
+
+
+def _steal_between(before, after):
+    """{'steal_pct', 'iowait_pct'} across two _proc_cpu_times samples."""
+    if before is None or after is None:
+        return {"steal_pct": None, "iowait_pct": None}
+    dt = after[0] - before[0]
+    if dt <= 0:
+        return {"steal_pct": None, "iowait_pct": None}
+    return {
+        "steal_pct": round(100.0 * (after[1] - before[1]) / dt, 2),
+        "iowait_pct": round(100.0 * (after[2] - before[2]) / dt, 2),
+    }
+
+
 def _membw_rate(workers: int = 4, n_mb: int = 256, rounds: int = 3) -> float:
     """GB/s of concurrent stream copies (read+write bytes touched):
     the host-ceiling channel the pure-CPU soak cannot see. Buffers are
@@ -572,6 +610,7 @@ def run_scaling():
     soak_eff = round((soak_hi / soak_lo) / (hi / lo), 3)
 
     runs_lo, runs_hi, pair_eff, membws = [], [], [], []
+    steal_lo, steal_hi = [], []
     pages = None
     for _ in range(cycles):
         membws.append(round(_membw_rate(), 1))
@@ -580,6 +619,8 @@ def run_scaling():
         pages = r_hi["pages"]
         runs_lo.append(r_lo["value"])
         runs_hi.append(r_hi["value"])
+        steal_lo.extend(r_lo.get("host_steal_during_runs") or [])
+        steal_hi.extend(r_hi.get("host_steal_during_runs") or [])
         pair_eff.append(round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3))
     membws.append(round(_membw_rate(), 1))
     t_lo, t_hi = min(runs_lo), min(runs_hi)
@@ -620,6 +661,11 @@ def run_scaling():
                 # bandwidth-sensitive, the CPU soak is not)
                 "host_membw_gbps": membws,
                 "host_membw_ref_gbps": _MEMBW_REF_GBPS,
+                # hypervisor steal DURING each measured run (see
+                # _proc_cpu_times — between-run probes missed window
+                # G's mid-run co-tenant; this cannot)
+                f"host_steal_during_runs_{lo}": steal_lo,
+                f"host_steal_during_runs_{hi}": steal_hi,
             }
         )
     )
@@ -644,7 +690,11 @@ def run_headline_only() -> dict:
     tag = "pages" if mult == 1 else f"pages{mult}x"
     pages_dir, osm_dir, n_pages = prepare_inputs(sf, mult=mult, tag=tag)
     _warmup(sf, osm_dir, pages_dir)
-    runs = [headline(pages_dir, osm_dir)["sec"] for _ in range(repeats)]
+    runs, steals = [], []
+    for _ in range(repeats):
+        s0 = _proc_cpu_times()
+        runs.append(headline(pages_dir, osm_dir)["sec"])
+        steals.append(_steal_between(s0, _proc_cpu_times()))
     best = min(runs)
     out = {
         "metric": "headline only",
@@ -656,6 +706,8 @@ def run_headline_only() -> dict:
         "pages": n_pages,
         "pages_per_sec": round(n_pages / best, 1),
         "runs": [round(r, 3) for r in runs],
+        "host_steal_during_runs": [s["steal_pct"] for s in steals],
+        "host_iowait_during_runs": [s["iowait_pct"] for s in steals],
     }
     ray.shutdown()
     return out

@@ -968,6 +968,8 @@ def kmeans_int(ds, *, k: int = 8, iters: int = 2,
     seeds = pa.concat_tables(
         qds.map_batches(seed_partial, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow", batch_size=None))
+    if len(seeds) == 0:
+        raise ValueError("kmeans_int: empty input dataset")
     sids = seeds[id_col].to_numpy(zero_copy_only=False)
     order = np.argsort(sids, kind="stable")[:k]
     C = _fixed_list_mat(seeds["x"])[order].astype(np.int64)

@@ -5007,6 +5007,39 @@ GROUP BY t.doc_id
 """
 
 
+#: the doc_dict_tags gazetteer — single-token terms present in the
+#: synthetic corpus vocabulary (non-vacuous at every SF); keep in sync
+#: with SQL_DOC_DICT_TAGS
+DICT_TAG_TERMS = ("hash", "merge", "spark", "stream", "vector")
+
+
+def q_doc_dict_tags(sf_dir: str):
+    """Dictionary/gazetteer tagging (textstats.dictionary_tag): exact
+    per-document mention counts of a broadcast term list — the
+    entity-list / topic-lexicon / blocklist tagger every curation
+    pipeline runs beside the regex PII detector. Zero shuffle; exact
+    token equality makes the DuckDB token = term join identical by
+    construction."""
+    from . import textstats
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.dictionary_tag(docs, DICT_TAG_TERMS)
+
+
+SQL_DOC_DICT_TAGS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS w
+  FROM documents
+), terms AS (
+  SELECT unnest(['hash', 'merge', 'spark', 'stream', 'vector']) AS term
+)
+SELECT t.doc_id, m.term, CAST(count(*) AS BIGINT) AS n_mentions
+FROM toks t JOIN terms m ON t.w = m.term
+GROUP BY t.doc_id, m.term
+"""
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training (textstats.bpe_train): ONE distributed
     pass collapses the corpus to its exact word-frequency table (the
@@ -6503,11 +6536,11 @@ def catalog():
     # Ordered so the driver's 50-query verification window (catalog
     # positions 1-50) covers entries with no green row in
     # CORRECTNESS_r01-r03: the two new hash-checkable graph fixpoints
-    # first, then 45 SQL-mirrored never-driver-checked queries plus
-    # the new embed_kmeans / embed_ivf_topk_int / doc_dsir_weights.
-    # The previously-verified 50 and the no-oracle entries follow;
-    # rotate again next round to cover the remaining 29
-    # (doc_gopher_rules onward).
+    # first, then 44 SQL-mirrored never-driver-checked queries plus
+    # the 4 new ones (embed_kmeans, embed_ivf_topk_int,
+    # doc_dsir_weights, doc_dict_tags). The previously-verified 50 and
+    # the no-oracle entries follow; rotate again next round to cover
+    # the remaining 30 (doc_dup_spans onward).
     return {
         "graph_simplify_stats": q_graph_simplify_stats,
         "graph_discretize_stats": q_graph_discretize_stats,
@@ -6549,6 +6582,7 @@ def catalog():
         "embed_kmeans": q_embed_kmeans,
         "embed_ivf_topk_int": q_embed_ivf_topk_int,
         "doc_dsir_weights": q_doc_dsir_weights,
+        "doc_dict_tags": q_doc_dict_tags,
         "tile_pyramid": q_tile_pyramid,
         "zorder_stats": q_zorder_stats,
         "snapshot_diff": q_snapshot_diff,
@@ -6748,6 +6782,7 @@ def sql_catalog():
         "embed_kmeans": _sql_embed_kmeans(),
         "embed_ivf_topk_int": _sql_embed_ivf_topk_int(),
         "doc_dsir_weights": SQL_DOC_DSIR_WEIGHTS,
+        "doc_dict_tags": SQL_DOC_DICT_TAGS,
         "tile_pyramid": _sql_tile_pyramid(),
         "zorder_stats": _sql_zorder_stats(),
         "events_latest_per_user": SQL_EVENTS_LATEST,

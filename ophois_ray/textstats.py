@@ -909,6 +909,51 @@ def dsir_weights(ds, *, target_col: str = "lang", target_val: str = "en",
     return ds.map_batches(score, batch_format="pandas")
 
 
+def dictionary_tag(ds, terms, *, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Gazetteer / dictionary tagging — the list-driven sibling of the
+    regex PII detector: count each dictionary term's whitespace-token
+    mentions per document (entity lists, topic lexicons, blocklists).
+
+    Scale shape: the sorted term array broadcasts once (ray.put +
+    per-worker cache) and every batch emits its own exact (doc, term,
+    n_mentions) rows — zero shuffle, since a document's tokens live in
+    one batch. Matching is exact token equality (searchsorted into the
+    sorted dictionary), so the DuckDB mirror's token = term join is
+    identical by construction. Returns a Dataset
+    (id, term, n_mentions) with n_mentions >= 1 rows only.
+    """
+    import ray
+
+    from .pages import _fetch_cached
+
+    tarr = np.array(sorted({str(t) for t in terms}), dtype=object)
+    tref = ray.put(tarr)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = _fetch_cached(tref)
+        empty = pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                              "term": pd.Series(dtype=object),
+                              "n_mentions": pd.Series(dtype=np.int64)})
+        flat, doc_of, ndocs = flatten_tokens(df[text_col])
+        if not len(flat) or not len(t):
+            return empty
+        pos = np.minimum(np.searchsorted(t, flat), len(t) - 1)
+        hit = t[pos] == flat
+        if not hit.any():
+            return empty
+        di, ti = doc_of[hit], pos[hit]
+        key = di.astype(np.int64) * len(t) + ti
+        uk, counts = np.unique(key, return_counts=True)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64)[uk // len(t)],
+            "term": t[uk % len(t)],
+            "n_mentions": counts.astype(np.int64),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 #: PII detector table: (name, RE2 pattern, scrub mask). Both the engine
 #: (pyarrow/RE2 kernels) and the DuckDB mirror (also RE2) evaluate these
 #: EXACT strings, so match semantics are identical by construction —

@@ -3077,3 +3077,17 @@ def test_shingle_sets_batch_bit_identical(docs):
     assert got == exp
     assert dedup._shingle_sets_batch(pd.Series(["ab", "", None]), 5) == [
         dedup._shingle_hashes(t, 5).tobytes() for t in ["ab", "", None]]
+
+
+def test_dictionary_tag_counts_exact(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame([
+        {"doc_id": 1, "text": "spark hash spark zz"},
+        {"doc_id": 2, "text": "nothing matches here"},
+        {"doc_id": 3, "text": "hash"},
+    ]))
+    out = (textstats.dictionary_tag(ds, ("spark", "hash"))
+           .to_pandas().sort_values(["doc_id", "term"], ignore_index=True))
+    exp = pd.DataFrame({"doc_id": np.array([1, 1, 3], dtype=np.int64),
+                        "term": ["hash", "spark", "hash"],
+                        "n_mentions": np.array([1, 2, 1], dtype=np.int64)})
+    assert out.equals(exp)

@@ -2026,26 +2026,846 @@ def _h264_parse_sps(r: "_H264BitReader") -> dict:
     }
 
 
-def decode_h264_ipcm(raw: bytes):
+# -------------------------- H.264 intra CAVLC (Intra_16x16) toolchain
+#
+# Extends the Annex B subset from I_PCM to the REAL compressed intra
+# path of the baseline profile: Intra_16x16 luma prediction (V/H/DC/
+# Plane, spec 8.3.3), 8x8 chroma intra prediction (DC/H/V/Plane,
+# 8.3.4), the 4x4 integer core transform (8.5.12), the luma-DC 4x4
+# Hadamard (8.5.10) and chroma-DC 2x2 Hadamard (8.5.11) hierarchies,
+# scalar quantization, and CAVLC entropy coding (9.2: coeff_token
+# Table 9-5, level prefix/suffix with the full escape ladder,
+# total_zeros Tables 9-7/9-8, run_before Table 9-10). The encoder
+# keeps the decoder-identical reconstruction (intra prediction feeds
+# on reconstructed neighbours — pytest pins decoder == encoder recon
+# bit-exactly) and falls back to I_PCM per macroblock when the
+# entropy-coded payload would exceed the raw samples, so streams mix
+# mb_type 25 and 1..24 like a real encoder's. Inter (motion
+# compensation), I_4x4 and CABAC remain out of scope and raise
+# MediaDecodeError naming the missing tool.
+
+_ZZ4 = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+        (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3)]
+
+# quant MF / dequant V per QP%6; columns = coefficient classes
+# {(0,0),(0,2),(2,0),(2,2)} / {(1,1),(1,3),(3,1),(3,3)} / others
+_H264_MF = [(13107, 5243, 8066), (11916, 4660, 7490), (10082, 4194, 6554),
+            (9362, 3647, 5825), (8192, 3355, 5243), (7282, 2893, 4559)]
+_H264_V = [(10, 16, 13), (11, 18, 14), (13, 20, 16),
+           (14, 23, 18), (16, 25, 20), (18, 29, 23)]
+# chroma QP mapping (spec Table 8-15, chroma_qp_index_offset 0)
+_H264_QPC = list(range(30)) + [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
+                               36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39]
+
+
+def _h264_qmat(tab):
+    cls = [[0 if (r % 2 == 0 and c % 2 == 0) else
+            1 if (r % 2 == 1 and c % 2 == 1) else 2
+            for c in range(4)] for r in range(4)]
+    return [np.array([[tab[m][cls[r][c]] for c in range(4)]
+                      for r in range(4)], np.int64) for m in range(6)]
+
+
+_MF4 = _h264_qmat(_H264_MF)
+_V4 = _h264_qmat(_H264_V)
+
+_CF = np.array([[1, 1, 1, 1], [2, 1, -1, -2],
+                [1, -1, -1, 1], [1, -2, 2, -1]], np.int64)
+_H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
+                [1, -1, -1, 1], [1, -1, 1, -1]], np.int64)
+_H2 = np.array([[1, 1], [1, -1]], np.int64)
+
+# 4x4 luma block scan order within a macroblock (raster in quadrants),
+# as (row, col) in 4x4-block units — neighbours always precede.
+_BLK_ORDER = [(0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+              (1, 3), (2, 0), (2, 1), (3, 0), (3, 1), (2, 2), (2, 3),
+              (3, 2), (3, 3)]
+
+# coeff_token VLCs (spec Table 9-5), keyed (TotalCoeff, TrailingOnes)
+_CT_NC0 = {
+    (0, 0): "1",
+    (1, 0): "000101", (1, 1): "01",
+    (2, 0): "00000111", (2, 1): "000100", (2, 2): "001",
+    (3, 0): "000000111", (3, 1): "00000110", (3, 2): "0000101",
+    (3, 3): "00011",
+    (4, 0): "0000000111", (4, 1): "000000110", (4, 2): "00000101",
+    (4, 3): "000011",
+    (5, 0): "00000000111", (5, 1): "0000000110", (5, 2): "000000101",
+    (5, 3): "0000100",
+    (6, 0): "0000000001111", (6, 1): "00000000110", (6, 2): "0000000101",
+    (6, 3): "00000100",
+    (7, 0): "0000000001011", (7, 1): "0000000001110", (7, 2): "00000000101",
+    (7, 3): "000000100",
+    (8, 0): "0000000001000", (8, 1): "0000000001010",
+    (8, 2): "0000000001101", (8, 3): "0000000100",
+    (9, 0): "00000000001111", (9, 1): "00000000001110",
+    (9, 2): "0000000001001", (9, 3): "00000000100",
+    (10, 0): "00000000001011", (10, 1): "00000000001010",
+    (10, 2): "00000000001101", (10, 3): "0000000001100",
+    (11, 0): "000000000001111", (11, 1): "000000000001110",
+    (11, 2): "00000000001001", (11, 3): "00000000001100",
+    (12, 0): "000000000001011", (12, 1): "000000000001010",
+    (12, 2): "000000000001101", (12, 3): "00000000001000",
+    (13, 0): "0000000000001111", (13, 1): "000000000000001",
+    (13, 2): "000000000001001", (13, 3): "000000000001100",
+    (14, 0): "0000000000001011", (14, 1): "0000000000001110",
+    (14, 2): "0000000000001101", (14, 3): "000000000001000",
+    (15, 0): "0000000000000111", (15, 1): "0000000000001010",
+    (15, 2): "0000000000001001", (15, 3): "0000000000001100",
+    (16, 0): "0000000000000100", (16, 1): "0000000000000110",
+    (16, 2): "0000000000000101", (16, 3): "0000000000001000",
+}
+_CT_NC2 = {
+    (0, 0): "11",
+    (1, 0): "001011", (1, 1): "10",
+    (2, 0): "000111", (2, 1): "00111", (2, 2): "011",
+    (3, 0): "0000111", (3, 1): "001010", (3, 2): "001001", (3, 3): "0101",
+    (4, 0): "00000111", (4, 1): "000110", (4, 2): "000101", (4, 3): "0100",
+    (5, 0): "00000100", (5, 1): "0000110", (5, 2): "0000101", (5, 3): "00110",
+    (6, 0): "000000111", (6, 1): "00000110", (6, 2): "00000101",
+    (6, 3): "001000",
+    (7, 0): "00000001111", (7, 1): "000000110", (7, 2): "000000101",
+    (7, 3): "000100",
+    (8, 0): "00000001011", (8, 1): "00000001110", (8, 2): "00000001101",
+    (8, 3): "0000100",
+    (9, 0): "000000001111", (9, 1): "00000001010", (9, 2): "00000001001",
+    (9, 3): "000000100",
+    (10, 0): "000000001011", (10, 1): "000000001110",
+    (10, 2): "000000001101", (10, 3): "00000001100",
+    (11, 0): "000000001000", (11, 1): "000000001010",
+    (11, 2): "000000001001", (11, 3): "00000001000",
+    (12, 0): "0000000001111", (12, 1): "0000000001110",
+    (12, 2): "0000000001101", (12, 3): "000000001100",
+    (13, 0): "0000000001011", (13, 1): "0000000001010",
+    (13, 2): "0000000001001", (13, 3): "0000000001100",
+    (14, 0): "0000000000111", (14, 1): "00000000001011",
+    (14, 2): "0000000000110", (14, 3): "0000000001000",
+    (15, 0): "00000000001001", (15, 1): "00000000001000",
+    (15, 2): "00000000001010", (15, 3): "0000000000001",
+    (16, 0): "00000000000111", (16, 1): "00000000000110",
+    (16, 2): "00000000000101", (16, 3): "00000000000100",
+}
+_CT_NC4 = {
+    (0, 0): "1111",
+    (1, 0): "001111", (1, 1): "1110",
+    (2, 0): "001011", (2, 1): "01111", (2, 2): "1101",
+    (3, 0): "001000", (3, 1): "01100", (3, 2): "01110", (3, 3): "1100",
+    (4, 0): "0001111", (4, 1): "01010", (4, 2): "01011", (4, 3): "1011",
+    (5, 0): "0001011", (5, 1): "01000", (5, 2): "01001", (5, 3): "1010",
+    (6, 0): "0001001", (6, 1): "001110", (6, 2): "001101", (6, 3): "1001",
+    (7, 0): "0001000", (7, 1): "001010", (7, 2): "001001", (7, 3): "1000",
+    (8, 0): "00001111", (8, 1): "0001110", (8, 2): "0001101", (8, 3): "01101",
+    (9, 0): "00001011", (9, 1): "00001110", (9, 2): "0001010",
+    (9, 3): "001100",
+    (10, 0): "000001111", (10, 1): "00001010", (10, 2): "00001101",
+    (10, 3): "0001100",
+    (11, 0): "000001011", (11, 1): "000001110", (11, 2): "00001001",
+    (11, 3): "00001100",
+    (12, 0): "000001000", (12, 1): "000001010", (12, 2): "000001101",
+    (12, 3): "00001000",
+    (13, 0): "0000001101", (13, 1): "000000111", (13, 2): "000001001",
+    (13, 3): "000001100",
+    (14, 0): "0000001001", (14, 1): "0000001100", (14, 2): "0000001011",
+    (14, 3): "0000001010",
+    (15, 0): "0000000101", (15, 1): "0000001000", (15, 2): "0000000111",
+    (15, 3): "0000000110",
+    (16, 0): "0000000001", (16, 1): "0000000100", (16, 2): "0000000011",
+    (16, 3): "0000000010",
+}
+_CT_CHROMA_DC = {
+    (0, 0): "01",
+    (1, 0): "000111", (1, 1): "1",
+    (2, 0): "000100", (2, 1): "000110", (2, 2): "001",
+    (3, 0): "000011", (3, 1): "0000011", (3, 2): "0000010", (3, 3): "000101",
+    (4, 0): "000010", (4, 1): "00000011", (4, 2): "00000010",
+    (4, 3): "0000000",
+}
+_CT_TABLES = {0: _CT_NC0, 1: _CT_NC2, 2: _CT_NC4, "c": _CT_CHROMA_DC}
+
+# total_zeros (Tables 9-7/9-8), row = TotalCoeff, col = total_zeros
+_TZ4 = {
+    1: ["1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+        "000010", "0000011", "0000010", "00000011", "00000010",
+        "000000011", "000000010", "000000001"],
+    2: ["111", "110", "101", "100", "011", "0101", "0100", "0011", "0010",
+        "00011", "00010", "000011", "000010", "000001", "000000"],
+    3: ["0101", "111", "110", "101", "0100", "0011", "100", "011", "0010",
+        "00011", "00010", "000001", "00001", "000000"],
+    4: ["00011", "111", "0101", "0100", "110", "101", "100", "0011", "011",
+        "0010", "00010", "00001", "00000"],
+    5: ["0101", "0100", "0011", "111", "110", "101", "100", "011", "0010",
+        "00001", "0001", "00000"],
+    6: ["000001", "00001", "111", "110", "101", "100", "011", "010",
+        "0001", "001", "000000"],
+    7: ["000001", "00001", "101", "100", "011", "11", "010", "0001", "001",
+        "000000"],
+    8: ["000001", "0001", "00001", "011", "11", "10", "010", "001",
+        "000000"],
+    9: ["000001", "000000", "0001", "11", "10", "001", "01", "00001"],
+    10: ["00001", "00000", "001", "11", "10", "01", "0001"],
+    11: ["0000", "0001", "001", "010", "1", "011"],
+    12: ["0000", "0001", "01", "1", "001"],
+    13: ["000", "001", "1", "01"],
+    14: ["00", "01", "1"],
+    15: ["0", "1"],
+}
+_TZC = {1: ["1", "01", "001", "000"], 2: ["1", "01", "00"], 3: ["1", "0"]}
+
+# run_before (Table 9-10), row = zerosLeft (1..6; >6 handled in code)
+_RUN = {
+    1: ["1", "0"],
+    2: ["1", "01", "00"],
+    3: ["11", "10", "01", "00"],
+    4: ["11", "10", "01", "001", "000"],
+    5: ["11", "10", "011", "010", "001", "000"],
+    6: ["11", "000", "001", "011", "010", "101", "100"],
+}
+
+
+def _vlc_decode_map(table):
+    if isinstance(table, dict):
+        return {code: key for key, code in table.items()}
+    return {code: i for i, code in enumerate(table)}
+
+
+_CT_DEC = {k: _vlc_decode_map(t) for k, t in _CT_TABLES.items()}
+_TZ4_DEC = {tc: _vlc_decode_map(t) for tc, t in _TZ4.items()}
+_TZC_DEC = {tc: _vlc_decode_map(t) for tc, t in _TZC.items()}
+_RUN_DEC = {zl: _vlc_decode_map(t) for zl, t in _RUN.items()}
+
+
+def _vlc_write(w, code: str):
+    w.u(int(code, 2), len(code))
+
+
+def _vlc_read(r: "_H264BitReader", dmap: dict, what: str):
+    code = ""
+    for _ in range(20):
+        code += "01"[r.u(1)]
+        hit = dmap.get(code)
+        if hit is not None:
+            return hit
+    raise MediaDecodeError(f"invalid {what} VLC code")
+
+
+def _ct_class(nC: int):
+    if nC == -1:
+        return "c"
+    if nC < 2:
+        return 0
+    if nC < 4:
+        return 1
+    if nC < 8:
+        return 2
+    return "f"
+
+
+def _write_coeff_token(w, tc: int, t1: int, nC: int):
+    cls = _ct_class(nC)
+    if cls == "f":
+        w.u(3 if tc == 0 else ((tc - 1) << 2) | t1, 6)
+    else:
+        _vlc_write(w, _CT_TABLES[cls][(tc, t1)])
+
+
+def _read_coeff_token(r, nC: int):
+    cls = _ct_class(nC)
+    if cls == "f":
+        v = r.u(6)
+        return (0, 0) if v == 3 else ((v >> 2) + 1, v & 3)
+    return _vlc_read(r, _CT_DEC[cls], "coeff_token")
+
+
+def _write_level(w, level_code: int, sl: int):
+    if sl == 0 and level_code < 14:
+        w.u(1, level_code + 1)            # level_code zeros then a 1
+        return
+    if sl == 0 and level_code < 30:
+        w.u(1, 15)                        # level_prefix 14
+        w.u(level_code - 14, 4)
+        return
+    if sl > 0 and (level_code >> sl) < 15:
+        w.u(1, (level_code >> sl) + 1)
+        w.u(level_code & ((1 << sl) - 1), sl)
+        return
+    # escape ladder: prefix p >= 15 carries a (p-3)-bit suffix
+    p, lo = 15, (15 << sl) + (15 if sl == 0 else 0)
+    while level_code >= lo + (1 << (p - 3)):
+        lo += 1 << (p - 3)
+        p += 1
+    w.u(1, p + 1)
+    w.u(level_code - lo, p - 3)
+
+
+def _read_level(r, sl: int) -> int:
+    p = 0
+    while r.u(1) == 0:
+        p += 1
+        if p > 31:
+            raise MediaDecodeError("bad CAVLC level_prefix")
+    if sl == 0 and p == 14:
+        size = 4
+    elif p >= 15:
+        size = p - 3
+    else:
+        size = sl
+    suffix = r.u(size) if size else 0
+    level_code = (min(15, p) << sl) + suffix
+    if p >= 15 and sl == 0:
+        level_code += 15
+    if p >= 16:
+        level_code += (1 << (p - 3)) - 4096
+    return level_code
+
+
+def _cavlc_encode_block(w, coeffs, nC: int, max_coeff: int) -> int:
+    """CAVLC-encode one scan-ordered coefficient block (spec 9.2);
+    returns TotalCoeff for the caller's nnz bookkeeping."""
+    nz = [i for i, c in enumerate(coeffs) if c]
+    tc = len(nz)
+    t1 = 0
+    for i in reversed(nz):
+        if abs(int(coeffs[i])) == 1 and t1 < 3:
+            t1 += 1
+        else:
+            break
+    _write_coeff_token(w, tc, t1, nC)
+    if tc == 0:
+        return 0
+    for j in range(t1):                       # trailing-one signs
+        w.u(1 if coeffs[nz[-1 - j]] < 0 else 0, 1)
+    sl = 1 if (tc > 10 and t1 < 3) else 0
+    for j in range(t1, tc):
+        lvl = int(coeffs[nz[-1 - j]])
+        level_code = 2 * abs(lvl) - 2 + (1 if lvl < 0 else 0)
+        if j == t1 and t1 < 3:
+            level_code -= 2                   # first level is never +-1 then
+        _write_level(w, level_code, sl)
+        if sl == 0:
+            sl = 1
+        if abs(lvl) > (3 << (sl - 1)) and sl < 6:
+            sl += 1
+    tz = nz[-1] + 1 - tc
+    if tc < max_coeff:
+        if max_coeff == 4:
+            _vlc_write(w, _TZC[tc][tz])
+        else:
+            _vlc_write(w, _TZ4[tc][tz])
+    zeros_left = tz
+    for j in range(tc - 1):
+        if zeros_left == 0:
+            break
+        run = nz[-1 - j] - nz[-2 - j] - 1
+        if zeros_left <= 6:
+            _vlc_write(w, _RUN[zeros_left][run])
+        elif run <= 6:
+            w.u(7 - run, 3)
+        else:
+            w.u(1, run - 3)                   # (run-4) zeros then a 1
+        zeros_left -= run
+    return tc
+
+
+def _cavlc_decode_block(r, nC: int, max_coeff: int):
+    """Decode one CAVLC block -> (scan-ordered int64 coeffs, TotalCoeff)."""
+    tc, t1 = _read_coeff_token(r, nC)
+    out = np.zeros(max_coeff, np.int64)
+    if tc == 0:
+        return out, 0
+    if tc > max_coeff:
+        raise MediaDecodeError("CAVLC TotalCoeff exceeds block size")
+    levels = []
+    for _ in range(t1):
+        levels.append(-1 if r.u(1) else 1)
+    sl = 1 if (tc > 10 and t1 < 3) else 0
+    for j in range(t1, tc):
+        lc = _read_level(r, sl)
+        if j == t1 and t1 < 3:
+            lc += 2
+        lvl = (lc + 2) >> 1 if lc % 2 == 0 else -((lc + 1) >> 1)
+        levels.append(lvl)
+        if sl == 0:
+            sl = 1
+        if abs(lvl) > (3 << (sl - 1)) and sl < 6:
+            sl += 1
+    if tc < max_coeff:
+        dmap = _TZC_DEC[tc] if max_coeff == 4 else _TZ4_DEC[tc]
+        tz = _vlc_read(r, dmap, "total_zeros")
+    else:
+        tz = 0
+    zeros_left = tz
+    idx = tc - 1 + tz
+    for j in range(tc):
+        if idx < 0 or idx >= max_coeff:
+            raise MediaDecodeError("CAVLC run/zeros overflow")
+        out[idx] = levels[j]
+        if j == tc - 1:
+            break
+        run = 0
+        if zeros_left > 6:
+            b = r.u(3)
+            if b:
+                run = 7 - b
+            else:
+                run = 7
+                while r.u(1) == 0:
+                    run += 1
+                    if run > max_coeff:
+                        raise MediaDecodeError("bad run_before code")
+        elif zeros_left > 0:
+            run = _vlc_read(r, _RUN_DEC[zeros_left], "run_before")
+        zeros_left -= run
+        idx -= run + 1
+    return out, tc
+
+
+def _inv4x4(d: np.ndarray) -> np.ndarray:
+    """Inverse 4x4 core transform (spec 8.5.12.2): horizontal then
+    vertical butterfly with >>1 half-pel taps, final (x+32)>>6."""
+    def bpass(m):            # combines along axis 0
+        e0 = m[0] + m[2]
+        e1 = m[0] - m[2]
+        e2 = (m[1] >> 1) - m[3]
+        e3 = m[1] + (m[3] >> 1)
+        return np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3])
+    t = bpass(d.T).T         # rows
+    t = bpass(t)             # columns
+    return (t + 32) >> 6
+
+
+def _quant_ac(W: np.ndarray, qp: int) -> np.ndarray:
+    m, s = qp % 6, 15 + qp // 6
+    fq = (1 << s) // 3
+    lv = (np.abs(W) * _MF4[m] + fq) >> s
+    return np.where(W < 0, -lv, lv)
+
+
+def _quant_dc(had: np.ndarray, qp: int) -> np.ndarray:
+    # forward DC quant = JM's halved-Hadamard + (qbits+1) shift; with
+    # the dequant scalings below the whole DC chain is gain-exact
+    # against the AC path (V00*MF00 = 131070 ~ 2^17)
+    m, s = qp % 6, 15 + qp // 6
+    fq = (1 << s) // 3
+    lv = ((np.abs(had) >> 1) * _H264_MF[m][0] + 2 * fq) >> (s + 1)
+    return np.where(had < 0, -lv, lv)
+
+
+def _dequant_ac(levels: np.ndarray, qp: int) -> np.ndarray:
+    return (levels * _V4[qp % 6]) << (qp // 6)
+
+
+def _dequant_luma_dc(levels: np.ndarray, qp: int) -> np.ndarray:
+    f = _H4 @ levels @ _H4
+    v00 = _H264_V[qp % 6][0]
+    if qp >= 12:
+        return (f * v00) << (qp // 6 - 2)
+    sh = 2 - qp // 6
+    return (f * v00 + (1 << (sh - 1))) >> sh
+
+
+def _dequant_chroma_dc(levels: np.ndarray, qpc: int) -> np.ndarray:
+    # 2x2 Hadamard gain is 4 (vs 16 for the luma 4x4), so the chroma
+    # path needs no analogue of 8.5.10's >>2 — plain V00 scaling is
+    # the gain-exact inverse of _quant_dc here
+    f = _H2 @ levels @ _H2
+    return (f * _H264_V[qpc % 6][0]) << (qpc // 6)
+
+
+def _pred_i16(mode: int, top, left, tl):
+    """Intra_16x16 luma prediction (spec 8.3.3): 0=V 1=H 2=DC 3=Plane.
+    top/left are reconstructed 16-sample borders (None if unavailable)."""
+    if mode == 0:
+        return np.repeat(top[None, :], 16, 0)
+    if mode == 1:
+        return np.repeat(left[:, None], 16, 1)
+    if mode == 2:
+        if top is not None and left is not None:
+            d = (int(top.sum()) + int(left.sum()) + 16) >> 5
+        elif top is not None:
+            d = (int(top.sum()) + 8) >> 4
+        elif left is not None:
+            d = (int(left.sum()) + 8) >> 4
+        else:
+            d = 128
+        return np.full((16, 16), d, np.int64)
+    et = np.concatenate(([tl], top)).astype(np.int64)
+    el = np.concatenate(([tl], left)).astype(np.int64)
+    xs = np.arange(8, dtype=np.int64)
+    hh = int(np.sum((xs + 1) * (et[9 + xs] - et[7 - xs])))
+    vv = int(np.sum((xs + 1) * (el[9 + xs] - el[7 - xs])))
+    a = 16 * (int(top[15]) + int(left[15]))
+    b = (5 * hh + 32) >> 6
+    c = (5 * vv + 32) >> 6
+    yy, xx = np.mgrid[0:16, 0:16]
+    return np.clip((a + b * (xx - 7) + c * (yy - 7) + 16) >> 5, 0, 255)
+
+
+def _pred_chroma(mode: int, top, left, tl):
+    """8x8 chroma intra prediction (spec 8.3.4): 0=DC (per-4x4-quadrant
+    neighbour rules) 1=H 2=V 3=Plane."""
+    if mode == 0:
+        p = np.empty((8, 8), np.int64)
+        t0 = top[0:4] if top is not None else None
+        t1 = top[4:8] if top is not None else None
+        l0 = left[0:4] if left is not None else None
+        l1 = left[4:8] if left is not None else None
+
+        def both(ts, ls):
+            if ts is not None and ls is not None:
+                return (int(ts.sum()) + int(ls.sum()) + 4) >> 3
+            if ts is not None:
+                return (int(ts.sum()) + 2) >> 2
+            if ls is not None:
+                return (int(ls.sum()) + 2) >> 2
+            return 128
+
+        p[0:4, 0:4] = both(t0, l0)
+        p[0:4, 4:8] = ((int(t1.sum()) + 2) >> 2 if t1 is not None else
+                       (int(l0.sum()) + 2) >> 2 if l0 is not None else 128)
+        p[4:8, 0:4] = ((int(l1.sum()) + 2) >> 2 if l1 is not None else
+                       (int(t0.sum()) + 2) >> 2 if t0 is not None else 128)
+        p[4:8, 4:8] = both(t1, l1)
+        return p
+    if mode == 1:
+        return np.repeat(left[:, None], 8, 1)
+    if mode == 2:
+        return np.repeat(top[None, :], 8, 0)
+    et = np.concatenate(([tl], top)).astype(np.int64)
+    el = np.concatenate(([tl], left)).astype(np.int64)
+    xs = np.arange(4, dtype=np.int64)
+    hh = int(np.sum((xs + 1) * (et[5 + xs] - et[3 - xs])))
+    vv = int(np.sum((xs + 1) * (el[5 + xs] - el[3 - xs])))
+    a = 16 * (int(top[7]) + int(left[7]))
+    b = (34 * hh + 32) >> 6
+    c = (34 * vv + 32) >> 6
+    yy, xx = np.mgrid[0:8, 0:8]
+    return np.clip((a + b * (xx - 3) + c * (yy - 3) + 16) >> 5, 0, 255)
+
+
+def _nc_from(grid: np.ndarray, by: int, bx: int) -> int:
+    """CAVLC nC from neighbouring blocks' TotalCoeff (spec 9.2.1);
+    availability is picture-bounded (single slice per frame)."""
+    na = int(grid[by, bx - 1]) if bx > 0 else -1
+    nb = int(grid[by - 1, bx]) if by > 0 else -1
+    if na >= 0 and nb >= 0:
+        return (na + nb + 1) >> 1
+    if na >= 0:
+        return na
+    if nb >= 0:
+        return nb
+    return 0
+
+
+class _H264Ops:
+    """Replayable bit-op recorder for the per-MB CAVLC-vs-I_PCM choice."""
+
+    __slots__ = ("ops", "bits")
+
+    def __init__(self):
+        self.ops = []
+        self.bits = 0
+
+    def u(self, v, n):
+        self.ops.append((int(v), int(n)))
+        self.bits += n
+
+    def ue(self, v):
+        code = int(v) + 1
+        n = 2 * code.bit_length() - 1
+        self.ops.append((code, n))
+        self.bits += n
+
+    def se(self, v):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def replay(self, w: "_H264BitWriter"):
+        for v, n in self.ops:
+            w.u(v, n)
+
+
+def _h264_scan_ac(block: np.ndarray) -> np.ndarray:
+    return np.array([block[r, c] for r, c in _ZZ4[1:]], np.int64)
+
+
+def _h264_unscan_ac(scan: np.ndarray) -> np.ndarray:
+    out = np.zeros((4, 4), np.int64)
+    for i, (r, c) in enumerate(_ZZ4[1:]):
+        out[r, c] = scan[i]
+    return out
+
+
+def _encode_h264_cavlc_frame(yp, cbp, crp, qp: int, fi: int,
+                             pcm_threshold: int):
+    """Encode one IDR frame's slice RBSP (Intra_16x16 + CAVLC, per-MB
+    I_PCM fallback); returns (rbsp bytes, recon Y, recon Cb, recon Cr).
+    Reconstruction is decoder-identical by construction — intra
+    prediction feeds on it."""
+    h_mbs, w_mbs = yp.shape[0] // 16, yp.shape[1] // 16
+    w = _H264BitWriter()
+    w.ue(0)              # first_mb_in_slice
+    w.ue(7)              # slice_type: I (all slices of this picture)
+    w.ue(0)              # pic_parameter_set_id
+    w.u(0, 4)            # frame_num
+    w.ue(fi % 2)         # idr_pic_id
+    w.u(0, 1)            # no_output_of_prior_pics_flag
+    w.u(0, 1)            # long_term_reference_flag
+    w.se(qp - 26)        # slice_qp_delta
+    ry = np.zeros_like(yp)
+    rcb = np.zeros_like(cbp)
+    rcr = np.zeros_like(crp)
+    nnz_y = np.zeros((4 * h_mbs, 4 * w_mbs), np.int64)
+    nnz_c = {"cb": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64),
+             "cr": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64)}
+    qpc = _H264_QPC[max(0, min(51, qp))]
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            oy = yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16
+                    ].astype(np.int64)
+            ltop = (ry[16 * mby - 1, 16 * mbx:16 * mbx + 16].astype(np.int64)
+                    if mby > 0 else None)
+            lleft = (ry[16 * mby:16 * mby + 16, 16 * mbx - 1].astype(np.int64)
+                     if mbx > 0 else None)
+            ltl = (int(ry[16 * mby - 1, 16 * mbx - 1])
+                   if (mby > 0 and mbx > 0) else None)
+            lmodes = ([0] if ltop is not None else []) + \
+                ([1] if lleft is not None else []) + [2] + \
+                ([3] if ltl is not None else [])
+            best = None
+            for md in sorted(lmodes):
+                pr = _pred_i16(md, ltop, lleft, ltl)
+                sad = int(np.abs(oy - pr).sum())
+                if best is None or sad < best[0]:
+                    best = (sad, md, pr)
+            _, lmode, lpred = best
+            res = oy - lpred
+            W = np.empty((4, 4, 4, 4), np.int64)
+            for br in range(4):
+                for bc in range(4):
+                    W[br, bc] = _CF @ res[4 * br:4 * br + 4,
+                                          4 * bc:4 * bc + 4] @ _CF.T
+            dc_lv = _quant_dc(_H4 @ W[:, :, 0, 0] @ _H4, qp)
+            ac_lv = _quant_ac(W, qp)
+            ac_lv[:, :, 0, 0] = 0
+            cbp_luma = 15 if ac_lv.any() else 0
+            # chroma: one mode for both planes, min combined SAD
+            och = {"cb": cbp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8
+                             ].astype(np.int64),
+                   "cr": crp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8
+                             ].astype(np.int64)}
+            rpl = {"cb": rcb, "cr": rcr}
+            ctop = {k: (rpl[k][8 * mby - 1, 8 * mbx:8 * mbx + 8
+                               ].astype(np.int64) if mby > 0 else None)
+                    for k in och}
+            cleft = {k: (rpl[k][8 * mby:8 * mby + 8, 8 * mbx - 1
+                                ].astype(np.int64) if mbx > 0 else None)
+                     for k in och}
+            ctl = {k: (int(rpl[k][8 * mby - 1, 8 * mbx - 1])
+                       if (mby > 0 and mbx > 0) else None) for k in och}
+            cmodes = [0] + ([1] if mbx > 0 else []) + \
+                ([2] if mby > 0 else []) + \
+                ([3] if (mby > 0 and mbx > 0) else [])
+            cbest = None
+            for md in cmodes:
+                sad = sum(int(np.abs(och[k] - _pred_chroma(
+                    md, ctop[k], cleft[k], ctl[k])).sum()) for k in och)
+                if cbest is None or sad < cbest[0]:
+                    cbest = (sad, md)
+            cmode = cbest[1]
+            cpred = {k: _pred_chroma(cmode, ctop[k], cleft[k], ctl[k])
+                     for k in och}
+            cdc_lv, cac_lv = {}, {}
+            for k in och:
+                cres = och[k] - cpred[k]
+                Wk = np.empty((2, 2, 4, 4), np.int64)
+                for br in range(2):
+                    for bc in range(2):
+                        Wk[br, bc] = _CF @ cres[4 * br:4 * br + 4,
+                                                4 * bc:4 * bc + 4] @ _CF.T
+                cdc_lv[k] = _quant_dc(_H2 @ Wk[:, :, 0, 0] @ _H2, qpc)
+                ak = _quant_ac(Wk, qpc)
+                ak[:, :, 0, 0] = 0
+                cac_lv[k] = ak
+            ac_any = any(cac_lv[k].any() for k in och)
+            dc_any = any(cdc_lv[k].any() for k in och)
+            cbp_chroma = 2 if ac_any else (1 if dc_any else 0)
+            # ---- CAVLC bit recording (committed unless I_PCM is cheaper)
+            mb = _H264Ops()
+            mb.ue(1 + lmode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0))
+            mb.ue(cmode)
+            mb.se(0)          # mb_qp_delta
+            dc_scan = np.array([dc_lv[r, c] for r, c in _ZZ4], np.int64)
+            _cavlc_encode_block(mb, dc_scan,
+                                _nc_from(nnz_y, 4 * mby, 4 * mbx), 16)
+            if cbp_luma:
+                for br, bc in _BLK_ORDER:
+                    gy, gx = 4 * mby + br, 4 * mbx + bc
+                    nnz_y[gy, gx] = _cavlc_encode_block(
+                        mb, _h264_scan_ac(ac_lv[br, bc]),
+                        _nc_from(nnz_y, gy, gx), 15)
+            else:
+                nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 0
+            if cbp_chroma:
+                for k in ("cb", "cr"):
+                    lv = cdc_lv[k]
+                    _cavlc_encode_block(
+                        mb, np.array([lv[0, 0], lv[0, 1], lv[1, 0],
+                                      lv[1, 1]], np.int64), -1, 4)
+            if cbp_chroma == 2:
+                for k in ("cb", "cr"):
+                    for br in range(2):
+                        for bc in range(2):
+                            gy, gx = 2 * mby + br, 2 * mbx + bc
+                            nnz_c[k][gy, gx] = _cavlc_encode_block(
+                                mb, _h264_scan_ac(cac_lv[k][br, bc]),
+                                _nc_from(nnz_c[k], gy, gx), 15)
+            else:
+                for k in ("cb", "cr"):
+                    nnz_c[k][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+            if mb.bits > pcm_threshold:
+                # I_PCM beats the entropy-coded payload: emit raw samples
+                nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 16
+                for k in och:
+                    nnz_c[k][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 16
+                w.ue(25)
+                w.align_zero()
+                w.raw_bytes(yp[16 * mby:16 * mby + 16,
+                               16 * mbx:16 * mbx + 16].tobytes())
+                w.raw_bytes(cbp[8 * mby:8 * mby + 8,
+                                8 * mbx:8 * mbx + 8].tobytes())
+                w.raw_bytes(crp[8 * mby:8 * mby + 8,
+                                8 * mbx:8 * mbx + 8].tobytes())
+                ry[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+                    yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16]
+                rcb[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+                    cbp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8]
+                rcr[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+                    crp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8]
+                continue
+            mb.replay(w)
+            # ---- decoder-identical reconstruction
+            dcy = _dequant_luma_dc(dc_lv, qp)
+            rymb = np.empty((16, 16), np.int64)
+            for br in range(4):
+                for bc in range(4):
+                    d = (_dequant_ac(ac_lv[br, bc], qp) if cbp_luma
+                         else np.zeros((4, 4), np.int64))
+                    d[0, 0] = dcy[br, bc]
+                    rymb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                        lpred[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] + \
+                        _inv4x4(d)
+            ry[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+                np.clip(rymb, 0, 255).astype(yp.dtype)
+            for k, rp in (("cb", rcb), ("cr", rcr)):
+                dcc = (_dequant_chroma_dc(cdc_lv[k], qpc) if cbp_chroma
+                       else np.zeros((2, 2), np.int64))
+                rcmb = np.empty((8, 8), np.int64)
+                for br in range(2):
+                    for bc in range(2):
+                        d = (_dequant_ac(cac_lv[k][br, bc], qpc)
+                             if cbp_chroma == 2 else np.zeros((4, 4),
+                                                              np.int64))
+                        d[0, 0] = dcc[br, bc]
+                        rcmb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                            cpred[k][4 * br:4 * br + 4,
+                                     4 * bc:4 * bc + 4] + _inv4x4(d)
+                rp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+                    np.clip(rcmb, 0, 255).astype(cbp.dtype)
+    w.trailing()
+    return bytes(w.buf), ry, rcb, rcr
+
+
+def encode_h264_cavlc(frames_u8, *, qp: int = 20, fps: int = 10,
+                      pcm_threshold: int = 8 * 384) -> bytes:
+    """(n, h, w, 3) uint8 -> H.264 Annex B byte stream of IDR frames
+    coded Intra_16x16 + CAVLC at constant ``qp`` (0..51), with per-MB
+    I_PCM fallback when the entropy payload exceeds ``pcm_threshold``
+    bits (default = raw 4:2:0 sample size). Even frame dims required."""
+    raw, _ = _encode_h264_cavlc_with_recon(
+        frames_u8, qp=qp, fps=fps, pcm_threshold=pcm_threshold)
+    return raw
+
+
+def _encode_h264_cavlc_with_recon(frames_u8, *, qp: int = 20,
+                                  fps: int = 10,
+                                  pcm_threshold: int = 8 * 384):
+    """encode_h264_cavlc + the encoder's own reconstruction as float32
+    RGB frames (what a conforming decoder must reproduce bit-exactly)."""
+    frames_u8 = np.asarray(frames_u8, dtype=np.uint8)
+    if not 0 <= qp <= 51:
+        raise MediaDecodeError("H.264 QP must be in 0..51")
+    n, h, wdt = frames_u8.shape[:3]
+    if h % 2 or wdt % 2:
+        raise MediaDecodeError("intra subset needs even frame dims (4:2:0)")
+    w_mbs = (wdt + 15) // 16
+    h_mbs = (h + 15) // 16
+    pw, ph = 16 * w_mbs, 16 * h_mbs
+    out = bytearray()
+    out += _H264_START + b"\x67" + _ebsp_escape(
+        _h264_sps_rbsp(w_mbs, h_mbs, pw - wdt, ph - h, fps))
+    out += _H264_START + b"\x68" + _ebsp_escape(_h264_pps_rbsp())
+    recon = []
+    for fi in range(n):
+        y, cb, cr = _rgb_to_yuv420(frames_u8[fi])
+        yp = np.pad(y, ((0, ph - h), (0, pw - wdt)), mode="edge")
+        cbp = np.pad(cb, ((0, (ph - h) // 2), (0, (pw - wdt) // 2)),
+                     mode="edge")
+        crp = np.pad(cr, ((0, (ph - h) // 2), (0, (pw - wdt) // 2)),
+                     mode="edge")
+        rbsp, ry, rcb, rcr = _encode_h264_cavlc_frame(
+            yp, cbp, crp, qp, fi, pcm_threshold)
+        out += _H264_START + b"\x65" + _ebsp_escape(rbsp)
+        recon.append(_yuv420_to_rgb(
+            ry[:h, :wdt], rcb[:(h + 1) // 2, :(wdt + 1) // 2],
+            rcr[:(h + 1) // 2, :(wdt + 1) // 2]))
+    return bytes(out), np.stack(recon)
+
+
+def _h264_parse_pps(r: "_H264BitReader") -> dict:
+    r.ue()                       # pps id
+    r.ue()                       # sps id
+    if r.u(1):
+        raise MediaDecodeError("CABAC entropy coding not supported")
+    r.u(1)                       # bottom_field_pic_order_in_frame
+    if r.ue() != 0:
+        raise MediaDecodeError("slice groups not supported")
+    r.ue()                       # num_ref_idx_l0_default_active_minus1
+    r.ue()                       # num_ref_idx_l1_default_active_minus1
+    r.u(1)                       # weighted_pred_flag
+    r.u(2)                       # weighted_bipred_idc
+    pic_init_qp = 26 + r.se()
+    return {"pic_init_qp": pic_init_qp}
+
+
+def decode_h264_intra(raw: bytes, *, return_mb_types: bool = False):
     """REAL decode of the H.264 Annex B intra subset: SPS/PPS/IDR
-    slices whose macroblocks are all I_PCM. Any other macroblock type
-    (CAVLC residual, intra prediction, inter frames) raises
+    slices whose macroblocks are I_PCM (mb_type 25) or Intra_16x16
+    with CAVLC residuals (mb_type 1..24 — V/H/DC/Plane luma and
+    DC/H/V/Plane chroma prediction, Hadamard DC hierarchies, integer
+    inverse transform). Inter prediction, I_4x4 and CABAC raise
     MediaDecodeError naming the missing tool. Returns
-    ``(frames float32 [0,1], usec_per_frame)`` like the MJPEG paths."""
+    ``(frames float32 [0,1], usec_per_frame)`` like the MJPEG paths;
+    with ``return_mb_types`` a third element lists each slice's
+    mb_type sequence (for PCM-vs-CAVLC mix assertions)."""
     sps = None
+    pps = {"pic_init_qp": 26}
     frames = []
+    mb_types_out = []
     for nal in _h264_nals(raw):
         typ = nal[0] & 0x1F
         rbsp = _ebsp_unescape(nal[1:])
         if typ == 7:
             sps = _h264_parse_sps(_H264BitReader(rbsp))
-        elif typ == 8 or typ == 6 or typ == 9:
-            continue             # PPS trusted to match the written one; SEI/AUD skipped
+        elif typ == 8:
+            pps = _h264_parse_pps(_H264BitReader(rbsp))
+        elif typ == 6 or typ == 9:
+            continue             # SEI / AUD skipped
         elif typ in (1, 5):
             if sps is None:
                 raise MediaDecodeError("slice before SPS")
             r = _H264BitReader(rbsp)
-            r.ue()               # first_mb_in_slice
+            if r.ue() != 0:      # first_mb_in_slice
+                raise MediaDecodeError(
+                    "multi-slice pictures not supported (intra subset)")
             stype = r.ue()       # slice_type
             if stype % 5 != 2:
                 raise MediaDecodeError(
@@ -2059,35 +2879,152 @@ def decode_h264_ipcm(raw: bytes):
                     r.u(2)       # no_output_of_prior_pics + long_term_reference
                 elif r.u(1):
                     raise MediaDecodeError("adaptive ref pic marking not supported")
-            r.se()               # slice_qp_delta
+            qp = pps["pic_init_qp"] + r.se()
             w_mbs, h_mbs = sps["w_mbs"], sps["h_mbs"]
-            yp = np.empty((16 * h_mbs, 16 * w_mbs), dtype=np.uint8)
-            cbp = np.empty((8 * h_mbs, 8 * w_mbs), dtype=np.uint8)
-            crp = np.empty((8 * h_mbs, 8 * w_mbs), dtype=np.uint8)
+            yp = np.zeros((16 * h_mbs, 16 * w_mbs), dtype=np.uint8)
+            cbpl = np.zeros((8 * h_mbs, 8 * w_mbs), dtype=np.uint8)
+            crpl = np.zeros((8 * h_mbs, 8 * w_mbs), dtype=np.uint8)
+            nnz_y = np.zeros((4 * h_mbs, 4 * w_mbs), np.int64)
+            nnz_c = {"cb": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64),
+                     "cr": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64)}
+            cpl = {"cb": cbpl, "cr": crpl}
+            mb_types = []
             for mb in range(w_mbs * h_mbs):
-                mb_type = r.ue()
-                if mb_type != 25:
-                    raise MediaDecodeError(
-                        f"I-slice mb_type {mb_type}: only the I_PCM intra "
-                        "subset is implemented (CAVLC residual + intra "
-                        "prediction need a full codec)")
-                r.byte_align()
                 mby, mbx = divmod(mb, w_mbs)
-                yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = (
-                    np.frombuffer(r.raw_bytes(256), dtype=np.uint8).reshape(16, 16))
-                cbp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = (
-                    np.frombuffer(r.raw_bytes(64), dtype=np.uint8).reshape(8, 8))
-                crp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = (
-                    np.frombuffer(r.raw_bytes(64), dtype=np.uint8).reshape(8, 8))
+                mb_type = r.ue()
+                mb_types.append(mb_type)
+                if mb_type == 25:
+                    r.byte_align()
+                    yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = (
+                        np.frombuffer(r.raw_bytes(256),
+                                      dtype=np.uint8).reshape(16, 16))
+                    cbpl[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = (
+                        np.frombuffer(r.raw_bytes(64),
+                                      dtype=np.uint8).reshape(8, 8))
+                    crpl[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = (
+                        np.frombuffer(r.raw_bytes(64),
+                                      dtype=np.uint8).reshape(8, 8))
+                    nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 16
+                    for k in nnz_c:
+                        nnz_c[k][2 * mby:2 * mby + 2,
+                                 2 * mbx:2 * mbx + 2] = 16
+                    continue
+                if not 1 <= mb_type <= 24:
+                    raise MediaDecodeError(
+                        f"I-slice mb_type {mb_type}: only Intra_16x16 + "
+                        "CAVLC and I_PCM are implemented (I_4x4 needs "
+                        "the per-block prediction-mode coder)")
+                lmode = (mb_type - 1) % 4
+                q4 = (mb_type - 1) // 4
+                cbp_chroma, cbp_luma = q4 % 3, 15 * (q4 // 3)
+                cmode = r.ue()
+                if cmode > 3:
+                    raise MediaDecodeError("bad intra_chroma_pred_mode")
+                qp = (qp + r.se() + 52) % 52     # mb_qp_delta, spec wrap
+                qpc = _H264_QPC[max(0, min(51, qp))]
+                dc_scan, _ = _cavlc_decode_block(
+                    r, _nc_from(nnz_y, 4 * mby, 4 * mbx), 16)
+                dc_lv = np.zeros((4, 4), np.int64)
+                for i, (rr, cc) in enumerate(_ZZ4):
+                    dc_lv[rr, cc] = dc_scan[i]
+                ac_lv = np.zeros((4, 4, 4, 4), np.int64)
+                if cbp_luma:
+                    for br, bc in _BLK_ORDER:
+                        gy, gx = 4 * mby + br, 4 * mbx + bc
+                        scan, tc = _cavlc_decode_block(
+                            r, _nc_from(nnz_y, gy, gx), 15)
+                        nnz_y[gy, gx] = tc
+                        ac_lv[br, bc] = _h264_unscan_ac(scan)
+                else:
+                    nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 0
+                cdc_lv = {k: np.zeros((2, 2), np.int64) for k in nnz_c}
+                if cbp_chroma:
+                    for k in ("cb", "cr"):
+                        scan, _ = _cavlc_decode_block(r, -1, 4)
+                        cdc_lv[k] = np.array(
+                            [[scan[0], scan[1]], [scan[2], scan[3]]],
+                            np.int64)
+                cac_lv = {k: np.zeros((2, 2, 4, 4), np.int64)
+                          for k in nnz_c}
+                if cbp_chroma == 2:
+                    for k in ("cb", "cr"):
+                        for br in range(2):
+                            for bc in range(2):
+                                gy, gx = 2 * mby + br, 2 * mbx + bc
+                                scan, tc = _cavlc_decode_block(
+                                    r, _nc_from(nnz_c[k], gy, gx), 15)
+                                nnz_c[k][gy, gx] = tc
+                                cac_lv[k][br, bc] = _h264_unscan_ac(scan)
+                else:
+                    for k in ("cb", "cr"):
+                        nnz_c[k][2 * mby:2 * mby + 2,
+                                 2 * mbx:2 * mbx + 2] = 0
+                # ---- reconstruction
+                ltop = (yp[16 * mby - 1, 16 * mbx:16 * mbx + 16
+                           ].astype(np.int64) if mby > 0 else None)
+                lleft = (yp[16 * mby:16 * mby + 16, 16 * mbx - 1
+                            ].astype(np.int64) if mbx > 0 else None)
+                ltl = (int(yp[16 * mby - 1, 16 * mbx - 1])
+                       if (mby > 0 and mbx > 0) else None)
+                if (lmode == 0 and ltop is None) or \
+                        (lmode == 1 and lleft is None) or \
+                        (lmode == 3 and ltl is None):
+                    raise MediaDecodeError(
+                        "intra prediction from unavailable neighbours")
+                lpred = _pred_i16(lmode, ltop, lleft, ltl)
+                dcy = _dequant_luma_dc(dc_lv, qp)
+                rymb = np.empty((16, 16), np.int64)
+                for br in range(4):
+                    for bc in range(4):
+                        d = (_dequant_ac(ac_lv[br, bc], qp) if cbp_luma
+                             else np.zeros((4, 4), np.int64))
+                        d[0, 0] = dcy[br, bc]
+                        rymb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                            lpred[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] + \
+                            _inv4x4(d)
+                yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+                    np.clip(rymb, 0, 255).astype(np.uint8)
+                if (cmode == 1 and mbx == 0) or (cmode == 2 and mby == 0) \
+                        or (cmode == 3 and (mbx == 0 or mby == 0)):
+                    raise MediaDecodeError(
+                        "chroma prediction from unavailable neighbours")
+                for k in ("cb", "cr"):
+                    rp = cpl[k]
+                    ctop = (rp[8 * mby - 1, 8 * mbx:8 * mbx + 8
+                               ].astype(np.int64) if mby > 0 else None)
+                    cleft = (rp[8 * mby:8 * mby + 8, 8 * mbx - 1
+                                ].astype(np.int64) if mbx > 0 else None)
+                    ctl = (int(rp[8 * mby - 1, 8 * mbx - 1])
+                           if (mby > 0 and mbx > 0) else None)
+                    cpred = _pred_chroma(cmode, ctop, cleft, ctl)
+                    dcc = _dequant_chroma_dc(cdc_lv[k], qpc)
+                    rcmb = np.empty((8, 8), np.int64)
+                    for br in range(2):
+                        for bc in range(2):
+                            d = (_dequant_ac(cac_lv[k][br, bc], qpc)
+                                 if cbp_chroma == 2 else
+                                 np.zeros((4, 4), np.int64))
+                            d[0, 0] = dcc[br, bc]
+                            rcmb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                                cpred[4 * br:4 * br + 4,
+                                      4 * bc:4 * bc + 4] + _inv4x4(d)
+                    rp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+                        np.clip(rcmb, 0, 255).astype(np.uint8)
             h, w = sps["h"], sps["w"]
+            mb_types_out.append(mb_types)
             frames.append(_yuv420_to_rgb(
-                yp[:h, :w], cbp[:(h + 1) // 2, :(w + 1) // 2],
-                crp[:(h + 1) // 2, :(w + 1) // 2]))
+                yp[:h, :w], cbpl[:(h + 1) // 2, :(w + 1) // 2],
+                crpl[:(h + 1) // 2, :(w + 1) // 2]))
         else:
             raise MediaDecodeError(f"unsupported NAL unit type {typ}")
     if not frames:
         raise MediaDecodeError("H.264 stream has no decodable slices")
+    if return_mb_types:
+        return np.stack(frames), int(sps["usec_per_frame"]), mb_types_out
     return np.stack(frames), int(sps["usec_per_frame"])
+
+
+decode_h264_ipcm = decode_h264_intra      # back-compat name for the subset
 
 
 def decode_video(raw: bytes):

@@ -5773,6 +5773,78 @@ FROM f GROUP BY k
 """
 
 
+def q_video_h264_cavlc_stats(sf_dir: str):
+    """HASH-CHECKED compressed-intra H.264: per sampled doc a clip of
+    flat 16x16 frames (value 128 + (k*7 + f*13) % 128, fps (k%4)+5) is
+    coded through the REAL Intra_16x16 + CAVLC path at qp=20 and
+    decoded back. A flat single-MB frame makes the whole codec chain
+    closed-form integer arithmetic the SQL mirror CONSTRUCTS: DC pred
+    128, luma-DC Hadamard 256*(v-128), quant lv = (128*(v-128)*10082
+    + 174762) // 2^19 (spec MF/V tables at qp%6=2), dequant lv*26,
+    inverse transform (lv*26+32)//64 — so one wrong constant in the
+    quant tables, Hadamard gains, rounding shifts, Exp-Golomb or
+    CAVLC coding fails the driver hash. Values are kept >= 128 so
+    every divided operand is non-negative (numpy >> floors, DuckDB
+    // truncates). n_cavlc_mbs pins that no MB fell back to I_PCM."""
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        from . import multimodal as mm
+
+        d = df["doc_id"].to_numpy(np.int64)
+        d = d[d % 5 == 1]
+        media = []
+        for k in d:
+            n = int(k % 3) + 2
+            frames = np.stack([
+                np.full((16, 16, 3),
+                        128 + (int(k) * 7 + f * 13) % 128, np.uint8)
+                for f in range(n)
+            ])
+            media.append(mm.encode_h264_cavlc(
+                frames, qp=20, fps=int(k % 4) + 5))
+        return pd.DataFrame({"doc_id": d, "media": media})
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        from . import multimodal as mm
+
+        ks, nf, nc, upf, ls = [], [], [], [], []
+        for k, raw in zip(df["doc_id"].to_numpy(np.int64), df["media"]):
+            fr, u, mbts = mm.decode_h264_intra(raw, return_mb_types=True)
+            luma = np.round(fr[..., 0] * 255.0).astype(np.int64)
+            ks.append(int(k))
+            nf.append(fr.shape[0])
+            nc.append(sum(1 for s in mbts for t in s if 1 <= t <= 24))
+            upf.append(int(u))
+            ls.append(int(luma.mean(axis=(1, 2)).sum()))
+        return pd.DataFrame({
+            "doc_id": np.array(ks, dtype=np.int64),
+            "n_frames": np.array(nf, dtype=np.int64),
+            "n_cavlc_mbs": np.array(nc, dtype=np.int64),
+            "usec_per_frame": np.array(upf, dtype=np.int64),
+            "luma_sum": np.array(ls, dtype=np.int64),
+        })
+
+    return docs.map_batches(gen, batch_format="pandas").map_batches(
+        feats, batch_format="pandas")
+
+
+SQL_VIDEO_H264_CAVLC_STATS = """
+WITH d AS (SELECT doc_id AS k FROM documents WHERE doc_id % 5 = 1),
+f AS (SELECT k, unnest(range(0, (k % 3) + 2)) AS fi FROM d),
+p AS (SELECT k, fi, 128 + ((k * 7 + fi * 13) % 128) AS v FROM f),
+q AS (SELECT k, fi,
+             (128 * (v - 128) * 10082 + 174762) // 524288 AS lv FROM p),
+r AS (SELECT k, fi, LEAST(128 + (lv * 26 + 32) // 64, 255) AS pix FROM q)
+SELECT k AS doc_id,
+       CAST((k % 3) + 2 AS BIGINT) AS n_frames,
+       CAST((k % 3) + 2 AS BIGINT) AS n_cavlc_mbs,
+       CAST(1000000 // ((k % 4) + 5) AS BIGINT) AS usec_per_frame,
+       CAST(sum(pix) AS BIGINT) AS luma_sum
+FROM r GROUP BY k
+"""
+
+
 def q_video_phash_neardup(sf_dir: str):
     """Video near-dup via temporally-pooled perceptual hashing: a
     deterministic MJPEG-AVI corpus is synthesized per doc (leader =
@@ -6592,6 +6664,7 @@ def catalog():
         "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
         "crawl_refresh": q_crawl_refresh,
         "video_h264_stats": q_video_h264_stats,
+        "video_h264_cavlc_stats": q_video_h264_cavlc_stats,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -6777,6 +6850,7 @@ def sql_catalog():
         "graph_simplify_stats": _sql_graph_simplify_stats(),
         "graph_discretize_stats": _sql_graph_discretize_stats(),
         "video_h264_stats": SQL_VIDEO_H264_STATS,
+        "video_h264_cavlc_stats": SQL_VIDEO_H264_CAVLC_STATS,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

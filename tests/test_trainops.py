@@ -2016,6 +2016,138 @@ def test_h264_ipcm_roundtrip_and_syntax():
         multimodal.decode_h264_ipcm(b"\x00\x00\x01\x65nope")
 
 
+def test_h264_cavlc_block_fuzz():
+    """_cavlc_encode_block / _cavlc_decode_block are exact inverses for
+    every valid (nC, max_coeff) regime: chroma-DC (nC=-1, 4 coeffs),
+    all four coeff_token classes (nC 0/2/4/8+ via Table 9-5), level
+    magnitudes through the full prefix/suffix escape ladder (spec
+    9.2.2.1, levels beyond +-32k), total_zeros and run_before tables."""
+    rng = np.random.default_rng(3)
+    for trial in range(2000):
+        nC = int(rng.choice([-1, 0, 1, 2, 3, 5, 7, 8, 16]))
+        size = 4 if nC == -1 else (15 if trial % 2 else 16)
+        coeffs = np.zeros(size, np.int64)
+        n = int(rng.integers(0, size + 1))
+        idx = rng.choice(size, size=n, replace=False)
+        coeffs[idx] = rng.integers(-66000, 66000, n)
+        coeffs[idx[coeffs[idx] == 0]] = 1
+        rec = multimodal._H264Ops()
+        tc = multimodal._cavlc_encode_block(rec, coeffs, nC, size)
+        bw = multimodal._H264BitWriter()
+        rec.replay(bw)
+        bw.u(1, 1)
+        bw.align_zero()
+        r = multimodal._H264BitReader(bytes(bw.buf))
+        scan, tc2 = multimodal._cavlc_decode_block(r, nC, size)
+        assert tc2 == tc
+        assert np.array_equal(scan, coeffs)
+
+
+def test_h264_cavlc_intra_roundtrip():
+    """The compressed intra path (Intra_16x16 prediction + integer
+    transform + quant + CAVLC): the decoder reconstructs the encoder's
+    own reconstruction BIT-EXACTLY (intra prediction feeds on recon,
+    so one mismatched coefficient anywhere cascades), across the QP
+    dequant branches (qp<12 rounding shift vs <<), with the per-MB
+    I_PCM fallback interleaving mb_type 25 among 1..24, and lossy
+    quality bounded on smooth content."""
+    rng = np.random.default_rng(7)
+    h, w = 38, 54
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([(yy * 3 + xx * 2) % 256, (xx * 4) % 256,
+                       (yy * 5) % 256], -1).astype(np.uint8)
+    noise = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    frames = np.stack([smooth, noise])
+    for qp in (0, 8, 11, 12, 20, 32, 51):
+        raw, recon = multimodal._encode_h264_cavlc_with_recon(
+            frames, qp=qp, fps=12)
+        dec, upf, mbts = multimodal.decode_h264_intra(
+            raw, return_mb_types=True)
+        assert np.array_equal(dec, recon), f"qp={qp}"
+        assert upf == 1_000_000 // 12
+        # noise MBs may legitimately fall back to I_PCM at low qp
+        assert all(1 <= t <= 25 for s in mbts for t in s)
+        assert any(1 <= t <= 24 for s in mbts for t in s)
+    # decode_video dispatches Annex B to the intra decoder
+    raw, recon = multimodal._encode_h264_cavlc_with_recon(frames, qp=20)
+    d2, _ = multimodal.decode_video(raw)
+    assert np.array_equal(d2, recon)
+    # quality: smooth frame survives qp=20 with small error
+    assert _psnr(smooth, (recon[0] * 255).round().astype(np.uint8)) > 38.0
+    # a tight pcm_threshold forces real PCM/CAVLC mixing in one slice
+    rawm, reconm = multimodal._encode_h264_cavlc_with_recon(
+        frames, qp=20, pcm_threshold=60)
+    decm, _, mbtm = multimodal.decode_h264_intra(rawm, return_mb_types=True)
+    flat = sorted(set(t for s in mbtm for t in s))
+    assert 25 in flat and any(t != 25 for t in flat)
+    assert np.array_equal(decm, reconm)
+    # flat frames: the DC-only chain is exactly lossless at qp=20
+    for v in (0, 77, 128, 255):
+        fl = np.full((1, 16, 16, 3), v, np.uint8)
+        rawf, reconf = multimodal._encode_h264_cavlc_with_recon(fl, qp=20)
+        decf, _ = multimodal.decode_h264_intra(rawf)
+        assert np.array_equal(decf, reconf)
+        assert np.array_equal(
+            (decf * 255).round().astype(np.uint8), fl)
+    with pytest.raises(multimodal.MediaDecodeError):
+        multimodal.encode_h264_cavlc(np.zeros((1, 33, 48, 3), np.uint8))
+
+
+def test_h264_intra_decoder_rejects_missing_tools():
+    """Crafted streams name the missing tool: CABAC PPS, I_4x4
+    macroblocks, and multi-slice pictures all raise MediaDecodeError
+    (the contract SURVEY documents for the honest codec boundary)."""
+    base = multimodal.encode_h264_cavlc(
+        np.full((1, 16, 16, 3), 50, np.uint8))
+    sps, pps, sl = list(multimodal._h264_nals(base))
+    start = b"\x00\x00\x00\x01"
+
+    def pps_cabac():
+        w = multimodal._H264BitWriter()
+        w.ue(0)            # pps id
+        w.ue(0)            # sps id
+        w.u(1, 1)          # entropy_coding_mode_flag = CABAC
+        w.u(0, 1)
+        w.ue(0)
+        w.ue(0)
+        w.ue(0)
+        w.u(0, 1)
+        w.u(0, 2)
+        w.se(0)
+        w.se(0)
+        w.se(0)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.trailing()
+        return b"\x68" + multimodal._ebsp_escape(bytes(w.buf))
+
+    def slice_hdr(first_mb, mb_type=None):
+        w = multimodal._H264BitWriter()
+        w.ue(first_mb)     # first_mb_in_slice
+        w.ue(7)            # slice_type I
+        w.ue(0)
+        w.u(0, 4)
+        w.ue(0)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.se(0)
+        if mb_type is not None:
+            w.ue(mb_type)
+        w.trailing()
+        return b"\x65" + multimodal._ebsp_escape(bytes(w.buf))
+
+    with pytest.raises(multimodal.MediaDecodeError, match="CABAC"):
+        multimodal.decode_h264_intra(
+            start + sps + start + pps_cabac() + start + sl)
+    with pytest.raises(multimodal.MediaDecodeError, match="I_4x4"):
+        multimodal.decode_h264_intra(
+            start + sps + start + pps + start + slice_hdr(0, mb_type=0))
+    with pytest.raises(multimodal.MediaDecodeError, match="multi-slice"):
+        multimodal.decode_h264_intra(
+            start + sps + start + pps + start + slice_hdr(4))
+
+
 def test_mp4_mjpeg_roundtrip_and_demux():
     """encode_mp4_mjpeg -> decode_mp4_mjpeg: the ISO-BMFF sample-table
     walk (stsd/stts/stsc/stsz/stco) must recover the exact same JPEG

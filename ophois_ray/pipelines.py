@@ -97,7 +97,8 @@ def pages_from_documents(sf_dir: str):
     driver's documents.parquet, deterministically: coordinates come from
     a seeded per-doc hash placed around the datagen hotspots (Zipf-ish
     skew), ~1/32 of docs get no coordinates."""
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text", "lang"])
 
     def to_pages(df: pd.DataFrame) -> pd.DataFrame:
         doc_id = df["doc_id"].to_numpy(np.int64)

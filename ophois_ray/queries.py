@@ -60,7 +60,7 @@ def _sql_coords(key: str, a: int, b: int) -> tuple[str, str]:
 
 def q_edge_dedup(sf_dir: str):
     """D2 canonical edge dedup with multiplicity over lineitem pairs."""
-    li = _t(sf_dir, "lineitem").select_columns(["l_partkey", "l_suppkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -93,7 +93,7 @@ GROUP BY 1, 2
 
 def q_node_first_wins(sf_dir: str):
     """D1 first-wins dedup semantics: min sequence key per node id."""
-    orders = _t(sf_dir, "orders").select_columns(["o_custkey", "o_orderkey"])
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         return df.rename(columns={"o_custkey": "id", "o_orderkey": "first_key"})
@@ -166,7 +166,7 @@ SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
 
 def q_cell_assign(sf_dir: str):
     """Point-in-cell assignment at res 12 over synthetic customer coords."""
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         k = df["c_custkey"].to_numpy(np.int64)
@@ -184,7 +184,7 @@ def _sql_cell_assign() -> str:
 
 def q_cell_hist_topk(sf_dir: str):
     """Hot-cell report: top 20 cells by point count at res 6."""
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         k = df["c_custkey"].to_numpy(np.int64)
@@ -231,10 +231,10 @@ def q_spatial_cell_join(sf_dir: str):
         lat, lon = _coords_from_key(k, 11, 17)
         return pd.DataFrame({"cell": cells.cell_of(lat, lon, RES_JOIN), "s_suppkey": k})
 
-    c = _t(sf_dir, "customer").select_columns(["c_custkey"]).map_batches(
+    c = _t(sf_dir, "customer", columns=["c_custkey"]).map_batches(
         cust_cells, batch_format="pandas"
     )
-    s = _t(sf_dir, "supplier").select_columns(["s_suppkey"]).map_batches(
+    s = _t(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
         supp_cells, batch_format="pandas"
     )
     joined = hash_join(c, s, "cell", num_buckets=16)
@@ -272,7 +272,7 @@ SELECT c.cell AS cell, count(*) AS n_pairs FROM c JOIN s ON c.cell = s.cell GROU
 def q_nn_snap_planar(sf_dir: str):
     """Nearest supplier per customer by planar squared distance
     (broadcast small side; ties -> smallest s_suppkey)."""
-    supp = _t(sf_dir, "supplier").select_columns(["s_suppkey"]).to_pandas()
+    supp = _t(sf_dir, "supplier", columns=["s_suppkey"]).to_pandas()
     sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
     slat, slon = _coords_from_key(sk, 11, 17)
 
@@ -290,7 +290,7 @@ def q_nn_snap_planar(sf_dir: str):
         best = np.argmin(sq, axis=1)  # first min = smallest id (pre-sorted)
         return pd.DataFrame({"c_custkey": k, "nn_suppkey": s_ids[best]})
 
-    return _t(sf_dir, "customer").select_columns(["c_custkey"]).map_batches(
+    return _t(sf_dir, "customer", columns=["c_custkey"]).map_batches(
         fn, batch_format="pandas"
     )
 
@@ -322,7 +322,7 @@ def q_knn_cell_snap(sf_dir: str):
     (planar sqdist + (dist, id) tiebreak)."""
     from . import spatial
 
-    supp = _t(sf_dir, "supplier").select_columns(["s_suppkey"]).to_pandas()
+    supp = _t(sf_dir, "supplier", columns=["s_suppkey"]).to_pandas()
     sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
     slat, slon = _coords_from_key(sk, 11, 17)
     edges_df = pd.DataFrame(
@@ -341,7 +341,7 @@ def q_knn_cell_snap(sf_dir: str):
         lat, lon = _coords_from_key(k, 7, 13)
         return pd.DataFrame({"url": k.astype(str), "lat": lat, "lon": lon})
 
-    points = _t(sf_dir, "customer").select_columns(["c_custkey"]).map_batches(
+    points = _t(sf_dir, "customer", columns=["c_custkey"]).map_batches(
         to_points, batch_format="pandas"
     )
     snapped, _ = spatial.knn_snap_broadcast(points, edges_df, res=1, ring=1)
@@ -366,7 +366,7 @@ def q_knn3_cell_snap(sf_dir: str):
     integer rank)."""
     from . import spatial
 
-    supp = _t(sf_dir, "supplier").select_columns(["s_suppkey"]).to_pandas()
+    supp = _t(sf_dir, "supplier", columns=["s_suppkey"]).to_pandas()
     sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
     slat, slon = _coords_from_key(sk, 11, 17)
     edges_df = pd.DataFrame(
@@ -383,7 +383,7 @@ def q_knn3_cell_snap(sf_dir: str):
         lat, lon = _coords_from_key(k, 7, 13)
         return pd.DataFrame({"url": k.astype(str), "lat": lat, "lon": lon})
 
-    points = _t(sf_dir, "customer").select_columns(["c_custkey"]).map_batches(
+    points = _t(sf_dir, "customer", columns=["c_custkey"]).map_batches(
         to_points, batch_format="pandas"
     )
     snapped, _ = spatial.knn_snap(
@@ -426,7 +426,7 @@ def q_haversine_km_hist(sf_dir: str):
     """G1 haversine over synthetic coords -> 100 km histogram (coarse
     integer buckets so libm 1-ulp variance cannot flip a bucket on this
     data — verified empirically)."""
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         k = df["c_custkey"].to_numpy(np.int64)
@@ -463,9 +463,8 @@ FROM h GROUP BY bucket
 
 def q_q1_returnflag(sf_dir: str):
     """TPC-H Q1-style grouped aggregate with per-batch partial combine."""
-    li = _t(sf_dir, "lineitem").select_columns(
-        ["l_returnflag", "l_linestatus", "l_quantity"]
-    )
+    li = _t(sf_dir, "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_quantity"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
@@ -512,7 +511,7 @@ def q_join_cust_nation_region(sf_dir: str):
         return pd.DataFrame({"r_name": vc.index.to_numpy(object), "cnt": vc.to_numpy()})
 
     return (
-        _t(sf_dir, "customer").select_columns(["c_nationkey"])
+        _t(sf_dir, "customer", columns=["c_nationkey"])
         .map_batches(fn, batch_format="pandas")
         .groupby("r_name")
         .aggregate(Sum("cnt", alias_name="n_cust"))
@@ -531,7 +530,7 @@ def q_events_window(sf_dir: str):
     """Tumbling 1 h event-time window per event type (streaming-shaped
     workload expressed as a grouped aggregate; ordering assumption: none
     needed for counts)."""
-    ev = _t(sf_dir, "events").select_columns(["event_type", "ts", "user_id"])
+    ev = _t(sf_dir, "events", columns=["event_type", "ts", "user_id"])
 
     def windows(df: pd.DataFrame) -> pd.DataFrame:
         us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
@@ -597,7 +596,7 @@ FROM documents
 
 
 def q_doc_lang_counts(sf_dir: str):
-    docs = _t(sf_dir, "documents").select_columns(["lang", "n_chars"])
+    docs = _t(sf_dir, "documents", columns=["lang", "n_chars"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("lang", as_index=False).agg(
@@ -1157,7 +1156,7 @@ def q_doc_bm25(sf_dir: str):
     doc_id asc for deterministic ties)."""
     from . import textstats
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return textstats.bm25_topk(docs, ["hash", "join", "merge"], topk=20)
 
 
@@ -1207,7 +1206,7 @@ def q_price_quantiles_kll(sf_dir: str):
     associativity and below-capacity exactness are pytest-pinned."""
     from . import sketches
 
-    li = _t(sf_dir, "lineitem").select_columns(["l_extendedprice"])
+    li = _t(sf_dir, "lineitem", columns=["l_extendedprice"])
 
     def cents(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1302,7 +1301,7 @@ SELECT {case} AS lang_pred, count(*) AS n FROM p GROUP BY 1
 def _testdata_graph(sf_dir: str):
     """Synthetic street-like graph from testdata keys: part/supplier
     nodes with derived coords, lineitem edges."""
-    li = _t(sf_dir, "lineitem").select_columns(["l_partkey", "l_suppkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1348,10 +1347,10 @@ def _testdata_graph(sf_dir: str):
         )
 
     nodes = (
-        _t(sf_dir, "part").select_columns(["p_partkey"])
+        _t(sf_dir, "part", columns=["p_partkey"])
         .map_batches(part_nodes, batch_format="pandas")
         .union(
-            _t(sf_dir, "supplier").select_columns(["s_suppkey"])
+            _t(sf_dir, "supplier", columns=["s_suppkey"])
             .map_batches(supp_nodes, batch_format="pandas")
         )
     )
@@ -1657,7 +1656,7 @@ def q_events_sessionize(sf_dir: str):
     diff + cumsum + bincount — no per-row python). Ties on identical
     timestamps are broken by event_id, mirrored in the SQL window
     ORDER BY."""
-    ev = _t(sf_dir, "events").select_columns(["user_id", "event_id", "ts"])
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts"])
     GAP_US = 1_800_000_000  # 30 min
 
     def to_us(df: pd.DataFrame) -> pd.DataFrame:
@@ -1779,7 +1778,7 @@ def q_events_funnel_pairs(sf_dir: str):
     explode is bounded by n_types^2; the final rollup merges <= 20 rows
     per bucket on the driver. Timestamps compared as int64 microseconds
     (exact)."""
-    ev = _t(sf_dir, "events").select_columns(["user_id", "event_type", "ts"])
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type", "ts"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
@@ -1847,8 +1846,8 @@ def _user_gap_rows(sf_dir: str, *, num_buckets: int = 64):
     events_interarrival oracle-checks these exact gaps against a SQL
     lag window, and events_gap_quantiles' no_oracle justification
     leans on feeding the same kernel."""
-    ev = _t(sf_dir, "events").select_columns(
-        ["user_id", "event_id", "ts", "event_type"])
+    ev = _t(sf_dir, "events",
+            columns=["user_id", "event_id", "ts", "event_type"])
 
     from .joins import grouped_apply
 
@@ -1931,8 +1930,8 @@ def q_events_top_paths(sf_dir: str):
     per-user join), path counts pre-aggregate per bucket, tiny driver
     top-k merge. Mirrored by DuckDB string_agg with the same window
     order."""
-    ev = _t(sf_dir, "events").select_columns(
-        ["user_id", "event_id", "ts", "event_type"])
+    ev = _t(sf_dir, "events",
+            columns=["user_id", "event_id", "ts", "event_type"])
 
     def to_us(df: pd.DataFrame) -> pd.DataFrame:
         us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
@@ -2029,7 +2028,7 @@ def q_customers_no_orders(sf_dir: str):
     and the row would be vacuous."""
     from . import joins
 
-    orders = _t(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     idx_ref = joins.put_index(
         orders.map_batches(
             lambda df: pd.DataFrame(
@@ -2044,7 +2043,7 @@ def q_customers_no_orders(sf_dir: str):
         [],
     )
 
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_nationkey"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
     def anti_partial(df: pd.DataFrame) -> pd.DataFrame:
         from .pages import _fetch_cached
@@ -2087,7 +2086,7 @@ def q_vocab_topk(sf_dir: str):
     (count DESC, token ASC). The pre-aggregation means the shuffle
     carries one row per (batch, distinct-token), never one per token
     occurrence."""
-    docs = _t(sf_dir, "documents").select_columns(["text"])
+    docs = _t(sf_dir, "documents", columns=["text"])
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         vc = df["text"].str.split().explode().dropna().value_counts()
@@ -2126,7 +2125,7 @@ def q_edge_midpoint(sf_dir: str):
     +,-,*,/ in the exact op order of geo.midpoint/geo.lerp
     (src/geo.rs:19-31), so the float outputs hash-match the SQL mirror
     bit-for-bit."""
-    sup = _t(sf_dir, "supplier").select_columns(["s_suppkey"])
+    sup = _t(sf_dir, "supplier", columns=["s_suppkey"])
 
     def mid(df: pd.DataFrame) -> pd.DataFrame:
         k = df["s_suppkey"].to_numpy(np.int64)
@@ -2162,7 +2161,7 @@ def q_doc_len_deciles(sf_dir: str):
     needs never happens; the driver cumsums ~thousands of rows. Index
     convention: element at ceil(q*n)-1 of the sorted multiset, which is
     DuckDB's quantile_disc."""
-    docs = _t(sf_dir, "documents").select_columns(["n_chars"])
+    docs = _t(sf_dir, "documents", columns=["n_chars"])
 
     def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
         vc = df["n_chars"].value_counts()
@@ -2231,8 +2230,9 @@ def q_events_asof_join(sf_dir: str):
              "is_p": (t[keep] == "purchase")}
         )
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["event_id", "user_id", "ts", "event_type"]
+    ev = _t(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "event_type"],
     ).map_batches(proj, batch_format="pandas").materialize()
 
     left = ev.map_batches(
@@ -2274,7 +2274,7 @@ def q_simhash_int(sf_dir: str):
     mirrored token-for-token by DuckDB list_reduce + bit arithmetic."""
     from .textstats import _fingerprints_batch
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
@@ -2329,9 +2329,7 @@ def q_events_hopping_window(sf_dir: str):
     (type, window). Mirrored by a SQL offsets cross join."""
     from .windows import hopping_window
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["event_id", "event_type", "ts"]
-    )
+    ev = _t(sf_dir, "events", columns=["event_id", "event_type", "ts"])
 
     def to_us(df: pd.DataFrame) -> pd.DataFrame:
         us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
@@ -2376,12 +2374,12 @@ def q_range_join(sf_dir: str):
     the engine."""
     from .joins import range_join
 
-    parts = _t(sf_dir, "part").select_columns(["p_partkey"])
+    parts = _t(sf_dir, "part", columns=["p_partkey"])
 
     def to_int(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"p_partkey": df["p_partkey"].to_numpy(np.int64)})
 
-    supp = _t(sf_dir, "supplier").select_columns(["s_suppkey"])
+    supp = _t(sf_dir, "supplier", columns=["s_suppkey"])
 
     def mk_iv(df: pd.DataFrame) -> pd.DataFrame:
         k = df["s_suppkey"].to_numpy(np.int64)
@@ -2435,7 +2433,7 @@ def _demo_polygons() -> dict[int, list[tuple[float, float]]]:
 
 
 def _cust_points(sf_dir: str):
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         k = df["c_custkey"].to_numpy(np.int64)
@@ -2512,7 +2510,7 @@ def q_raster_polygonize(sf_dir: str):
     the SQL mirror is a recursive min-label-propagation CTE."""
     from .polygons import polygonize_raster
 
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         k = df["c_custkey"].to_numpy(np.int64)
@@ -2586,7 +2584,7 @@ def q_segments_crossing(sf_dir: str):
     sides; bit-exact vs a DuckDB cross-join oracle."""
     from .polygons import segment_crossing_join
 
-    sup = _t(sf_dir, "supplier").select_columns(["s_suppkey"])
+    sup = _t(sf_dir, "supplier", columns=["s_suppkey"])
 
     def seg(df: pd.DataFrame) -> pd.DataFrame:
         k = df["s_suppkey"].to_numpy(np.int64)
@@ -2643,7 +2641,7 @@ def q_cell_smooth_topk(sf_dir: str):
     cross-join."""
     from .polygons import box_smooth_raster
 
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         k = df["c_custkey"].to_numpy(np.int64)
@@ -2869,7 +2867,7 @@ def q_hll_users(sf_dir: str):
     shuffles at corpus scale."""
     from . import sketches
 
-    ev = _t(sf_dir, "events").select_columns(["event_type", "user_id"])
+    ev = _t(sf_dir, "events", columns=["event_type", "user_id"])
     return sketches.hll_registers(ev, "user_id", group_cols=["event_type"], b=8)
 
 
@@ -2889,7 +2887,7 @@ def q_events_window_hll(sf_dir: str):
     CASE-ladder clz in DuckDB over the same window arithmetic)."""
     from . import sketches
 
-    ev = _t(sf_dir, "events").select_columns(["ts", "user_id"])
+    ev = _t(sf_dir, "events", columns=["ts", "user_id"])
 
     def windows(df: pd.DataFrame) -> pd.DataFrame:
         us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
@@ -2910,7 +2908,7 @@ def q_doc_rank_global(sf_dir: str):
     over the same total order."""
     from .sampling import rank_global
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
     return rank_global(docs, ["n_chars", "doc_id"], num_buckets=16)
 
 
@@ -2928,7 +2926,7 @@ def q_doc_len_ntile(sf_dir: str):
     the curriculum/difficulty-tier assignment, integer-exact."""
     from .sampling import ntile_global
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
     return ntile_global(docs, ["n_chars", "doc_id"], 4, num_buckets=16)
 
 
@@ -2988,8 +2986,7 @@ def q_doc_above_lang_mean(sf_dir: str):
     n) partials fold to a tiny stats table broadcast into a fused
     zero-shuffle filter map — the aggregate-then-filter pattern that
     never shuffles the corpus."""
-    docs = _t(sf_dir, "documents").select_columns(
-        ["doc_id", "lang", "n_chars"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("lang", as_index=False)["n_chars"].agg(["sum", "size"])
@@ -3184,7 +3181,7 @@ def q_doc_tfidf(sf_dir: str):
     as one oracle-checked operator."""
     from . import textstats
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = docs.count()  # parquet metadata only — no data read
     return textstats.tfidf_topk(docs, n_docs, k=3)
 
@@ -3222,7 +3219,7 @@ def _copurchase_edges(sf_dir: str):
     canonical (u < v) edge dedup. Shared by the triangle queries."""
     from .joins import grouped_apply
 
-    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
     def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
         # loop-free all-pairs within each order: sort by (order, part),
@@ -4077,7 +4074,7 @@ def q_url_normalize(sf_dir: str):
     so every normalization rule is checked bit-for-bit."""
     from . import pages as _pages
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id"])
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
 
     def messy(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy(np.int64)
@@ -4108,7 +4105,7 @@ def q_doc_mixture_sample(sf_dir: str):
     integer threshold from the source suffix."""
     from .sampling import mixture_sample
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "source"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "source"])
     rates = {f"src{k}": 500 + 450 * k for k in range(20)}
     return mixture_sample(docs, "doc_id", "source", rates)
 
@@ -4220,7 +4217,7 @@ def q_doc_collocations(sf_dir: str):
     oracle-checked operator (pure int64 arithmetic both sides)."""
     from . import textstats
 
-    docs = _t(sf_dir, "documents").select_columns(["text"])
+    docs = _t(sf_dir, "documents", columns=["text"])
     return textstats.collocations(docs, k=30, min_count=5, num_buckets=16)
 
 
@@ -4332,7 +4329,7 @@ def q_cms_tokens(sf_dir: str):
     counter that replaces a full token groupby at corpus scale."""
     from . import sketches
 
-    docs = _t(sf_dir, "documents").select_columns(["text"])
+    docs = _t(sf_dir, "documents", columns=["text"])
 
     def toks(df: pd.DataFrame) -> pd.DataFrame:
         s = df["text"].str.split().explode().dropna()
@@ -4362,7 +4359,7 @@ def q_bloom_tokens(sf_dir: str):
     negatives; pytest pins that plus the fp-rate bound)."""
     from . import sketches
 
-    docs = _t(sf_dir, "documents").select_columns(["text"])
+    docs = _t(sf_dir, "documents", columns=["text"])
 
     def toks(df: pd.DataFrame) -> pd.DataFrame:
         s = df["text"].str.split().explode().dropna().drop_duplicates()
@@ -4388,9 +4385,8 @@ def _chain_edges(sf_dir: str):
     consecutive distinct parts of high-quantity orders, deduped."""
     from .joins import grouped_apply
 
-    li = _t(sf_dir, "lineitem").select_columns(
-        ["l_orderkey", "l_partkey", "l_quantity"]
-    )
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_partkey", "l_quantity"])
 
     def chains(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_quantity"].to_numpy(np.float64) >= 48.0]
@@ -4505,7 +4501,7 @@ def q_part_fuzzy_pairs(sf_dir: str):
     quadratic SQL self-join."""
     from .dedup import fuzzy_pairs
 
-    part = _t(sf_dir, "part").select_columns(["p_partkey", "p_name"])
+    part = _t(sf_dir, "part", columns=["p_partkey", "p_name"])
     return fuzzy_pairs(part, "p_partkey", "p_name", max_dist=2)
 
 
@@ -4525,7 +4521,7 @@ def q_doc_token_count_bpe(sf_dir: str):
     regexp_extract_all mirror counts bit-identically."""
     from . import textstats
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return textstats.token_count_bpe(docs).select_columns(
         ["doc_id", "n_tokens_bpe"]
     )
@@ -4553,9 +4549,8 @@ def q_corpus_curation(sf_dir: str):
     shuffle)."""
     from .joins import grouped_apply
 
-    docs = _t(sf_dir, "documents").select_columns(
-        ["doc_id", "text", "lang", "n_chars"]
-    )
+    docs = _t(sf_dir, "documents",
+              columns=["doc_id", "text", "lang", "n_chars"])
 
     def flt(df: pd.DataFrame) -> pd.DataFrame:
         # count maximal non-ASCII-whitespace runs (str.count of the run
@@ -4625,7 +4620,7 @@ def q_median_chars_by_lang(sf_dir: str):
     group values — at corpus scale swap in a quantile sketch."""
     from .joins import grouped_apply
 
-    docs = _t(sf_dir, "documents").select_columns(["lang", "n_chars"])
+    docs = _t(sf_dir, "documents", columns=["lang", "n_chars"])
 
     def med(df: pd.DataFrame) -> pd.DataFrame:
         rows = []

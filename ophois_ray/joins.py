@@ -158,6 +158,35 @@ def grouped_apply(ds, keys, fn, *, num_buckets: int = 64, drop_partial=None):
     )
 
 
+def distinct_rows(ds, keys, *, single_task_cap: int = 4_000_000,
+                  num_buckets: int = 64, out_blocks: int | None = None):
+    """DISTINCT over ``keys`` (whole rows, first occurrence per key is
+    arbitrary but the key set is exact) with the repo's capped ladder:
+
+    per-block partial ``drop_duplicates`` (shrinks the exchange), then
+    — when the partially-deduped row count fits ``single_task_cap`` —
+    one narrow ``repartition(1)`` merge task + a split back to
+    ``out_blocks`` for downstream parallelism, instead of a keyed
+    sort exchange. The sort-based ``grouped_apply`` path costs ~3 s of
+    parallelism-independent barrier time at 64 buckets (measured on
+    the 1.2M-edge co-purchase build: sub-operator wall time ~0.5 s,
+    the rest scheduling) where the narrow merge is two cheap block
+    moves. Above the cap it falls back to the bucketed
+    ``grouped_apply`` — the scalable path; a forced ``single_task_cap=0``
+    pytest pins both paths to identical row sets.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(keys)
+
+    pruned = ds.map_batches(part, batch_format="pandas").materialize()
+    if pruned.count() <= single_task_cap:
+        merged = pruned.repartition(1).map_batches(part, batch_format="pandas")
+        return merged.repartition(out_blocks or num_buckets)
+    return grouped_apply(pruned, keys, part, num_buckets=num_buckets)
+
+
 def hash_join(
     left,
     right,

@@ -3217,7 +3217,7 @@ def _copurchase_edges(sf_dir: str):
     """Canonical distinct co-purchase edges (parts linked when some
     order contains both): order->pairs via one grouped_apply, then
     canonical (u < v) edge dedup. Shared by the triangle queries."""
-    from .joins import grouped_apply
+    from .joins import distinct_rows, grouped_apply
 
     li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
@@ -3235,11 +3235,10 @@ def _copurchase_edges(sf_dir: str):
         return pd.DataFrame(pairs_within_runs(o[keep], p[keep]))
 
     pairs = grouped_apply(li, "l_orderkey", pairs_fn)
-
-    def dedup_fn(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["u", "v"])
-
-    return grouped_apply(pairs, ["u", "v"], dedup_fn, drop_partial=dedup_fn)
+    # distinct (u, v): capped narrow merge instead of a second keyed
+    # sort exchange — the barrier was the floor under all five
+    # copurchase-graph consumers (see joins.distinct_rows)
+    return distinct_rows(pairs, ["u", "v"])
 
 
 def q_copurchase_triangles(sf_dir: str):

@@ -163,6 +163,29 @@ def test_hash_join_matches_pandas(ray_session):
     )
 
 
+def test_distinct_rows_paths_identical(ray_session):
+    """joins.distinct_rows: the capped narrow-merge path and the
+    forced bucketed grouped_apply path (single_task_cap=0) produce the
+    SAME key set as pandas drop_duplicates, on duplicate-heavy input
+    spread across many blocks."""
+    import ray.data
+    from ophois_ray.joins import distinct_rows
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "u": rng.randint(0, 60, 5000).astype(np.int64),
+        "v": rng.randint(0, 60, 5000).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(17)
+    exp = (df.drop_duplicates(["u", "v"]).sort_values(["u", "v"])
+           .reset_index(drop=True))
+    for cap in (4_000_000, 0):
+        got = (distinct_rows(ds, ["u", "v"], single_task_cap=cap)
+               .to_pandas().sort_values(["u", "v"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[["u", "v"]], exp[["u", "v"]],
+                                      check_dtype=False)
+
+
 def test_asof_join_matches_pandas(ray_session):
     import ray.data
     from ophois_ray.joins import asof_join

@@ -282,7 +282,7 @@ def minhash_lsh_candidates(
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    from .joins import grouped_apply
+    from .joins import distinct_rows, grouped_apply
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         outs = [pairs(g) for _, g in df.groupby(["band", "bucket"], sort=False)]
@@ -293,12 +293,9 @@ def minhash_lsh_candidates(
         )
 
     cand = grouped_apply(banded, ["band", "bucket"], bucket_pairs, num_buckets=32)
-    return grouped_apply(
-        cand,
-        ["id_a", "id_b"],
-        lambda df: df.drop_duplicates(),
-        drop_partial=lambda df: df.drop_duplicates(),
-    )
+    # key-only (id_a, id_b) rows: cross-band dedup via the capped
+    # narrow merge (joins.distinct_rows) — no second sort exchange
+    return distinct_rows(cand, ["id_a", "id_b"], num_buckets=32)
 
 
 def minhash_verified_pairs(
@@ -481,7 +478,7 @@ def minhash_int_pairs(
     hash joins — the same distributed shape as the float MinHash path,
     no driver materialization.
     """
-    from .joins import grouped_apply, hash_join
+    from .joins import distinct_rows, grouped_apply, hash_join
 
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -543,12 +540,8 @@ def minhash_int_pairs(
 
     cand = grouped_apply(banded, ["band"] + key_cols, bucket_pairs,
                          num_buckets=num_buckets)
-    cand = grouped_apply(
-        cand, ["id_a", "id_b"],
-        lambda df: df.drop_duplicates(),
-        num_buckets=num_buckets,
-        drop_partial=lambda df: df.drop_duplicates(),
-    ).materialize()
+    cand = distinct_rows(cand, ["id_a", "id_b"],
+                         num_buckets=num_buckets).materialize()
     if cand.count() == 0:
         import pyarrow as pa
         import ray
@@ -725,13 +718,13 @@ def pairs_to_groups(verified, *, driver_pair_cap: int = 5_000_000):
 
     # distributed grouping: nodes = distinct pair members, edges = pairs
     from .components import connected_components_labelprop
-    from .joins import grouped_apply
+    from .joins import distinct_rows
 
     edges = verified.map_batches(
         lambda df: pd.DataFrame({"u": df["id_a"], "v": df["id_b"]}),
         batch_format="pandas",
     )
-    nodes = grouped_apply(
+    nodes = distinct_rows(
         verified.map_batches(
             lambda df: pd.DataFrame(
                 {"id": np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()])}
@@ -739,8 +732,6 @@ def pairs_to_groups(verified, *, driver_pair_cap: int = 5_000_000):
             batch_format="pandas",
         ),
         "id",
-        lambda df: df.drop_duplicates(),
-        drop_partial=lambda df: df.drop_duplicates(),
     )
     labels = connected_components_labelprop(nodes, edges, num_buckets=16)
     out = labels.to_pandas().rename(columns={"comp": "group"})
@@ -1031,7 +1022,7 @@ def hash64_near_dup_pairs(
             }
         ).drop_duplicates(subset=["id_a", "id_b"])
 
-    from .joins import grouped_apply
+    from .joins import distinct_rows, grouped_apply
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         outs = [pairs(g) for _, g in df.groupby(["band", "bucket"], sort=False)]
@@ -1277,7 +1268,7 @@ def fuzzy_pairs(ds, key_col: str, text_col: str, *, max_dist: int = 2,
     family instead.
     """
     from .graphops import pairs_within_runs
-    from .joins import grouped_apply, hash_join
+    from .joins import distinct_rows, grouped_apply, hash_join
     from .sketches import hash_strings
 
     if max_dist > 2:

@@ -391,6 +391,115 @@ def _driver_merged_degrees(edges) -> pd.DataFrame:
     return _deg_merge(pd.concat(pieces, ignore_index=True))
 
 
+def _broadcast_wedge_plan(edges, *, n_tasks: int = 64):
+    """Driver-built degree-oriented wedge plan for the BROADCAST regime
+    (caller already verified edge count <= broadcast_cap, so one
+    driver pass over the edge table is in-budget — the same license
+    `_driver_merged_degrees` / `_sorted_edge_keys` use). Returns
+    ``(ranges, ref, n_wedges)``:
+
+    - ``ref``: one ``ray.put`` of ``(src, dst, keys)`` — the oriented
+      edge arrays sorted by (src, dst) plus the sorted packed closure
+      keys. Workers fetch it once per process (`pages._fetch_cached`).
+    - ``ranges``: ``[lo, hi)`` row ranges over ``src``/``dst``, aligned
+      to pivot-run boundaries and balanced by WEDGE count (sum of
+      k*(k-1)/2 per run), so each scan task does ~equal closure work
+      even on skewed out-degrees.
+
+    The point: the O(m^1.5) wedge set is generated AND closure-checked
+    inside each scan task against the broadcast arrays — it never
+    rides an exchange. The previous plan shuffled the oriented edges
+    by pivot (a keyed sort whose barrier cost is parallelism-
+    independent) just to co-locate runs the broadcast already holds.
+    """
+    import ray
+
+    pieces = [
+        b for b in edges.iter_batches(batch_format="pandas",
+                                      batch_size=None)
+    ]
+    if not pieces:
+        return [], ray.put((np.empty(0, np.int64), np.empty(0, np.int64),
+                            np.empty(0, np.int64))), 0
+    u = np.concatenate([b["u"].to_numpy(np.int64) for b in pieces])
+    v = np.concatenate([b["v"].to_numpy(np.int64) for b in pieces])
+    nodes = np.unique(np.concatenate([u, v]))
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(deg, np.searchsorted(nodes, u), 1)
+    np.add.at(deg, np.searchsorted(nodes, v), 1)
+    du = deg[np.searchsorted(nodes, u)]
+    dv = deg[np.searchsorted(nodes, v)]
+    u_first = (du < dv) | ((du == dv) & (u < v))
+    src = np.where(u_first, u, v)
+    dst = np.where(u_first, v, u)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    keys = np.sort(_pack_edge(u, v))
+    starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    run_len = np.diff(np.r_[starts, len(src)])
+    wedges_per_run = run_len * (run_len - 1) // 2
+    cum = np.cumsum(wedges_per_run)
+    n_wedges = int(cum[-1])
+    # run-aligned boundaries at equal-wedge quantiles
+    targets = (np.arange(1, n_tasks, dtype=np.int64) * n_wedges) // n_tasks
+    cut_runs = np.unique(np.searchsorted(cum, targets, side="right"))
+    cut_runs = cut_runs[cut_runs < len(starts)]
+    bounds = np.r_[0, starts[cut_runs], len(src)]
+    bounds = np.unique(bounds)
+    ranges = [(int(bounds[i]), int(bounds[i + 1]))
+              for i in range(len(bounds) - 1)]
+    return ranges, ray.put((src, dst, keys)), n_wedges
+
+
+def _closed_wedge_scan(edges, reduce_fn, *, n_tasks: int = 64):
+    """Map ``reduce_fn(closed_wedges_df) -> partial_df`` over the
+    broadcast wedge plan: each task slices its pivot ranges from the
+    broadcast arrays, emits the wedges, keeps only the CLOSED ones
+    (searchsorted against the broadcast edge keys) and reduces them
+    in-task. Returns the Dataset of per-range partials."""
+    import ray
+
+    from .pages import _fetch_cached
+
+    ranges, ref, _ = _broadcast_wedge_plan(edges, n_tasks=n_tasks)
+    if not ranges:
+        ranges = [(0, 0)]
+    scan = ray.data.from_items(
+        [{"lo": lo, "hi": hi} for lo, hi in ranges]
+    ).repartition(len(ranges))
+
+    def scan_fn(df: pd.DataFrame) -> pd.DataFrame:
+        src, dst, keys = _fetch_cached(ref)
+        outs = []
+        for lo, hi in zip(df["lo"].to_numpy(np.int64),
+                          df["hi"].to_numpy(np.int64)):
+            s = src[lo:hi]
+            d = dst[lo:hi]
+            rows = np.arange(len(s), dtype=np.int64)
+            pr = pairs_within_runs(s, rows)
+            q = _pack_edge(d[pr["u"]], d[pr["v"]])
+            if len(keys) == 0 or len(q) == 0:
+                continue
+            idx = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+            mask = keys[idx] == q
+            if not mask.any():
+                continue
+            outs.append(reduce_fn(pd.DataFrame({
+                "p": s[pr["u"]][mask],
+                "u": d[pr["u"]][mask],
+                "v": d[pr["v"]][mask],
+            })))
+        if not outs:
+            return reduce_fn(pd.DataFrame({
+                "p": np.empty(0, np.int64),
+                "u": np.empty(0, np.int64),
+                "v": np.empty(0, np.int64),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return scan.map_batches(scan_fn, batch_format="pandas")
+
+
 def _oriented_wedges(edges, *, num_buckets: int, broadcast_cap: int):
     """Shared wedge engine for :func:`triangle_count` /
     :func:`triangles_per_node`: materialize the canonical edge table
@@ -519,30 +628,19 @@ def triangle_count(edges, *, num_buckets: int = 64,
     shuffles); above the cap both fall back to bucketed ``hash_join``.
     A ``broadcast_cap=0`` test pins the join path to the same answer.
     """
-    import ray
-
-    edges, wedges, use_broadcast = _oriented_wedges(
-        edges, num_buckets=num_buckets, broadcast_cap=broadcast_cap
-    )
-
-    if use_broadcast:
-        eref = ray.put(_sorted_edge_keys(edges))
-
-        def count_closed(df: pd.DataFrame) -> pd.DataFrame:
-            keys = ray.get(eref) if isinstance(eref, ray.ObjectRef) else eref
-            q = _pack_edge(df["u"].to_numpy(np.int64), df["v"].to_numpy(np.int64))
-            if len(keys) == 0 or len(q) == 0:
-                return pd.DataFrame({"n": np.array([0], dtype=np.int64)})
-            idx = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
-            return pd.DataFrame(
-                {"n": np.array([int((keys[idx] == q).sum())], dtype=np.int64)}
-            )
-
-        parts = wedges.map_batches(count_closed, batch_format="pandas")
+    edges = edges.materialize()
+    if edges.count() <= broadcast_cap:
+        parts = _closed_wedge_scan(
+            edges,
+            lambda w: pd.DataFrame({"n": np.array([len(w)], dtype=np.int64)}),
+        )
         return int(sum(b["n"].sum() for b in parts.iter_batches(
             batch_format="pandas", batch_size=None
         )))
 
+    edges, wedges, _ = _oriented_wedges(
+        edges, num_buckets=num_buckets, broadcast_cap=0
+    )
     closed = hash_join(
         # the count doesn't need the pivot — project it off before the
         # O(m^1.5) wedge set rides the closure shuffle
@@ -582,10 +680,6 @@ def triangles_per_node(edges, *, num_buckets: int = 64,
     """
     import ray
 
-    edges, wedges, use_broadcast = _oriented_wedges(
-        edges, num_buckets=num_buckets, broadcast_cap=broadcast_cap
-    )
-
     _EMPTY = {"node": pd.Series(dtype=np.int64),
               "tri": pd.Series(dtype=np.int64)}
 
@@ -606,23 +700,10 @@ def triangles_per_node(edges, *, num_buckets: int = 64,
         g["tri"] = g["tri"].astype(np.int64)
         return g
 
-    if use_broadcast:
-        eref = ray.put(_sorted_edge_keys(edges))
-
-        def closed_corners(df: pd.DataFrame) -> pd.DataFrame:
-            keys = ray.get(eref) if isinstance(eref, ray.ObjectRef) else eref
-            q = _pack_edge(df["u"].to_numpy(np.int64),
-                           df["v"].to_numpy(np.int64))
-            if len(keys) == 0 or len(q) == 0:
-                return pd.DataFrame(_EMPTY)
-            idx = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
-            mask = keys[idx] == q
-            if not mask.any():
-                return pd.DataFrame(_EMPTY)
-            return corner_counts(df[mask])
-
+    edges = edges.materialize()
+    if edges.count() <= broadcast_cap:
         pieces = [
-            b for b in wedges.map_batches(closed_corners, batch_format="pandas")
+            b for b in _closed_wedge_scan(edges, corner_counts)
             .iter_batches(batch_format="pandas", batch_size=None)
         ]
         merged = merge_counts(pd.concat(pieces, ignore_index=True)) if pieces \
@@ -637,6 +718,9 @@ def triangles_per_node(edges, *, num_buckets: int = 64,
             preserve_index=False,
         ))
 
+    edges, wedges, _ = _oriented_wedges(
+        edges, num_buckets=num_buckets, broadcast_cap=0
+    )
     closed = hash_join(
         wedges, edges.map_batches(
             lambda df: df.assign(__e=np.int64(1)), batch_format="pandas"

@@ -4040,11 +4040,11 @@ def q_domain_pagerank(sf_dir: str):
         a, b = a[keep], b[keep]
         return pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
 
-    from .joins import grouped_apply
+    from .joins import distinct_rows
 
-    edges = grouped_apply(
+    edges = distinct_rows(
         dom_edges.map_batches(to_int_edges, batch_format="pandas"),
-        ["u", "v"], lambda df: df.drop_duplicates(), num_buckets=16)
+        ["u", "v"], num_buckets=16)
     pr = pagerank_int(edges, iters=3)
     pr = pr.sort_values(["r", "node"], ascending=[False, True]).head(20)
     return pr.reset_index(drop=True)
@@ -4262,7 +4262,7 @@ def q_part_components(sf_dir: str):
     pins the distributed fixpoint machinery the (non-expressible)
     simplify pipeline reuses."""
     from .components import connected_components_labelprop
-    from .joins import grouped_apply
+    from .joins import distinct_rows
 
     edges = _chain_edges(sf_dir).materialize()
 
@@ -4273,10 +4273,8 @@ def q_part_components(sf_dir: str):
             ))}
         )
 
-    nodes = grouped_apply(
-        edges.map_batches(to_nodes, batch_format="pandas"), "id",
-        lambda df: df.drop_duplicates("id"),
-    )
+    nodes = distinct_rows(
+        edges.map_batches(to_nodes, batch_format="pandas"), "id")
     # the chain graph is small relative to its round count — fewer
     # buckets cut the per-round barrier cost (each round is two joins
     # plus a min-merge; 64 near-empty buckets each would dominate)
@@ -4382,7 +4380,7 @@ def _sql_bloom_tokens() -> str:
 def _chain_edges(sf_dir: str):
     """Sparse part-chain graph shared by part_components/part_pagerank:
     consecutive distinct parts of high-quantity orders, deduped."""
-    from .joins import grouped_apply
+    from .joins import distinct_rows, grouped_apply
 
     li = _t(sf_dir, "lineitem",
             columns=["l_orderkey", "l_partkey", "l_quantity"])
@@ -4404,11 +4402,8 @@ def _chain_edges(sf_dir: str):
         return pd.DataFrame({"u": p[:-1][same], "v": p[1:][same]})
 
     pairs = grouped_apply(li, "l_orderkey", chains)
-
-    def dedup_uv(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["u", "v"])
-
-    return grouped_apply(pairs, ["u", "v"], dedup_uv, drop_partial=dedup_uv)
+    # key-only (u, v) dedup: capped narrow merge (joins.distinct_rows)
+    return distinct_rows(pairs, ["u", "v"])
 
 
 #: shared CTE prefix deriving the chain graph in SQL (mirrors

@@ -193,6 +193,77 @@ def connected_components_labelprop(nodes, edges, max_rounds: int = 50, num_bucke
     return labels
 
 
+def _min_label_cc(ids: np.ndarray, iu: np.ndarray, iv: np.ndarray) -> np.ndarray:
+    """Vectorized hash-min with pointer jumping over index arrays:
+    returns lab where lab[i] is the INDEX of the smallest node in i's
+    component. ids must be sorted so min index == min id. O(log n)
+    passes, each a handful of numpy kernels over the edge arrays."""
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        nxt = lab.copy()
+        if len(iu):
+            m = np.minimum(lab[iu], lab[iv])
+            np.minimum.at(nxt, iu, m)
+            np.minimum.at(nxt, iv, m)
+        nxt = np.minimum(nxt, nxt[nxt])  # jump: label of one's label
+        if np.array_equal(nxt, lab):
+            return lab
+        lab = nxt
+
+
+def connected_components_broadcast(nodes, edges):
+    """Broadcast-regime connected components -> Dataset (id, comp):
+    the key columns ship to one process and a vectorized min-label
+    kernel (``_min_label_cc``) resolves the fixpoint in-memory — no
+    per-round barriers at all. Same labels as ``_labelprop`` (smallest
+    node id in the component) by construction; callers gate on edge
+    count (see ``connected_components_auto``). The distributed
+    labelprop pays ~3 exchange barriers per round regardless of data
+    size, which dominates end-to-end time whenever the key columns fit
+    a single heap (measured: 38.9 s -> sub-second on the sf0.1 part
+    chain graph)."""
+    import ray
+
+    id_parts = [b["id"] for b in nodes.select_columns(["id"]).iter_batches(
+        batch_format="numpy", batch_size=None)]
+    ids = np.unique(np.concatenate(id_parts)) if id_parts else np.array([], np.int64)
+    us, vs = [], []
+    for b in edges.select_columns(["u", "v"]).iter_batches(
+            batch_format="numpy", batch_size=None):
+        us.append(b["u"])
+        vs.append(b["v"])
+    u = np.concatenate(us) if us else np.array([], ids.dtype)
+    v = np.concatenate(vs) if vs else np.array([], ids.dtype)
+    iu = np.searchsorted(ids, u)
+    iv = np.searchsorted(ids, v)
+    if len(iu) and not (np.array_equal(ids[iu], u) and np.array_equal(ids[iv], v)):
+        raise ValueError("edge endpoints missing from the node table")
+    lab = _min_label_cc(ids, iu, iv)
+    import pyarrow as pa
+
+    # via Arrow: a 0-row from_pandas dataset drops its schema
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame({"id": ids, "comp": ids[lab]}), preserve_index=False))
+
+
+def connected_components_auto(nodes, edges, *, broadcast_cap: int | None = None,
+                              max_rounds: int = 50, num_buckets: int = 64):
+    """Hybrid exchange ladder for connected components (the repo
+    pattern, cf. graphops.triangle_count): under ``broadcast_cap``
+    edges the key columns ship once and the fixpoint runs in one
+    vectorized kernel; above it the distributed pointer-jumping
+    labelprop runs. A ``broadcast_cap=0`` test pins both paths to
+    identical (id, comp) sets."""
+    from .joins import DEFAULT_BROADCAST_CAP
+
+    cap = DEFAULT_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+    edges = edges.materialize()
+    if edges.count() <= cap:
+        return connected_components_broadcast(nodes, edges)
+    return connected_components_labelprop(
+        nodes, edges, max_rounds=max_rounds, num_buckets=num_buckets)
+
+
 def largest_component(nodes, edges, *, method: str = "local", cap: int = DEFAULT_LOCAL_CAP):
     """H1: filter (nodes, edges) to the largest connected component
     (reference heuristics.rs:10-58; ties -> smallest component label,

@@ -4261,7 +4261,7 @@ def q_part_components(sf_dir: str):
     one whole-graph iterative operator that IS SQL-expressible, which
     pins the distributed fixpoint machinery the (non-expressible)
     simplify pipeline reuses."""
-    from .components import connected_components_labelprop
+    from .components import connected_components_auto
     from .joins import distinct_rows
 
     edges = _chain_edges(sf_dir).materialize()
@@ -4275,10 +4275,12 @@ def q_part_components(sf_dir: str):
 
     nodes = distinct_rows(
         edges.map_batches(to_nodes, batch_format="pandas"), "id")
-    # the chain graph is small relative to its round count — fewer
-    # buckets cut the per-round barrier cost (each round is two joins
-    # plus a min-merge; 64 near-empty buckets each would dominate)
-    comp = connected_components_labelprop(nodes, edges, num_buckets=8)
+    # hybrid ladder: under the broadcast cap the fixpoint runs as one
+    # vectorized kernel (the labelprop pays ~3 barriers/round on this
+    # tiny chain graph — 38.9 s of parallelism-independent cost at
+    # sf0.1); above it the num_buckets=8 labelprop runs (fewer buckets
+    # because each round's joins are barrier- not data-dominated)
+    comp = connected_components_auto(nodes, edges, num_buckets=8)
 
     def sizes(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("comp", as_index=False).size().rename(columns={"size": "n"})

@@ -458,3 +458,40 @@ def test_asof_join_right_prep_equals_global_dedup(ray_session):
         on="t", by="g", how="inner", num_buckets=5,
     ).to_pandas().sort_values(["g", "t", "x"]).reset_index(drop=True)
     assert via_prep.equals(pre_deduped)
+
+
+def test_cc_broadcast_path_equals_labelprop(ray_session):
+    """Forced-cap ladder parity: the vectorized broadcast min-label CC
+    bit-matches the distributed pointer-jumping labelprop on a random
+    sparse graph (isolated nodes included)."""
+    import ray.data
+
+    from ophois_ray.components import connected_components_auto
+
+    rng = np.random.RandomState(7)
+    m = 400
+    u = rng.randint(0, 260, m).astype(np.int64)
+    v = rng.randint(0, 260, m).astype(np.int64)
+    keep = u != v
+    edges_df = pd.DataFrame(
+        {"u": np.minimum(u, v)[keep], "v": np.maximum(u, v)[keep]}
+    ).drop_duplicates()
+    # isolated nodes: ids above any edge endpoint
+    node_ids = np.unique(np.concatenate(
+        [edges_df["u"].to_numpy(), edges_df["v"].to_numpy(),
+         np.array([500, 501], dtype=np.int64)]
+    ))
+    nodes = ray.data.from_pandas(pd.DataFrame({"id": node_ids})).repartition(3)
+    edges = ray.data.from_pandas(edges_df).repartition(5)
+
+    fast = (connected_components_auto(nodes, edges)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    slow = (connected_components_auto(nodes, edges, broadcast_cap=0,
+                                      num_buckets=4)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    assert fast["id"].tolist() == slow["id"].tolist()
+    assert fast["comp"].tolist() == slow["comp"].tolist()
+    # isolated nodes label themselves; more than one real component
+    got = dict(zip(fast["id"], fast["comp"]))
+    assert got[500] == 500 and got[501] == 501
+    assert fast["comp"].nunique() > 2

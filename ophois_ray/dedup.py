@@ -716,8 +716,12 @@ def pairs_to_groups(verified, *, driver_pair_cap: int = 5_000_000):
         members = sorted({i for p in zip(pairs["id_a"], pairs["id_b"]) for i in p})
         return pd.DataFrame({"id": members, "group": [find(i) for i in members]})
 
-    # distributed grouping: nodes = distinct pair members, edges = pairs
-    from .components import connected_components_labelprop
+    # distributed grouping: nodes = distinct pair members, edges = pairs.
+    # The hybrid ladder applies: driver_pair_cap guards materializing
+    # whole pair GROUPS on the driver, but the bare (u, v) key columns
+    # fit the broadcast regime far above it — the vectorized kernel
+    # resolves those without the labelprop's per-round barriers
+    from .components import connected_components_auto
     from .joins import distinct_rows
 
     edges = verified.map_batches(
@@ -733,7 +737,7 @@ def pairs_to_groups(verified, *, driver_pair_cap: int = 5_000_000):
         ),
         "id",
     )
-    labels = connected_components_labelprop(nodes, edges, num_buckets=16)
+    labels = connected_components_auto(nodes, edges, num_buckets=16)
     out = labels.to_pandas().rename(columns={"comp": "group"})
     return out.sort_values("id").reset_index(drop=True)
 

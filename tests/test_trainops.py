@@ -73,6 +73,14 @@ def test_minhash_detects_planted_near_dups(docs):
         groups.sort_values("id").reset_index(drop=True),
         groups_d.sort_values("id").reset_index(drop=True),
     )
+    # forced pair cap: the grouping fallback (connected_components_auto
+    # over the verified pair graph) must produce identical groups to
+    # the driver union-find
+    groups_p = dedup.minhash_near_dup_groups(ds, threshold=0.7, driver_pair_cap=0)
+    pd.testing.assert_frame_equal(
+        groups.sort_values("id").reset_index(drop=True),
+        groups_p.sort_values("id").reset_index(drop=True),
+    )
 
 
 def test_jaccard_exact():

@@ -441,6 +441,38 @@ def box_smooth_raster(counts, *, res: int | None = None,
     )
 
 
+def box_smooth_dense(cell: np.ndarray, n: np.ndarray, res: int):
+    """Bounded-domain twin of :func:`box_smooth_raster`: the same 3x3
+    box smoothing (x wraps modulo 2^res, y clips) as shifted adds over
+    a dense 2^res x 2^res int64 grid — for callers that already hold
+    the merged (cell, n) counts of a res-bounded raster in one process
+    (the active-cell domain is at most 4^res, so the counts are
+    driver-sized by construction). Returns (cells, density) numpy
+    arrays covering exactly the cells that receive scattered mass —
+    the same output set as the scatter formulation; parity-pinned by
+    pytest. Pure int64, order-independent sums."""
+    grid = 1 << res
+    MASK = np.int64((1 << 29) - 1)
+    cell = np.asarray(cell, np.int64)
+    n = np.asarray(n, np.int64)
+    if not len(cell):
+        return np.array([], np.int64), np.array([], np.int64)
+    ix = (cell >> np.int64(29)) & MASK
+    iy = cell & MASK
+    base = int((cell - (ix << np.int64(29)) - iy)[0])
+    dense = np.zeros((grid, grid), np.int64)
+    np.add.at(dense, (ix, iy), n)
+    sm = np.zeros_like(dense)
+    for dx in (-1, 0, 1):
+        rolled = np.roll(dense, dx, axis=0)  # longitude wrap
+        sm += rolled
+        sm[:, 1:] += rolled[:, :-1]  # mass scattered to iy+1
+        sm[:, :-1] += rolled[:, 1:]  # mass scattered to iy-1
+    ox, oy = np.nonzero(sm)
+    out_cell = np.int64(base) + (ox.astype(np.int64) << np.int64(29)) + oy.astype(np.int64)
+    return out_cell, sm[ox, oy]
+
+
 def rasterize_polygons(polys, res: int, *, prefilter_res: int = 4):
     """Vector -> raster: every res-cell whose CENTER lies inside a
     polygon, as (cell, poly_id) rows — center-sampling rasterization,

@@ -643,8 +643,6 @@ def q_doc_rollup_counts(sf_dir: str):
     pre-aggregated partials before a single (lang, source)-bucket
     merge. '*' marks the rolled-up dimension. Bit-exact vs a DuckDB
     GROUPING SETS union."""
-    from .joins import grouped_apply
-
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["lang", "source", "n_chars"],
@@ -671,16 +669,22 @@ def q_doc_rollup_counts(sf_dir: str):
         out["sum_chars"] = out["sum_chars"].astype(np.int64)
         return out
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["lang", "source"], as_index=False)[["n", "sum_chars"]].sum()
-        g["n"] = g["n"].astype(np.int64)
-        g["sum_chars"] = g["sum_chars"].astype(np.int64)
-        return g
-
-    return grouped_apply(
-        docs.map_batches(partial, batch_format="pandas"),
-        ["lang", "source"], merge, num_buckets=16,
-    )
+    # bounded key domain (4 granularities x langs x sources — dozens of
+    # rows per partial): driver-merge the per-block partials instead of
+    # a 16-bucket exchange (the repo's tiny-domain rule; the shuffle
+    # barrier dominated a single fused read pass)
+    parts = [b for b in docs.map_batches(partial, batch_format="pandas")
+             .iter_batches(batch_format="pandas", batch_size=None)]
+    if not parts:
+        return pd.DataFrame({
+            "lang": pd.Series(dtype=object), "source": pd.Series(dtype=object),
+            "n": pd.Series(dtype=np.int64),
+            "sum_chars": pd.Series(dtype=np.int64)})
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby(["lang", "source"], as_index=False)[["n", "sum_chars"]].sum())
+    g["n"] = g["n"].astype(np.int64)
+    g["sum_chars"] = g["sum_chars"].astype(np.int64)
+    return g
 
 
 SQL_DOC_ROLLUP_COUNTS = """
@@ -2639,31 +2643,36 @@ def q_cell_smooth_topk(sf_dir: str):
     shuffle, top-20 densest cells with the deterministic (density DESC,
     cell ASC) order. Integer end to end; mirrored by a DuckDB offset
     cross-join."""
-    from .polygons import box_smooth_raster
+    from .polygons import box_smooth_dense
 
     cust = _t(sf_dir, "customer", columns=["c_custkey"])
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         k = df["c_custkey"].to_numpy(np.int64)
         lat, lon = _coords_from_key(k, 7, 13)
-        return pd.DataFrame({"cell": cells.cell_of(lat, lon, RES_JOIN)})
+        vc = pd.Series(cells.cell_of(lat, lon, RES_JOIN)).value_counts()
+        return pd.DataFrame({"cell": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
 
-    counts = (
-        cust.map_batches(fn, batch_format="pandas")
-        .groupby("cell")
-        .aggregate(Count(alias_name="n"))
-    )
-    sm = box_smooth_raster(counts, res=RES_JOIN)
-    parts = [
-        b.sort_values(["density", "cell"], ascending=[False, True]).head(20)
-        for b in sm.iter_batches(batch_format="pandas", batch_size=None)
-    ]
+    # bounded key domain (4^res cells, 4096 at res 6): per-block
+    # value_counts partials + a driver merge replace BOTH the keyed
+    # count groupby and the scatter shuffle (the repo's tiny-domain
+    # rule — each was seconds of parallelism-independent barrier on
+    # KB-sized data); the smoothing itself is the dense twin of
+    # polygons.box_smooth_raster, parity-pinned
+    parts = [b for b in cust.map_batches(partial, batch_format="pandas")
+             .iter_batches(batch_format="pandas", batch_size=None)]
     if not parts:
         return pd.DataFrame({"cell": pd.Series(dtype=np.int64),
                              "density": pd.Series(dtype=np.int64)})
-    return (pd.concat(parts, ignore_index=True)
-            .sort_values(["density", "cell"], ascending=[False, True],
-                         ignore_index=True).head(20))
+    merged = (pd.concat(parts, ignore_index=True)
+              .groupby("cell", as_index=False)["n"].sum())
+    cell_arr, density = box_smooth_dense(
+        merged["cell"].to_numpy(np.int64),
+        merged["n"].to_numpy(np.int64), RES_JOIN)
+    out = pd.DataFrame({"cell": cell_arr, "density": density})
+    return (out.sort_values(["density", "cell"], ascending=[False, True],
+                            ignore_index=True).head(20))
 
 
 def _sql_cell_smooth_topk() -> str:

@@ -1423,6 +1423,32 @@ def test_box_smooth_raster_random_parity():
                     got["density"].astype(np.int64))) == exp
 
 
+def test_box_smooth_dense_matches_scatter():
+    """The bounded-domain dense kernel bit-matches the distributed
+    scatter path under the res semantics (x wraps, y clips), random
+    counts incl. duplicate cells."""
+    from ophois_ray.polygons import box_smooth_dense, box_smooth_raster
+
+    res = 4  # 16x16 grid
+    grid = 1 << res
+    rng = np.random.default_rng(127)
+    ix = rng.integers(0, grid, size=80).astype(np.int64)
+    iy = rng.integers(0, grid, size=80).astype(np.int64)
+    n = rng.integers(1, 7, size=80).astype(np.int64)
+    cell = (ix << 29) | iy
+    merged = (pd.DataFrame({"cell": cell, "n": n})
+              .groupby("cell", as_index=False)["n"].sum())
+    dc, dv = box_smooth_dense(
+        merged["cell"].to_numpy(np.int64),
+        merged["n"].to_numpy(np.int64), res)
+    scat = box_smooth_raster(ray.data.from_pandas(
+        pd.DataFrame({"cell": cell, "n": n})), res=res).to_pandas()
+    assert dict(zip(dc, dv)) == dict(
+        zip(scat["cell"].astype(np.int64), scat["density"].astype(np.int64)))
+    # wrap actually exercised: some source sits on the x edge
+    assert (ix == 0).any() and (ix == grid - 1).any()
+
+
 def test_repetition_features_random_parity():
     from ophois_ray.textstats import repetition_features
 

@@ -82,14 +82,35 @@ def train_linear(ds, classes, *, text_col: str = "text",
     w = np.zeros((n_cls, n_buckets), dtype=np.float64)
     losses = []
 
+    # featurize ONCE (tokenize + hash is the expensive pass — running
+    # it inside the epoch loop re-read and re-hashed the corpus every
+    # epoch); packed bytes per doc, never ragged ndarrays in cells.
+    # map_batches -> materialize preserves block boundaries, so the
+    # per-block gradient sums (and hence the canonical fold) are
+    # bit-identical to featurizing inside the epoch pass.
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        rows = _feature_rows(df[text_col].tolist(), n_buckets)
+        y = np.array([cls_idx.get(l, -1) for l in df[label_col]],
+                     dtype=np.int64)
+        return pd.DataFrame({
+            "ids": [ids.astype(np.int64).tobytes() for ids, _ in rows],
+            "vals": [vals.tobytes() for _, vals in rows],
+            "y": y,
+        })
+
+    feats = ds.map_batches(pack, batch_format="pandas").materialize()
+
     for _ in range(epochs):
         wref = ray.put(w)
 
         def grad_partial(df: pd.DataFrame) -> pd.DataFrame:
             wm = ray.get(wref) if isinstance(wref, ray.ObjectRef) else wref
-            rows = _feature_rows(df[text_col].tolist(), wm.shape[1])
-            y = np.array([cls_idx.get(l, -1) for l in df[label_col]],
-                         dtype=np.int64)
+            rows = [
+                (np.frombuffer(i, dtype=np.int64),
+                 np.frombuffer(v, dtype=np.float64))
+                for i, v in zip(df["ids"], df["vals"])
+            ]
+            y = df["y"].to_numpy(np.int64)
             g = np.zeros_like(wm)
             loss, n = 0.0, 0
             s = _scores(rows, wm)
@@ -108,7 +129,7 @@ def train_linear(ds, classes, *, text_col: str = "text",
                                  "loss": [loss],
                                  "n": np.array([n], dtype=np.int64)})
 
-        p = ds.map_batches(grad_partial, batch_format="pandas").to_pandas()
+        p = feats.map_batches(grad_partial, batch_format="pandas").to_pandas()
         n_total = int(p["n"].sum())
         if n_total == 0:
             raise ValueError("train_linear: no labeled rows")

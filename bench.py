@@ -315,13 +315,25 @@ def run_bench() -> dict:
     from ophois_ray import queries as qmod
 
     cat = qmod.catalog()
-    qtimes = {}
+    # min-of-N per query (default 2: first run warms, second measures)
+    # with per-run steal attribution — single-run per-query numbers on
+    # this co-tenant host carry 2-4x noise (measured: 12.3 s in-bench
+    # vs 4.0 s min-of-3 standalone for the same query in the same
+    # quiet window), which a reader of the JSON could not attribute
+    n_q = max(1, int(os.environ.get("OPHOIS_BENCH_QUERY_RUNS", "2")))
+    qtimes, qruns = {}, {}
     for name in bench_query_list():
-        t0 = time.monotonic()
-        res = cat[name](SF_DIR)
-        if hasattr(res, "count"):
-            res.count()
-        qtimes[name] = round(time.monotonic() - t0, 3)
+        rs, sts = [], []
+        for _ in range(n_q):
+            s0 = _proc_cpu_times()
+            t0 = time.monotonic()
+            res = cat[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()
+            rs.append(round(time.monotonic() - t0, 3))
+            sts.append(_steal_between(s0, _proc_cpu_times())["steal_pct"])
+        qtimes[name] = min(rs)
+        qruns[name] = {"runs": rs, "steal_pct": sts}
 
     # actor-pool extraction: the stateful-stage shape (state in
     # __init__, work in __call__) with a timed consumer — parity with
@@ -333,6 +345,9 @@ def run_bench() -> dict:
         "value": round(head["sec"], 3),
         "unit": "sec",
         "queries": qtimes,
+        # raw per-query runs + in-run hypervisor steal, so a slow
+        # entry in "queries" carries its own attribution
+        "query_runs": qruns,
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "pages": n_pages,

@@ -1203,56 +1203,64 @@ def _bpe_segment_word(word: str, ranks: dict) -> tuple:
     return tuple(syms)
 
 
+_SEG_MEMO: dict = {}  # per-worker distinct-word segmentation memos
+
+
 def bpe_segment_counts(ds, merges: pd.DataFrame, *,
                        text_col: str = "text", num_buckets: int = 32):
     """Apply learned merges to the corpus and return the exact token
-    frequency table (token, n). The merge table is broadcast once
-    (ray.put); each batch segments through a per-worker memo of
-    distinct-word segmentations (Zipf makes the memo hit rate high);
-    counts merge exactly via one token-bucket grouped_apply."""
+    frequency table (token, n) as a Dataset. The merge table is
+    broadcast once (ray.put) and fetched through the per-worker cache
+    — a TASK map, not an actor pool: the only per-actor state was a
+    small dict + the segmentation memo, and the explicit concurrency
+    poisoned read fusion (the repo's measured rule). The memo lives in
+    a module-level per-worker dict keyed by the broadcast ref (Zipf
+    makes its hit rate high). The token domain is BOUNDED — base
+    characters plus one new symbol per learned merge — so per-block
+    Counter partials driver-merge exactly instead of paying a
+    token-bucket exchange (the tiny-domain rule)."""
     from collections import Counter
 
+    import pyarrow as pa
     import ray
 
-    from .joins import grouped_apply
+    from .pages import _fetch_cached
 
     ranks = {(l, r): int(k) for k, l, r in
              zip(merges["rank"], merges["left"], merges["right"])}
     rref = ray.put(ranks)
+    rkey = rref.hex()
 
-    class Segment:
-        def __init__(self):
-            self.ranks = ray.get(rref) if isinstance(
-                rref, ray.ObjectRef) else rref
-            self.memo = {}
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            c = Counter()
-            for t in df[text_col]:
-                if not isinstance(t, str):
+    def seg(df: pd.DataFrame) -> pd.DataFrame:
+        rk = _fetch_cached(rref)
+        memo = _SEG_MEMO.setdefault(rkey, {})
+        c = Counter()
+        for t in df[text_col]:
+            if not isinstance(t, str):
+                continue
+            for w in _BPE_RE.findall(t):
+                if w.isspace():
                     continue
-                for w in _BPE_RE.findall(t):
-                    if w.isspace():
-                        continue
-                    toks = self.memo.get(w)
-                    if toks is None:
-                        toks = _bpe_segment_word(w, self.ranks)
-                        self.memo[w] = toks
-                    c.update(toks)
-            if not c:
-                return pd.DataFrame({"token": pd.Series(dtype=object),
-                                     "n": pd.Series(dtype=np.int64)})
-            return pd.DataFrame({"token": list(c.keys()),
-                                 "n": np.fromiter(c.values(), dtype=np.int64)})
+                toks = memo.get(w)
+                if toks is None:
+                    toks = _bpe_segment_word(w, rk)
+                    memo[w] = toks
+                c.update(toks)
+        if not c:
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"token": list(c.keys()),
+                             "n": np.fromiter(c.values(), dtype=np.int64)})
 
-    def merge_fn(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("token", sort=False)["n"].sum()
-        return pd.DataFrame({"token": g.index.to_numpy(object),
-                             "n": g.to_numpy(np.int64)})
-
-    parts = ds.map_batches(Segment, batch_format="pandas",
-                           concurrency=(1, 8))
-    return grouped_apply(parts, "token", merge_fn, num_buckets=num_buckets)
+    total: Counter = Counter()
+    for b in (ds.map_batches(seg, batch_format="pandas")
+              .iter_batches(batch_format="pandas", batch_size=None)):
+        total.update(dict(zip(b["token"], b["n"])))
+    toks = sorted(total)  # deterministic layout for the rerun check
+    return ray.data.from_arrow(pa.table({
+        "token": pa.array(toks, pa.string()),
+        "n": pa.array([int(total[t]) for t in toks], pa.int64()),
+    }))
 
 
 def paragraph_dup_stats(paras, *, num_buckets: int = 64):

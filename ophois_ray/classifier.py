@@ -70,11 +70,23 @@ def _scores(rows, w: np.ndarray) -> np.ndarray:
 
 def train_linear(ds, classes, *, text_col: str = "text",
                  label_col: str = "lang", n_buckets: int = 1 << 15,
-                 epochs: int = 5, lr: float = 2.0):
+                 epochs: int = 5, lr: float = 2.0,
+                 cache_features: bool = True):
     """Fit softmax regression by full-batch GD (deterministic — no
     sampling, no shuffling: the full-batch gradient is a sum of
     per-doc terms, merged canonically). Returns (weights [C, B],
-    losses per epoch)."""
+    losses per epoch).
+
+    ``cache_features`` materializes the hashed sparse rows once
+    (packed bytes, smaller than the text) so the epoch loop streams
+    the cache instead of re-reading + re-hashing the corpus per epoch
+    — the standard multi-epoch tradeoff: object-store residency (with
+    spill) bought for a ~(epochs)x tokenization saving. Pass False to
+    re-featurize per epoch when the corpus dwarfs aggregate
+    store+disk. Both paths are bit-identical (featurization is
+    per-doc deterministic and map_batches preserves block boundaries,
+    so the per-block gradient sums and canonical fold are unchanged).
+    """
     import ray
 
     cls_idx = {c: i for i, c in enumerate(classes)}
@@ -98,7 +110,9 @@ def train_linear(ds, classes, *, text_col: str = "text",
             "y": y,
         })
 
-    feats = ds.map_batches(pack, batch_format="pandas").materialize()
+    feats = ds.map_batches(pack, batch_format="pandas")
+    if cache_features:
+        feats = feats.materialize()
 
     for _ in range(epochs):
         wref = ray.put(w)
@@ -133,12 +147,23 @@ def train_linear(ds, classes, *, text_col: str = "text",
         n_total = int(p["n"].sum())
         if n_total == 0:
             raise ValueError("train_linear: no labeled rows")
-        # canonical fold (sort by payload) -> rerun-deterministic sums
-        order = np.argsort(p["g"].to_numpy(object), kind="stable")
+        # canonical fold (sort by payload) -> rerun-deterministic sums.
+        # The LOSS folds in the same canonical order: blocks arrive in
+        # completion order (preserve_order is off), so a plain
+        # p["loss"].sum() drifted by last-ulp between reruns of the
+        # same input; the sort key appends the loss bytes so ties in g
+        # stay deterministic too
+        gs = p["g"].to_numpy(object)
+        ls = p["loss"].to_numpy(np.float64)
+        keys = np.array([b + v.tobytes() for b, v in zip(gs, ls)],
+                        dtype=object)
+        order = np.argsort(keys, kind="stable")
         g = np.zeros_like(w)
-        for b in p["g"].to_numpy(object)[order]:
-            g += np.frombuffer(b, dtype=np.float64).reshape(w.shape)
-        losses.append(float(p["loss"].sum()) / n_total)
+        loss_sum = 0.0
+        for i in order:
+            g += np.frombuffer(gs[i], dtype=np.float64).reshape(w.shape)
+            loss_sum += float(ls[i])
+        losses.append(loss_sum / n_total)
         w = w - lr * (g / n_total)
     return w, losses
 

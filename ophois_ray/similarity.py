@@ -318,9 +318,12 @@ def train_ivf_centroids(ds, n_centroids: int, *, vec_col: str = "embedding",
 
         p = ds.map_batches(lloyd_partial, batch_format="pandas").to_pandas()
         nxt = cent.copy()
-        for cid, grp in p.groupby("cid"):
+        # canonical fold order (sorted bytes) -> bit-identical refits:
+        # blocks arrive in completion order, so an arrival-order float
+        # sum drifts by last-ulp between reruns of the same input
+        for cid, grp in p.sort_values("cid").groupby("cid", sort=True):
             s = np.zeros(d)
-            for b in grp["s"]:
+            for b in sorted(grp["s"]):
                 s += np.frombuffer(b, dtype=np.float64)
             nxt[int(cid)] = s / int(grp["n"].sum())
         cent = _unit(nxt)

@@ -51,6 +51,9 @@ BENCH_HEAVY = [
     "doc_collocations",
     "part_pagerank",
     "part_bfs_depths",
+    # excluded while the labelprop fixpoint cost 38 s; back in the
+    # always-run set since the connected_components_auto ladder (2.2 s)
+    "part_components",
     "training_prep",
 ]
 

@@ -1906,7 +1906,7 @@ def _h264_pps_rbsp() -> bytes:
     w.se(0)             # pic_init_qp_minus26
     w.se(0)             # pic_init_qs_minus26
     w.se(0)             # chroma_qp_index_offset
-    w.u(0, 1)           # deblocking_filter_control_present_flag
+    w.u(1, 1)           # deblocking_filter_control_present_flag
     w.u(0, 1)           # constrained_intra_pred_flag
     w.u(0, 1)           # redundant_pic_cnt_present_flag
     w.trailing()
@@ -1942,6 +1942,7 @@ def encode_h264_ipcm(frames_u8, *, fps: int = 10) -> bytes:
         w.u(0, 1)            # no_output_of_prior_pics_flag
         w.u(0, 1)            # long_term_reference_flag
         w.se(0)              # slice_qp_delta
+        w.ue(1)              # disable_deblocking_filter_idc: off (conformant)
         for mby in range(h_mbs):
             for mbx in range(w_mbs):
                 w.ue(25)     # mb_type: I_PCM
@@ -2594,6 +2595,170 @@ def _h264_unscan_ac(scan: np.ndarray) -> np.ndarray:
     return out
 
 
+def _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y, nnz_c, qp,
+                    mby, mbx, pcm_threshold, type_base=0, extra_bits=0):
+    """Encode ONE I_PCM / Intra_16x16+CAVLC macroblock into slice
+    writer ``w`` and the decoder-identical recon planes (shared by the
+    I-slice encoder and the intra fallback inside P slices, which
+    passes ``type_base=5`` per the 7.4.5 mb_type mapping).
+    ``extra_bits`` joins the I_PCM cost comparison (a P-slice caller
+    pays its mb_skip_run there). Returns "pcm" or "i16"."""
+    qpc = _H264_QPC[max(0, min(51, qp))]
+    oy = yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16
+            ].astype(np.int64)
+    ltop = (ry[16 * mby - 1, 16 * mbx:16 * mbx + 16].astype(np.int64)
+            if mby > 0 else None)
+    lleft = (ry[16 * mby:16 * mby + 16, 16 * mbx - 1].astype(np.int64)
+             if mbx > 0 else None)
+    ltl = (int(ry[16 * mby - 1, 16 * mbx - 1])
+           if (mby > 0 and mbx > 0) else None)
+    lmodes = ([0] if ltop is not None else []) + \
+        ([1] if lleft is not None else []) + [2] + \
+        ([3] if ltl is not None else [])
+    best = None
+    for md in sorted(lmodes):
+        pr = _pred_i16(md, ltop, lleft, ltl)
+        sad = int(np.abs(oy - pr).sum())
+        if best is None or sad < best[0]:
+            best = (sad, md, pr)
+    _, lmode, lpred = best
+    res = oy - lpred
+    W = np.empty((4, 4, 4, 4), np.int64)
+    for br in range(4):
+        for bc in range(4):
+            W[br, bc] = _CF @ res[4 * br:4 * br + 4,
+                                  4 * bc:4 * bc + 4] @ _CF.T
+    dc_lv = _quant_dc(_H4 @ W[:, :, 0, 0] @ _H4, qp)
+    ac_lv = _quant_ac(W, qp)
+    ac_lv[:, :, 0, 0] = 0
+    cbp_luma = 15 if ac_lv.any() else 0
+    # chroma: one mode for both planes, min combined SAD
+    och = {"cb": cbp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8
+                     ].astype(np.int64),
+           "cr": crp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8
+                     ].astype(np.int64)}
+    rpl = {"cb": rcb, "cr": rcr}
+    ctop = {k: (rpl[k][8 * mby - 1, 8 * mbx:8 * mbx + 8
+                       ].astype(np.int64) if mby > 0 else None)
+            for k in och}
+    cleft = {k: (rpl[k][8 * mby:8 * mby + 8, 8 * mbx - 1
+                        ].astype(np.int64) if mbx > 0 else None)
+             for k in och}
+    ctl = {k: (int(rpl[k][8 * mby - 1, 8 * mbx - 1])
+               if (mby > 0 and mbx > 0) else None) for k in och}
+    cmodes = [0] + ([1] if mbx > 0 else []) + \
+        ([2] if mby > 0 else []) + \
+        ([3] if (mby > 0 and mbx > 0) else [])
+    cbest = None
+    for md in cmodes:
+        sad = sum(int(np.abs(och[k] - _pred_chroma(
+            md, ctop[k], cleft[k], ctl[k])).sum()) for k in och)
+        if cbest is None or sad < cbest[0]:
+            cbest = (sad, md)
+    cmode = cbest[1]
+    cpred = {k: _pred_chroma(cmode, ctop[k], cleft[k], ctl[k])
+             for k in och}
+    cdc_lv, cac_lv = {}, {}
+    for k in och:
+        cres = och[k] - cpred[k]
+        Wk = np.empty((2, 2, 4, 4), np.int64)
+        for br in range(2):
+            for bc in range(2):
+                Wk[br, bc] = _CF @ cres[4 * br:4 * br + 4,
+                                        4 * bc:4 * bc + 4] @ _CF.T
+        cdc_lv[k] = _quant_dc(_H2 @ Wk[:, :, 0, 0] @ _H2, qpc)
+        ak = _quant_ac(Wk, qpc)
+        ak[:, :, 0, 0] = 0
+        cac_lv[k] = ak
+    ac_any = any(cac_lv[k].any() for k in och)
+    dc_any = any(cdc_lv[k].any() for k in och)
+    cbp_chroma = 2 if ac_any else (1 if dc_any else 0)
+    # ---- CAVLC bit recording (committed unless I_PCM is cheaper)
+    mb = _H264Ops()
+    mb.ue(type_base + 1 + lmode + 4 * cbp_chroma +
+          12 * (1 if cbp_luma else 0))
+    mb.ue(cmode)
+    mb.se(0)          # mb_qp_delta
+    dc_scan = np.array([dc_lv[r, c] for r, c in _ZZ4], np.int64)
+    _cavlc_encode_block(mb, dc_scan,
+                        _nc_from(nnz_y, 4 * mby, 4 * mbx), 16)
+    if cbp_luma:
+        for br, bc in _BLK_ORDER:
+            gy, gx = 4 * mby + br, 4 * mbx + bc
+            nnz_y[gy, gx] = _cavlc_encode_block(
+                mb, _h264_scan_ac(ac_lv[br, bc]),
+                _nc_from(nnz_y, gy, gx), 15)
+    else:
+        nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 0
+    if cbp_chroma:
+        for k in ("cb", "cr"):
+            lv = cdc_lv[k]
+            _cavlc_encode_block(
+                mb, np.array([lv[0, 0], lv[0, 1], lv[1, 0],
+                              lv[1, 1]], np.int64), -1, 4)
+    if cbp_chroma == 2:
+        for k in ("cb", "cr"):
+            for br in range(2):
+                for bc in range(2):
+                    gy, gx = 2 * mby + br, 2 * mbx + bc
+                    nnz_c[k][gy, gx] = _cavlc_encode_block(
+                        mb, _h264_scan_ac(cac_lv[k][br, bc]),
+                        _nc_from(nnz_c[k], gy, gx), 15)
+    else:
+        for k in ("cb", "cr"):
+            nnz_c[k][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+    if mb.bits + extra_bits > pcm_threshold:
+        # I_PCM beats the entropy-coded payload: emit raw samples
+        nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 16
+        for k in och:
+            nnz_c[k][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 16
+        w.ue(type_base + 25)
+        w.align_zero()
+        w.raw_bytes(yp[16 * mby:16 * mby + 16,
+                       16 * mbx:16 * mbx + 16].tobytes())
+        w.raw_bytes(cbp[8 * mby:8 * mby + 8,
+                        8 * mbx:8 * mbx + 8].tobytes())
+        w.raw_bytes(crp[8 * mby:8 * mby + 8,
+                        8 * mbx:8 * mbx + 8].tobytes())
+        ry[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+            yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16]
+        rcb[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+            cbp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8]
+        rcr[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+            crp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8]
+        return "pcm"
+    mb.replay(w)
+    # ---- decoder-identical reconstruction
+    dcy = _dequant_luma_dc(dc_lv, qp)
+    rymb = np.empty((16, 16), np.int64)
+    for br in range(4):
+        for bc in range(4):
+            d = (_dequant_ac(ac_lv[br, bc], qp) if cbp_luma
+                 else np.zeros((4, 4), np.int64))
+            d[0, 0] = dcy[br, bc]
+            rymb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                lpred[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] + \
+                _inv4x4(d)
+    ry[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+        np.clip(rymb, 0, 255).astype(yp.dtype)
+    for k, rp in (("cb", rcb), ("cr", rcr)):
+        dcc = (_dequant_chroma_dc(cdc_lv[k], qpc) if cbp_chroma
+               else np.zeros((2, 2), np.int64))
+        rcmb = np.empty((8, 8), np.int64)
+        for br in range(2):
+            for bc in range(2):
+                d = (_dequant_ac(cac_lv[k][br, bc], qpc)
+                     if cbp_chroma == 2 else np.zeros((4, 4),
+                                                      np.int64))
+                d[0, 0] = dcc[br, bc]
+                rcmb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                    cpred[k][4 * br:4 * br + 4,
+                             4 * bc:4 * bc + 4] + _inv4x4(d)
+        rp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+            np.clip(rcmb, 0, 255).astype(cbp.dtype)
+    return "i16"
+
+
 def _encode_h264_cavlc_frame(yp, cbp, crp, qp: int, fi: int,
                              pcm_threshold: int):
     """Encode one IDR frame's slice RBSP (Intra_16x16 + CAVLC, per-MB
@@ -2610,166 +2775,17 @@ def _encode_h264_cavlc_frame(yp, cbp, crp, qp: int, fi: int,
     w.u(0, 1)            # no_output_of_prior_pics_flag
     w.u(0, 1)            # long_term_reference_flag
     w.se(qp - 26)        # slice_qp_delta
+    w.ue(1)              # disable_deblocking_filter_idc: off (conformant)
     ry = np.zeros_like(yp)
     rcb = np.zeros_like(cbp)
     rcr = np.zeros_like(crp)
     nnz_y = np.zeros((4 * h_mbs, 4 * w_mbs), np.int64)
     nnz_c = {"cb": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64),
              "cr": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64)}
-    qpc = _H264_QPC[max(0, min(51, qp))]
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
-            oy = yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16
-                    ].astype(np.int64)
-            ltop = (ry[16 * mby - 1, 16 * mbx:16 * mbx + 16].astype(np.int64)
-                    if mby > 0 else None)
-            lleft = (ry[16 * mby:16 * mby + 16, 16 * mbx - 1].astype(np.int64)
-                     if mbx > 0 else None)
-            ltl = (int(ry[16 * mby - 1, 16 * mbx - 1])
-                   if (mby > 0 and mbx > 0) else None)
-            lmodes = ([0] if ltop is not None else []) + \
-                ([1] if lleft is not None else []) + [2] + \
-                ([3] if ltl is not None else [])
-            best = None
-            for md in sorted(lmodes):
-                pr = _pred_i16(md, ltop, lleft, ltl)
-                sad = int(np.abs(oy - pr).sum())
-                if best is None or sad < best[0]:
-                    best = (sad, md, pr)
-            _, lmode, lpred = best
-            res = oy - lpred
-            W = np.empty((4, 4, 4, 4), np.int64)
-            for br in range(4):
-                for bc in range(4):
-                    W[br, bc] = _CF @ res[4 * br:4 * br + 4,
-                                          4 * bc:4 * bc + 4] @ _CF.T
-            dc_lv = _quant_dc(_H4 @ W[:, :, 0, 0] @ _H4, qp)
-            ac_lv = _quant_ac(W, qp)
-            ac_lv[:, :, 0, 0] = 0
-            cbp_luma = 15 if ac_lv.any() else 0
-            # chroma: one mode for both planes, min combined SAD
-            och = {"cb": cbp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8
-                             ].astype(np.int64),
-                   "cr": crp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8
-                             ].astype(np.int64)}
-            rpl = {"cb": rcb, "cr": rcr}
-            ctop = {k: (rpl[k][8 * mby - 1, 8 * mbx:8 * mbx + 8
-                               ].astype(np.int64) if mby > 0 else None)
-                    for k in och}
-            cleft = {k: (rpl[k][8 * mby:8 * mby + 8, 8 * mbx - 1
-                                ].astype(np.int64) if mbx > 0 else None)
-                     for k in och}
-            ctl = {k: (int(rpl[k][8 * mby - 1, 8 * mbx - 1])
-                       if (mby > 0 and mbx > 0) else None) for k in och}
-            cmodes = [0] + ([1] if mbx > 0 else []) + \
-                ([2] if mby > 0 else []) + \
-                ([3] if (mby > 0 and mbx > 0) else [])
-            cbest = None
-            for md in cmodes:
-                sad = sum(int(np.abs(och[k] - _pred_chroma(
-                    md, ctop[k], cleft[k], ctl[k])).sum()) for k in och)
-                if cbest is None or sad < cbest[0]:
-                    cbest = (sad, md)
-            cmode = cbest[1]
-            cpred = {k: _pred_chroma(cmode, ctop[k], cleft[k], ctl[k])
-                     for k in och}
-            cdc_lv, cac_lv = {}, {}
-            for k in och:
-                cres = och[k] - cpred[k]
-                Wk = np.empty((2, 2, 4, 4), np.int64)
-                for br in range(2):
-                    for bc in range(2):
-                        Wk[br, bc] = _CF @ cres[4 * br:4 * br + 4,
-                                                4 * bc:4 * bc + 4] @ _CF.T
-                cdc_lv[k] = _quant_dc(_H2 @ Wk[:, :, 0, 0] @ _H2, qpc)
-                ak = _quant_ac(Wk, qpc)
-                ak[:, :, 0, 0] = 0
-                cac_lv[k] = ak
-            ac_any = any(cac_lv[k].any() for k in och)
-            dc_any = any(cdc_lv[k].any() for k in och)
-            cbp_chroma = 2 if ac_any else (1 if dc_any else 0)
-            # ---- CAVLC bit recording (committed unless I_PCM is cheaper)
-            mb = _H264Ops()
-            mb.ue(1 + lmode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0))
-            mb.ue(cmode)
-            mb.se(0)          # mb_qp_delta
-            dc_scan = np.array([dc_lv[r, c] for r, c in _ZZ4], np.int64)
-            _cavlc_encode_block(mb, dc_scan,
-                                _nc_from(nnz_y, 4 * mby, 4 * mbx), 16)
-            if cbp_luma:
-                for br, bc in _BLK_ORDER:
-                    gy, gx = 4 * mby + br, 4 * mbx + bc
-                    nnz_y[gy, gx] = _cavlc_encode_block(
-                        mb, _h264_scan_ac(ac_lv[br, bc]),
-                        _nc_from(nnz_y, gy, gx), 15)
-            else:
-                nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 0
-            if cbp_chroma:
-                for k in ("cb", "cr"):
-                    lv = cdc_lv[k]
-                    _cavlc_encode_block(
-                        mb, np.array([lv[0, 0], lv[0, 1], lv[1, 0],
-                                      lv[1, 1]], np.int64), -1, 4)
-            if cbp_chroma == 2:
-                for k in ("cb", "cr"):
-                    for br in range(2):
-                        for bc in range(2):
-                            gy, gx = 2 * mby + br, 2 * mbx + bc
-                            nnz_c[k][gy, gx] = _cavlc_encode_block(
-                                mb, _h264_scan_ac(cac_lv[k][br, bc]),
-                                _nc_from(nnz_c[k], gy, gx), 15)
-            else:
-                for k in ("cb", "cr"):
-                    nnz_c[k][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
-            if mb.bits > pcm_threshold:
-                # I_PCM beats the entropy-coded payload: emit raw samples
-                nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 16
-                for k in och:
-                    nnz_c[k][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 16
-                w.ue(25)
-                w.align_zero()
-                w.raw_bytes(yp[16 * mby:16 * mby + 16,
-                               16 * mbx:16 * mbx + 16].tobytes())
-                w.raw_bytes(cbp[8 * mby:8 * mby + 8,
-                                8 * mbx:8 * mbx + 8].tobytes())
-                w.raw_bytes(crp[8 * mby:8 * mby + 8,
-                                8 * mbx:8 * mbx + 8].tobytes())
-                ry[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
-                    yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16]
-                rcb[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
-                    cbp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8]
-                rcr[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
-                    crp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8]
-                continue
-            mb.replay(w)
-            # ---- decoder-identical reconstruction
-            dcy = _dequant_luma_dc(dc_lv, qp)
-            rymb = np.empty((16, 16), np.int64)
-            for br in range(4):
-                for bc in range(4):
-                    d = (_dequant_ac(ac_lv[br, bc], qp) if cbp_luma
-                         else np.zeros((4, 4), np.int64))
-                    d[0, 0] = dcy[br, bc]
-                    rymb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
-                        lpred[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] + \
-                        _inv4x4(d)
-            ry[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
-                np.clip(rymb, 0, 255).astype(yp.dtype)
-            for k, rp in (("cb", rcb), ("cr", rcr)):
-                dcc = (_dequant_chroma_dc(cdc_lv[k], qpc) if cbp_chroma
-                       else np.zeros((2, 2), np.int64))
-                rcmb = np.empty((8, 8), np.int64)
-                for br in range(2):
-                    for bc in range(2):
-                        d = (_dequant_ac(cac_lv[k][br, bc], qpc)
-                             if cbp_chroma == 2 else np.zeros((4, 4),
-                                                              np.int64))
-                        d[0, 0] = dcc[br, bc]
-                        rcmb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
-                            cpred[k][4 * br:4 * br + 4,
-                                     4 * bc:4 * bc + 4] + _inv4x4(d)
-                rp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
-                    np.clip(rcmb, 0, 255).astype(cbp.dtype)
+            _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y,
+                            nnz_c, qp, mby, mbx, pcm_threshold)
     w.trailing()
     return bytes(w.buf), ry, rcb, rcr
 
@@ -2833,7 +2849,140 @@ def _h264_parse_pps(r: "_H264BitReader") -> dict:
     r.u(1)                       # weighted_pred_flag
     r.u(2)                       # weighted_bipred_idc
     pic_init_qp = 26 + r.se()
-    return {"pic_init_qp": pic_init_qp}
+    r.se()                       # pic_init_qs_minus26
+    cq_off = r.se()              # chroma_qp_index_offset
+    deblock_ctrl = r.u(1)        # deblocking_filter_control_present_flag
+    if r.u(1):                   # constrained_intra_pred_flag
+        raise MediaDecodeError("constrained intra prediction not supported")
+    return {"pic_init_qp": pic_init_qp, "chroma_qp_offset": cq_off,
+            "deblock_control": deblock_ctrl}
+
+
+def _dec_mb_intra16(r, mb_type, yp, cpl, nnz_y, nnz_c, qp, cq_off,
+                    mby, mbx):
+    """Decode ONE I_PCM (25) / Intra_16x16+CAVLC (1..24) macroblock
+    into the slice planes, updating the CAVLC nnz grids in place
+    (shared by the I-slice decoder and intra macroblocks inside P
+    slices, whose caller passes ``mb_type - 5`` per 7.4.5). Returns
+    the updated slice QP."""
+    if mb_type == 25:
+        r.byte_align()
+        yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = (
+            np.frombuffer(r.raw_bytes(256),
+                          dtype=np.uint8).reshape(16, 16))
+        cpl["cb"][8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = (
+            np.frombuffer(r.raw_bytes(64),
+                          dtype=np.uint8).reshape(8, 8))
+        cpl["cr"][8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = (
+            np.frombuffer(r.raw_bytes(64),
+                          dtype=np.uint8).reshape(8, 8))
+        nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 16
+        for k in nnz_c:
+            nnz_c[k][2 * mby:2 * mby + 2,
+                     2 * mbx:2 * mbx + 2] = 16
+        return qp
+    if not 1 <= mb_type <= 24:
+        raise MediaDecodeError(
+            f"intra mb_type {mb_type}: only Intra_16x16 + "
+            "CAVLC and I_PCM are implemented (I_4x4 needs "
+            "the per-block prediction-mode coder)")
+    lmode = (mb_type - 1) % 4
+    q4 = (mb_type - 1) // 4
+    cbp_chroma, cbp_luma = q4 % 3, 15 * (q4 // 3)
+    cmode = r.ue()
+    if cmode > 3:
+        raise MediaDecodeError("bad intra_chroma_pred_mode")
+    qp = (qp + r.se() + 52) % 52     # mb_qp_delta, spec wrap
+    qpc = _H264_QPC[max(0, min(51, qp + cq_off))]
+    dc_scan, _ = _cavlc_decode_block(
+        r, _nc_from(nnz_y, 4 * mby, 4 * mbx), 16)
+    dc_lv = np.zeros((4, 4), np.int64)
+    for i, (rr, cc) in enumerate(_ZZ4):
+        dc_lv[rr, cc] = dc_scan[i]
+    ac_lv = np.zeros((4, 4, 4, 4), np.int64)
+    if cbp_luma:
+        for br, bc in _BLK_ORDER:
+            gy, gx = 4 * mby + br, 4 * mbx + bc
+            scan, tc = _cavlc_decode_block(
+                r, _nc_from(nnz_y, gy, gx), 15)
+            nnz_y[gy, gx] = tc
+            ac_lv[br, bc] = _h264_unscan_ac(scan)
+    else:
+        nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 0
+    cdc_lv = {k: np.zeros((2, 2), np.int64) for k in nnz_c}
+    if cbp_chroma:
+        for k in ("cb", "cr"):
+            scan, _ = _cavlc_decode_block(r, -1, 4)
+            cdc_lv[k] = np.array(
+                [[scan[0], scan[1]], [scan[2], scan[3]]],
+                np.int64)
+    cac_lv = {k: np.zeros((2, 2, 4, 4), np.int64)
+              for k in nnz_c}
+    if cbp_chroma == 2:
+        for k in ("cb", "cr"):
+            for br in range(2):
+                for bc in range(2):
+                    gy, gx = 2 * mby + br, 2 * mbx + bc
+                    scan, tc = _cavlc_decode_block(
+                        r, _nc_from(nnz_c[k], gy, gx), 15)
+                    nnz_c[k][gy, gx] = tc
+                    cac_lv[k][br, bc] = _h264_unscan_ac(scan)
+    else:
+        for k in ("cb", "cr"):
+            nnz_c[k][2 * mby:2 * mby + 2,
+                     2 * mbx:2 * mbx + 2] = 0
+    # ---- reconstruction
+    ltop = (yp[16 * mby - 1, 16 * mbx:16 * mbx + 16
+               ].astype(np.int64) if mby > 0 else None)
+    lleft = (yp[16 * mby:16 * mby + 16, 16 * mbx - 1
+                ].astype(np.int64) if mbx > 0 else None)
+    ltl = (int(yp[16 * mby - 1, 16 * mbx - 1])
+           if (mby > 0 and mbx > 0) else None)
+    if (lmode == 0 and ltop is None) or \
+            (lmode == 1 and lleft is None) or \
+            (lmode == 3 and ltl is None):
+        raise MediaDecodeError(
+            "intra prediction from unavailable neighbours")
+    lpred = _pred_i16(lmode, ltop, lleft, ltl)
+    dcy = _dequant_luma_dc(dc_lv, qp)
+    rymb = np.empty((16, 16), np.int64)
+    for br in range(4):
+        for bc in range(4):
+            d = (_dequant_ac(ac_lv[br, bc], qp) if cbp_luma
+                 else np.zeros((4, 4), np.int64))
+            d[0, 0] = dcy[br, bc]
+            rymb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                lpred[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] + \
+                _inv4x4(d)
+    yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+        np.clip(rymb, 0, 255).astype(np.uint8)
+    if (cmode == 1 and mbx == 0) or (cmode == 2 and mby == 0) \
+            or (cmode == 3 and (mbx == 0 or mby == 0)):
+        raise MediaDecodeError(
+            "chroma prediction from unavailable neighbours")
+    for k in ("cb", "cr"):
+        rp = cpl[k]
+        ctop = (rp[8 * mby - 1, 8 * mbx:8 * mbx + 8
+                   ].astype(np.int64) if mby > 0 else None)
+        cleft = (rp[8 * mby:8 * mby + 8, 8 * mbx - 1
+                    ].astype(np.int64) if mbx > 0 else None)
+        ctl = (int(rp[8 * mby - 1, 8 * mbx - 1])
+               if (mby > 0 and mbx > 0) else None)
+        cpred = _pred_chroma(cmode, ctop, cleft, ctl)
+        dcc = _dequant_chroma_dc(cdc_lv[k], qpc)
+        rcmb = np.empty((8, 8), np.int64)
+        for br in range(2):
+            for bc in range(2):
+                d = (_dequant_ac(cac_lv[k][br, bc], qpc)
+                     if cbp_chroma == 2 else
+                     np.zeros((4, 4), np.int64))
+                d[0, 0] = dcc[br, bc]
+                rcmb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                    cpred[4 * br:4 * br + 4,
+                          4 * bc:4 * bc + 4] + _inv4x4(d)
+        rp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+            np.clip(rcmb, 0, 255).astype(np.uint8)
+    return qp
 
 
 def decode_h264_intra(raw: bytes, *, return_mb_types: bool = False):
@@ -2847,7 +2996,8 @@ def decode_h264_intra(raw: bytes, *, return_mb_types: bool = False):
     with ``return_mb_types`` a third element lists each slice's
     mb_type sequence (for PCM-vs-CAVLC mix assertions)."""
     sps = None
-    pps = {"pic_init_qp": 26}
+    pps = {"pic_init_qp": 26, "chroma_qp_offset": 0,
+           "deblock_control": 0}
     frames = []
     mb_types_out = []
     for nal in _h264_nals(raw):
@@ -2880,6 +3030,14 @@ def decode_h264_intra(raw: bytes, *, return_mb_types: bool = False):
                 elif r.u(1):
                     raise MediaDecodeError("adaptive ref pic marking not supported")
             qp = pps["pic_init_qp"] + r.se()
+            needs_deblock = True
+            if pps["deblock_control"]:
+                if r.ue() == 1:          # disable_deblocking_filter_idc
+                    needs_deblock = False
+                else:
+                    r.se()               # slice_alpha_c0_offset_div2
+                    r.se()               # slice_beta_offset_div2
+            cq_off = pps["chroma_qp_offset"]
             w_mbs, h_mbs = sps["w_mbs"], sps["h_mbs"]
             yp = np.zeros((16 * h_mbs, 16 * w_mbs), dtype=np.uint8)
             cbpl = np.zeros((8 * h_mbs, 8 * w_mbs), dtype=np.uint8)
@@ -2893,123 +3051,13 @@ def decode_h264_intra(raw: bytes, *, return_mb_types: bool = False):
                 mby, mbx = divmod(mb, w_mbs)
                 mb_type = r.ue()
                 mb_types.append(mb_type)
-                if mb_type == 25:
-                    r.byte_align()
-                    yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = (
-                        np.frombuffer(r.raw_bytes(256),
-                                      dtype=np.uint8).reshape(16, 16))
-                    cbpl[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = (
-                        np.frombuffer(r.raw_bytes(64),
-                                      dtype=np.uint8).reshape(8, 8))
-                    crpl[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = (
-                        np.frombuffer(r.raw_bytes(64),
-                                      dtype=np.uint8).reshape(8, 8))
-                    nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 16
-                    for k in nnz_c:
-                        nnz_c[k][2 * mby:2 * mby + 2,
-                                 2 * mbx:2 * mbx + 2] = 16
-                    continue
-                if not 1 <= mb_type <= 24:
+                if needs_deblock and mb_type != 25:
                     raise MediaDecodeError(
-                        f"I-slice mb_type {mb_type}: only Intra_16x16 + "
-                        "CAVLC and I_PCM are implemented (I_4x4 needs "
-                        "the per-block prediction-mode coder)")
-                lmode = (mb_type - 1) % 4
-                q4 = (mb_type - 1) // 4
-                cbp_chroma, cbp_luma = q4 % 3, 15 * (q4 // 3)
-                cmode = r.ue()
-                if cmode > 3:
-                    raise MediaDecodeError("bad intra_chroma_pred_mode")
-                qp = (qp + r.se() + 52) % 52     # mb_qp_delta, spec wrap
-                qpc = _H264_QPC[max(0, min(51, qp))]
-                dc_scan, _ = _cavlc_decode_block(
-                    r, _nc_from(nnz_y, 4 * mby, 4 * mbx), 16)
-                dc_lv = np.zeros((4, 4), np.int64)
-                for i, (rr, cc) in enumerate(_ZZ4):
-                    dc_lv[rr, cc] = dc_scan[i]
-                ac_lv = np.zeros((4, 4, 4, 4), np.int64)
-                if cbp_luma:
-                    for br, bc in _BLK_ORDER:
-                        gy, gx = 4 * mby + br, 4 * mbx + bc
-                        scan, tc = _cavlc_decode_block(
-                            r, _nc_from(nnz_y, gy, gx), 15)
-                        nnz_y[gy, gx] = tc
-                        ac_lv[br, bc] = _h264_unscan_ac(scan)
-                else:
-                    nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 0
-                cdc_lv = {k: np.zeros((2, 2), np.int64) for k in nnz_c}
-                if cbp_chroma:
-                    for k in ("cb", "cr"):
-                        scan, _ = _cavlc_decode_block(r, -1, 4)
-                        cdc_lv[k] = np.array(
-                            [[scan[0], scan[1]], [scan[2], scan[3]]],
-                            np.int64)
-                cac_lv = {k: np.zeros((2, 2, 4, 4), np.int64)
-                          for k in nnz_c}
-                if cbp_chroma == 2:
-                    for k in ("cb", "cr"):
-                        for br in range(2):
-                            for bc in range(2):
-                                gy, gx = 2 * mby + br, 2 * mbx + bc
-                                scan, tc = _cavlc_decode_block(
-                                    r, _nc_from(nnz_c[k], gy, gx), 15)
-                                nnz_c[k][gy, gx] = tc
-                                cac_lv[k][br, bc] = _h264_unscan_ac(scan)
-                else:
-                    for k in ("cb", "cr"):
-                        nnz_c[k][2 * mby:2 * mby + 2,
-                                 2 * mbx:2 * mbx + 2] = 0
-                # ---- reconstruction
-                ltop = (yp[16 * mby - 1, 16 * mbx:16 * mbx + 16
-                           ].astype(np.int64) if mby > 0 else None)
-                lleft = (yp[16 * mby:16 * mby + 16, 16 * mbx - 1
-                            ].astype(np.int64) if mbx > 0 else None)
-                ltl = (int(yp[16 * mby - 1, 16 * mbx - 1])
-                       if (mby > 0 and mbx > 0) else None)
-                if (lmode == 0 and ltop is None) or \
-                        (lmode == 1 and lleft is None) or \
-                        (lmode == 3 and ltl is None):
-                    raise MediaDecodeError(
-                        "intra prediction from unavailable neighbours")
-                lpred = _pred_i16(lmode, ltop, lleft, ltl)
-                dcy = _dequant_luma_dc(dc_lv, qp)
-                rymb = np.empty((16, 16), np.int64)
-                for br in range(4):
-                    for bc in range(4):
-                        d = (_dequant_ac(ac_lv[br, bc], qp) if cbp_luma
-                             else np.zeros((4, 4), np.int64))
-                        d[0, 0] = dcy[br, bc]
-                        rymb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
-                            lpred[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] + \
-                            _inv4x4(d)
-                yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
-                    np.clip(rymb, 0, 255).astype(np.uint8)
-                if (cmode == 1 and mbx == 0) or (cmode == 2 and mby == 0) \
-                        or (cmode == 3 and (mbx == 0 or mby == 0)):
-                    raise MediaDecodeError(
-                        "chroma prediction from unavailable neighbours")
-                for k in ("cb", "cr"):
-                    rp = cpl[k]
-                    ctop = (rp[8 * mby - 1, 8 * mbx:8 * mbx + 8
-                               ].astype(np.int64) if mby > 0 else None)
-                    cleft = (rp[8 * mby:8 * mby + 8, 8 * mbx - 1
-                                ].astype(np.int64) if mbx > 0 else None)
-                    ctl = (int(rp[8 * mby - 1, 8 * mbx - 1])
-                           if (mby > 0 and mbx > 0) else None)
-                    cpred = _pred_chroma(cmode, ctop, cleft, ctl)
-                    dcc = _dequant_chroma_dc(cdc_lv[k], qpc)
-                    rcmb = np.empty((8, 8), np.int64)
-                    for br in range(2):
-                        for bc in range(2):
-                            d = (_dequant_ac(cac_lv[k][br, bc], qpc)
-                                 if cbp_chroma == 2 else
-                                 np.zeros((4, 4), np.int64))
-                            d[0, 0] = dcc[br, bc]
-                            rcmb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
-                                cpred[4 * br:4 * br + 4,
-                                      4 * bc:4 * bc + 4] + _inv4x4(d)
-                    rp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
-                        np.clip(rcmb, 0, 255).astype(np.uint8)
+                        "in-loop deblocking filter not implemented — "
+                        "the stream does not disable it (all-I_PCM "
+                        "streams are exempt: QP-0 edges never filter)")
+                qp = _dec_mb_intra16(r, mb_type, yp, cpl, nnz_y, nnz_c,
+                                     qp, cq_off, mby, mbx)
             h, w = sps["h"], sps["w"]
             mb_types_out.append(mb_types)
             frames.append(_yuv420_to_rgb(

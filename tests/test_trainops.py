@@ -2166,6 +2166,7 @@ def test_h264_intra_decoder_rejects_missing_tools():
         w.u(0, 1)
         w.u(0, 1)
         w.se(0)
+        w.ue(1)            # disable_deblocking_filter_idc
         if mb_type is not None:
             w.ue(mb_type)
         w.trailing()

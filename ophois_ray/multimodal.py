@@ -2791,24 +2791,32 @@ def _encode_h264_cavlc_frame(yp, cbp, crp, qp: int, fi: int,
 
 
 def encode_h264_cavlc(frames_u8, *, qp: int = 20, fps: int = 10,
-                      pcm_threshold: int = 8 * 384) -> bytes:
-    """(n, h, w, 3) uint8 -> H.264 Annex B byte stream of IDR frames
-    coded Intra_16x16 + CAVLC at constant ``qp`` (0..51), with per-MB
-    I_PCM fallback when the entropy payload exceeds ``pcm_threshold``
-    bits (default = raw 4:2:0 sample size). Even frame dims required."""
+                      pcm_threshold: int = 8 * 384, gop: int = 1,
+                      search_range: int = 8) -> bytes:
+    """(n, h, w, 3) uint8 -> H.264 Annex B byte stream coded
+    Intra_16x16 + CAVLC at constant ``qp`` (0..51) with per-MB I_PCM
+    fallback when the entropy payload exceeds ``pcm_threshold`` bits
+    (default = raw 4:2:0 sample size). ``gop`` > 1 codes every gop-th
+    frame as IDR and the rest as P frames (P_Skip / P_L0_16x16,
+    quarter-pel motion search over +-``search_range`` full pels, intra
+    fallback per MB). Even frame dims required."""
     raw, _ = _encode_h264_cavlc_with_recon(
-        frames_u8, qp=qp, fps=fps, pcm_threshold=pcm_threshold)
+        frames_u8, qp=qp, fps=fps, pcm_threshold=pcm_threshold,
+        gop=gop, search_range=search_range)
     return raw
 
 
 def _encode_h264_cavlc_with_recon(frames_u8, *, qp: int = 20,
                                   fps: int = 10,
-                                  pcm_threshold: int = 8 * 384):
+                                  pcm_threshold: int = 8 * 384,
+                                  gop: int = 1, search_range: int = 8):
     """encode_h264_cavlc + the encoder's own reconstruction as float32
     RGB frames (what a conforming decoder must reproduce bit-exactly)."""
     frames_u8 = np.asarray(frames_u8, dtype=np.uint8)
     if not 0 <= qp <= 51:
         raise MediaDecodeError("H.264 QP must be in 0..51")
+    if gop < 1:
+        raise MediaDecodeError("H.264 gop must be >= 1")
     n, h, wdt = frames_u8.shape[:3]
     if h % 2 or wdt % 2:
         raise MediaDecodeError("intra subset needs even frame dims (4:2:0)")
@@ -2820,6 +2828,9 @@ def _encode_h264_cavlc_with_recon(frames_u8, *, qp: int = 20,
         _h264_sps_rbsp(w_mbs, h_mbs, pw - wdt, ph - h, fps))
     out += _H264_START + b"\x68" + _ebsp_escape(_h264_pps_rbsp())
     recon = []
+    prev = None
+    n_idr = 0
+    fnum = 0
     for fi in range(n):
         y, cb, cr = _rgb_to_yuv420(frames_u8[fi])
         yp = np.pad(y, ((0, ph - h), (0, pw - wdt)), mode="edge")
@@ -2827,9 +2838,19 @@ def _encode_h264_cavlc_with_recon(frames_u8, *, qp: int = 20,
                      mode="edge")
         crp = np.pad(cr, ((0, (ph - h) // 2), (0, (pw - wdt) // 2)),
                      mode="edge")
-        rbsp, ry, rcb, rcr = _encode_h264_cavlc_frame(
-            yp, cbp, crp, qp, fi, pcm_threshold)
-        out += _H264_START + b"\x65" + _ebsp_escape(rbsp)
+        if fi % gop == 0:
+            rbsp, ry, rcb, rcr = _encode_h264_cavlc_frame(
+                yp, cbp, crp, qp, n_idr, pcm_threshold)
+            out += _H264_START + b"\x65" + _ebsp_escape(rbsp)
+            n_idr += 1
+            fnum = 1
+        else:
+            rbsp, ry, rcb, rcr = _encode_h264_p_frame(
+                yp, cbp, crp, prev, qp, fnum, pcm_threshold,
+                search_range)
+            out += _H264_START + b"\x41" + _ebsp_escape(rbsp)
+            fnum = (fnum + 1) % 16
+        prev = (ry, rcb, rcr)
         recon.append(_yuv420_to_rgb(
             ry[:h, :wdt], rcb[:(h + 1) // 2, :(wdt + 1) // 2],
             rcr[:(h + 1) // 2, :(wdt + 1) // 2]))
@@ -2856,6 +2877,460 @@ def _h264_parse_pps(r: "_H264BitReader") -> dict:
         raise MediaDecodeError("constrained intra prediction not supported")
     return {"pic_init_qp": pic_init_qp, "chroma_qp_offset": cq_off,
             "deblock_control": deblock_ctrl}
+
+
+# -------------------------- H.264 inter (P slice) toolchain
+#
+# Extends the baseline subset with motion-compensated prediction:
+# P slices carrying P_Skip runs and P_L0_16x16 macroblocks against a
+# single reference picture (the previous decoded frame), with the
+# spec's quarter-sample luma interpolation (8.4.2.2.1: 6-tap
+# [1,-5,20,20,-5,1] half-pel filter, centre j from unrounded
+# intermediates, quarter positions as rounding-up averages),
+# eighth-sample bilinear chroma interpolation (8.4.2.2.2), median
+# motion-vector prediction with the availability / single-matching-
+# reference rules (8.4.1.3) and the P_Skip zero-vector conditions
+# (8.4.1.1), mb_skip_run coding (7.3.4), the Inter column of the
+# coded_block_pattern mapping (Table 9-4), and plain 16-coefficient
+# 4x4 luma residual blocks (no Intra_16x16 DC hierarchy). Intra
+# macroblocks inside P slices (mb_type 5..30) reuse the shared
+# Intra_16x16/I_PCM coder. Still out of scope (raising
+# MediaDecodeError): B slices, 16x8/8x16/8x8 partitions, multiple
+# reference pictures, CABAC, and the in-loop deblocking filter —
+# emitted streams disable deblocking explicitly, so they stay
+# conformant-decodable.
+
+_CBP_INTER = [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+              14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43,
+              45, 46, 17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30,
+              22, 25, 38, 41]           # Table 9-4, Inter column
+_CBP_INTER_ENC = {v: i for i, v in enumerate(_CBP_INTER)}
+
+_MC_TAPS = np.array([1, -5, 20, 20, -5, 1], np.int64)
+
+
+def _h264_scan16(block: np.ndarray) -> np.ndarray:
+    return np.array([block[r, c] for r, c in _ZZ4], np.int64)
+
+
+def _h264_unscan16(scan: np.ndarray) -> np.ndarray:
+    out = np.zeros((4, 4), np.int64)
+    for i, (r, c) in enumerate(_ZZ4):
+        out[r, c] = scan[i]
+    return out
+
+
+def _mc_luma(ref: np.ndarray, mvx: int, mvy: int, y0: int, x0: int,
+             bh: int, bw: int) -> np.ndarray:
+    """Quarter-sample luma motion compensation (spec 8.4.2.2.1) for the
+    bh x bw block at (y0, x0) with quarter-pel vector (mvx, mvy).
+    Out-of-picture taps clamp coordinates into the plane, exactly the
+    spec's Clip3 on every full-sample position. Returns int64 in
+    [0, 255]."""
+    H, W = ref.shape
+    iy, ix = mvy >> 2, mvx >> 2
+    fy, fx = mvy & 3, mvx & 3
+    rows = np.clip(y0 + iy + np.arange(-2, bh + 3), 0, H - 1)
+    cols = np.clip(x0 + ix + np.arange(-2, bw + 3), 0, W - 1)
+    Wd = ref[np.ix_(rows, cols)].astype(np.int64)     # (bh+5, bw+5)
+    G = Wd[2:2 + bh, 2:2 + bw]
+    if fx == 0 and fy == 0:
+        return G
+    T = _MC_TAPS
+    clip1 = lambda a: np.clip(a, 0, 255)
+    # horizontal 6-tap intermediates: half-pel right of each full col
+    b_int = sum(int(T[k]) * Wd[:, k:k + bw] for k in range(6))
+    # vertical 6-tap: half-pel below each full row, all window columns
+    v_int = sum(int(T[k]) * Wd[k:k + bh, :] for k in range(6))
+    b = clip1((b_int[2:2 + bh] + 16) >> 5)
+    s = clip1((b_int[3:3 + bh] + 16) >> 5)            # b one row down
+    h_full = clip1((v_int + 16) >> 5)
+    h = h_full[:, 2:2 + bw]
+    m = h_full[:, 3:3 + bw]                           # h one col right
+    if fy == 0:
+        if fx == 1:
+            return (G + b + 1) >> 1
+        if fx == 2:
+            return b
+        return (Wd[2:2 + bh, 3:3 + bw] + b + 1) >> 1
+    if fx == 0:
+        if fy == 1:
+            return (G + h + 1) >> 1
+        if fy == 2:
+            return h
+        return (Wd[3:3 + bh, 2:2 + bw] + h + 1) >> 1
+    # centre half-pel j: vertical 6-tap over UNROUNDED horizontal sums
+    j_int = sum(int(T[k]) * b_int[k:k + bh] for k in range(6))
+    j = clip1((j_int + 512) >> 10)
+    if fx == 2 and fy == 2:
+        return j
+    if fy == 2:                                       # i / k
+        return (h + j + 1) >> 1 if fx == 1 else (j + m + 1) >> 1
+    if fx == 2:                                       # f / q
+        return (b + j + 1) >> 1 if fy == 1 else (j + s + 1) >> 1
+    vv = b if fy == 1 else s                          # e / g / p / r
+    hh = h if fx == 1 else m
+    return (vv + hh + 1) >> 1
+
+
+def _mc_chroma(ref: np.ndarray, mvx: int, mvy: int, y0: int, x0: int,
+               bh: int, bw: int) -> np.ndarray:
+    """Eighth-sample bilinear chroma motion compensation (8.4.2.2.2)
+    for the bh x bw chroma block at chroma coords (y0, x0); (mvx, mvy)
+    stays in quarter-LUMA units (= eighth-chroma). Returns int64."""
+    H, W = ref.shape
+    iy, ix = mvy >> 3, mvx >> 3
+    fy, fx = mvy & 7, mvx & 7
+    rows = np.clip(y0 + iy + np.arange(0, bh + 1), 0, H - 1)
+    cols = np.clip(x0 + ix + np.arange(0, bw + 1), 0, W - 1)
+    Wd = ref[np.ix_(rows, cols)].astype(np.int64)
+    A, B = Wd[:bh, :bw], Wd[:bh, 1:]
+    C, D = Wd[1:, :bw], Wd[1:, 1:]
+    return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B +
+            (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+
+
+def _mv_neighbor(refg, mvg, y, x):
+    """(refIdx, mvx, mvy) of the macroblock at (y, x), or None when the
+    MB lies outside the picture (raster decode order: y<=current row,
+    so only left/top/top-right/top-left are ever asked for)."""
+    if y < 0 or x < 0 or x >= refg.shape[1]:
+        return None
+    return (int(refg[y, x]), int(mvg[y, x, 0]), int(mvg[y, x, 1]))
+
+
+def _h264_mvp16(refg, mvg, mby, mbx):
+    """Median motion-vector predictor for a 16x16 partition with
+    refIdxL0 = 0 (spec 8.4.1.3/8.4.1.3.1). Unavailable or intra
+    neighbours contribute (refIdx -1, mv 0); top-right falls back to
+    top-left; when only the left neighbour's row exists the predictor
+    is mvA verbatim; a single neighbour matching the reference wins
+    outright; otherwise the component-wise median of A/B/C."""
+    A = _mv_neighbor(refg, mvg, mby, mbx - 1)
+    B = _mv_neighbor(refg, mvg, mby - 1, mbx)
+    C = _mv_neighbor(refg, mvg, mby - 1, mbx + 1)
+    if C is None:
+        C = _mv_neighbor(refg, mvg, mby - 1, mbx - 1)
+    if B is None and C is None:
+        return (A[1], A[2]) if A is not None else (0, 0)
+    vals = [(-1, 0, 0) if N is None else N for N in (A, B, C)]
+    match = [v for v in vals if v[0] == 0]
+    if len(match) == 1:
+        return match[0][1], match[0][2]
+    return (sorted(v[1] for v in vals)[1], sorted(v[2] for v in vals)[1])
+
+
+def _h264_skip_mv(refg, mvg, mby, mbx):
+    """P_Skip motion vector (8.4.1.1): zero when the left or top MB is
+    outside the picture or either is an inter MB with refIdx 0 and a
+    zero vector; the 16x16 median predictor otherwise."""
+    A = _mv_neighbor(refg, mvg, mby, mbx - 1)
+    B = _mv_neighbor(refg, mvg, mby - 1, mbx)
+    if A is None or B is None:
+        return (0, 0)
+    if A == (0, 0, 0) or B == (0, 0, 0):
+        return (0, 0)
+    return _h264_mvp16(refg, mvg, mby, mbx)
+
+
+def _mc_pred_mb(ref_planes, mvx, mvy, mby, mbx):
+    """(luma 16x16, {cb,cr} 8x8) int64 motion-compensated prediction."""
+    ry, rcb, rcr = ref_planes
+    py = _mc_luma(ry, mvx, mvy, 16 * mby, 16 * mbx, 16, 16)
+    pcb = _mc_chroma(rcb, mvx, mvy, 8 * mby, 8 * mbx, 8, 8)
+    pcr = _mc_chroma(rcr, mvx, mvy, 8 * mby, 8 * mbx, 8, 8)
+    return py, {"cb": pcb, "cr": pcr}
+
+
+def _dec_mb_inter16(r, yp, cpl, nnz_y, nnz_c, qp, cq_off, mby, mbx,
+                    ref_planes, refg, mvg):
+    """Decode ONE P_L0_16x16 macroblock. Returns the updated slice QP."""
+    mvd_x = r.se()
+    mvd_y = r.se()
+    mvpx, mvpy = _h264_mvp16(refg, mvg, mby, mbx)
+    mvx, mvy = mvpx + mvd_x, mvpy + mvd_y
+    refg[mby, mbx] = 0
+    mvg[mby, mbx] = (mvx, mvy)
+    code = r.ue()
+    if code > 47:
+        raise MediaDecodeError("bad coded_block_pattern code")
+    cbp = _CBP_INTER[code]
+    if cbp:
+        qp = (qp + r.se() + 52) % 52
+    qpc = _H264_QPC[max(0, min(51, qp + cq_off))]
+    lv = np.zeros((4, 4, 4, 4), np.int64)
+    for g8 in range(4):
+        if cbp & (1 << g8):
+            for br, bc in _BLK_ORDER[4 * g8:4 * g8 + 4]:
+                gy, gx = 4 * mby + br, 4 * mbx + bc
+                scan, tc = _cavlc_decode_block(
+                    r, _nc_from(nnz_y, gy, gx), 16)
+                nnz_y[gy, gx] = tc
+                lv[br, bc] = _h264_unscan16(scan)
+    cbp_chroma = cbp >> 4
+    cdc_lv = {k: np.zeros((2, 2), np.int64) for k in nnz_c}
+    if cbp_chroma:
+        for k in ("cb", "cr"):
+            scan, _ = _cavlc_decode_block(r, -1, 4)
+            cdc_lv[k] = np.array(
+                [[scan[0], scan[1]], [scan[2], scan[3]]], np.int64)
+    cac_lv = {k: np.zeros((2, 2, 4, 4), np.int64) for k in nnz_c}
+    if cbp_chroma == 2:
+        for k in ("cb", "cr"):
+            for br in range(2):
+                for bc in range(2):
+                    gy, gx = 2 * mby + br, 2 * mbx + bc
+                    scan, tc = _cavlc_decode_block(
+                        r, _nc_from(nnz_c[k], gy, gx), 15)
+                    nnz_c[k][gy, gx] = tc
+                    cac_lv[k][br, bc] = _h264_unscan_ac(scan)
+    # ---- reconstruction
+    py, pch = _mc_pred_mb(ref_planes, mvx, mvy, mby, mbx)
+    rymb = np.empty((16, 16), np.int64)
+    for br in range(4):
+        for bc in range(4):
+            rymb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                py[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] + \
+                _inv4x4(_dequant_ac(lv[br, bc], qp))
+    yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+        np.clip(rymb, 0, 255).astype(np.uint8)
+    for k in ("cb", "cr"):
+        dcc = (_dequant_chroma_dc(cdc_lv[k], qpc) if cbp_chroma
+               else np.zeros((2, 2), np.int64))
+        rcmb = np.empty((8, 8), np.int64)
+        for br in range(2):
+            for bc in range(2):
+                d = (_dequant_ac(cac_lv[k][br, bc], qpc)
+                     if cbp_chroma == 2 else np.zeros((4, 4), np.int64))
+                d[0, 0] = dcc[br, bc]
+                rcmb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                    pch[k][4 * br:4 * br + 4, 4 * bc:4 * bc + 4] + \
+                    _inv4x4(d)
+        cpl[k][8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+            np.clip(rcmb, 0, 255).astype(np.uint8)
+    return qp
+
+
+def _dec_mb_pskip(yp, cpl, mby, mbx, ref_planes, refg, mvg):
+    """Reconstruct ONE P_Skip macroblock (prediction only)."""
+    mvx, mvy = _h264_skip_mv(refg, mvg, mby, mbx)
+    refg[mby, mbx] = 0
+    mvg[mby, mbx] = (mvx, mvy)
+    py, pch = _mc_pred_mb(ref_planes, mvx, mvy, mby, mbx)
+    yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+        py.astype(np.uint8)
+    for k in ("cb", "cr"):
+        cpl[k][8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+            np.clip(pch[k], 0, 255).astype(np.uint8)
+
+
+def _search_mv16(ref_y, oy, mby, mbx, sr, skip_mv, mvp):
+    """Deterministic motion search for one 16x16 luma block: exhaustive
+    full-pel SAD over a +-sr window (vectorized sliding windows over a
+    border-clamped gather, identical cost model to clipped MC), then a
+    +-3 quarter-pel refinement around the winner, with the skip vector
+    and the predictor as extra candidates. First minimum in scan order
+    wins. Returns (mvx, mvy, sad)."""
+    H, W = ref_y.shape
+    y0, x0 = 16 * mby, 16 * mbx
+    rows = np.clip(np.arange(y0 - sr, y0 + sr + 16), 0, H - 1)
+    cols = np.clip(np.arange(x0 - sr, x0 + sr + 16), 0, W - 1)
+    reg = ref_y[np.ix_(rows, cols)].astype(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(reg, (16, 16))
+    sads = np.abs(win - oy).sum(axis=(2, 3))
+    k = int(np.argmin(sads))
+    n = 2 * sr + 1
+    bdy, bdx = k // n - sr, k % n - sr
+    cands = [(4 * bdx + qx, 4 * bdy + qy)
+             for qy in range(-3, 4) for qx in range(-3, 4)]
+    cands.append(tuple(skip_mv))
+    cands.append(tuple(mvp))
+    best = None
+    for mvx, mvy in cands:
+        sad = int(np.abs(
+            _mc_luma(ref_y, mvx, mvy, y0, x0, 16, 16) - oy).sum())
+        if best is None or sad < best[2]:
+            best = (mvx, mvy, sad)
+    return best
+
+
+def _encode_h264_p_frame(yp, cbp, crp, ref_planes, qp: int,
+                         frame_num: int, pcm_threshold: int,
+                         search_range: int):
+    """Encode one P frame's slice RBSP (P_Skip / P_L0_16x16 with
+    quarter-pel motion compensation; Intra_16x16/I_PCM fallback when
+    intra predicts better); returns (rbsp, recon Y, recon Cb, recon
+    Cr). The recon is decoder-identical — inter prediction runs on the
+    previous frame's recon, intra on this frame's."""
+    h_mbs, w_mbs = yp.shape[0] // 16, yp.shape[1] // 16
+    w = _H264BitWriter()
+    w.ue(0)              # first_mb_in_slice
+    w.ue(5)              # slice_type: P (all slices of this picture)
+    w.ue(0)              # pic_parameter_set_id
+    w.u(frame_num % 16, 4)
+    w.u(0, 1)            # num_ref_idx_active_override_flag
+    w.u(0, 1)            # ref_pic_list_modification_flag_l0
+    w.u(0, 1)            # adaptive_ref_pic_marking_mode_flag
+    w.se(qp - 26)        # slice_qp_delta
+    w.ue(1)              # disable_deblocking_filter_idc: off (conformant)
+    ry = np.zeros_like(yp)
+    rcb = np.zeros_like(cbp)
+    rcr = np.zeros_like(crp)
+    cpl = {"cb": rcb, "cr": rcr}
+    nnz_y = np.zeros((4 * h_mbs, 4 * w_mbs), np.int64)
+    nnz_c = {"cb": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64),
+             "cr": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64)}
+    refg = np.full((h_mbs, w_mbs), -1, np.int64)
+    mvg = np.zeros((h_mbs, w_mbs, 2), np.int64)
+    qpc = _H264_QPC[max(0, min(51, qp))]
+    ref_y = ref_planes[0]
+    run = 0
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            oy = yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16
+                    ].astype(np.int64)
+            skip_mv = _h264_skip_mv(refg, mvg, mby, mbx)
+            mvp = _h264_mvp16(refg, mvg, mby, mbx)
+            mvx, mvy, inter_sad = _search_mv16(
+                ref_y, oy, mby, mbx, search_range, skip_mv, mvp)
+            # intra fallback when intra predicts strictly better (the
+            # shared coder redoes its own mode search)
+            iltop = (ry[16 * mby - 1, 16 * mbx:16 * mbx + 16
+                        ].astype(np.int64) if mby > 0 else None)
+            ilft = (ry[16 * mby:16 * mby + 16, 16 * mbx - 1
+                       ].astype(np.int64) if mbx > 0 else None)
+            iltl = (int(ry[16 * mby - 1, 16 * mbx - 1])
+                    if (mby > 0 and mbx > 0) else None)
+            imodes = ([0] if iltop is not None else []) + \
+                ([1] if ilft is not None else []) + [2] + \
+                ([3] if iltl is not None else [])
+            intra_sad = min(int(np.abs(
+                oy - _pred_i16(md, iltop, ilft, iltl)).sum())
+                for md in sorted(imodes))
+            if intra_sad < inter_sad:
+                w.ue(run)
+                run = 0
+                _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y,
+                                nnz_c, qp, mby, mbx, pcm_threshold,
+                                type_base=5)
+                continue
+            py, pch = _mc_pred_mb(ref_planes, mvx, mvy, mby, mbx)
+            res = oy - py
+            W16 = np.empty((4, 4, 4, 4), np.int64)
+            for br in range(4):
+                for bc in range(4):
+                    W16[br, bc] = _CF @ res[4 * br:4 * br + 4,
+                                            4 * bc:4 * bc + 4] @ _CF.T
+            lv = _quant_ac(W16, qp)
+            cbp_luma = 0
+            for g8 in range(4):
+                if any(lv[br, bc].any()
+                       for br, bc in _BLK_ORDER[4 * g8:4 * g8 + 4]):
+                    cbp_luma |= 1 << g8
+            och = {"cb": cbp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8
+                             ].astype(np.int64),
+                   "cr": crp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8
+                             ].astype(np.int64)}
+            cdc_lv, cac_lv = {}, {}
+            for k in och:
+                cres = och[k] - pch[k]
+                Wk = np.empty((2, 2, 4, 4), np.int64)
+                for br in range(2):
+                    for bc in range(2):
+                        Wk[br, bc] = _CF @ cres[4 * br:4 * br + 4,
+                                                4 * bc:4 * bc + 4] @ _CF.T
+                cdc_lv[k] = _quant_dc(_H2 @ Wk[:, :, 0, 0] @ _H2, qpc)
+                ak = _quant_ac(Wk, qpc)
+                ak[:, :, 0, 0] = 0
+                cac_lv[k] = ak
+            ac_any = any(cac_lv[k].any() for k in och)
+            dc_any = any(cdc_lv[k].any() for k in och)
+            cbp_chroma = 2 if ac_any else (1 if dc_any else 0)
+            mb_cbp = cbp_luma | (cbp_chroma << 4)
+            if (mvx, mvy) == tuple(skip_mv) and mb_cbp == 0:
+                # P_Skip: prediction only, zero bits
+                run += 1
+                refg[mby, mbx] = 0
+                mvg[mby, mbx] = (mvx, mvy)
+                ry[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+                    py.astype(yp.dtype)
+                for k, rp in (("cb", rcb), ("cr", rcr)):
+                    rp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+                        np.clip(pch[k], 0, 255).astype(cbp.dtype)
+                continue
+            mb = _H264Ops()
+            mb.ue(0)          # mb_type: P_L0_16x16
+            mb.se(mvx - mvp[0])
+            mb.se(mvy - mvp[1])
+            mb.ue(_CBP_INTER_ENC[mb_cbp])
+            if mb_cbp:
+                mb.se(0)      # mb_qp_delta
+            nzy_before = nnz_y[4 * mby:4 * mby + 4,
+                               4 * mbx:4 * mbx + 4].copy()
+            for g8 in range(4):
+                if cbp_luma & (1 << g8):
+                    for br, bc in _BLK_ORDER[4 * g8:4 * g8 + 4]:
+                        gy, gx = 4 * mby + br, 4 * mbx + bc
+                        nnz_y[gy, gx] = _cavlc_encode_block(
+                            mb, _h264_scan16(lv[br, bc]),
+                            _nc_from(nnz_y, gy, gx), 16)
+            if cbp_chroma:
+                for k in ("cb", "cr"):
+                    c = cdc_lv[k]
+                    _cavlc_encode_block(
+                        mb, np.array([c[0, 0], c[0, 1], c[1, 0],
+                                      c[1, 1]], np.int64), -1, 4)
+            if cbp_chroma == 2:
+                for k in ("cb", "cr"):
+                    for br in range(2):
+                        for bc in range(2):
+                            gy, gx = 2 * mby + br, 2 * mbx + bc
+                            nnz_c[k][gy, gx] = _cavlc_encode_block(
+                                mb, _h264_scan_ac(cac_lv[k][br, bc]),
+                                _nc_from(nnz_c[k], gy, gx), 15)
+            if mb.bits > pcm_threshold:
+                # entropy payload lost to raw samples: intra-code it
+                nnz_y[4 * mby:4 * mby + 4,
+                      4 * mbx:4 * mbx + 4] = nzy_before
+                w.ue(run)
+                run = 0
+                _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y,
+                                nnz_c, qp, mby, mbx, pcm_threshold,
+                                type_base=5)
+                continue
+            w.ue(run)
+            run = 0
+            mb.replay(w)
+            refg[mby, mbx] = 0
+            mvg[mby, mbx] = (mvx, mvy)
+            # ---- decoder-identical reconstruction
+            rymb = np.empty((16, 16), np.int64)
+            for br in range(4):
+                for bc in range(4):
+                    rymb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                        py[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] + \
+                        _inv4x4(_dequant_ac(lv[br, bc], qp))
+            ry[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+                np.clip(rymb, 0, 255).astype(yp.dtype)
+            for k, rp in (("cb", rcb), ("cr", rcr)):
+                dcc = (_dequant_chroma_dc(cdc_lv[k], qpc) if cbp_chroma
+                       else np.zeros((2, 2), np.int64))
+                rcmb = np.empty((8, 8), np.int64)
+                for br in range(2):
+                    for bc in range(2):
+                        d = (_dequant_ac(cac_lv[k][br, bc], qpc)
+                             if cbp_chroma == 2 else
+                             np.zeros((4, 4), np.int64))
+                        d[0, 0] = dcc[br, bc]
+                        rcmb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                            pch[k][4 * br:4 * br + 4,
+                                   4 * bc:4 * bc + 4] + _inv4x4(d)
+                rp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+                    np.clip(rcmb, 0, 255).astype(cbp.dtype)
+    if run:
+        w.ue(run)
+    w.trailing()
+    return bytes(w.buf), ry, rcb, rcr
 
 
 def _dec_mb_intra16(r, mb_type, yp, cpl, nnz_y, nnz_c, qp, cq_off,
@@ -2985,21 +3460,27 @@ def _dec_mb_intra16(r, mb_type, yp, cpl, nnz_y, nnz_c, qp, cq_off,
     return qp
 
 
-def decode_h264_intra(raw: bytes, *, return_mb_types: bool = False):
-    """REAL decode of the H.264 Annex B intra subset: SPS/PPS/IDR
-    slices whose macroblocks are I_PCM (mb_type 25) or Intra_16x16
-    with CAVLC residuals (mb_type 1..24 — V/H/DC/Plane luma and
-    DC/H/V/Plane chroma prediction, Hadamard DC hierarchies, integer
-    inverse transform). Inter prediction, I_4x4 and CABAC raise
-    MediaDecodeError naming the missing tool. Returns
-    ``(frames float32 [0,1], usec_per_frame)`` like the MJPEG paths;
-    with ``return_mb_types`` a third element lists each slice's
-    mb_type sequence (for PCM-vs-CAVLC mix assertions)."""
+def decode_h264(raw: bytes, *, return_mb_types: bool = False):
+    """REAL decode of the H.264 Annex B baseline subset: SPS/PPS, I/IDR
+    slices whose macroblocks are I_PCM (mb_type 25) or Intra_16x16 with
+    CAVLC residuals (1..24), and P slices with P_Skip runs and
+    P_L0_16x16 macroblocks — quarter-pel luma / eighth-pel chroma
+    motion compensation against the previous decoded picture, median MV
+    prediction per 8.4.1.3, single reference — plus the same intra
+    macroblocks as fallback (mb_type 5..30). B/SP/SI slices, sub-16x16
+    partitions, multiple reference pictures, I_4x4, CABAC and the
+    in-loop deblocking filter raise MediaDecodeError naming the missing
+    tool (streams must disable deblocking explicitly; all-I_PCM
+    pictures are exempt — QP-0 edges never filter). Returns
+    ``(frames float32 [0,1], usec_per_frame)``; with
+    ``return_mb_types`` a third element lists each slice's mb_type
+    sequence (P_Skip macroblocks appear as -1)."""
     sps = None
     pps = {"pic_init_qp": 26, "chroma_qp_offset": 0,
            "deblock_control": 0}
     frames = []
     mb_types_out = []
+    ref = None                   # previous decoded picture (padded planes)
     for nal in _h264_nals(raw):
         typ = nal[0] & 0x1F
         rbsp = _ebsp_unescape(nal[1:])
@@ -3015,15 +3496,30 @@ def decode_h264_intra(raw: bytes, *, return_mb_types: bool = False):
             r = _H264BitReader(rbsp)
             if r.ue() != 0:      # first_mb_in_slice
                 raise MediaDecodeError(
-                    "multi-slice pictures not supported (intra subset)")
+                    "multi-slice pictures not supported (baseline subset)")
             stype = r.ue()       # slice_type
-            if stype % 5 != 2:
+            if stype % 5 == 2:
+                p_slice = False
+            elif stype % 5 == 0:
+                p_slice = True
+                if typ == 5:
+                    raise MediaDecodeError("IDR picture with a P slice")
+            else:
                 raise MediaDecodeError(
-                    "non-I slice: inter (motion-compensated) decode not implemented")
+                    "only I and P slices are implemented "
+                    "(B/SP/SI need more reference machinery)")
             r.ue()               # pic_parameter_set_id
             r.u(sps["log2_max_frame_num"])   # frame_num
             if typ == 5:
                 r.ue()           # idr_pic_id
+            if p_slice:
+                if r.u(1):       # num_ref_idx_active_override_flag
+                    if r.ue() != 0:
+                        raise MediaDecodeError(
+                            "multiple reference pictures not supported")
+                if r.u(1):       # ref_pic_list_modification_flag_l0
+                    raise MediaDecodeError(
+                        "ref pic list modification not supported")
             if (nal[0] >> 5) & 3:            # nal_ref_idc -> dec_ref_pic_marking
                 if typ == 5:
                     r.u(2)       # no_output_of_prior_pics + long_term_reference
@@ -3047,17 +3543,60 @@ def decode_h264_intra(raw: bytes, *, return_mb_types: bool = False):
                      "cr": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64)}
             cpl = {"cb": cbpl, "cr": crpl}
             mb_types = []
-            for mb in range(w_mbs * h_mbs):
-                mby, mbx = divmod(mb, w_mbs)
-                mb_type = r.ue()
-                mb_types.append(mb_type)
-                if needs_deblock and mb_type != 25:
+            if not p_slice:
+                for mb in range(w_mbs * h_mbs):
+                    mby, mbx = divmod(mb, w_mbs)
+                    mb_type = r.ue()
+                    mb_types.append(mb_type)
+                    if needs_deblock and mb_type != 25:
+                        raise MediaDecodeError(
+                            "in-loop deblocking filter not implemented — "
+                            "the stream does not disable it (all-I_PCM "
+                            "streams are exempt: QP-0 edges never filter)")
+                    qp = _dec_mb_intra16(r, mb_type, yp, cpl, nnz_y,
+                                         nnz_c, qp, cq_off, mby, mbx)
+            else:
+                if ref is None:
+                    raise MediaDecodeError(
+                        "P slice without a decoded reference picture")
+                if needs_deblock:
                     raise MediaDecodeError(
                         "in-loop deblocking filter not implemented — "
-                        "the stream does not disable it (all-I_PCM "
-                        "streams are exempt: QP-0 edges never filter)")
-                qp = _dec_mb_intra16(r, mb_type, yp, cpl, nnz_y, nnz_c,
-                                     qp, cq_off, mby, mbx)
+                        "the P-slice stream does not disable it")
+                refg = np.full((h_mbs, w_mbs), -1, np.int64)
+                mvg = np.zeros((h_mbs, w_mbs, 2), np.int64)
+                total = w_mbs * h_mbs
+                mb = 0
+                while mb < total:
+                    skip_run = r.ue()
+                    if mb + skip_run > total:
+                        raise MediaDecodeError("mb_skip_run past slice end")
+                    for _ in range(skip_run):
+                        mby, mbx = divmod(mb, w_mbs)
+                        _dec_mb_pskip(yp, cpl, mby, mbx, ref, refg, mvg)
+                        mb_types.append(-1)
+                        mb += 1
+                    if mb == total:
+                        break
+                    mby, mbx = divmod(mb, w_mbs)
+                    mb_type = r.ue()
+                    mb_types.append(mb_type)
+                    if mb_type == 0:
+                        qp = _dec_mb_inter16(r, yp, cpl, nnz_y, nnz_c,
+                                             qp, cq_off, mby, mbx, ref,
+                                             refg, mvg)
+                    elif mb_type >= 5:
+                        qp = _dec_mb_intra16(r, mb_type - 5, yp, cpl,
+                                             nnz_y, nnz_c, qp, cq_off,
+                                             mby, mbx)
+                    else:
+                        raise MediaDecodeError(
+                            f"P mb_type {mb_type}: only P_L0_16x16, "
+                            "P_Skip and the intra fallbacks are "
+                            "implemented (16x8/8x16/8x8 partitions "
+                            "need the sub-macroblock coder)")
+                    mb += 1
+            ref = (yp, cbpl, crpl)
             h, w = sps["h"], sps["w"]
             mb_types_out.append(mb_types)
             frames.append(_yuv420_to_rgb(
@@ -3072,7 +3611,8 @@ def decode_h264_intra(raw: bytes, *, return_mb_types: bool = False):
     return np.stack(frames), int(sps["usec_per_frame"])
 
 
-decode_h264_ipcm = decode_h264_intra      # back-compat name for the subset
+decode_h264_intra = decode_h264      # back-compat names for the subset
+decode_h264_ipcm = decode_h264
 
 
 def decode_video(raw: bytes):

@@ -2183,6 +2183,313 @@ def test_h264_intra_decoder_rejects_missing_tools():
             start + sps + start + pps + start + slice_hdr(4))
 
 
+def _mc_luma_scalar(ref, mvx, mvy, y0, x0, bh, bw):
+    """Direct per-sample transcription of spec 8.4.2.2.1/8.4.2.2.2
+    (Clip3 on every full-sample coordinate, 6-tap halves, unrounded
+    intermediates for j, rounding-up quarter averages) — the oracle
+    for the vectorized window algebra in multimodal._mc_luma."""
+    H, W = ref.shape
+
+    def P(y, x):
+        return int(ref[min(max(y, 0), H - 1), min(max(x, 0), W - 1)])
+
+    def clip1(v):
+        return min(max(v, 0), 255)
+
+    def b_int(y, x):          # unrounded horizontal 6-tap right of (y,x)
+        return (P(y, x - 2) - 5 * P(y, x - 1) + 20 * P(y, x)
+                + 20 * P(y, x + 1) - 5 * P(y, x + 2) + P(y, x + 3))
+
+    def v_int(y, x):          # unrounded vertical 6-tap below (y,x)
+        return (P(y - 2, x) - 5 * P(y - 1, x) + 20 * P(y, x)
+                + 20 * P(y + 1, x) - 5 * P(y + 2, x) + P(y + 3, x))
+
+    def b_at(y, x):
+        return clip1((b_int(y, x) + 16) >> 5)
+
+    def h_at(y, x):
+        return clip1((v_int(y, x) + 16) >> 5)
+
+    def j_at(y, x):
+        t = (b_int(y - 2, x) - 5 * b_int(y - 1, x) + 20 * b_int(y, x)
+             + 20 * b_int(y + 1, x) - 5 * b_int(y + 2, x)
+             + b_int(y + 3, x))
+        return clip1((t + 512) >> 10)
+
+    fy, fx = mvy & 3, mvx & 3
+    out = np.zeros((bh, bw), np.int64)
+    for r in range(bh):
+        for c in range(bw):
+            y = y0 + r + (mvy >> 2)
+            x = x0 + c + (mvx >> 2)
+            G, b, h, j = P(y, x), b_at(y, x), h_at(y, x), j_at(y, x)
+            m, s = h_at(y, x + 1), b_at(y + 1, x)
+            if (fx, fy) == (0, 0):
+                v = G
+            elif fy == 0:
+                v = {1: (G + b + 1) >> 1, 2: b,
+                     3: (P(y, x + 1) + b + 1) >> 1}[fx]
+            elif fx == 0:
+                v = {1: (G + h + 1) >> 1, 2: h,
+                     3: (P(y + 1, x) + h + 1) >> 1}[fy]
+            elif (fx, fy) == (2, 2):
+                v = j
+            elif fy == 2:
+                v = (h + j + 1) >> 1 if fx == 1 else (j + m + 1) >> 1
+            elif fx == 2:
+                v = (b + j + 1) >> 1 if fy == 1 else (j + s + 1) >> 1
+            else:
+                vv = b if fy == 1 else s
+                hh = h if fx == 1 else m
+                v = (vv + hh + 1) >> 1
+            out[r, c] = v
+    return out
+
+
+def test_h264_mc_luma_matches_spec_oracle():
+    """_mc_luma == the scalar 8.4.2.2.1 transcription on every one of
+    the 16 sub-pel phases, including vectors far outside the picture
+    (border-clamped taps)."""
+    rng = np.random.default_rng(11)
+    ref = rng.integers(0, 256, (40, 44), np.uint8)
+    cases = [(4 * dx + fx, 4 * dy + fy)
+             for fx in range(4) for fy in range(4)
+             for dx, dy in ((0, 0), (-3, 2), (7, -5))]
+    cases += [(-200, 3), (170, -130), (1, 177)]   # fully clamped
+    for mvx, mvy in cases:
+        got = multimodal._mc_luma(ref, mvx, mvy, 16, 8, 16, 16)
+        want = _mc_luma_scalar(ref, mvx, mvy, 16, 8, 16, 16)
+        assert np.array_equal(got, want), (mvx, mvy)
+
+
+def test_h264_mc_chroma_matches_spec_oracle():
+    """_mc_chroma == scalar eighth-pel bilinear with clamped taps."""
+    rng = np.random.default_rng(13)
+    ref = rng.integers(0, 256, (20, 22), np.uint8)
+
+    def scalar(mvx, mvy, y0, x0, bh, bw):
+        H, W = ref.shape
+
+        def P(y, x):
+            return int(ref[min(max(y, 0), H - 1), min(max(x, 0), W - 1)])
+        fy, fx = mvy & 7, mvx & 7
+        out = np.zeros((bh, bw), np.int64)
+        for r in range(bh):
+            for c in range(bw):
+                y, x = y0 + r + (mvy >> 3), x0 + c + (mvx >> 3)
+                out[r, c] = ((8 - fx) * (8 - fy) * P(y, x)
+                             + fx * (8 - fy) * P(y, x + 1)
+                             + (8 - fx) * fy * P(y + 1, x)
+                             + fx * fy * P(y + 1, x + 1) + 32) >> 6
+        return out
+
+    for mvx, mvy in [(0, 0), (1, 0), (0, 7), (5, 3), (-9, 13),
+                     (-100, 90), (37, -41)]:
+        got = multimodal._mc_chroma(ref, mvx, mvy, 8, 8, 8, 8)
+        assert np.array_equal(got, scalar(mvx, mvy, 8, 8, 8, 8)), (mvx, mvy)
+
+
+def test_h264_mvp_and_skip_rules():
+    """Hand-worked 8.4.1.3 / 8.4.1.1 cases: top-row copies mvA (even
+    when A is intra), a single reference-matching neighbour wins
+    outright, otherwise the component-wise median; P_Skip zeroes on
+    picture edges or a zero-vector A/B neighbour."""
+    refg = np.full((3, 3), -1, np.int64)
+    mvg = np.zeros((3, 3, 2), np.int64)
+    # first MB: nothing available
+    assert multimodal._h264_mvp16(refg, mvg, 0, 0) == (0, 0)
+    assert multimodal._h264_skip_mv(refg, mvg, 0, 0) == (0, 0)
+    # top row: B/C/D out of picture -> mvA verbatim
+    refg[0, 0] = 0
+    mvg[0, 0] = (12, -8)
+    assert multimodal._h264_mvp16(refg, mvg, 0, 1) == (12, -8)
+    # ... and skip still zeroes (B unavailable)
+    assert multimodal._h264_skip_mv(refg, mvg, 0, 1) == (0, 0)
+    # intra A on the top row contributes its stored zero vector
+    refg2 = np.full((3, 3), -1, np.int64)
+    mvg2 = np.zeros((3, 3, 2), np.int64)
+    refg2[0, 0] = -1
+    assert multimodal._h264_mvp16(refg2, mvg2, 0, 1) == (0, 0)
+    # single matching reference among A/B/C wins outright
+    refg3 = np.full((3, 3), -1, np.int64)
+    mvg3 = np.zeros((3, 3, 2), np.int64)
+    refg3[0, 1] = 0                      # B inter
+    mvg3[0, 1] = (6, -4)
+    assert multimodal._h264_mvp16(refg3, mvg3, 1, 1) == (6, -4)
+    # all three inter -> median
+    refg3[1, 0] = 0                      # A
+    mvg3[1, 0] = (4, 0)
+    refg3[0, 2] = 0                      # C
+    mvg3[0, 2] = (2, 2)
+    assert multimodal._h264_mvp16(refg3, mvg3, 1, 1) == (4, 0)
+    # skip: B has refIdx 0 and zero mv -> forced zero
+    refg4 = np.zeros((3, 3), np.int64)
+    mvg4 = np.zeros((3, 3, 2), np.int64)
+    mvg4[1, 0] = (3, 4)                  # A nonzero
+    assert multimodal._h264_skip_mv(refg4, mvg4, 1, 1) == (0, 0)
+    # skip: both nonzero -> median predictor
+    mvg4[0, 1] = (3, 4)                  # B
+    mvg4[0, 2] = (3, 4)                  # C
+    assert multimodal._h264_skip_mv(refg4, mvg4, 1, 1) == (3, 4)
+
+
+def test_h264_p_roundtrip_gop():
+    """P slices (P_Skip runs + P_L0_16x16 + intra fallback): the
+    decoder reconstructs the encoder's recon BIT-EXACTLY across a GOP
+    (inter prediction feeds on the previous recon, so one wrong MC
+    sample anywhere cascades through the chain); streams exercise
+    skip, inter with residuals, sub-pel vectors, border-clamped
+    motion, and the mb_skip_run tail; GOP coding beats all-intra on
+    translating content."""
+    rng = np.random.default_rng(7)
+
+    def smoothed(shape):
+        a = rng.integers(0, 256, shape, np.uint8).astype(np.float64)
+        for _ in range(3):
+            a = (a + np.roll(a, 1, 0) + np.roll(a, -1, 0)
+                 + np.roll(a, 1, 1) + np.roll(a, -1, 1)) / 5
+        return np.clip(a, 0, 255).astype(np.uint8)
+
+    big = smoothed((100, 100, 3))
+    frames = np.stack([big[8 + 2 * i:56 + 2 * i, 12 + 3 * i:76 + 3 * i]
+                       for i in range(6)])
+    for qp in (10, 20, 30):
+        raw, recon = multimodal._encode_h264_cavlc_with_recon(
+            frames, qp=qp, gop=4)
+        dec, upf, mbts = multimodal.decode_h264(raw, return_mb_types=True)
+        assert np.array_equal(dec, recon), f"qp={qp}"
+        assert any(t == 0 for s in mbts[1:] for t in s)   # inter MBs
+    # GOP stream is smaller than all-intra on translating content
+    assert len(multimodal.encode_h264_cavlc(frames, qp=20, gop=4)) < \
+        len(multimodal.encode_h264_cavlc(frames, qp=20))
+    # static content converges to all-skip P frames (run coding incl.
+    # the trailing run), still bit-exact
+    stat = np.stack([smoothed((48, 48, 3))] * 5)
+    raw, recon = multimodal._encode_h264_cavlc_with_recon(
+        stat, qp=24, gop=5)
+    dec, _, mbts = multimodal.decode_h264(raw, return_mb_types=True)
+    assert np.array_equal(dec, recon)
+    assert all(t == -1 for t in mbts[-1])                 # all P_Skip
+    # border slide: content enters from outside the picture (clamped
+    # reference taps on real MVs)
+    fr = np.stack([big[i * 7:i * 7 + 32, 40 - i * 6:40 - i * 6 + 48]
+                   for i in range(4)])
+    raw, recon = multimodal._encode_h264_cavlc_with_recon(
+        fr, qp=18, gop=4)
+    dec, _ = multimodal.decode_h264(raw)
+    assert np.array_equal(dec, recon)
+    # scene cut inside a GOP: intra fallback macroblocks (>= 5) appear
+    cut = np.stack([big[0:48, 0:48], big[0:48, 0:48],
+                    255 - big[40:88, 40:88]])
+    raw, recon = multimodal._encode_h264_cavlc_with_recon(
+        cut, qp=20, gop=3)
+    dec, _, mbts = multimodal.decode_h264(raw, return_mb_types=True)
+    assert np.array_equal(dec, recon)
+    assert any(t >= 5 for t in mbts[2])
+    # decode_video dispatches GOP streams too
+    d2, _ = multimodal.decode_video(raw)
+    assert np.array_equal(d2, recon)
+
+
+def test_h264_p_decoder_rejects_missing_tools():
+    """P-slice boundary contract: sub-16x16 partitions, B slices and
+    a P slice with no decoded reference raise MediaDecodeError naming
+    the missing tool; the inter CBP mapping is a permutation."""
+    assert sorted(multimodal._CBP_INTER) == list(range(48))
+    base = multimodal.encode_h264_cavlc(
+        np.zeros((2, 16, 16, 3), np.uint8), qp=20, gop=2)
+    sps, pps, isl, psl = list(multimodal._h264_nals(base))
+    start = b"\x00\x00\x00\x01"
+
+    def p_slice(mb_type=None, slice_type=5):
+        w = multimodal._H264BitWriter()
+        w.ue(0)            # first_mb_in_slice
+        w.ue(slice_type)
+        w.ue(0)            # pps id
+        w.u(1, 4)          # frame_num
+        w.u(0, 1)          # num_ref_idx_active_override_flag
+        w.u(0, 1)          # ref_pic_list_modification_flag_l0
+        w.u(0, 1)          # adaptive_ref_pic_marking_mode_flag
+        w.se(0)            # slice_qp_delta
+        w.ue(1)            # disable_deblocking_filter_idc
+        w.ue(0)            # mb_skip_run
+        if mb_type is not None:
+            w.ue(mb_type)
+        w.trailing()
+        return b"\x41" + multimodal._ebsp_escape(bytes(w.buf))
+
+    head = start + sps + start + pps + start + isl + start
+    with pytest.raises(multimodal.MediaDecodeError, match="16x8"):
+        multimodal.decode_h264(head + p_slice(mb_type=1))
+    with pytest.raises(multimodal.MediaDecodeError, match="16x8"):
+        multimodal.decode_h264(head + p_slice(mb_type=3))
+    with pytest.raises(multimodal.MediaDecodeError, match="B/SP/SI"):
+        multimodal.decode_h264(head + p_slice(slice_type=1))
+    with pytest.raises(multimodal.MediaDecodeError, match="reference"):
+        multimodal.decode_h264(
+            start + sps + start + pps + start + p_slice(mb_type=0))
+
+
+def test_h264_deblocking_contract():
+    """Streams that do not disable the in-loop filter are rejected for
+    any non-I_PCM macroblock (we do not implement deblocking) but
+    decode when every macroblock is I_PCM — QP-0 edges never filter,
+    so the no-filter output is conformant either way."""
+    frames = np.full((1, 16, 16, 3), 90, np.uint8)
+    # old-style PPS: deblocking_filter_control_present_flag = 0
+    w = multimodal._H264BitWriter()
+    for v in (0, 0):
+        w.ue(v)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.ue(0)
+    w.ue(0)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 2)
+    w.se(0)
+    w.se(0)
+    w.se(0)
+    w.u(0, 1)          # deblocking_filter_control_present_flag = 0
+    w.u(0, 1)
+    w.u(0, 1)
+    w.trailing()
+    old_pps = b"\x68" + multimodal._ebsp_escape(bytes(w.buf))
+    start = b"\x00\x00\x00\x01"
+
+    new = multimodal.encode_h264_cavlc(frames, qp=20)
+    sps, _, slc = list(multimodal._h264_nals(new))
+
+    def islice(mb25: bool):
+        w = multimodal._H264BitWriter()
+        w.ue(0)
+        w.ue(7)
+        w.ue(0)
+        w.u(0, 4)
+        w.ue(0)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.se(0)            # slice_qp_delta (NO deblocking field: old pps)
+        if mb25:
+            w.ue(25)
+            w.align_zero()
+            w.raw_bytes(bytes(256) + bytes([128] * 128))
+        else:
+            w.ue(3)        # Intra_16x16 DC, cbp 0
+            w.ue(0)
+            w.se(0)
+            w.u(1, 1)      # DC coeff_token: TotalCoeff 0 (nC 0 -> "1")
+        w.trailing()
+        return b"\x65" + multimodal._ebsp_escape(bytes(w.buf))
+
+    dec, _ = multimodal.decode_h264(
+        start + sps + start + old_pps + start + islice(True))
+    assert dec.shape == (1, 16, 16, 3)
+    with pytest.raises(multimodal.MediaDecodeError, match="deblocking"):
+        multimodal.decode_h264(
+            start + sps + start + old_pps + start + islice(False))
+
+
 def test_mp4_mjpeg_roundtrip_and_demux():
     """encode_mp4_mjpeg -> decode_mp4_mjpeg: the ISO-BMFF sample-table
     walk (stsd/stts/stsc/stsz/stco) must recover the exact same JPEG

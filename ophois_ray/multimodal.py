@@ -18,13 +18,19 @@ in BOTH containers — RIFF/AVI (``decode_avi_mjpeg``) and ISO-BMFF/MP4
 stsd/stts/stsc/stsz/stco resolved vectorized; ``mp4_metadata`` is the
 no-decode container scan) — dispatched by ``decode_video`` into the
 ``VideoFeatures`` actor pool. H.264 gets a REAL standards-subset
-intra path (``encode_h264_ipcm`` / ``decode_h264_ipcm``: Annex B NAL
-syntax, Exp-Golomb SPS/PPS/slice headers, emulation prevention, VUI
-timing, all-I_PCM IDR macroblocks — the MJPEG-equivalent
-every-frame-independent regime, lossless in YUV). Only the
-*motion-compensated / CAVLC-residual* H.26x/VPx paths remain STUBBED:
-those need a full codec library this container doesn't have; swap in
-av when the dependency exists, nothing else changes.
+codec (``encode_h264_cavlc`` / ``decode_h264``): Annex B NAL syntax,
+Exp-Golomb SPS/PPS/slice headers, emulation prevention, VUI timing,
+explicit deblocking-off signalling; INTRA — I_PCM (``encode_h264_ipcm``,
+lossless in YUV) and the compressed Intra_16x16 + CAVLC path (4x4
+integer transform, DC Hadamard hierarchies, spec quantization, full
+CAVLC with the level-escape ladder); INTER — P slices with P_Skip runs
+and P_L0_16x16 macroblocks: quarter-pel luma / eighth-pel chroma
+motion compensation, median MV prediction, GOP coding via
+``encode_h264_cavlc(gop=N)``. Decoder == encoder-recon bit-exact.
+Still honestly out of scope (raising ``MediaDecodeError``): B slices,
+sub-16x16 partitions, multi-reference, I_4x4, CABAC and the in-loop
+deblocking filter (emitted streams disable it, staying conformant);
+swap in av for full-profile foreign streams, nothing else changes.
 
 Stages:
   DecodeImage      actor pool, binary -> float32 pixel tensor column
@@ -2041,9 +2047,9 @@ def _h264_parse_sps(r: "_H264BitReader") -> dict:
 # on reconstructed neighbours — pytest pins decoder == encoder recon
 # bit-exactly) and falls back to I_PCM per macroblock when the
 # entropy-coded payload would exceed the raw samples, so streams mix
-# mb_type 25 and 1..24 like a real encoder's. Inter (motion
-# compensation), I_4x4 and CABAC remain out of scope and raise
-# MediaDecodeError naming the missing tool.
+# mb_type 25 and 1..24 like a real encoder's. Inter prediction lives
+# in the P-slice toolchain further down; I_4x4 and CABAC remain out of
+# scope and raise MediaDecodeError naming the missing tool.
 
 _ZZ4 = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
         (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3)]
@@ -3141,10 +3147,11 @@ def _search_mv16(ref_y, oy, mby, mbx, sr, skip_mv, mvp):
     k = int(np.argmin(sads))
     n = 2 * sr + 1
     bdy, bdx = k // n - sr, k % n - sr
-    cands = [(4 * bdx + qx, 4 * bdy + qy)
-             for qy in range(-3, 4) for qx in range(-3, 4)]
-    cands.append(tuple(skip_mv))
-    cands.append(tuple(mvp))
+    # skip vector and predictor lead the candidate list so they win
+    # SAD ties (static content then skips, like a real encoder)
+    cands = [tuple(skip_mv), tuple(mvp)]
+    cands += [(4 * bdx + qx, 4 * bdy + qy)
+              for qy in range(-3, 4) for qx in range(-3, 4)]
     best = None
     for mvx, mvy in cands:
         sad = int(np.abs(

@@ -5845,6 +5845,81 @@ FROM r GROUP BY k
 """
 
 
+def q_video_h264_p_stats(sf_dir: str):
+    """HASH-CHECKED inter-frame H.264 (P slices): per sampled doc a
+    GOP-2 grayscale clip is coded through the REAL encoder — constant
+    32x32 frames whose value changes only at GOP boundaries, with
+    pcm_threshold=0 so every IDR macroblock is I_PCM (lossless for any
+    value) and every P frame reproduces its reference exactly, which
+    the encoder must express as four P_Skip macroblocks (zero-vector
+    rule + skip-first tie-break). The decoder walks the full P-slice
+    syntax — NAL type 1, P slice headers (num_ref_idx override / ref
+    list modification / marking flags), mb_skip_run coding, skip MV
+    inference, motion-compensated copy — and the outputs are integers
+    the SQL mirror CONSTRUCTS from the doc_id arithmetic: frame count,
+    P-frame count, skip-macroblock count and exact luma sums. Any
+    mis-parse (a wrong skip run, an MV that isn't forced to zero, a
+    reference-plane mixup) changes a count or a luma value and fails
+    the driver hash."""
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        from . import multimodal as mm
+
+        d = df["doc_id"].to_numpy(np.int64)
+        d = d[d % 5 == 2]
+        media = []
+        for k in d:
+            n = int(k % 3) + 2
+            frames = np.stack([
+                np.full((32, 32, 3),
+                        (int(k) * 7 + (f // 2) * 13) % 256, np.uint8)
+                for f in range(n)
+            ])
+            media.append(mm.encode_h264_cavlc(
+                frames, qp=20, fps=int(k % 4) + 5, gop=2,
+                pcm_threshold=0))
+        return pd.DataFrame({"doc_id": d, "media": media})
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        from . import multimodal as mm
+
+        ks, nf, npf, nsk, upf, ls = [], [], [], [], [], []
+        for k, raw in zip(df["doc_id"].to_numpy(np.int64), df["media"]):
+            fr, u, mbts = mm.decode_h264(raw, return_mb_types=True)
+            luma = np.round(fr[..., 0] * 255.0).astype(np.int64)
+            ks.append(int(k))
+            nf.append(fr.shape[0])
+            npf.append(sum(1 for s in mbts if any(t == -1 for t in s)))
+            nsk.append(sum(1 for s in mbts for t in s if t == -1))
+            upf.append(int(u))
+            ls.append(int(luma.mean(axis=(1, 2)).sum()))
+        return pd.DataFrame({
+            "doc_id": np.array(ks, dtype=np.int64),
+            "n_frames": np.array(nf, dtype=np.int64),
+            "n_p_frames": np.array(npf, dtype=np.int64),
+            "n_skip_mb": np.array(nsk, dtype=np.int64),
+            "usec_per_frame": np.array(upf, dtype=np.int64),
+            "luma_sum": np.array(ls, dtype=np.int64),
+        })
+
+    return docs.map_batches(gen, batch_format="pandas").map_batches(
+        feats, batch_format="pandas")
+
+
+SQL_VIDEO_H264_P_STATS = """
+WITH d AS (SELECT doc_id AS k FROM documents WHERE doc_id % 5 = 2),
+f AS (SELECT k, unnest(range(0, (k % 3) + 2)) AS fi FROM d)
+SELECT k AS doc_id,
+       CAST((k % 3) + 2 AS BIGINT) AS n_frames,
+       CAST(((k % 3) + 2) // 2 AS BIGINT) AS n_p_frames,
+       CAST(4 * (((k % 3) + 2) // 2) AS BIGINT) AS n_skip_mb,
+       CAST(1000000 // ((k % 4) + 5) AS BIGINT) AS usec_per_frame,
+       CAST(sum((k * 7 + (fi // 2) * 13) % 256) AS BIGINT) AS luma_sum
+FROM f GROUP BY k
+"""
+
+
 def q_video_phash_neardup(sf_dir: str):
     """Video near-dup via temporally-pooled perceptual hashing: a
     deterministic MJPEG-AVI corpus is synthesized per doc (leader =
@@ -6665,6 +6740,7 @@ def catalog():
         "crawl_refresh": q_crawl_refresh,
         "video_h264_stats": q_video_h264_stats,
         "video_h264_cavlc_stats": q_video_h264_cavlc_stats,
+        "video_h264_p_stats": q_video_h264_p_stats,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -6851,6 +6927,7 @@ def sql_catalog():
         "graph_discretize_stats": _sql_graph_discretize_stats(),
         "video_h264_stats": SQL_VIDEO_H264_STATS,
         "video_h264_cavlc_stats": SQL_VIDEO_H264_CAVLC_STATS,
+        "video_h264_p_stats": SQL_VIDEO_H264_P_STATS,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

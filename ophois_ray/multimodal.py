@@ -2602,13 +2602,12 @@ def _h264_unscan_ac(scan: np.ndarray) -> np.ndarray:
 
 
 def _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y, nnz_c, qp,
-                    mby, mbx, pcm_threshold, type_base=0, extra_bits=0):
+                    mby, mbx, pcm_threshold, type_base=0):
     """Encode ONE I_PCM / Intra_16x16+CAVLC macroblock into slice
     writer ``w`` and the decoder-identical recon planes (shared by the
     I-slice encoder and the intra fallback inside P slices, which
-    passes ``type_base=5`` per the 7.4.5 mb_type mapping).
-    ``extra_bits`` joins the I_PCM cost comparison (a P-slice caller
-    pays its mb_skip_run there). Returns "pcm" or "i16"."""
+    passes ``type_base=5`` per the 7.4.5 mb_type mapping). Returns
+    "pcm" or "i16"."""
     qpc = _H264_QPC[max(0, min(51, qp))]
     oy = yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16
             ].astype(np.int64)
@@ -2713,7 +2712,7 @@ def _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y, nnz_c, qp,
     else:
         for k in ("cb", "cr"):
             nnz_c[k][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
-    if mb.bits + extra_bits > pcm_threshold:
+    if mb.bits > pcm_threshold:
         # I_PCM beats the entropy-coded payload: emit raw samples
         nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 16
         for k in och:
@@ -2871,9 +2870,9 @@ def _h264_parse_pps(r: "_H264BitReader") -> dict:
     r.u(1)                       # bottom_field_pic_order_in_frame
     if r.ue() != 0:
         raise MediaDecodeError("slice groups not supported")
-    r.ue()                       # num_ref_idx_l0_default_active_minus1
+    num_ref_default = r.ue()     # num_ref_idx_l0_default_active_minus1
     r.ue()                       # num_ref_idx_l1_default_active_minus1
-    r.u(1)                       # weighted_pred_flag
+    weighted = r.u(1)            # weighted_pred_flag
     r.u(2)                       # weighted_bipred_idc
     pic_init_qp = 26 + r.se()
     r.se()                       # pic_init_qs_minus26
@@ -2881,8 +2880,13 @@ def _h264_parse_pps(r: "_H264BitReader") -> dict:
     deblock_ctrl = r.u(1)        # deblocking_filter_control_present_flag
     if r.u(1):                   # constrained_intra_pred_flag
         raise MediaDecodeError("constrained intra prediction not supported")
+    if r.u(1):                   # redundant_pic_cnt_present_flag
+        # would add a redundant_pic_cnt field to EVERY slice header
+        raise MediaDecodeError("redundant picture counts not supported")
     return {"pic_init_qp": pic_init_qp, "chroma_qp_offset": cq_off,
-            "deblock_control": deblock_ctrl}
+            "deblock_control": deblock_ctrl,
+            "num_ref_default": num_ref_default,
+            "weighted_pred": weighted}
 
 
 # -------------------------- H.264 inter (P slice) toolchain
@@ -2965,6 +2969,10 @@ def _mc_luma(ref: np.ndarray, mvx: int, mvy: int, y0: int, x0: int,
         if fy == 2:
             return h
         return (Wd[3:3 + bh, 2:2 + bw] + h + 1) >> 1
+    if fx != 2 and fy != 2:                           # e / g / p / r
+        vv = b if fy == 1 else s
+        hh = h if fx == 1 else m
+        return (vv + hh + 1) >> 1
     # centre half-pel j: vertical 6-tap over UNROUNDED horizontal sums
     j_int = sum(int(T[k]) * b_int[k:k + bh] for k in range(6))
     j = clip1((j_int + 512) >> 10)
@@ -2972,11 +2980,7 @@ def _mc_luma(ref: np.ndarray, mvx: int, mvy: int, y0: int, x0: int,
         return j
     if fy == 2:                                       # i / k
         return (h + j + 1) >> 1 if fx == 1 else (j + m + 1) >> 1
-    if fx == 2:                                       # f / q
-        return (b + j + 1) >> 1 if fy == 1 else (j + s + 1) >> 1
-    vv = b if fy == 1 else s                          # e / g / p / r
-    hh = h if fx == 1 else m
-    return (vv + hh + 1) >> 1
+    return (b + j + 1) >> 1 if fy == 1 else (j + s + 1) >> 1  # f / q
 
 
 def _mc_chroma(ref: np.ndarray, mvx: int, mvy: int, y0: int, x0: int,
@@ -3520,10 +3524,15 @@ def decode_h264(raw: bytes, *, return_mb_types: bool = False):
             if typ == 5:
                 r.ue()           # idr_pic_id
             if p_slice:
+                if pps.get("weighted_pred"):
+                    raise MediaDecodeError(
+                        "weighted prediction not supported")
+                active_refs = pps.get("num_ref_default", 0)
                 if r.u(1):       # num_ref_idx_active_override_flag
-                    if r.ue() != 0:
-                        raise MediaDecodeError(
-                            "multiple reference pictures not supported")
+                    active_refs = r.ue()
+                if active_refs != 0:
+                    raise MediaDecodeError(
+                        "multiple reference pictures not supported")
                 if r.u(1):       # ref_pic_list_modification_flag_l0
                     raise MediaDecodeError(
                         "ref pic list modification not supported")
@@ -3625,7 +3634,8 @@ decode_h264_ipcm = decode_h264
 def decode_video(raw: bytes):
     """Container dispatch (magic-sniffed, like decode_wav): RIFF/AVI ->
     decode_avi_mjpeg, ISO-BMFF/MP4 -> decode_mp4_mjpeg, Annex B start
-    code -> decode_h264_ipcm (intra/I_PCM subset). Returns
+    code -> decode_h264 (the I/P baseline subset: I_PCM, Intra_16x16 +
+    CAVLC, P_Skip / P_L0_16x16 GOP streams). Returns
     ``(frames, usec_per_frame)``."""
     if raw[:4] == b"RIFF":
         return decode_avi_mjpeg(raw)

@@ -2429,6 +2429,46 @@ def test_h264_p_decoder_rejects_missing_tools():
         multimodal.decode_h264(
             start + sps + start + pps + start + p_slice(mb_type=0))
 
+    # PPS features whose P-slice syntax we cannot parse raise at the
+    # right boundary instead of silently desyncing the bit reader
+    def crafted_pps(num_ref_default=0, weighted=0, redundant=0):
+        w = multimodal._H264BitWriter()
+        w.ue(0)
+        w.ue(0)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.ue(0)
+        w.ue(num_ref_default)
+        w.ue(0)
+        w.u(weighted, 1)
+        w.u(0, 2)
+        w.se(0)
+        w.se(0)
+        w.se(0)
+        w.u(1, 1)          # deblocking_filter_control_present_flag
+        w.u(0, 1)
+        w.u(redundant, 1)
+        w.trailing()
+        return b"\x68" + multimodal._ebsp_escape(bytes(w.buf))
+
+    with pytest.raises(multimodal.MediaDecodeError, match="redundant"):
+        multimodal.decode_h264(
+            start + sps + start + crafted_pps(redundant=1) + start + isl)
+    with pytest.raises(multimodal.MediaDecodeError,
+                       match="multiple reference"):
+        multimodal.decode_h264(
+            start + sps + start + crafted_pps(num_ref_default=1)
+            + start + isl + start + p_slice(mb_type=0))
+    with pytest.raises(multimodal.MediaDecodeError, match="weighted"):
+        multimodal.decode_h264(
+            start + sps + start + crafted_pps(weighted=1)
+            + start + isl + start + p_slice(mb_type=0))
+    # an I-only stream is fine under those same PPS features
+    dec, _ = multimodal.decode_h264(
+        start + sps + start + crafted_pps(num_ref_default=1, weighted=1)
+        + start + isl)
+    assert dec.shape[0] == 1
+
 
 def test_h264_deblocking_contract():
     """Streams that do not disable the in-loop filter are rejected for

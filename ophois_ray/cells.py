@@ -106,6 +106,48 @@ def children(cell) -> np.ndarray:
     return np.array(out, dtype=np.int64)
 
 
+def compact_cells_array(cells_arr: np.ndarray, *,
+                        stop_res: int = 0) -> np.ndarray:
+    """H3-style ``compact``: repeatedly replace every complete sibling
+    quartet (all 4 children of one parent present at the same
+    resolution) by the parent. Input may mix resolutions and contain
+    duplicates; returns the sorted, unique, minimal cover of the same
+    area. ``stop_res`` halts promotion AT that resolution (cells at
+    stop_res are emitted unpromoted) — the hook the distributed
+    ancestor-bucket ladder uses, since a quartet at stop_res spans
+    four buckets. Tiling layers compact polyfills/coverings before
+    storage and joins; the inverse (children expansion) restores the
+    original single-res set exactly, which the pytest pins."""
+    cur = np.unique(np.asarray(cells_arr, dtype=np.int64))
+    if cur.size == 0:
+        return cur
+    res, _, _ = decode(cur)
+    levels = {int(r): cur[res == r] for r in np.unique(res)}
+    if min(levels) < stop_res:
+        raise ValueError("compact_cells_array: cell below stop_res")
+    out = []
+    for r in range(MAX_RES, stop_res, -1):
+        cells_r = levels.pop(r, None)
+        if cells_r is None or cells_r.size == 0:
+            continue
+        _, cx, cy = decode(cells_r)
+        par = encode(np.full(cells_r.size, r - 1, np.int64),
+                     cx >> 1, cy >> 1)
+        up, counts = np.unique(par, return_counts=True)
+        promoted = up[counts == 4]
+        if promoted.size:
+            out.append(cells_r[~np.isin(par, promoted)])
+            prev = levels.get(r - 1)
+            levels[r - 1] = (promoted if prev is None else
+                             np.unique(np.concatenate([prev, promoted])))
+        else:
+            out.append(cells_r)
+    for r in sorted(levels):                  # res <= stop_res residue
+        if levels[r].size:
+            out.append(levels[r])
+    return np.sort(np.concatenate(out)) if out else cur[:0]
+
+
 def k_ring(cell, k: int = 1) -> np.ndarray:
     """All cells within Chebyshev distance k of a scalar cell (incl. it).
 

@@ -213,6 +213,82 @@ def _sql_cell_hist_topk() -> str:
     )
 
 
+def q_cell_compact(sf_dir: str):
+    """HASH-CHECKED hierarchical cell compaction (H3 ``compact``): the
+    distinct res-6 cells covered by order points collapse to the
+    minimal mixed-resolution cover — every complete sibling quartet
+    promoted to its parent, recursively (spatial.compact_cells: the
+    ancestor-bucket ladder; the quadtree id scheme makes promotion
+    integer-exact). The SQL mirror reruns the promotion cascade as six
+    unrolled CTE levels (GROUP BY parent HAVING count(*)=4 + anti-join
+    remainders), so one wrong promotion, a missed quartet, or a
+    mis-packed parent id fails the driver hash. Cells come from a
+    two-round Lehmer hash of o_orderkey onto the 64x64 res-6 grid —
+    the _coords_from_key lattice reaches only ~360 cells (never a
+    complete quartet) and a single multiplicative hash is BIJECTIVE
+    mod 4096 (TPC-H keys then cover every cell and everything
+    collapses to one res-0 cell); two rounds mix across the modulus,
+    so at sf0.01 orders cover ~97% of the grid and the cascade
+    promotes through multiple levels around genuine holes. Output
+    (cell, res). A prime-modulus hole predicate on the cell index
+    (~12% of cells excluded) keeps the cover non-trivial — TPC-H keys
+    under the Lehmer rounds are so equidistributed they would
+    otherwise fill the whole grid and collapse to one res-0 cell; at
+    sf0.01 the result spans res 4/5/6 (52/407/1145 cells)."""
+    from .spatial import compact_cells
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey"])
+
+    def to_cells(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        h = (k * 48271) % 2147483647          # fits int64: k <= ~6e9
+        h = (h * 48271) % 2147483647
+        idx = h % 4096
+        idx = idx[((idx + 1) * 16807) % 2147483647 % 100 >= 12]
+        return pd.DataFrame(
+            {"cell": cells.encode(np.full(len(idx), RES_JOIN, np.int64),
+                                  idx % 64, (idx // 64) % 64)})
+
+    comp = compact_cells(
+        orders.map_batches(to_cells, batch_format="pandas"))
+    out = comp.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"cell": np.empty(0, np.int64),
+                             "res": np.empty(0, np.int64)})
+    c = out["cell"].to_numpy(np.int64)
+    res, _, _ = cells.decode(c)
+    return pd.DataFrame({"cell": c, "res": res}).sort_values(
+        "cell").reset_index(drop=True)
+
+
+def _sql_cell_compact() -> str:
+    m = 1 << 29
+    parts = [
+        "h AS (SELECT ((o_orderkey * 48271) % 2147483647) * 48271 "
+        "% 2147483647 % 4096 AS idx FROM orders)",
+        "k AS (SELECT idx FROM h "
+        "WHERE ((idx + 1) * 16807) % 2147483647 % 100 >= 12)",
+        "c6 AS (SELECT DISTINCT idx % 64 AS ix, (idx // 64) % 64 AS iy "
+        "FROM k)",
+    ]
+    for r in range(RES_JOIN, 0, -1):
+        parts.append(
+            f"p{r - 1} AS (SELECT ix // 2 AS ix, iy // 2 AS iy FROM c{r} "
+            f"GROUP BY 1, 2 HAVING count(*) = 4)")
+        parts.append(
+            f"r{r} AS (SELECT c.ix, c.iy FROM c{r} c LEFT JOIN p{r - 1} p "
+            f"ON p.ix = c.ix // 2 AND p.iy = c.iy // 2 WHERE p.ix IS NULL)")
+        parts.append(f"c{r - 1} AS (SELECT ix, iy FROM p{r - 1})")
+    sels = [
+        f"SELECT CAST({r} AS BIGINT) * {1 << 58} + ix * {m} + iy AS cell, "
+        f"CAST({r} AS BIGINT) AS res FROM r{r}"
+        for r in range(RES_JOIN, 0, -1)
+    ]
+    sels.append(
+        f"SELECT ix * {m} + iy AS cell, CAST(0 AS BIGINT) AS res FROM c0")
+    return "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(sels)
+
+
 # ------------------------------------------------------------ joins / snap
 
 
@@ -6741,6 +6817,7 @@ def catalog():
         "video_h264_stats": q_video_h264_stats,
         "video_h264_cavlc_stats": q_video_h264_cavlc_stats,
         "video_h264_p_stats": q_video_h264_p_stats,
+        "cell_compact": q_cell_compact,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -6928,6 +7005,7 @@ def sql_catalog():
         "video_h264_stats": SQL_VIDEO_H264_STATS,
         "video_h264_cavlc_stats": SQL_VIDEO_H264_CAVLC_STATS,
         "video_h264_p_stats": SQL_VIDEO_H264_P_STATS,
+        "cell_compact": _sql_cell_compact(),
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

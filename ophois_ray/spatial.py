@@ -604,3 +604,83 @@ def knn_snap_broadcast(
 def cell_join_counts(pages, res: int):
     """Simple point-in-cell aggregation: pages per cell (tiling report)."""
     return page_cell_counts(assign_cells(pages, res))
+
+
+def compact_cells(ds, cell_col: str = "cell", *, bucket_res: int = 2,
+                  num_buckets: int = 64,
+                  broadcast_cap: int = 2_000_000):
+    """Distributed H3-style compaction of a cell-id column: the
+    minimal mixed-resolution cover of the distinct input cells
+    (complete sibling quartets promoted to their parent, recursively).
+    Returns a Dataset of one ``cell`` row per cover cell.
+
+    Scale ladder (the repo's standard shape): per-block distinct
+    pre-combine first; under ``broadcast_cap`` distinct cells, ONE
+    driver kernel call (`cells.compact_cells_array`). Above it, an
+    ancestor-bucket co-partition — promotion of cells at res >
+    bucket_res is CLOSED within their res-``bucket_res`` ancestor (a
+    complete quartet shares its parent and hence every coarser
+    ancestor), so per-bucket kernels with ``stop_res=bucket_res`` are
+    exact; the residue at res == bucket_res (4^bucket_res ids at
+    most) driver-merges through one final kernel call, while the
+    res > bucket_res remainder stays distributed. Both paths are
+    pinned bit-equal by a forced-cap pytest. Input cells must sit at
+    res >= bucket_res (checked): coarser inputs have no bucket
+    ancestor."""
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {cell_col: pd.unique(df[cell_col].to_numpy(np.int64))})
+
+    u = ds.map_batches(distinct, batch_format="pandas").materialize()
+    if u.count() <= broadcast_cap:
+        arrs = [b[cell_col].to_numpy(np.int64)
+                for b in u.iter_batches(batch_format="pandas")]
+        arr = (np.concatenate(arrs) if arrs
+               else np.empty(0, np.int64))
+        out = cells.compact_cells_array(arr)
+        import ray
+
+        return ray.data.from_pandas(pd.DataFrame({cell_col: out}))
+    from .joins import grouped_apply
+
+    def add_anc(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[cell_col].to_numpy(np.int64)
+        res, _, _ = cells.decode(c)
+        if len(res) and int(res.min()) < bucket_res:
+            raise ValueError(
+                "compact_cells: input cell below bucket_res has no "
+                "bucket ancestor — lower bucket_res")
+        df = df.copy()
+        df["__anc"] = cells.parent_to(c, bucket_res)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = cells.compact_cells_array(
+            df[cell_col].to_numpy(np.int64), stop_res=bucket_res)
+        return pd.DataFrame({cell_col: out})
+
+    comp = grouped_apply(u.map_batches(add_anc, batch_format="pandas"),
+                         "__anc", per_bucket,
+                         num_buckets=num_buckets).materialize()
+    coarse_mask = np.int64(bucket_res + 1) << np.int64(58)
+
+    def fine_only(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[cell_col].to_numpy(np.int64)
+        return pd.DataFrame({cell_col: c[c >= coarse_mask]})
+
+    def coarse_only(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[cell_col].to_numpy(np.int64)
+        return pd.DataFrame({cell_col: c[c < coarse_mask]})
+
+    residue = pd.concat(
+        list(comp.map_batches(coarse_only, batch_format="pandas")
+             .iter_batches(batch_format="pandas")) or
+        [pd.DataFrame({cell_col: np.empty(0, np.int64)})],
+        ignore_index=True)
+    final_coarse = cells.compact_cells_array(
+        residue[cell_col].to_numpy(np.int64))
+    import ray
+
+    fine = comp.map_batches(fine_only, batch_format="pandas")
+    return fine.union(ray.data.from_pandas(
+        pd.DataFrame({cell_col: final_coarse})))

@@ -104,3 +104,96 @@ def test_oracle_sql_cell_expr_matches_numpy():
         con.register("pts", pd.DataFrame({"lat": lat, "lon": lon}))
         got = con.sql(f"SELECT {expr} AS cell FROM pts").df()["cell"].to_numpy()
         assert (got == expected).all(), res
+
+
+def _naive_compact(cell_set):
+    """Set-based reference compaction: promote any complete quartet,
+    loop to fixpoint (order-independent: promotion at res r only
+    consumes cells at res r)."""
+    cur = set(int(c) for c in cell_set)
+    changed = True
+    while changed:
+        changed = False
+        by_parent = {}
+        for c in cur:
+            r, ix, iy = (int(v) for v in cells.decode(np.int64(c)))
+            if r == 0:
+                continue
+            p = int(cells.encode(r - 1, ix >> 1, iy >> 1))
+            by_parent.setdefault(p, set()).add(c)
+        for p, kids in by_parent.items():
+            if len(kids) == 4 and kids <= cur:
+                cur -= kids
+                cur.add(p)
+                changed = True
+    return np.sort(np.array(sorted(cur), np.int64))
+
+
+def test_compact_cells_array_matches_naive_oracle():
+    rng = np.random.default_rng(17)
+    for n, span in ((50, 8), (900, 16), (4000, 32)):
+        pts = cells.encode(np.full(n, 6, np.int64),
+                           rng.integers(0, span, n),
+                           rng.integers(0, span, n))
+        got = cells.compact_cells_array(pts)
+        want = _naive_compact(pts)
+        assert np.array_equal(got, want), (n, span)
+    # dense grid compacts all the way to a single coarse cell
+    xx, yy = np.meshgrid(np.arange(16), np.arange(16))
+    full = cells.encode(np.full(256, 6, np.int64), xx.ravel() + 16,
+                        yy.ravel() + 32)
+    out = cells.compact_cells_array(full)
+    assert len(out) == 1
+    r, ix, iy = cells.decode(out)
+    assert (int(r[0]), int(ix[0]), int(iy[0])) == (2, 1, 2)
+    # mixed-resolution input: a promoted parent merges with an existing
+    # coarse duplicate (set semantics)
+    quartet = cells.encode(np.full(4, 6, np.int64),
+                           np.array([10, 10, 11, 11]),
+                           np.array([4, 5, 4, 5]))
+    dup_parent = cells.encode(np.array([5]), np.array([5]), np.array([2]))
+    out = cells.compact_cells_array(np.concatenate([quartet, dup_parent]))
+    assert np.array_equal(out, _naive_compact(
+        np.concatenate([quartet, dup_parent])))
+    # stop_res halts promotion at that level
+    out = cells.compact_cells_array(full, stop_res=4)
+    r, _, _ = cells.decode(out)
+    assert (r == 4).all() and len(out) == 16
+    with pytest.raises(ValueError):
+        cells.compact_cells_array(dup_parent, stop_res=6)
+    assert len(cells.compact_cells_array(np.empty(0, np.int64))) == 0
+
+
+def test_compact_cells_distributed_parity(ray_session):
+    """spatial.compact_cells: the forced ancestor-bucket path (cap 0)
+    is bit-equal to the broadcast path and to the plain kernel."""
+    import ray
+
+    import pandas as pd
+    from ophois_ray import spatial
+
+    rng = np.random.default_rng(23)
+    pts = cells.encode(np.full(6000, 6, np.int64),
+                       rng.integers(0, 64, 6000),
+                       rng.integers(0, 64, 6000))
+    ds = ray.data.from_pandas(pd.DataFrame({"cell": pts})).repartition(7)
+    want = cells.compact_cells_array(pts)
+    broad = np.sort(spatial.compact_cells(ds)
+                    .to_pandas()["cell"].to_numpy(np.int64))
+    forced = np.sort(spatial.compact_cells(ds, broadcast_cap=0,
+                                           bucket_res=2, num_buckets=5)
+                     .to_pandas()["cell"].to_numpy(np.int64))
+    assert np.array_equal(broad, want)
+    assert np.array_equal(forced, want)
+    # a coarser bucket_res changes the partitioning, not the answer
+    forced3 = np.sort(spatial.compact_cells(ds, broadcast_cap=0,
+                                            bucket_res=3)
+                      .to_pandas()["cell"].to_numpy(np.int64))
+    assert np.array_equal(forced3, want)
+    # below-bucket_res input raises inside the task (Ray wraps it)
+    with pytest.raises(Exception, match="bucket_res"):
+        spatial.compact_cells(
+            ray.data.from_pandas(pd.DataFrame(
+                {"cell": cells.encode(np.array([1]), np.array([0]),
+                                      np.array([0]))})),
+            broadcast_cap=0, bucket_res=2).materialize()

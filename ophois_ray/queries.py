@@ -289,6 +289,119 @@ def _sql_cell_compact() -> str:
     return "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(sels)
 
 
+_MM_T = 4          # trace length
+_MM_E = 24         # edge universe size
+_MM_LAM = "0.25"   # transition weight (exact binary fraction)
+
+
+def q_trace_map_match(sf_dir: str):
+    """HASH-CHECKED HMM map matching (spatial.map_match): every 11th
+    customer is a 4-point trace (point coords from key arithmetic),
+    the 24 lowest-keyed suppliers are street edges (endpoint A from
+    key coords, endpoint B offset by exact half-degree steps, never
+    degenerate), and Viterbi snaps each trace to its cheapest edge
+    path — emission = planar point-to-segment sqdist, transition =
+    0.25 x midpoint sqdist, all argmin ties to the smallest edge id.
+    Every float op (the one division in the projection clamp included)
+    runs in the same IEEE order on both sides, so the SQL mirror — the
+    DP unrolled as per-step CTEs with QUALIFY argmins and a join-back
+    backtrack — is bit-exact; output is integer rows
+    (trace_id, step, edge)."""
+    from .spatial import map_match
+
+    supp = _t(sf_dir, "supplier", columns=["s_suppkey"]).to_pandas()
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))[:_MM_E]
+    alat, alon = _coords_from_key(sk, 11, 17)
+    blat = alat + ((sk * 3) % 5 - 2).astype(np.float64) * 0.5
+    blon = alon + ((sk * 7 + 1) % 4 + 1).astype(np.float64) * 0.5
+    edges = pd.DataFrame({"eid": sk, "alat": alat, "alon": alon,
+                          "blat": blat, "blon": blon})
+
+    def to_points(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        k = k[k % 11 == 0]
+        kk = np.repeat(k, _MM_T)
+        t = np.tile(np.arange(_MM_T, dtype=np.int64), len(k))
+        lat, lon = _coords_from_key(kk * 7 + t * 3, 7, 13)
+        return pd.DataFrame({"trace_id": kk, "step": t,
+                             "lat": lat, "lon": lon})
+
+    pts = _t(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        to_points, batch_format="pandas")
+    return map_match(pts, edges, lam=0.25)
+
+
+def _sql_trace_map_match() -> str:
+    plat, plon = _sql_coords("(c_custkey * 7 + t * 3)", 7, 13)
+    alat, alon = _sql_coords("s_suppkey", 11, 17)
+    head = f"""
+WITH ed AS (
+  SELECT s_suppkey AS eid, {alat} AS alat, {alon} AS alon,
+         ({alat}) + CAST((s_suppkey * 3) % 5 - 2 AS DOUBLE) * 0.5 AS blat,
+         ({alon}) + CAST((s_suppkey * 7 + 1) % 4 + 1 AS DOUBLE) * 0.5 AS blon
+  FROM supplier
+  WHERE s_suppkey IN (SELECT s_suppkey FROM supplier
+                      ORDER BY s_suppkey LIMIT {_MM_E})
+),
+edm AS (SELECT eid, (alat + blat) * 0.5 AS mlat,
+               (alon + blon) * 0.5 AS mlon FROM ed),
+trw AS (
+  SELECT i.eid AS i, j.eid AS j,
+         {_MM_LAM} * ((i.mlat - j.mlat) * (i.mlat - j.mlat)
+                    + (i.mlon - j.mlon) * (i.mlon - j.mlon)) AS w
+  FROM edm i CROSS JOIN edm j
+),
+pts AS (
+  SELECT c_custkey AS tr, t, {plat} AS plat, {plon} AS plon
+  FROM customer CROSS JOIN (SELECT unnest(range(0, {_MM_T})) AS t)
+  WHERE c_custkey % 11 = 0
+),
+em1 AS (
+  SELECT tr, t, eid, plat, plon, alat, alon,
+         blat - alat AS dlat, blon - alon AS dlon
+  FROM pts CROSS JOIN ed
+),
+em2 AS (
+  SELECT *, dlat * dlat + dlon * dlon AS seg,
+         (plat - alat) * dlat + (plon - alon) * dlon AS num
+  FROM em1
+),
+em3 AS (SELECT *, LEAST(GREATEST(num / seg, 0.0), 1.0) AS tt FROM em2),
+em AS (
+  SELECT tr, t, eid,
+         ((alat + tt * dlat) - plat) * ((alat + tt * dlat) - plat)
+       + ((alon + tt * dlon) - plon) * ((alon + tt * dlon) - plon) AS e
+  FROM em3
+),
+dp0 AS (SELECT tr, eid AS j, e AS cost FROM em WHERE t = 0)"""
+    steps = []
+    for t in range(1, _MM_T):
+        steps.append(f"""
+c{t} AS (SELECT d.tr, w.j, d.cost + w.w AS x, d.j AS prev
+         FROM dp{t - 1} d JOIN trw w ON w.i = d.j),
+m{t} AS (SELECT tr, j, x, prev FROM c{t}
+         QUALIFY row_number() OVER (PARTITION BY tr, j
+                                    ORDER BY x, prev) = 1),
+dp{t} AS (SELECT m.tr, m.j, m.x + e.e AS cost, m.prev
+          FROM m{t} m JOIN em e
+          ON e.tr = m.tr AND e.eid = m.j AND e.t = {t})""")
+    last = _MM_T - 1
+    back = [f"""
+b{last} AS (SELECT tr, j, prev FROM dp{last}
+            QUALIFY row_number() OVER (PARTITION BY tr
+                                       ORDER BY cost, j) = 1)"""]
+    for t in range(last - 1, 0, -1):
+        back.append(f"""
+b{t} AS (SELECT b.tr, b.prev AS j, d.prev AS prev
+         FROM b{t + 1} b JOIN dp{t} d ON d.tr = b.tr AND d.j = b.prev)""")
+    sels = [f"SELECT tr AS trace_id, CAST(0 AS BIGINT) AS step, "
+            f"prev AS edge FROM b1"]
+    for t in range(1, _MM_T):
+        sels.append(f"SELECT tr, CAST({t} AS BIGINT), j FROM b{t}")
+    return (head + "," + ",".join(steps) + "," + ",".join(back)
+            + "\n" + " UNION ALL ".join(sels))
+
+
 # ------------------------------------------------------------ joins / snap
 
 
@@ -6818,6 +6931,7 @@ def catalog():
         "video_h264_cavlc_stats": q_video_h264_cavlc_stats,
         "video_h264_p_stats": q_video_h264_p_stats,
         "cell_compact": q_cell_compact,
+        "trace_map_match": q_trace_map_match,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -7006,6 +7120,7 @@ def sql_catalog():
         "video_h264_cavlc_stats": SQL_VIDEO_H264_CAVLC_STATS,
         "video_h264_p_stats": SQL_VIDEO_H264_P_STATS,
         "cell_compact": _sql_cell_compact(),
+        "trace_map_match": _sql_trace_map_match(),
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

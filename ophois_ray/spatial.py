@@ -606,6 +606,89 @@ def cell_join_counts(pages, res: int):
     return page_cell_counts(assign_cells(pages, res))
 
 
+def map_match(points, edges_df: pd.DataFrame, *, lam: float = 0.25,
+              trace_col: str = "trace_id", step_col: str = "step",
+              lat_col: str = "lat", lon_col: str = "lon",
+              num_buckets: int = 64):
+    """HMM-style map matching: snap each trace (an ordered point
+    sequence) to its best edge PATH by Viterbi DP — emission cost =
+    planar point-to-segment sqdist (geo.point_segment_sqdist),
+    transition cost = ``lam`` x planar sqdist between edge midpoints,
+    every argmin tie broken by the smallest edge id. The kNN snap
+    assigns each page independently; this is its sequential twin for
+    traces — the classic street-graph operator.
+
+    Scale shape: the edge table broadcasts ONCE (ray.put + per-worker
+    cache, like the snap's CSR index); traces co-partition by trace id
+    in one bucket shuffle, then each bucket runs a fully vectorized DP
+    over (traces x E x E) numpy blocks grouped by trace length — zero
+    further exchanges, so 10^12 points stream. Emissions, transitions
+    and the DP accumulate float64 in a FIXED op order (one add per
+    step), so results are bit-reproducible and SQL-mirrorable
+    (queries.trace_map_match unrolls the DP as CTE levels). Returns
+    rows (trace_col, step_col, edge)."""
+    import ray
+
+    from .joins import grouped_apply
+    from .pages import _fetch_cached
+
+    e = edges_df.sort_values("eid").reset_index(drop=True)
+    ref = ray.put((e["eid"].to_numpy(np.int64),
+                   e["alat"].to_numpy(np.float64),
+                   e["alon"].to_numpy(np.float64),
+                   e["blat"].to_numpy(np.float64),
+                   e["blon"].to_numpy(np.float64)))
+
+    def match_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({trace_col: np.empty(0, np.int64),
+                              step_col: np.empty(0, np.int64),
+                              "edge": np.empty(0, np.int64)})
+        if df.shape[0] == 0:
+            return empty
+        eid, alat, alon, blat, blon = _fetch_cached(ref)
+        mlat = (alat + blat) * 0.5
+        mlon = (alon + blon) * 0.5
+        dml = mlat[:, None] - mlat[None, :]
+        dmn = mlon[:, None] - mlon[None, :]
+        W = lam * (dml * dml + dmn * dmn)                  # i -> j
+        df = df.sort_values([trace_col, step_col])
+        tid = df[trace_col].to_numpy(np.int64)
+        stp = df[step_col].to_numpy(np.int64)
+        em = geo.point_segment_sqdist(
+            df[lat_col].to_numpy(np.float64)[:, None],
+            df[lon_col].to_numpy(np.float64)[:, None],
+            alat[None, :], alon[None, :], blat[None, :], blon[None, :])
+        starts = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1]])
+        ends = np.r_[starts[1:], len(tid)]
+        lens = ends - starts
+        out_t, out_s, out_e = [], [], []
+        for L in np.unique(lens):
+            sel = np.flatnonzero(lens == L)
+            idx = starts[sel][:, None] + np.arange(L)[None, :]
+            emL = em[idx]                                  # (n, L, E)
+            dp = emL[:, 0, :]
+            ptr = np.empty((len(sel), L, len(eid)), np.int64)
+            for t in range(1, L):
+                X = dp[:, :, None] + W[None, :, :]
+                ptr[:, t, :] = np.argmin(X, axis=1)        # tie: smallest id
+                dp = X.min(axis=1) + emL[:, t, :]
+            j = np.argmin(dp, axis=1)
+            path = np.empty((len(sel), L), np.int64)
+            path[:, L - 1] = j
+            for t in range(L - 1, 0, -1):
+                j = ptr[np.arange(len(sel)), t, j]
+                path[:, t - 1] = j
+            out_t.append(np.repeat(tid[starts[sel]], L))
+            out_s.append(stp[idx].ravel())
+            out_e.append(eid[path.ravel()])
+        return pd.DataFrame({trace_col: np.concatenate(out_t),
+                             step_col: np.concatenate(out_s),
+                             "edge": np.concatenate(out_e)})
+
+    return grouped_apply(points, trace_col, match_bucket,
+                         num_buckets=num_buckets)
+
+
 def compact_cells(ds, cell_col: str = "cell", *, bucket_res: int = 2,
                   num_buckets: int = 64,
                   broadcast_cap: int = 2_000_000):

@@ -514,3 +514,52 @@ def test_read_zorder_bbox_prunes_and_is_exact(ray_session, tmp_path):
     assert sorted(rows["id"]) == sorted(exp["id"])
     assert len(exp) > 10
     assert n_read < n_total  # the pruning actually pruned
+
+
+def test_map_match_matches_exhaustive_paths(ray_session):
+    """spatial.map_match == brute-force minimum over ALL E^T edge
+    paths (cost = sum of point-to-segment emissions + lam x midpoint-
+    sqdist transitions). Random float coords make the optimum unique,
+    so this pins the whole Viterbi independently of the SQL mirror's
+    shared DP structure; mixed trace lengths in one run exercise the
+    per-length vectorization."""
+    import itertools
+
+    rng = np.random.default_rng(41)
+    E, lam = 5, 0.25
+    eid = np.sort(rng.choice(1000, E, replace=False)).astype(np.int64)
+    alat, alon = rng.uniform(-5, 5, E), rng.uniform(-5, 5, E)
+    blat, blon = alat + rng.uniform(0.2, 2, E), alon + rng.uniform(0.2, 2, E)
+    edges = pd.DataFrame({"eid": eid, "alat": alat, "alon": alon,
+                          "blat": blat, "blon": blon})
+    rows = []
+    lens = {}
+    for tr in range(9):
+        L = 3 if tr % 2 else 5
+        lens[tr] = L
+        for t in range(L):
+            rows.append((tr, t, rng.uniform(-5, 7), rng.uniform(-5, 7)))
+    pts = pd.DataFrame(rows, columns=["trace_id", "step", "lat", "lon"])
+    got = (spatial.map_match(
+        ray.data.from_pandas(pts).repartition(4), edges, lam=lam,
+        num_buckets=3).to_pandas()
+        .sort_values(["trace_id", "step"]).reset_index(drop=True))
+
+    mlat, mlon = (alat + blat) * 0.5, (alon + blon) * 0.5
+    for tr, L in lens.items():
+        p = pts[pts.trace_id == tr].sort_values("step")
+        em = geo.point_segment_sqdist(
+            p["lat"].to_numpy()[:, None], p["lon"].to_numpy()[:, None],
+            alat[None, :], alon[None, :], blat[None, :], blon[None, :])
+        best = None
+        for path in itertools.product(range(E), repeat=L):
+            c = em[0, path[0]]
+            for t in range(1, L):
+                i, j = path[t - 1], path[t]
+                dml, dmn = mlat[i] - mlat[j], mlon[i] - mlon[j]
+                c = c + lam * (dml * dml + dmn * dmn) + em[t, path[t]]
+            if best is None or c < best[0]:
+                best = (c, path)
+        want = eid[list(best[1])]
+        have = got[got.trace_id == tr]["edge"].to_numpy()
+        assert np.array_equal(have, want), (tr, have, want)

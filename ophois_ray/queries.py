@@ -289,6 +289,89 @@ def _sql_cell_compact() -> str:
     return "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(sels)
 
 
+_DP_T = 9          # polyline length
+_DP_EPS2 = 10000   # squared tolerance (keeps ~52% of points at sf0.01)
+
+
+def q_polyline_simplify(sf_dir: str):
+    """HASH-CHECKED Douglas-Peucker generalization
+    (spatial.simplify_polylines): every 7th part key is a 9-point
+    integer polyline (x ramps with two-round-Lehmer jitter — ONE
+    Lehmer round is affine in the step, which makes the points
+    exactly collinear and the tolerance dead; two rounds give real
+    corners), simplified at eps^2=10000 where the tolerance genuinely
+    decides (~52% of points survive; 0.95 at eps^2=400, 0.43 at
+    40000). The exact integer split test cross^2 > eps2*|AB|^2 and
+    the smallest-step argmax tie-break replay in the SQL mirror as
+    T-2 unrolled split-round CTEs, so one wrong split point, a missed
+    recursion branch, or an off-by-one interval bound fails the
+    driver hash. Output = the kept rows (trace_id, step, x, y)."""
+    from .spatial import simplify_polylines
+
+    parts = _t(sf_dir, "part", columns=["p_partkey"])
+
+    def to_points(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].to_numpy(np.int64)
+        k = k[k % 7 == 0]
+        kk = np.repeat(k, _DP_T)
+        t = np.tile(np.arange(_DP_T, dtype=np.int64), len(k))
+        h = ((kk * 31 + t * 17) * 48271) % 2147483647
+        h = (h * 48271) % 2147483647
+        return pd.DataFrame({"trace_id": kk, "step": t,
+                             "x": t * 400 + h % 257,
+                             "y": (h // 257) % 1025})
+
+    return simplify_polylines(
+        parts.map_batches(to_points, batch_format="pandas"),
+        eps2=_DP_EPS2)
+
+
+def _sql_polyline_simplify() -> str:
+    parts = [f"""pts AS (
+  SELECT p_partkey AS tr, t,
+         t * 400 + ((p_partkey * 31 + t * 17) * 48271 % 2147483647)
+                   * 48271 % 2147483647 % 257 AS x,
+         ((p_partkey * 31 + t * 17) * 48271 % 2147483647)
+           * 48271 % 2147483647 // 257 % 1025 AS y
+  FROM part CROSS JOIN (SELECT unnest(range(0, {_DP_T})) AS t)
+  WHERE p_partkey % 7 = 0
+),
+iv0 AS (SELECT tr, min(t) AS lo, max(t) AS hi FROM pts GROUP BY tr)"""]
+    rounds = _DP_T - 2
+    for k in range(rounds):
+        parts.append(f"""sp{k} AS (
+  SELECT i.tr, i.lo, i.hi, p.t AS split,
+         ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+       * ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)) AS c2,
+         (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS len2
+  FROM iv{k} i
+  JOIN pts a ON a.tr = i.tr AND a.t = i.lo
+  JOIN pts b ON b.tr = i.tr AND b.t = i.hi
+  JOIN pts p ON p.tr = i.tr AND p.t > i.lo AND p.t < i.hi
+  QUALIFY row_number() OVER (PARTITION BY i.tr, i.lo, i.hi
+                             ORDER BY c2 DESC, p.t) = 1
+),
+good{k} AS (SELECT tr, lo, hi, split FROM sp{k}
+            WHERE c2 > {_DP_EPS2} * len2),
+iv{k + 1} AS (
+  SELECT tr, lo, split AS hi FROM good{k} WHERE split - lo > 1
+  UNION ALL
+  SELECT tr, split AS lo, hi FROM good{k} WHERE hi - split > 1
+),
+keep{k} AS (
+  SELECT tr, lo AS t FROM iv{k}
+  UNION ALL SELECT tr, hi FROM iv{k}
+  UNION ALL SELECT tr, split FROM good{k}
+)""")
+    keeps = " UNION ALL ".join(
+        f"SELECT tr, t FROM keep{k}" for k in range(rounds))
+    parts.append(f"kept AS (SELECT DISTINCT tr, t FROM ({keeps}))")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT p.tr AS trace_id, p.t AS step, CAST(p.x AS BIGINT) AS x,
+       CAST(p.y AS BIGINT) AS y
+FROM pts p JOIN kept k ON k.tr = p.tr AND k.t = p.t""")
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -6932,6 +7015,7 @@ def catalog():
         "video_h264_p_stats": q_video_h264_p_stats,
         "cell_compact": q_cell_compact,
         "trace_map_match": q_trace_map_match,
+        "polyline_simplify": q_polyline_simplify,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -7121,6 +7205,7 @@ def sql_catalog():
         "video_h264_p_stats": SQL_VIDEO_H264_P_STATS,
         "cell_compact": _sql_cell_compact(),
         "trace_map_match": _sql_trace_map_match(),
+        "polyline_simplify": _sql_polyline_simplify(),
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

@@ -689,6 +689,59 @@ def map_match(points, edges_df: pd.DataFrame, *, lam: float = 0.25,
                          num_buckets=num_buckets)
 
 
+def simplify_polylines(points, *, eps2: int, trace_col: str = "trace_id",
+                       step_col: str = "step", x_col: str = "x",
+                       y_col: str = "y", num_buckets: int = 64):
+    """Douglas-Peucker polyline generalization (the tile-serving
+    zoom-level op) in EXACT integer arithmetic: a point survives iff
+    its squared cross-product distance to the chord exceeds the
+    tolerance — the comparison ``cross^2 > eps2 * |AB|^2`` multiplies
+    through by the chord length instead of dividing, so with bounded
+    integer coords (|x|,|y| < 2^12 keeps every product in int64) the
+    whole recursion is branch-for-branch deterministic and
+    SQL-mirrorable (queries.polyline_simplify unrolls the split rounds
+    as CTE levels). Max-distance ties split at the SMALLEST step.
+
+    Scale shape: polylines are independent — one trace-id bucket
+    shuffle, then per-trace stack DP with vectorized per-interval
+    cross products; no further exchanges. Returns the kept rows
+    (trace_col, step_col, x, y)."""
+    from .joins import grouped_apply
+
+    def run_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([trace_col, step_col])
+        x = df[x_col].to_numpy(np.int64)
+        y = df[y_col].to_numpy(np.int64)
+        tid = df[trace_col].to_numpy(np.int64)
+        keep = np.zeros(len(tid), bool)
+        starts = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1]])
+        ends = np.r_[starts[1:], len(tid)]
+        for s, e in zip(starts, ends):
+            keep[s] = keep[e - 1] = True
+            stack = [(s, e - 1)]
+            while stack:
+                lo, hi = stack.pop()
+                if hi - lo <= 1:
+                    continue
+                dx, dy = x[hi] - x[lo], y[hi] - y[lo]
+                cr = dx * (y[lo + 1:hi] - y[lo]) - dy * (x[lo + 1:hi] - x[lo])
+                c2 = cr * cr
+                k = int(np.argmax(c2))          # tie -> smallest step
+                if c2[k] > eps2 * (dx * dx + dy * dy):
+                    t = lo + 1 + k
+                    keep[t] = True
+                    stack.append((lo, t))
+                    stack.append((t, hi))
+        out = df[keep]
+        return pd.DataFrame({trace_col: out[trace_col].to_numpy(np.int64),
+                             step_col: out[step_col].to_numpy(np.int64),
+                             x_col: out[x_col].to_numpy(np.int64),
+                             y_col: out[y_col].to_numpy(np.int64)})
+
+    return grouped_apply(points, trace_col, run_bucket,
+                         num_buckets=num_buckets)
+
+
 def compact_cells(ds, cell_col: str = "cell", *, bucket_res: int = 2,
                   num_buckets: int = 64,
                   broadcast_cap: int = 2_000_000):

@@ -563,3 +563,61 @@ def test_map_match_matches_exhaustive_paths(ray_session):
         want = eid[list(best[1])]
         have = got[got.trace_id == tr]["edge"].to_numpy()
         assert np.array_equal(have, want), (tr, have, want)
+
+
+def test_simplify_polylines_matches_recursive_reference(ray_session):
+    """spatial.simplify_polylines == a direct recursive transcription
+    of Douglas-Peucker (cross^2 > eps2*len2, max-distance split, ties
+    to the smallest step); exactly-collinear chains collapse to their
+    endpoints, and a planted symmetric tie splits at the earlier
+    point."""
+    def ref_dp(x, y, eps2):
+        keep = {0, len(x) - 1}
+
+        def rec(lo, hi):
+            if hi - lo <= 1:
+                return
+            dx, dy = x[hi] - x[lo], y[hi] - y[lo]
+            best, bt = -1, None
+            for t in range(lo + 1, hi):
+                cr = dx * (y[t] - y[lo]) - dy * (x[t] - x[lo])
+                if cr * cr > best:
+                    best, bt = cr * cr, t
+            if best > eps2 * (dx * dx + dy * dy):
+                keep.add(bt)
+                rec(lo, bt)
+                rec(bt, hi)
+
+        rec(0, len(x) - 1)
+        return sorted(keep)
+
+    rng = np.random.default_rng(59)
+    rows = []
+    want = []
+    for tr in range(12):
+        L = int(rng.integers(4, 14))
+        x = np.sort(rng.choice(4000, L, replace=False)).astype(np.int64)
+        y = rng.integers(0, 1024, L).astype(np.int64)
+        for t in range(L):
+            rows.append((tr, t, int(x[t]), int(y[t])))
+        want += [(tr, t) for t in ref_dp(x, y, 5000)]
+    pts = pd.DataFrame(rows, columns=["trace_id", "step", "x", "y"])
+    got = (spatial.simplify_polylines(
+        ray.data.from_pandas(pts).repartition(3), eps2=5000,
+        num_buckets=4).to_pandas()
+        .sort_values(["trace_id", "step"]))
+    assert list(map(tuple, got[["trace_id", "step"]].to_numpy())) == want
+    # collinear chain -> endpoints only
+    col = pd.DataFrame({"trace_id": 0, "step": range(6),
+                        "x": np.arange(6) * 10, "y": np.arange(6) * 7})
+    g = spatial.simplify_polylines(
+        ray.data.from_pandas(col), eps2=1).to_pandas()
+    assert sorted(g["step"]) == [0, 5]
+    # symmetric tie: both interior points equidistant -> earlier splits
+    tie = pd.DataFrame({"trace_id": 1, "step": range(4),
+                        "x": [0, 10, 20, 30], "y": [0, 9, -9, 0]})
+    g = spatial.simplify_polylines(
+        ray.data.from_pandas(tie), eps2=1).to_pandas()
+    assert sorted(g["step"]) == [0, 1, 2, 3] or sorted(g["step"]) == [0, 1, 3]
+    ks = sorted(g["step"])
+    assert 1 in ks  # the earlier of the tied pair is always kept

@@ -231,10 +231,8 @@ def q_cell_compact(sf_dir: str):
     so at sf0.01 orders cover ~97% of the grid and the cascade
     promotes through multiple levels around genuine holes. Output
     (cell, res). A prime-modulus hole predicate on the cell index
-    (~12% of cells excluded) keeps the cover non-trivial — TPC-H keys
-    under the Lehmer rounds are so equidistributed they would
-    otherwise fill the whole grid and collapse to one res-0 cell; at
-    sf0.01 the result spans res 4/5/6 (52/407/1145 cells)."""
+    (~12% of cells excluded) keeps the cover non-trivial; at sf0.01
+    the result spans res 4/5/6 (52/407/1145 cells)."""
     from .spatial import compact_cells
 
     orders = _t(sf_dir, "orders", columns=["o_orderkey"])

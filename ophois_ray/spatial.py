@@ -671,7 +671,10 @@ def map_match(points, edges_df: pd.DataFrame, *, lam: float = 0.25,
             for t in range(1, L):
                 X = dp[:, :, None] + W[None, :, :]
                 ptr[:, t, :] = np.argmin(X, axis=1)        # tie: smallest id
-                dp = X.min(axis=1) + emL[:, t, :]
+                # reuse the argmin (bit-identical to X.min, one scan)
+                dp = np.take_along_axis(
+                    X, ptr[:, t, :][:, None, :], axis=1)[:, 0, :] \
+                    + emL[:, t, :]
             j = np.argmin(dp, axis=1)
             path = np.empty((len(sel), L), np.int64)
             path[:, L - 1] = j
@@ -757,12 +760,14 @@ def compact_cells(ds, cell_col: str = "cell", *, bucket_res: int = 2,
     bucket_res is CLOSED within their res-``bucket_res`` ancestor (a
     complete quartet shares its parent and hence every coarser
     ancestor), so per-bucket kernels with ``stop_res=bucket_res`` are
-    exact; the residue at res == bucket_res (4^bucket_res ids at
-    most) driver-merges through one final kernel call, while the
-    res > bucket_res remainder stays distributed. Both paths are
-    pinned bit-equal by a forced-cap pytest. Input cells must sit at
-    res >= bucket_res (checked): coarser inputs have no bucket
-    ancestor."""
+    exact; everything at res <= bucket_res — original coarse input
+    cells (their id domain is bounded by sum(4^r)) plus the buckets'
+    promoted residue — driver-merges through one final kernel call,
+    while the res > bucket_res remainder stays distributed. Both
+    paths accept any resolution mix and are pinned bit-equal by a
+    forced-cap pytest."""
+    import ray
+
     def distinct(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {cell_col: pd.unique(df[cell_col].to_numpy(np.int64))})
@@ -774,18 +779,24 @@ def compact_cells(ds, cell_col: str = "cell", *, bucket_res: int = 2,
         arr = (np.concatenate(arrs) if arrs
                else np.empty(0, np.int64))
         out = cells.compact_cells_array(arr)
-        import ray
-
         return ray.data.from_pandas(pd.DataFrame({cell_col: out}))
     from .joins import grouped_apply
 
+    # res <= bucket_res splits off BEFORE bucketing (no bucket
+    # ancestor; the id domain is tiny) — the same mask re-splits the
+    # bucket outputs afterwards
+    fine_floor = np.int64(bucket_res + 1) << np.int64(58)
+
+    def fine_only(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[cell_col].to_numpy(np.int64)
+        return pd.DataFrame({cell_col: c[c >= fine_floor]})
+
+    def coarse_only(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[cell_col].to_numpy(np.int64)
+        return pd.DataFrame({cell_col: c[c < fine_floor]})
+
     def add_anc(df: pd.DataFrame) -> pd.DataFrame:
         c = df[cell_col].to_numpy(np.int64)
-        res, _, _ = cells.decode(c)
-        if len(res) and int(res.min()) < bucket_res:
-            raise ValueError(
-                "compact_cells: input cell below bucket_res has no "
-                "bucket ancestor — lower bucket_res")
         df = df.copy()
         df["__anc"] = cells.parent_to(c, bucket_res)
         return df
@@ -795,28 +806,23 @@ def compact_cells(ds, cell_col: str = "cell", *, bucket_res: int = 2,
             df[cell_col].to_numpy(np.int64), stop_res=bucket_res)
         return pd.DataFrame({cell_col: out})
 
-    comp = grouped_apply(u.map_batches(add_anc, batch_format="pandas"),
-                         "__anc", per_bucket,
-                         num_buckets=num_buckets).materialize()
-    coarse_mask = np.int64(bucket_res + 1) << np.int64(58)
+    comp = grouped_apply(
+        u.map_batches(fine_only, batch_format="pandas")
+         .map_batches(add_anc, batch_format="pandas"),
+        "__anc", per_bucket, num_buckets=num_buckets).materialize()
 
-    def fine_only(df: pd.DataFrame) -> pd.DataFrame:
-        c = df[cell_col].to_numpy(np.int64)
-        return pd.DataFrame({cell_col: c[c >= coarse_mask]})
+    def collect(dset) -> np.ndarray:
+        frames = list(dset.iter_batches(batch_format="pandas"))
+        if not frames:
+            return np.empty(0, np.int64)
+        return np.concatenate(
+            [f[cell_col].to_numpy(np.int64) for f in frames])
 
-    def coarse_only(df: pd.DataFrame) -> pd.DataFrame:
-        c = df[cell_col].to_numpy(np.int64)
-        return pd.DataFrame({cell_col: c[c < coarse_mask]})
-
-    residue = pd.concat(
-        list(comp.map_batches(coarse_only, batch_format="pandas")
-             .iter_batches(batch_format="pandas")) or
-        [pd.DataFrame({cell_col: np.empty(0, np.int64)})],
-        ignore_index=True)
-    final_coarse = cells.compact_cells_array(
-        residue[cell_col].to_numpy(np.int64))
-    import ray
-
+    residue = np.concatenate([
+        collect(comp.map_batches(coarse_only, batch_format="pandas")),
+        collect(u.map_batches(coarse_only, batch_format="pandas")),
+    ])
+    final_coarse = cells.compact_cells_array(residue)
     fine = comp.map_batches(fine_only, batch_format="pandas")
     return fine.union(ray.data.from_pandas(
         pd.DataFrame({cell_col: final_coarse})))

@@ -190,10 +190,21 @@ def test_compact_cells_distributed_parity(ray_session):
                                             bucket_res=3)
                       .to_pandas()["cell"].to_numpy(np.int64))
     assert np.array_equal(forced3, want)
-    # below-bucket_res input raises inside the task (Ray wraps it)
-    with pytest.raises(Exception, match="bucket_res"):
-        spatial.compact_cells(
-            ray.data.from_pandas(pd.DataFrame(
-                {"cell": cells.encode(np.array([1]), np.array([0]),
-                                      np.array([0]))})),
-            broadcast_cap=0, bucket_res=2).materialize()
+    # mixed resolutions incl. cells AT and BELOW bucket_res: coarse
+    # input routes straight into the driver residue on both paths
+    mixed = np.concatenate([
+        pts[:800],
+        cells.encode(np.full(5, 4, np.int64), rng.integers(0, 16, 5),
+                     rng.integers(0, 16, 5)),
+        cells.encode(np.full(3, 2, np.int64),          # == bucket_res
+                     np.array([0, 1, 2]), np.array([3, 1, 0])),
+        cells.encode(np.array([1, 0]),                 # < bucket_res
+                     np.array([1, 0]), np.array([0, 0])),
+    ])
+    dsm = ray.data.from_pandas(pd.DataFrame({"cell": mixed})).repartition(4)
+    wantm = cells.compact_cells_array(mixed)
+    for kwargs in ({}, {"broadcast_cap": 0, "bucket_res": 2,
+                        "num_buckets": 3}):
+        gotm = np.sort(spatial.compact_cells(dsm, **kwargs)
+                       .to_pandas()["cell"].to_numpy(np.int64))
+        assert np.array_equal(gotm, wantm), kwargs

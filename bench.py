@@ -62,6 +62,10 @@ BENCH_HEAVY = [
 # index so consecutive rounds cover different slices); set
 # OPHOIS_BENCH_FULL=1 to time every one.
 BENCH_ROTATE = [
+    "cell_compact",
+    "trace_map_match",
+    "polyline_simplify",
+    "video_h264_p_stats",
     "cell_assign",
     "nn_snap_planar",
     "haversine_km_hist",

@@ -611,6 +611,104 @@ def normalize_urls(pages, *, url_col: str = "url",
     return pages.map_batches(fn, batch_format="pandas")
 
 
+_ROBOTS_RX: dict = {}
+
+
+def _robots_match(pattern: str, path: str) -> bool:
+    """REP rule-path match: ``*`` spans any character run, a trailing
+    ``$`` anchors the end, everything else is a literal prefix.
+    Compiled patterns memoize per worker."""
+    rx = _ROBOTS_RX.get(pattern)
+    if rx is None:
+        body, anchored = ((pattern[:-1], True) if pattern.endswith("$")
+                          else (pattern, False))
+        parts = "".join(".*" if ch == "*" else re.escape(ch)
+                        for ch in body)
+        rx = re.compile("^" + parts + ("$" if anchored else ""))
+        _ROBOTS_RX[pattern] = rx
+    return rx.match(path) is not None
+
+
+def parse_robots(text: str) -> list:
+    """REAL robots.txt parser (RFC 9309 semantics): ``key: value``
+    lines with case-insensitive keys, ``#`` comments stripped to end
+    of line, whitespace-tolerant; consecutive ``User-agent`` lines
+    share one group; ``Allow``/``Disallow``/``Crawl-delay`` attach to
+    the current group (rules BEFORE any group are ignored, per the
+    RFC); an empty rule value adds no rule (the classic
+    ``Disallow:`` = allow-all). Returns
+    ``[{"tokens": set, "rules": [(allow, pattern)], "delay": int|None}]``."""
+    groups = []
+    cur = None
+    last_was_ua = False
+    for raw in text.split("\n"):
+        h = raw.find("#")
+        line = (raw[:h] if h >= 0 else raw).strip()
+        if not line:
+            last_was_ua = False
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            last_was_ua = False
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not last_was_ua:
+                cur = {"tokens": set(), "rules": [], "delay": None}
+                groups.append(cur)
+            cur["tokens"].add(val.lower())
+            last_was_ua = True
+            continue
+        last_was_ua = False
+        if cur is None:
+            continue
+        if key in ("allow", "disallow"):
+            if val:
+                cur["rules"].append((key == "allow", val))
+        elif key == "crawl-delay":
+            try:
+                cur["delay"] = int(val)
+            except ValueError:
+                pass
+    return groups
+
+
+def robots_decide(groups: list, agent: str, path: str):
+    """REP access decision: pick the MOST SPECIFIC matching user-agent
+    token (longest token the agent name starts with; ``*`` is the
+    fallback; every group carrying the chosen token merges, per RFC),
+    then among that group's matching rules the LONGEST pattern wins
+    and an Allow beats a Disallow of equal length. Returns
+    ``(allowed 0/1, match_len, crawl_delay)`` — match_len 0 when no
+    rule matches (default allow)."""
+    al = agent.lower()
+    best_tok = None
+    for g in groups:
+        for tok in g["tokens"]:
+            if tok != "*" and al.startswith(tok):
+                if best_tok is None or len(tok) > len(best_tok):
+                    best_tok = tok
+    if best_tok is None:
+        sel = [g for g in groups if "*" in g["tokens"]]
+    else:
+        sel = [g for g in groups if best_tok in g["tokens"]]
+    if not sel:
+        return 1, 0, 0
+    delays = [g["delay"] for g in sel if g["delay"] is not None]
+    delay = delays[0] if delays else 0
+    best = None                  # (pattern_len, allow) — max wins
+    for g in sel:
+        for allow, pat in g["rules"]:
+            if _robots_match(pat, path):
+                key = (len(pat), 1 if allow else 0)
+                if best is None or key > best:
+                    best = key
+    if best is None:
+        return 1, 0, delay
+    return best[1], best[0], delay
+
+
 _ANCHOR_RE = re.compile(r'<a\s[^>]*?href="([^"]*)"[^>]*>(.*?)</a\s*>',
                         re.S | re.I)
 

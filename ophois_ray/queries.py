@@ -370,6 +370,107 @@ SELECT p.tr AS trace_id, p.t AS step, CAST(p.x AS BIGINT) AS x,
 FROM pts p JOIN kept k ON k.tr = p.tr AND k.t = p.t""")
 
 
+def q_robots_decisions(sf_dir: str):
+    """HASH-CHECKED robots.txt parsing + REP access decisions (the
+    crawl-pipeline gate; pages.parse_robots / robots_decide): every
+    even doc_id is a domain whose robots.txt is built with the full
+    junk drawer — comments (line and inline), mixed-case keys, padded
+    'Crawl-Delay :' keys, a 'Disallow: /' BEFORE any group (must be
+    ignored), an empty 'Disallow:' (adds no rule), consecutive
+    User-agent lines sharing a group, '*' wildcard and '$' anchor
+    rules gated on doc_id arithmetic — then two agents x seven probe
+    paths exercise group specificity (graftbot ignores the * group),
+    longest-match precedence, the allow-beats-disallow tie, wildcard
+    and anchor matching ('/exactly' must NOT hit '/exact\\$'), and
+    crawl-delay attribution. The engine PARSES for real; the SQL
+    mirror CONSTRUCTS every expected decision from the same
+    arithmetic, so any parser slip flips an integer and fails the
+    hash. Output (doc_id, agent, path_id, allowed, match_len,
+    crawl_delay)."""
+    from .pages import parse_robots, robots_decide
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        ids = ids[ids % 2 == 0]
+        out = {"doc_id": [], "agent": [], "path_id": [],
+               "allowed": [], "match_len": [], "crawl_delay": []}
+        for k in ids:
+            k = int(k)
+            m = k % 3
+            lines = [
+                "# robots for d%d" % k,
+                "Disallow: /",                       # pre-group: ignored
+                ("USER-AGENT: *" if m == 0 else "User-Agent: *"),
+                "Disallow:   /private  ",
+                "Allow: /private/ok\t# preferred",
+            ]
+            if m == 0:
+                lines.append("Disallow: /tmp/*.pdf")
+            if k % 4 == 0:
+                lines.append("Disallow: /exact$")
+            lines += [
+                "Crawl-Delay : %d" % (k % 7 + 1),
+                "",
+                "User-agent: graftbot",
+                "User-agent: newsbot",
+                "Disallow:",                         # empty: no rule
+                "Disallow: /bot%d/" % m,
+                "Allow: /bot%d/pub" % m,
+            ]
+            groups = parse_robots("\n".join(lines))
+            paths = [
+                "/private/ok/page%d" % (k % 10),
+                "/private/secret",
+                "/bot%d/data" % m,
+                "/bot%d/pub/x" % m,
+                "/tmp/doc%d.pdf" % (k % 5),
+                "/exact",
+                "/exactly",
+            ]
+            for a, agent in ((0, "otherbot"), (1, "graftbot")):
+                for j, path in enumerate(paths):
+                    allowed, mlen, delay = robots_decide(
+                        groups, agent, path)
+                    out["doc_id"].append(k)
+                    out["agent"].append(a)
+                    out["path_id"].append(j)
+                    out["allowed"].append(allowed)
+                    out["match_len"].append(mlen)
+                    out["crawl_delay"].append(delay)
+        return pd.DataFrame({c: np.array(v, dtype=np.int64)
+                             for c, v in out.items()})
+
+    return docs.map_batches(decide, batch_format="pandas")
+
+
+SQL_ROBOTS_DECISIONS = """
+WITH d AS (SELECT doc_id AS k FROM documents WHERE doc_id % 2 = 0),
+g AS (SELECT k, unnest(range(0, 2)) AS a FROM d),
+p AS (SELECT k, a, unnest(range(0, 7)) AS j FROM g)
+SELECT k AS doc_id, CAST(a AS BIGINT) AS agent,
+       CAST(j AS BIGINT) AS path_id,
+       CAST(CASE WHEN a = 1
+                 THEN CASE WHEN j = 2 THEN 0 ELSE 1 END
+                 ELSE CASE WHEN j = 1 THEN 0
+                           WHEN j = 4 AND k % 3 = 0 THEN 0
+                           WHEN j = 5 AND k % 4 = 0 THEN 0
+                           ELSE 1 END END AS BIGINT) AS allowed,
+       CAST(CASE WHEN a = 1
+                 THEN CASE WHEN j = 2 THEN 6
+                           WHEN j = 3 THEN 9 ELSE 0 END
+                 ELSE CASE WHEN j = 0 THEN 11
+                           WHEN j = 1 THEN 8
+                           WHEN j = 4 AND k % 3 = 0 THEN 10
+                           WHEN j = 5 AND k % 4 = 0 THEN 7
+                           ELSE 0 END END AS BIGINT) AS match_len,
+       CAST(CASE WHEN a = 1 THEN 0 ELSE k % 7 + 1 END
+            AS BIGINT) AS crawl_delay
+FROM p
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -7014,6 +7115,7 @@ def catalog():
         "cell_compact": q_cell_compact,
         "trace_map_match": q_trace_map_match,
         "polyline_simplify": q_polyline_simplify,
+        "robots_decisions": q_robots_decisions,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -7204,6 +7306,7 @@ def sql_catalog():
         "cell_compact": _sql_cell_compact(),
         "trace_map_match": _sql_trace_map_match(),
         "polyline_simplify": _sql_polyline_simplify(),
+        "robots_decisions": SQL_ROBOTS_DECISIONS,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

@@ -621,3 +621,58 @@ def test_simplify_polylines_matches_recursive_reference(ray_session):
     assert sorted(g["step"]) == [0, 1, 2, 3] or sorted(g["step"]) == [0, 1, 3]
     ks = sorted(g["step"])
     assert 1 in ks  # the earlier of the tied pair is always kept
+
+
+def test_parse_robots_and_decide_rep_semantics():
+    """pages.parse_robots / robots_decide: RFC 9309 group handling,
+    longest-match precedence with allow-beats-disallow ties, wildcard
+    and end-anchor rules, pre-group rules ignored, empty Disallow adds
+    no rule, crawl-delay attribution, consecutive UA lines sharing a
+    group — each junk feature checked to genuinely CHANGE a decision
+    when mishandled."""
+    txt = "\n".join([
+        "# header comment",
+        "Disallow: /",                       # pre-group: must be ignored
+        "USER-AGENT: *",
+        "Disallow:   /private  ",
+        "Allow: /private/ok\t# preferred",
+        "Disallow: /tmp/*.pdf",
+        "Disallow: /exact$",
+        "Crawl-Delay : 4",
+        "",
+        "User-agent: graftbot",
+        "User-agent: newsbot",
+        "Disallow:",                         # empty: no rule
+        "Disallow: /bot1/",
+        "Allow: /bot1/pub",
+    ])
+    g = pages.parse_robots(txt)
+    assert len(g) == 2
+    assert g[0]["tokens"] == {"*"} and g[0]["delay"] == 4
+    assert g[1]["tokens"] == {"graftbot", "newsbot"}
+    assert g[1]["delay"] is None
+    assert ("/" not in [p for _, p in g[0]["rules"]])      # pre-group dropped
+    assert all(p for _, p in g[1]["rules"])                # empty dropped
+    # * group: longest match wins, allow beats shorter disallow
+    assert pages.robots_decide(g, "otherbot", "/private/ok/x") == (1, 11, 4)
+    assert pages.robots_decide(g, "otherbot", "/private/no") == (0, 8, 4)
+    # wildcard + anchor
+    assert pages.robots_decide(g, "otherbot", "/tmp/a.pdf") == (0, 10, 4)
+    assert pages.robots_decide(g, "otherbot", "/exact") == (0, 7, 4)
+    assert pages.robots_decide(g, "otherbot", "/exactly") == (1, 0, 4)
+    # specific group excludes * rules entirely; newsbot shares it
+    assert pages.robots_decide(g, "graftbot", "/private/no") == (1, 0, 0)
+    assert pages.robots_decide(g, "graftbot", "/bot1/data") == (0, 6, 0)
+    assert pages.robots_decide(g, "graftbot", "/bot1/pub/x") == (1, 9, 0)
+    assert pages.robots_decide(g, "newsbot-images", "/bot1/data") == (0, 6, 0)
+    # equal-length allow/disallow tie -> allow
+    tie = pages.parse_robots(
+        "User-agent: *\nDisallow: /abc\nAllow: /abc\n")
+    assert pages.robots_decide(tie, "x", "/abcd")[0] == 1
+    # sensitivity: a parser that attached the pre-group 'Disallow: /'
+    # to the * group would flip the no-match default
+    bad = pages.parse_robots("User-agent: *\nDisallow: /\n")
+    assert pages.robots_decide(bad, "otherbot", "/anything") == (0, 1, 0)
+    # no groups at all -> default allow
+    assert pages.robots_decide(pages.parse_robots("# empty"),
+                               "x", "/p") == (1, 0, 0)

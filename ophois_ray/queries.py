@@ -370,6 +370,76 @@ SELECT p.tr AS trace_id, p.t AS step, CAST(p.x AS BIGINT) AS x,
 FROM pts p JOIN kept k ON k.tr = p.tr AND k.t = p.t""")
 
 
+def q_warc_records(sf_dir: str):
+    """HASH-CHECKED WARC shard decode (warc.build_warc / warc_records):
+    every third doc_id becomes a Common-Crawl-style shard — one gzip
+    member per record, (k%4)+2 records, each payload a repeated text
+    block whose LENGTH the SQL mirror reconstructs with string
+    arithmetic; even records additionally embed a fake
+    '\\r\\n\\r\\nWARC/1.0' inside the payload, so a delimiter-scanning
+    parser (anything not driven by Content-Length) mis-splits and
+    fails the hash. The engine round-trips the REAL writer + reader
+    (gzip members, CRLF header blocks, Content-Length framing) and
+    reports per-record integers: the header's Content-Length AND the
+    measured payload bytes (they disagree if decompression or framing
+    slips), the seconds field parsed from WARC-Date, and the path
+    index parsed back out of the target URI."""
+    from .warc import build_warc, warc_records
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        ids = ids[ids % 3 == 0]
+        shards = []
+        for k in ids:
+            k = int(k)
+            recs = []
+            for i in range(k % 4 + 2):
+                txt = ("body %d %d " % (k, i)) * ((k + i) % 5 + 1)
+                if i % 2 == 0:
+                    txt += "\r\n\r\nWARC/1.0 fake\r\n\r\n"
+                recs.append({
+                    "uri": "https://d%d.example/p%d" % (k, i),
+                    "date": "2024-01-01T00:00:%02dZ" % ((k + i) % 60),
+                    "payload": txt.encode("utf-8"),
+                })
+            shards.append(build_warc(recs, gzip_members=True))
+        return pd.DataFrame({"doc_id": ids, "warc": shards})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "rec": df["rec"].to_numpy(np.int64),
+            "content_length": df["content_length"].to_numpy(np.int64),
+            "payload_len": df["payload_len"].to_numpy(np.int64),
+            "date_sec": np.array(
+                [int(d.split(":")[2][:2]) for d in df["date"]], np.int64),
+            "path_idx": np.array(
+                [int(u.rsplit("p", 1)[1]) for u in df["uri"]], np.int64),
+        })
+
+    return warc_records(
+        docs.map_batches(gen, batch_format="pandas")
+    ).map_batches(finish, batch_format="pandas")
+
+
+SQL_WARC_RECORDS = """
+WITH d AS (SELECT doc_id AS k FROM documents WHERE doc_id % 3 = 0),
+r AS (SELECT k, unnest(range(0, (k % 4) + 2)) AS i FROM d),
+s AS (SELECT k, i,
+             length('body ' || k || ' ' || i || ' ') * ((k + i) % 5 + 1)
+             + CASE WHEN i % 2 = 0 THEN 21 ELSE 0 END AS plen
+      FROM r)
+SELECT k AS doc_id, CAST(i AS BIGINT) AS rec,
+       CAST(plen AS BIGINT) AS content_length,
+       CAST(plen AS BIGINT) AS payload_len,
+       CAST((k + i) % 60 AS BIGINT) AS date_sec,
+       CAST(i AS BIGINT) AS path_idx
+FROM s
+"""
+
+
 def q_robots_decisions(sf_dir: str):
     """HASH-CHECKED robots.txt parsing + REP access decisions (the
     crawl-pipeline gate; pages.parse_robots / robots_decide): every
@@ -7116,6 +7186,7 @@ def catalog():
         "trace_map_match": q_trace_map_match,
         "polyline_simplify": q_polyline_simplify,
         "robots_decisions": q_robots_decisions,
+        "warc_records": q_warc_records,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -7307,6 +7378,7 @@ def sql_catalog():
         "trace_map_match": _sql_trace_map_match(),
         "polyline_simplify": _sql_polyline_simplify(),
         "robots_decisions": SQL_ROBOTS_DECISIONS,
+        "warc_records": SQL_WARC_RECORDS,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

@@ -3605,3 +3605,53 @@ def test_dictionary_tag_counts_exact(ray_session):
                         "term": ["hash", "spark", "hash"],
                         "n_mentions": np.array([1, 2, 1], dtype=np.int64)})
     assert out.equals(exp)
+
+
+def test_warc_roundtrip_offsets_and_framing():
+    """warc.build_warc / iter_warc: gzip-member and plain shards
+    roundtrip byte-exactly; (offset, stored_size) slices re-read a
+    single gzip member (the CDX seek contract); Content-Length drives
+    framing (payloads embedding CRLF-CRLF + 'WARC/1.0' parse clean);
+    truncation and multi-record members raise WarcFormatError."""
+    from ophois_ray import warc
+
+    recs = [
+        {"uri": "https://a.example/x", "date": "2024-01-01T00:00:07Z",
+         "payload": b"hello \r\n\r\nWARC/1.0 not a record \r\n\r\n tail"},
+        {"uri": "https://b.example/y", "date": "2024-01-01T00:00:08Z",
+         "payload": b""},
+        {"uri": "https://c.example/z", "date": "2024-01-01T00:00:09Z",
+         "payload": bytes(range(97, 123)) * 40},
+    ]
+    for gz in (True, False):
+        raw = warc.build_warc(recs, gzip_members=gz)
+        got = list(warc.iter_warc(raw))
+        assert len(got) == 3
+        for r, g in zip(recs, got):
+            assert g["payload"] == r["payload"]
+            assert g["headers"]["warc-target-uri"] == r["uri"]
+            assert g["headers"]["warc-date"] == r["date"]
+            assert int(g["headers"]["content-length"]) == len(r["payload"])
+        # offsets tile the shard exactly
+        assert got[0]["offset"] == 0
+        for a, b in zip(got, got[1:]):
+            assert b["offset"] == a["offset"] + a["stored_size"]
+        assert got[-1]["offset"] + got[-1]["stored_size"] == len(raw)
+        # CDX seek: one member/record re-reads standalone
+        mid = raw[got[1]["offset"]:got[1]["offset"] + got[1]["stored_size"]]
+        solo = list(warc.iter_warc(mid))
+        assert len(solo) == 1 and solo[0]["payload"] == recs[1]["payload"]
+    # truncated payload raises
+    plain = warc.build_warc(recs[:1], gzip_members=False)
+    with pytest.raises(warc.WarcFormatError):
+        list(warc.iter_warc(plain[:-6]))
+    # two records in ONE gzip member violate the CC convention
+    import zlib
+    body = warc.build_warc(recs[:2], gzip_members=False)
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    with pytest.raises(warc.WarcFormatError, match="more than one"):
+        list(warc.iter_warc(co.compress(body) + co.flush()))
+    # header without Content-Length raises
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n"
+    with pytest.raises(warc.WarcFormatError, match="Content-Length"):
+        list(warc.iter_warc(bad))

@@ -760,3 +760,155 @@ def anchor_term_counts(pages, *, html_col: str = "html",
     return grouped_apply(
         pages.map_batches(terms, batch_format="pandas"),
         ["dst_domain", "token"], merge, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------- redirect chains
+
+
+def _redirect_kernel(src: np.ndarray, dst: np.ndarray, max_hops: int):
+    """Pointer-doubling resolution of a functional redirect map, all
+    numpy, zero exchanges: ``src`` must be sorted unique int64, ``dst``
+    aligned. Returns (final, hops) per source — final is the first
+    reached node with no outgoing redirect; sources whose chain exceeds
+    ``max_hops`` (i.e. cycles, given max_hops >= longest legal chain)
+    resolve to (-1, -1).
+
+    Invariant maintained each round: ``map_next[i]`` is reachable from
+    ``src[i]`` in exactly ``map_jump[i]`` hops (squaring stops at
+    terminals, so the pair stays exact rather than a power of two)."""
+    n = len(src)
+    if n == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    final = dst.astype(np.int64).copy()
+    hops = np.ones(n, dtype=np.int64)
+    map_next = final.copy()
+    map_jump = hops.copy()
+    rounds = int(max(1, np.ceil(np.log2(max_hops + 1))))
+    for _ in range(rounds):
+        idx = np.searchsorted(src, final)
+        idxc = np.minimum(idx, max(n - 1, 0))
+        live = src[idxc] == final
+        if not live.any():
+            break
+        final[live] = map_next[idxc[live]]
+        hops[live] += map_jump[idxc[live]]
+        # square the map: read both composands before either write
+        jdx = np.searchsorted(src, map_next)
+        jdxc = np.minimum(jdx, max(n - 1, 0))
+        jlive = src[jdxc] == map_next
+        tgt = jdxc[jlive]
+        add = map_jump[tgt].copy()
+        nxt = map_next[tgt].copy()
+        map_jump[jlive] += add
+        map_next[jlive] = nxt
+    idx = np.searchsorted(src, final)
+    idxc = np.minimum(idx, max(n - 1, 0))
+    live = src[idxc] == final
+    final[live] = -1
+    hops[live] = -1
+    return final, hops
+
+
+def resolve_redirects(edges, *, src_col: str = "src", dst_col: str = "dst",
+                      max_hops: int = 64, broadcast_cap: int | None = None,
+                      num_buckets: int = 32):
+    """Collapse HTTP redirect chains: every source url-id resolves to
+    its terminal target (a node with no outgoing redirect) plus the
+    exact hop count — the crawl frontier's 3xx-chain dedup step.
+    Duplicate source rows keep the smallest destination (deterministic;
+    a well-formed redirect map is functional anyway).
+
+    Hybrid exchange ladder (repo pattern, cf.
+    ``components.connected_components_auto``): under ``broadcast_cap``
+    edges the two bare int64 key columns ship to one process and the
+    whole fixpoint runs in ``_redirect_kernel`` — log2(max_hops)
+    searchsorted rounds, no per-round barriers. Above the cap the same
+    pointer doubling runs distributed: each round ONE bucketed
+    hash_join squares the (node -> reach, hops) map, so resolution
+    costs ceil(log2(max_hops + 1)) exchanges regardless of chain count
+    and never materializes more than the key columns anywhere. Chains
+    longer than the doubling horizon — 2^rounds >= max_hops + 1 hops,
+    rounds = ceil(log2(max_hops + 1)) — emit (-1, -1); cycles never
+    resolve, so any ``max_hops`` >= the longest legal chain flags them
+    exactly. A forced-cap pytest pins both paths row-identical, cycles
+    included.
+
+    Returns a Dataset ``(src, final, hops)`` — one row per distinct
+    source."""
+    import pyarrow as pa
+    import ray
+
+    from .joins import DEFAULT_BROADCAST_CAP, grouped_apply, hash_join
+
+    cap = DEFAULT_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+    narrow = edges.select_columns([src_col, dst_col]).materialize()
+    if narrow.count() <= cap:
+        ss, ds_ = [], []
+        for b in narrow.iter_batches(batch_format="numpy", batch_size=None):
+            ss.append(np.asarray(b[src_col], dtype=np.int64))
+            ds_.append(np.asarray(b[dst_col], dtype=np.int64))
+        s = np.concatenate(ss) if ss else np.array([], np.int64)
+        d = np.concatenate(ds_) if ds_ else np.array([], np.int64)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = s[1:] != s[:-1]
+        s, d = s[first], d[first]
+        final, hops = _redirect_kernel(s, d, max_hops)
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array(s, pa.int64()),
+            "final": pa.array(final, pa.int64()),
+            "hops": pa.array(hops, pa.int64()),
+        }))
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(src_col, as_index=False)[dst_col].min())
+        return pd.DataFrame({
+            "node": g[src_col].to_numpy(np.int64),
+            "cur": g[dst_col].to_numpy(np.int64),
+            "hops": np.ones(len(g), dtype=np.int64),
+        })
+
+    m = grouped_apply(narrow, src_col, dedupe, num_buckets=num_buckets)
+
+    def as_right(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cur": df["node"].to_numpy(np.int64),
+            "__c": df["cur"].to_numpy(np.int64),
+            "__h": df["hops"].to_numpy(np.int64),
+        })
+
+    def step(df: pd.DataFrame) -> pd.DataFrame:
+        cur = df["cur"].to_numpy(np.int64).copy()
+        hops = df["hops"].to_numpy(np.int64).copy()
+        hit = df["__h"].notna().to_numpy()
+        # left-join misses arrive float64 (NaN padding); ids < 2^53
+        cur[hit] = df["__c"].to_numpy(np.float64)[hit].astype(np.int64)
+        hops[hit] += df["__h"].to_numpy(np.float64)[hit].astype(np.int64)
+        return pd.DataFrame({
+            "node": df["node"].to_numpy(np.int64), "cur": cur, "hops": hops})
+
+    rounds = int(max(1, np.ceil(np.log2(max_hops + 1))))
+    for _ in range(rounds):
+        right = m.map_batches(as_right, batch_format="pandas")
+        j = hash_join(m, right, "cur", how="left", num_buckets=num_buckets)
+        # block count multiplies per materialized round otherwise
+        m = (j.map_batches(step, batch_format="pandas")
+             .repartition(num_buckets).materialize())
+
+    right = m.map_batches(
+        lambda df: pd.DataFrame({"cur": df["node"].to_numpy(np.int64),
+                                 "__cyc": np.ones(len(df), np.int64)}),
+        batch_format="pandas")
+    j = hash_join(m, right, "cur", how="left", num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cyc = df["__cyc"].notna().to_numpy()
+        final = df["cur"].to_numpy(np.int64).copy()
+        hops = df["hops"].to_numpy(np.int64).copy()
+        final[cyc] = -1
+        hops[cyc] = -1
+        return pd.DataFrame({
+            "src": df["node"].to_numpy(np.int64), "final": final, "hops": hops})
+
+    return j.map_batches(finish, batch_format="pandas")

@@ -541,6 +541,70 @@ FROM p
 """
 
 
+_RD_P = 1_000_003  # prime modulus of the redirect id permutation
+_RD_C = 8191       # two multiplicative rounds (one round is affine —
+                   # see the datagen invariant in CLAUDE.md)
+
+
+def q_redirect_chains(sf_dir: str):
+    """HASH-CHECKED redirect-chain collapse (pages.resolve_redirects,
+    the crawl frontier's 3xx dedup): url-ids are a two-round
+    multiplicative permutation p(k) of doc_id, so chains are scattered
+    across id space, never contiguous. Every doc k with k % 8 != 0
+    contributes edge p(k) -> p(k-1) (chains of 1..7 hops down to the
+    multiple-of-8 base); every doc k with k % 64 == 0 contributes the
+    self-loop p(k) -> p(k), turning all chains over those bases into
+    cycles. The engine sees ONLY the shuffled edge list and resolves by
+    pointer doubling (broadcast kernel here; the distributed doubling
+    path is pinned row-identical by a forced-cap pytest); the SQL
+    mirror CONSTRUCTS every (src, final, hops) from the same
+    arithmetic — final = p(k - k%8) in k%8 hops, or (-1, -1) when the
+    base carries the self-loop. Any mis-resolution (wrong terminal,
+    off-by-one hops, missed cycle) flips an integer and fails the
+    driver hash."""
+    from .pages import resolve_redirects
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(np.int64)
+        p = lambda x: ((x + 1) * _RD_C % _RD_P) * _RD_C % _RD_P
+        chain = k[k % 8 != 0]
+        loop = k[k % 64 == 0]
+        return pd.DataFrame({
+            "src": np.concatenate([p(chain), p(loop)]),
+            "dst": np.concatenate([p(chain - 1), p(loop)]),
+        })
+
+    return resolve_redirects(
+        docs.map_batches(gen, batch_format="pandas"), max_hops=8)
+
+
+SQL_REDIRECT_CHAINS = """
+WITH d AS (SELECT doc_id AS k FROM documents),
+p AS (SELECT k, ((k + 1) * 8191 % 1000003) * 8191 % 1000003 AS pk,
+             k - (k % 8) AS base
+      FROM d),
+chains AS (
+    SELECT p.pk AS src,
+           CASE WHEN p.base % 64 = 0 AND b.doc_id IS NOT NULL
+                THEN CAST(-1 AS BIGINT)
+                ELSE ((p.base + 1) * 8191 % 1000003) * 8191 % 1000003
+           END AS final,
+           CASE WHEN p.base % 64 = 0 AND b.doc_id IS NOT NULL
+                THEN CAST(-1 AS BIGINT) ELSE p.k % 8 END AS hops
+    FROM p LEFT JOIN documents b ON b.doc_id = p.base
+    WHERE p.k % 8 != 0),
+loops AS (
+    SELECT pk AS src, CAST(-1 AS BIGINT) AS final,
+           CAST(-1 AS BIGINT) AS hops
+    FROM p WHERE k % 64 = 0)
+SELECT src, final, hops FROM chains
+UNION ALL
+SELECT src, final, hops FROM loops
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -7187,6 +7251,7 @@ def catalog():
         "polyline_simplify": q_polyline_simplify,
         "robots_decisions": q_robots_decisions,
         "warc_records": q_warc_records,
+        "redirect_chains": q_redirect_chains,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -7379,6 +7444,7 @@ def sql_catalog():
         "polyline_simplify": _sql_polyline_simplify(),
         "robots_decisions": SQL_ROBOTS_DECISIONS,
         "warc_records": SQL_WARC_RECORDS,
+        "redirect_chains": SQL_REDIRECT_CHAINS,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

@@ -676,3 +676,55 @@ def test_parse_robots_and_decide_rep_semantics():
     # no groups at all -> default allow
     assert pages.robots_decide(pages.parse_robots("# empty"),
                                "x", "/p") == (1, 0, 0)
+
+
+# ------------------------------------------------------- redirect chains
+
+
+def test_resolve_redirects_both_paths():
+    # chains, a 2-cycle, a self-loop, and a duplicate src (min dst wins)
+    edges = pd.DataFrame({
+        "src": [1, 2, 3, 10, 20, 21, 30, 2],
+        "dst": [2, 3, 4, 11, 21, 20, 30, 9],
+    })
+    exp = pd.DataFrame({
+        "src": [1, 2, 3, 10, 20, 21, 30],
+        "final": [4, 4, 4, 11, -1, -1, -1],
+        "hops": [3, 2, 1, 1, -1, -1, -1],
+    }).astype(np.int64)
+
+    def run(**kw):
+        out = pages.resolve_redirects(ray.data.from_pandas(edges), **kw)
+        return (out.to_pandas().astype(np.int64)
+                .sort_values("src").reset_index(drop=True))
+
+    fast = run()
+    # broadcast_cap=0 forces the distributed pointer-doubling path
+    slow = run(broadcast_cap=0, max_hops=16, num_buckets=4)
+    assert fast.equals(exp), fast
+    assert slow.equals(exp), slow
+
+
+def test_resolve_redirects_long_chain_and_cap():
+    # a 20-hop chain resolves under max_hops>=20 and cycles out below it
+    n = 21
+    edges = pd.DataFrame({"src": np.arange(1, n), "dst": np.arange(0, n - 1)})
+    ds = ray.data.from_pandas(edges)
+    ok = pages.resolve_redirects(ds, max_hops=32).to_pandas()
+    assert (ok["final"] == 0).all() and ok["hops"].max() == n - 1
+    # max_hops below the true length treats the deep tail as unresolved;
+    # the doubling rounds = ceil(log2(max_hops+1)) resolve up to
+    # 2^rounds hops exactly (state starts one hop in; same formula
+    # both paths)
+    cut = pages.resolve_redirects(ds, max_hops=4).to_pandas()
+    cut = cut.set_index("src").sort_index()
+    assert (cut.loc[1:8, "final"] == 0).all()
+    assert (cut.loc[1:8, "hops"] == np.arange(1, 9)).all()
+    assert (cut.loc[9:, "final"] == -1).all()
+
+
+def test_resolve_redirects_empty():
+    ds = ray.data.from_pandas(pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                            "dst": pd.Series(dtype=np.int64)}))
+    out = pages.resolve_redirects(ds).to_pandas()
+    assert len(out) == 0

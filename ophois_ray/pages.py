@@ -912,3 +912,76 @@ def resolve_redirects(edges, *, src_col: str = "src", dst_col: str = "dst",
             "src": df["node"].to_numpy(np.int64), "final": final, "hops": hops})
 
     return j.map_batches(finish, batch_format="pandas")
+
+
+# --------------------------------------------------------------- sitemaps
+
+
+_SITEMAP_FREQ_ID = {
+    "always": 0, "hourly": 1, "daily": 2, "weekly": 3,
+    "monthly": 4, "yearly": 5, "never": 6,
+}
+
+
+def parse_sitemap(text: str) -> list:
+    """Parse one sitemap document (urlset OR sitemapindex, namespaced
+    or not, any child-field order, comments/whitespace tolerated — the
+    stdlib XML parser does the real work; no regex scraping). Returns
+    ``[(kind, loc, lastmod, changefreq, priority), ...]`` with kind
+    0 = <url>, 1 = <sitemap>, missing fields as empty strings, in
+    document order."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    out = []
+    for child in root:
+        lc = local(child.tag)
+        if lc not in ("url", "sitemap"):
+            continue
+        fields = {"loc": "", "lastmod": "", "changefreq": "", "priority": ""}
+        for f in child:
+            lf = local(f.tag)
+            if lf in fields:
+                fields[lf] = (f.text or "").strip()
+        out.append((1 if lc == "sitemap" else 0, fields["loc"],
+                    fields["lastmod"], fields["changefreq"],
+                    fields["priority"]))
+    return out
+
+
+def sitemap_entries(ds, *, xml_col: str = "xml", id_col: str = "doc_id"):
+    """Flat-map every sitemap document into typed integer entry rows:
+    (id, kind, entry order, lastmod day-of-month or -1, changefreq id
+    or -1, priority in milli-units or -1). Parsing is fused with the
+    read (stateless task fn, no actor pool — the parser holds no
+    state); the xml payload never leaves the fused stage."""
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ids, kinds, orders, days, freqs, prios = [], [], [], [], [], []
+        locs: list = []
+        for k, xml in zip(df[id_col].to_numpy(np.int64),
+                          df[xml_col].to_numpy(object)):
+            s = xml.decode("utf-8") if isinstance(xml, (bytes, bytearray)) else str(xml)
+            for j, (kind, loc, lastmod, freq, prio) in enumerate(parse_sitemap(s)):
+                ids.append(int(k))
+                kinds.append(kind)
+                orders.append(j)
+                locs.append(loc)
+                days.append(int(lastmod[8:10]) if len(lastmod) >= 10 else -1)
+                freqs.append(_SITEMAP_FREQ_ID.get(freq, -1))
+                prios.append(int(round(float(prio) * 1000)) if prio else -1)
+        return pd.DataFrame({
+            id_col: np.array(ids, np.int64),
+            "kind": np.array(kinds, np.int64),
+            "entry": np.array(orders, np.int64),
+            "loc": pd.Series(locs, dtype=object),
+            "day": np.array(days, np.int64),
+            "freq_id": np.array(freqs, np.int64),
+            "prio_milli": np.array(prios, np.int64),
+        })
+
+    return ds.map_batches(expand, batch_format="pandas")

@@ -605,6 +605,109 @@ SELECT src, final, hops FROM loops
 """
 
 
+def q_sitemap_entries(sf_dir: str):
+    """HASH-CHECKED sitemap parsing (pages.parse_sitemap /
+    sitemap_entries — the crawl's discovery source): every doc_id
+    k % 3 == 1 is a namespaced <urlset> with k % 5 + 1 urls carrying
+    arithmetic-determined lastmod / changefreq / priority (each field
+    OMITTED on its own modulus, child order FLIPPED on odd k+i, XML
+    comments and a datetime-form lastmod mixed in); every k % 3 == 2
+    is a <sitemapindex> with k % 4 + 1 child sitemaps. The engine runs
+    the real XML parser and re-derives integers (day-of-month, freq
+    id, milli-priority, the entry index parsed back out of the loc);
+    the SQL mirror CONSTRUCTS the same rows from the arithmetic, so
+    any parser slip (namespace handling, field order, omissions,
+    datetime slicing) fails the driver hash."""
+    from .pages import sitemap_entries
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+    freqs = ["always", "hourly", "daily", "weekly", "monthly",
+             "yearly", "never"]
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ids, xmls = [], []
+        for k in df["doc_id"].to_numpy(np.int64):
+            k = int(k)
+            if k % 3 == 1:
+                body = ['<?xml version="1.0" encoding="UTF-8"?>',
+                        "<!-- sitemap for d%d -->" % k,
+                        '<urlset xmlns="http://www.sitemaps.org/'
+                        'schemas/sitemap/0.9">']
+                for i in range(k % 5 + 1):
+                    f: list = []
+                    loc = "<loc>https://d%d.example/u%d</loc>" % (k, i)
+                    if (k + i) % 6 != 5:
+                        day = (k + i) % 28 + 1
+                        lm = ("2024-01-%02dT03:04:05Z" % day
+                              if (k + i) % 3 == 0 else "2024-01-%02d" % day)
+                        f.append("<lastmod> %s </lastmod>" % lm)
+                    if (k + i) % 5 != 0:
+                        f.append("<changefreq>%s</changefreq>"
+                                 % freqs[(k + i) % 7])
+                    if (k + i) % 4 != 0:
+                        p = (k + i) % 11
+                        f.append("<priority>%s</priority>"
+                                 % ("1.0" if p == 10 else "0.%d" % p))
+                    inner = (loc + "".join(f)) if (k + i) % 2 == 0 \
+                        else ("".join(f) + loc)
+                    body.append("  <url> %s </url>" % inner)
+                body.append("</urlset>")
+            elif k % 3 == 2:
+                body = ['<sitemapindex xmlns="http://www.sitemaps.org/'
+                        'schemas/sitemap/0.9">']
+                for i in range(k % 4 + 1):
+                    body.append(
+                        "<sitemap><loc>https://d%d.example/s%d.xml</loc>"
+                        "<lastmod>2024-01-%02d</lastmod></sitemap>"
+                        % (k, i, (2 * k + i) % 28 + 1))
+                body.append("</sitemapindex>")
+            else:
+                continue
+            ids.append(k)
+            xmls.append("\n".join(body))
+        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                             "xml": pd.Series(xmls, dtype=object)})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        idx = np.array(
+            [int(u.rsplit("u" if kd == 0 else "s", 1)[1].split(".")[0])
+             for u, kd in zip(df["loc"], df["kind"].to_numpy(np.int64))],
+            np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "kind": df["kind"].to_numpy(np.int64),
+            "idx": idx,
+            "day": df["day"].to_numpy(np.int64),
+            "freq_id": df["freq_id"].to_numpy(np.int64),
+            "prio_milli": df["prio_milli"].to_numpy(np.int64),
+        })
+
+    return sitemap_entries(
+        docs.map_batches(gen, batch_format="pandas")
+    ).map_batches(finish, batch_format="pandas")
+
+
+SQL_SITEMAP_ENTRIES = """
+WITH d AS (SELECT doc_id AS k FROM documents),
+u AS (SELECT k, unnest(range(0, k % 5 + 1)) AS i FROM d WHERE k % 3 = 1),
+s AS (SELECT k, unnest(range(0, k % 4 + 1)) AS i FROM d WHERE k % 3 = 2)
+SELECT k AS doc_id, CAST(0 AS BIGINT) AS kind, CAST(i AS BIGINT) AS idx,
+       CAST(CASE WHEN (k + i) % 6 = 5 THEN -1
+                 ELSE (k + i) % 28 + 1 END AS BIGINT) AS day,
+       CAST(CASE WHEN (k + i) % 5 = 0 THEN -1
+                 ELSE (k + i) % 7 END AS BIGINT) AS freq_id,
+       CAST(CASE WHEN (k + i) % 4 = 0 THEN -1
+                 WHEN (k + i) % 11 = 10 THEN 1000
+                 ELSE ((k + i) % 11) * 100 END AS BIGINT) AS prio_milli
+FROM u
+UNION ALL
+SELECT k, CAST(1 AS BIGINT), CAST(i AS BIGINT),
+       CAST((2 * k + i) % 28 + 1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM s
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -7252,6 +7355,7 @@ def catalog():
         "robots_decisions": q_robots_decisions,
         "warc_records": q_warc_records,
         "redirect_chains": q_redirect_chains,
+        "sitemap_entries": q_sitemap_entries,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -7445,6 +7549,7 @@ def sql_catalog():
         "robots_decisions": SQL_ROBOTS_DECISIONS,
         "warc_records": SQL_WARC_RECORDS,
         "redirect_chains": SQL_REDIRECT_CHAINS,
+        "sitemap_entries": SQL_SITEMAP_ENTRIES,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

@@ -728,3 +728,37 @@ def test_resolve_redirects_empty():
                                             "dst": pd.Series(dtype=np.int64)}))
     out = pages.resolve_redirects(ds).to_pandas()
     assert len(out) == 0
+
+
+def test_parse_sitemap_variants():
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+    <!-- a comment -->
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>https://a.example/1</loc><lastmod> 2024-01-05 </lastmod>
+           <changefreq>daily</changefreq><priority>0.8</priority></url>
+      <url><priority>1.0</priority><loc>https://a.example/2</loc></url>
+      <junk>ignored</junk>
+      <url><loc>https://a.example/3</loc>
+           <lastmod>2024-01-07T03:04:05Z</lastmod><unknown>x</unknown></url>
+    </urlset>"""
+    got = pages.parse_sitemap(xml)
+    assert got == [
+        (0, "https://a.example/1", "2024-01-05", "daily", "0.8"),
+        (0, "https://a.example/2", "", "", "1.0"),
+        (0, "https://a.example/3", "2024-01-07T03:04:05Z", "", ""),
+    ]
+    idx = pages.parse_sitemap(
+        "<sitemapindex><sitemap><loc>https://a.example/s0.xml</loc>"
+        "</sitemap></sitemapindex>")
+    assert idx == [(1, "https://a.example/s0.xml", "", "", "")]
+
+
+def test_sitemap_entries_dataset():
+    df = pd.DataFrame({
+        "doc_id": np.array([7], np.int64),
+        "xml": ["<urlset><url><loc>https://x/u0</loc>"
+                "<changefreq>never</changefreq></url></urlset>"],
+    })
+    out = pages.sitemap_entries(ray.data.from_pandas(df)).to_pandas()
+    assert out.loc[0, "freq_id"] == 6 and out.loc[0, "day"] == -1
+    assert out.loc[0, "prio_milli"] == -1 and out.loc[0, "kind"] == 0

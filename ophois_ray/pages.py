@@ -985,3 +985,72 @@ def sitemap_entries(ds, *, xml_col: str = "xml", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(expand, batch_format="pandas")
+
+
+# -------------------------------------------------------------- head metadata
+
+
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.S | re.I)
+_META_TAG_RE = re.compile(r"<meta\s[^>]*>", re.I)
+_LINK_TAG_RE = re.compile(r"<link\s[^>]*>", re.I)
+_ATTR_RES = {
+    a: re.compile(a + r'\s*=\s*"([^"]*)"', re.I)
+    for a in ("name", "content", "rel", "href", "hreflang")
+}
+
+
+def _attr(tag: str, name: str) -> str:
+    m = _ATTR_RES[name].search(tag)
+    return m.group(1) if m else ""
+
+
+def extract_meta(pages, *, html_col: str = "html"):
+    """Head-metadata extractor (the indexing pipeline's first pass):
+    per page — <title> text (comments stripped FIRST, so a decoy title
+    inside <!-- --> can't win), robots meta noindex/nofollow flags
+    (name matched case-insensitively, content split on commas), the
+    rel=canonical href, and the count of rel=alternate hreflang links.
+    Attribute order inside tags is free; values are double-quoted per
+    the HTML the crawl actually stores.
+
+    Stateless task fn fused with the read (compiled module-level
+    patterns — the measured-faster shape vs Arrow RE2 on tag-dense
+    html, cf. ExtractText); the html payload never leaves the fused
+    stage. Output drops ``html_col`` and appends title / meta_noindex /
+    meta_nofollow / canonical / n_hreflang."""
+
+    def meta(df: pd.DataFrame) -> pd.DataFrame:
+        titles, noidx, nofol, canons, nhl = [], [], [], [], []
+        for h in df[html_col].to_numpy(object):
+            s = h.decode("utf-8") if isinstance(h, (bytes, bytearray)) else str(h)
+            s = _COMMENT_RE.sub(" ", s)
+            m = _TITLE_RE.search(s)
+            titles.append(" ".join(m.group(1).split()) if m else "")
+            ni = nf = 0
+            for tag in _META_TAG_RE.findall(s):
+                if _attr(tag, "name").lower() != "robots":
+                    continue
+                toks = {t.strip().lower()
+                        for t in _attr(tag, "content").split(",")}
+                ni |= "noindex" in toks
+                nf |= "nofollow" in toks
+            noidx.append(int(ni))
+            nofol.append(int(nf))
+            canon, n = "", 0
+            for tag in _LINK_TAG_RE.findall(s):
+                rel = _attr(tag, "rel").lower()
+                if rel == "canonical" and not canon:
+                    canon = _attr(tag, "href")
+                elif rel == "alternate" and _attr(tag, "hreflang"):
+                    n += 1
+            canons.append(canon)
+            nhl.append(n)
+        out = df.drop(columns=[html_col])
+        out["title"] = pd.Series(titles, dtype=object).to_numpy(object)
+        out["meta_noindex"] = np.array(noidx, np.int64)
+        out["meta_nofollow"] = np.array(nofol, np.int64)
+        out["canonical"] = pd.Series(canons, dtype=object).to_numpy(object)
+        out["n_hreflang"] = np.array(nhl, np.int64)
+        return out
+
+    return pages.map_batches(meta, batch_format="pandas")

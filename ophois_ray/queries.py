@@ -708,6 +708,96 @@ FROM s
 """
 
 
+def q_meta_extract(sf_dir: str):
+    """HASH-CHECKED head-metadata extraction (pages.extract_meta — the
+    indexer's first pass): every doc is an html head whose title,
+    robots meta, canonical link and hreflang alternates are all driven
+    by doc_id arithmetic, with a DECOY <title> and a decoy
+    noindex-robots meta inside an html comment (a parser that doesn't
+    strip comments first reports the wrong title length and a phantom
+    noindex), attribute order flipped on odd ids, mixed-case
+    NAME="ROBOTS", and junk viewport/stylesheet tags. The engine
+    parses for real; the SQL mirror CONSTRUCTS (title_len, noindex,
+    nofollow, canon_idx, n_hreflang) from the same arithmetic."""
+    from .pages import extract_meta
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["doc_id"].to_numpy(np.int64)
+        htmls = []
+        for k in ks:
+            k = int(k)
+            parts = [
+                "<html><head>",
+                '<!-- <title>FAKE %d</title>' % k,
+                '<meta name="robots" content="noindex, nofollow"> -->',
+                '<meta name="viewport" content="width=device-width">',
+                "<title>T%d%s</title>" % (k, "x" * (k % 7)),
+            ]
+            if k % 4 == 0:
+                c = "noindex, nofollow"
+            elif k % 4 == 1:
+                c = "noindex"
+            elif k % 4 == 2:
+                c = "index, follow"
+            else:
+                c = None
+            if c is not None:
+                parts.append(
+                    '<meta NAME="ROBOTS" content="%s">' % c
+                    if k % 2 == 0 else
+                    '<meta content="%s" name="robots">' % c)
+            parts.append('<link rel="stylesheet" href="/s.css">')
+            if k % 3 != 0:
+                parts.append(
+                    '<link rel="canonical" href="https://d%d.example/c%d">'
+                    % (k, k % 9)
+                    if k % 2 == 0 else
+                    '<link href="https://d%d.example/c%d" rel="canonical">'
+                    % (k, k % 9))
+            for i in range(k % 5):
+                parts.append(
+                    '<link rel="alternate" hreflang="l%d" '
+                    'href="https://d%d.example/a%d">' % (i, k, i))
+            parts.append("</head><body>b</body></html>")
+            htmls.append("\n".join(parts))
+        return pd.DataFrame({"doc_id": ks,
+                             "html": pd.Series(htmls, dtype=object)})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        canon = np.array(
+            [int(c.rsplit("c", 1)[1]) if c else -1 for c in df["canonical"]],
+            np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "title_len": np.array([len(t) for t in df["title"]], np.int64),
+            "noindex": df["meta_noindex"].to_numpy(np.int64),
+            "nofollow": df["meta_nofollow"].to_numpy(np.int64),
+            "canon_idx": canon,
+            "n_hreflang": df["n_hreflang"].to_numpy(np.int64),
+        })
+
+    return extract_meta(
+        docs.map_batches(gen, batch_format="pandas")
+    ).map_batches(finish, batch_format="pandas")
+
+
+SQL_META_EXTRACT = """
+SELECT doc_id,
+       CAST(1 + length(CAST(doc_id AS VARCHAR)) + doc_id % 7 AS BIGINT)
+           AS title_len,
+       CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END AS BIGINT)
+           AS noindex,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS nofollow,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE doc_id % 9 END AS BIGINT)
+           AS canon_idx,
+       CAST(doc_id % 5 AS BIGINT) AS n_hreflang
+FROM documents
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -7356,6 +7446,7 @@ def catalog():
         "warc_records": q_warc_records,
         "redirect_chains": q_redirect_chains,
         "sitemap_entries": q_sitemap_entries,
+        "meta_extract": q_meta_extract,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -7550,6 +7641,7 @@ def sql_catalog():
         "warc_records": SQL_WARC_RECORDS,
         "redirect_chains": SQL_REDIRECT_CHAINS,
         "sitemap_entries": SQL_SITEMAP_ENTRIES,
+        "meta_extract": SQL_META_EXTRACT,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

@@ -762,3 +762,21 @@ def test_sitemap_entries_dataset():
     out = pages.sitemap_entries(ray.data.from_pandas(df)).to_pandas()
     assert out.loc[0, "freq_id"] == 6 and out.loc[0, "day"] == -1
     assert out.loc[0, "prio_milli"] == -1 and out.loc[0, "kind"] == 0
+
+
+def test_extract_meta_decoys_and_order():
+    html = (b'<html><head><!-- <title>FAKE</title>'
+            b'<meta name="robots" content="noindex"> -->'
+            b'<title> Real   Title </title>'
+            b'<meta content="nofollow" NAME="Robots">'
+            b'<link href="https://x/c7" rel="canonical">'
+            b'<link rel="alternate" hreflang="fr" href="https://x/fr">'
+            b'<link rel="alternate" href="https://x/rss">'  # no hreflang
+            b'</head></html>')
+    df = pd.DataFrame({"doc_id": np.array([1], np.int64), "html": [html]})
+    out = pages.extract_meta(ray.data.from_pandas(df)).to_pandas()
+    r = out.iloc[0]
+    assert r["title"] == "Real Title"
+    assert r["meta_noindex"] == 0 and r["meta_nofollow"] == 1
+    assert r["canonical"] == "https://x/c7" and r["n_hreflang"] == 1
+    assert "html" not in out.columns

@@ -1054,3 +1054,111 @@ def extract_meta(pages, *, html_col: str = "html"):
         return out
 
     return pages.map_batches(meta, batch_format="pandas")
+
+
+# ------------------------------------------------------- HTTP cache headers
+
+
+def parse_http_headers(text: str) -> list:
+    """Lenient HTTP/1.x response-header parse (the crawl stores raw
+    header blocks next to the body): returns ordered (name_lower,
+    value) pairs. A leading status line is skipped, names tolerate
+    padding before the colon (same leniency as ``parse_robots`` keys),
+    lines without a colon are ignored, and parsing stops at the first
+    blank line (the body separator)."""
+    out = []
+    lines = text.split("\n")
+    start = 1 if lines and lines[0].startswith("HTTP/") else 0
+    for ln in lines[start:]:
+        ln = ln.rstrip("\r")
+        if not ln.strip():
+            break
+        if ":" not in ln:
+            continue
+        name, val = ln.split(":", 1)
+        out.append((name.strip().lower(), val.strip()))
+    return out
+
+
+def parse_cache_control(headers: list) -> dict:
+    """Combine every Cache-Control header (RFC 9111 list semantics:
+    duplicate headers concatenate) into one directive dict. Directive
+    names lowercase; ``name=value`` values are unquoted and parsed as
+    int where possible (else None); bare directives map to None."""
+    d: dict = {}
+    for n, v in headers:
+        if n != "cache-control":
+            continue
+        for part in v.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if "=" in part:
+                key, val = part.split("=", 1)
+                key = key.strip().lower()
+                val = val.strip().strip('"')
+                try:
+                    d[key] = int(val)
+                except ValueError:
+                    d[key] = None
+            else:
+                d[part.lower()] = None
+    return d
+
+
+def _http_date(value: str):
+    """RFC 1123 date -> epoch seconds, or None when unparseable (an
+    invalid Expires like ``-1`` means already-expired per RFC 9111)."""
+    from email.utils import parsedate_to_datetime
+
+    try:
+        return int(parsedate_to_datetime(value).timestamp())
+    except (TypeError, ValueError):
+        return None
+
+
+def cache_plan(header_text: str):
+    """Shared-cache freshness plan for one response (RFC 9111 subset —
+    the revisit scheduler's input): returns integer
+    ``(store_ok, lifetime, age_s, stale_at)``.
+
+    - ``store_ok`` = 0 iff Cache-Control carries ``no-store``
+      (lifetime forced to 0: the response is never written).
+    - ``lifetime`` precedence: ``s-maxage`` (shared cache) >
+      ``max-age`` > ``Expires - Date`` (unparseable Expires = already
+      expired = 0) > heuristic ``(Date - Last-Modified) // 10``
+      (the RFC's 10% suggestion, floored at 0) > 0.
+    - ``age_s`` = the first Age header (first-wins; duplicates are
+      invalid per RFC), else 0.
+    - ``stale_at`` = Date + lifetime - age.
+    """
+    hs = parse_http_headers(header_text)
+    cc = parse_cache_control(hs)
+    first: dict = {}
+    for n, v in hs:
+        first.setdefault(n, v)
+    date_s = _http_date(first["date"]) if "date" in first else None
+    if date_s is None:
+        date_s = 0
+    age = 0
+    if "age" in first:
+        try:
+            age = int(first["age"].strip())
+        except ValueError:
+            age = 0
+    if "no-store" in cc:
+        return 0, 0, age, date_s - age
+    if isinstance(cc.get("s-maxage"), int):
+        lifetime = cc["s-maxage"]
+    elif isinstance(cc.get("max-age"), int):
+        lifetime = cc["max-age"]
+    elif "expires" in first:
+        e = _http_date(first["expires"])
+        lifetime = (e - date_s) if e is not None else 0
+    elif "last-modified" in first:
+        lm = _http_date(first["last-modified"])
+        delta = (date_s - lm) if lm is not None else 0
+        lifetime = delta // 10 if delta > 0 else 0
+    else:
+        lifetime = 0
+    return 1, lifetime, age, date_s + lifetime - age

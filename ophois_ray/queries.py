@@ -798,6 +798,111 @@ FROM documents
 """
 
 
+def q_http_cache_plan(sf_dir: str):
+    """HASH-CHECKED HTTP cache-header parsing + RFC 9111 freshness plan
+    (pages.cache_plan — the recrawl scheduler's input): every doc is a
+    raw response-header block built with the parser junk drawer —
+    status line, mixed-case header names (three casing variants), a
+    quoted max-age value, a padded 'Age :' key, duplicate Cache-Control
+    headers that must combine (RFC list semantics), unknown directives
+    (stale-while-revalidate, immutable), no-cache/private noise, a
+    colon-free garbage line, RFC 1123 dates the engine must actually
+    parse (email.utils both sides of datagen/parse), and an invalid
+    'Expires: -1' that means already-expired. Lifetime precedence
+    s-maxage > max-age > Expires-Date > (Date - Last-Modified) // 10
+    heuristic, no-store forcing store_ok=0, and first-wins Age are all
+    driven by doc_id arithmetic; the SQL mirror CONSTRUCTS the expected
+    integers from the same arithmetic, so any parse or precedence slip
+    flips a value and fails the driver hash. Output (doc_id, store_ok,
+    lifetime, age_s, stale_at)."""
+    from email.utils import formatdate
+
+    from .pages import cache_plan
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["doc_id"].to_numpy(np.int64)
+        names = [("Cache-Control", "Date", "Expires", "Last-Modified"),
+                 ("CACHE-CONTROL", "DATE", "EXPIRES", "LAST-MODIFIED"),
+                 ("cache-control", "date", "expires", "last-modified")]
+        out = {"doc_id": [], "store_ok": [], "lifetime": [],
+               "age_s": [], "stale_at": []}
+        for k in ks:
+            k = int(k)
+            cc_n, date_n, exp_n, lm_n = names[k % 3]
+            date_s = 1_700_000_000 + (k % 97) * 13
+            cc = []
+            if k % 17 == 0:
+                cc.append("no-store")
+            if k % 13 == 0:
+                cc.append("no-cache")
+            if k % 19 == 0:
+                cc.append("private")
+            if k % 2 == 0:
+                cc.append('max-age="%d"' % (k % 601) if k % 6 == 0
+                          else "max-age=%d" % (k % 601))
+            smax = "s-maxage=%d" % (k % 901) if k % 5 == 0 else None
+            junk = "stale-while-revalidate=30, immutable"
+            lines = ["HTTP/1.1 200 OK",
+                     "X-Crawl: graft",
+                     "garbage line without a colon",
+                     "%s: %s" % (date_n, formatdate(date_s, usegmt=True))]
+            if k % 9 == 0:
+                # duplicate Cache-Control headers must combine
+                if cc:
+                    lines.append("%s: %s" % (cc_n, " , ".join(cc)))
+                second = junk if smax is None else smax + ", " + junk
+                lines.append("%s: %s" % (cc_n, second))
+            else:
+                both = cc + ([smax] if smax else []) + [junk]
+                lines.append("%s: %s" % (cc_n, " , ".join(both)))
+            if k % 3 == 0:
+                age_n = "Age " if k % 27 == 0 else "Age"
+                lines.append("%s: %d" % (age_n, k % 120))
+            if k % 7 == 0:
+                lines.append("%s: -1" % exp_n if k % 77 == 0 else
+                             "%s: %s" % (exp_n, formatdate(
+                                 date_s + (k % 500) - 100, usegmt=True)))
+            if k % 4 == 1:
+                lines.append("%s: %s" % (lm_n, formatdate(
+                    date_s - (k % 1000) * 10, usegmt=True)))
+            lines += ["", "body: not a header"]
+            store_ok, lifetime, age_s, stale_at = cache_plan(
+                "\n".join(lines))
+            out["doc_id"].append(k)
+            out["store_ok"].append(store_ok)
+            out["lifetime"].append(lifetime)
+            out["age_s"].append(age_s)
+            out["stale_at"].append(stale_at)
+        return pd.DataFrame({c: np.array(v, dtype=np.int64)
+                             for c, v in out.items()})
+
+    return docs.map_batches(plan, batch_format="pandas")
+
+
+SQL_HTTP_CACHE_PLAN = """
+WITH d AS (SELECT doc_id AS k FROM documents),
+c AS (SELECT k,
+    1700000000 + (k % 97) * 13 AS date_s,
+    CASE WHEN k % 3 = 0 THEN k % 120 ELSE 0 END AS age_s,
+    CASE WHEN k % 17 = 0 THEN 0 ELSE 1 END AS store_ok,
+    CASE WHEN k % 17 = 0 THEN 0
+         WHEN k % 5 = 0 THEN k % 901
+         WHEN k % 2 = 0 THEN k % 601
+         WHEN k % 7 = 0 THEN
+             CASE WHEN k % 77 = 0 THEN 0 ELSE (k % 500) - 100 END
+         WHEN k % 4 = 1 THEN k % 1000
+         ELSE 0 END AS lifetime
+    FROM d)
+SELECT k AS doc_id, CAST(store_ok AS BIGINT) AS store_ok,
+       CAST(lifetime AS BIGINT) AS lifetime,
+       CAST(age_s AS BIGINT) AS age_s,
+       CAST(date_s + lifetime - age_s AS BIGINT) AS stale_at
+FROM c
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -7447,6 +7552,7 @@ def catalog():
         "redirect_chains": q_redirect_chains,
         "sitemap_entries": q_sitemap_entries,
         "meta_extract": q_meta_extract,
+        "http_cache_plan": q_http_cache_plan,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -7642,6 +7748,7 @@ def sql_catalog():
         "redirect_chains": SQL_REDIRECT_CHAINS,
         "sitemap_entries": SQL_SITEMAP_ENTRIES,
         "meta_extract": SQL_META_EXTRACT,
+        "http_cache_plan": SQL_HTTP_CACHE_PLAN,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

@@ -780,3 +780,40 @@ def test_extract_meta_decoys_and_order():
     assert r["meta_noindex"] == 0 and r["meta_nofollow"] == 1
     assert r["canonical"] == "https://x/c7" and r["n_hreflang"] == 1
     assert "html" not in out.columns
+
+
+def test_cache_plan_rfc9111_semantics():
+    """pages.cache_plan: directive precedence, no-store, duplicate
+    Cache-Control combining, quoted values, invalid Expires, heuristic
+    freshness, first-wins Age."""
+    from ophois_ray import pages
+
+    mk = lambda *ls: "\n".join(("HTTP/1.1 200 OK",) + ls + ("", "x: y"))
+    date = "Date: Thu, 01 Jan 2026 00:00:00 GMT"
+    d0 = 1767225600
+
+    # s-maxage beats max-age; quoted value unquoted; casing ignored
+    assert pages.cache_plan(mk(date,
+        'CACHE-CONTROL: public, max-age="300", s-maxage=600')) == \
+        (1, 600, 0, d0 + 600)
+    # duplicate headers combine (RFC list semantics)
+    assert pages.cache_plan(mk(date,
+        "Cache-Control: max-age=300",
+        "Cache-Control: s-maxage=700, immutable")) == (1, 700, 0, d0 + 700)
+    # no-store forces store_ok=0 even with max-age present
+    assert pages.cache_plan(mk(date,
+        "Cache-Control: no-store, max-age=300", "Age: 5")) == \
+        (0, 0, 5, d0 - 5)
+    # Expires - Date when no max-age; invalid Expires = expired
+    assert pages.cache_plan(mk(date,
+        "Expires: Thu, 01 Jan 2026 00:05:00 GMT")) == (1, 300, 0, d0 + 300)
+    assert pages.cache_plan(mk(date, "Expires: -1")) == (1, 0, 0, d0)
+    # heuristic: (Date - Last-Modified) // 10
+    assert pages.cache_plan(mk(date,
+        "Last-Modified: Wed, 31 Dec 2025 23:00:00 GMT")) == \
+        (1, 360, 0, d0 + 360)
+    # first Age wins; padded name; stale_at subtracts age
+    assert pages.cache_plan(mk(date, "Cache-Control: max-age=100",
+        "Age : 40", "Age: 99")) == (1, 100, 40, d0 + 60)
+    # no calendars at all
+    assert pages.cache_plan("HTTP/1.1 200 OK\nX: 1\n\n") == (1, 0, 0, 0)

@@ -1162,3 +1162,83 @@ def cache_plan(header_text: str):
     else:
         lifetime = 0
     return 1, lifetime, age, date_s + lifetime - age
+
+
+# --------------------------------------------------------- content sniffing
+
+#: sniffed type ids (fixed taxonomy; the crawl's content-type column)
+SNIFF_HTML, SNIFF_XML, SNIFF_JSON = 0, 1, 2
+SNIFF_PDF, SNIFF_PNG, SNIFF_GIF, SNIFF_JPEG = 3, 4, 5, 6
+SNIFF_GZIP, SNIFF_ZIP, SNIFF_PLAIN, SNIFF_BINARY = 7, 8, 9, 10
+
+_MAGIC = [
+    (b"%PDF-", SNIFF_PDF),
+    (b"\x89PNG\r\n\x1a\n", SNIFF_PNG),
+    (b"GIF87a", SNIFF_GIF),
+    (b"GIF89a", SNIFF_GIF),
+    (b"\xff\xd8\xff", SNIFF_JPEG),
+    (b"\x1f\x8b", SNIFF_GZIP),
+    (b"PK\x03\x04", SNIFF_ZIP),
+]
+
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]*charset\s*=\s*[\"']?\s*([A-Za-z0-9_:.()-]+)",
+    re.IGNORECASE)
+
+#: charset ids: 0 none declared, 1 utf-8, 2 iso-8859-1, 3 windows-1251,
+#: 4 anything else; -1 for non-html types
+_CHARSETS = {"utf-8": 1, "iso-8859-1": 2, "windows-1251": 3}
+
+
+def sniff_content(body: bytes):
+    """Deterministic content sniff (WHATWG-mime-sniffing-inspired,
+    fixed rule order — the crawl can't trust Content-Type headers):
+
+    1. binary magic on the RAW prefix (pdf/png/gif/jpeg/gzip/zip),
+    2. after stripping a UTF-8 BOM + ASCII whitespace: case-insensitive
+       ``<!doctype html`` / ``<html`` -> html, ``<?xml`` -> xml,
+    3. a leading ``{`` or ``[`` -> json,
+    4. any NUL byte -> opaque binary, else plain text.
+
+    Returns ``(type_id, charset_id)``; charset only applies to html
+    (BOM beats the first <meta charset>; -1 for every other type)."""
+    for magic, tid in _MAGIC:
+        if body.startswith(magic):
+            return tid, -1
+    bom = body.startswith(b"\xef\xbb\xbf")
+    s = body[3:] if bom else body
+    s = s.lstrip(b" \t\r\n\x0c")
+    low = s[:16].lower()
+    if low.startswith(b"<!doctype html") or low.startswith(b"<html"):
+        if bom:
+            return SNIFF_HTML, 1
+        m = _META_CHARSET_RE.search(s)
+        if not m:
+            return SNIFF_HTML, 0
+        return SNIFF_HTML, _CHARSETS.get(
+            m.group(1).decode("ascii", "replace").lower(), 4)
+    if low.startswith(b"<?xml"):
+        return SNIFF_XML, -1
+    if s[:1] in (b"{", b"["):
+        return SNIFF_JSON, -1
+    if b"\x00" in body:
+        return SNIFF_BINARY, -1
+    return SNIFF_PLAIN, -1
+
+
+def sniff_pages(ds, *, body_col: str = "html", id_col: str = "doc_id"):
+    """Distributed content sniff: fused stateless task over the binary
+    payload column (zero-shuffle; the body never leaves the fused read
+    stage). Output (id_col, type_id, charset_id)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        res = [sniff_content(b if isinstance(b, (bytes, bytearray))
+                             else str(b).encode("utf-8"))
+               for b in df[body_col].to_numpy(object)]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "type_id": np.array([t for t, _ in res], np.int64),
+            "charset_id": np.array([c for _, c in res], np.int64),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")

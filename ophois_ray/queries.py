@@ -903,6 +903,84 @@ FROM c
 """
 
 
+def q_content_sniff(sf_dir: str):
+    """HASH-CHECKED content-type + charset sniffing (pages.sniff_content
+    / sniff_pages — the crawl can't trust Content-Type headers): doc_id
+    % 11 picks the planted type (html/xml/json/pdf/png/gif/jpeg/gzip/
+    zip/plain/binary, ids equal to the arithmetic by construction), with
+    the trap drawer — binary magics that contain '<html' later (magic
+    must win), UTF-8 BOMs that beat <meta charset>, leading whitespace
+    before case-mixed '<!DOCTYPE HTML>'/'<HtMl>', three charset
+    declaration shapes (charset attr double-quoted, http-equiv
+    content=...charset=..., single-quoted) plus a KOI8-R decoy meta that
+    must NOT win (first declaration wins), a viewport meta without any
+    charset, json arrays vs objects, plain text with a late '{', and a
+    NUL byte forcing opaque binary. The SQL mirror CONSTRUCTS
+    (type_id, charset_id) from the same arithmetic."""
+    from .pages import sniff_pages
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["doc_id"].to_numpy(np.int64)
+        bodies = []
+        for k in ks:
+            k = int(k)
+            t = k % 11
+            ws = b" \n\t " if k % 3 == 0 else b""
+            bom = b"\xef\xbb\xbf" if k % 5 == 0 else b""
+            if t == 0:
+                open_tag = (b"<!DOCTYPE HTML><head>" if k % 2 == 0
+                            else b"<HtMl><head>")
+                v = k % 4
+                metas = [b'<meta name="viewport" content="width=device-width">']
+                if v == 1:
+                    metas.append(b'<meta charset="UTF-8">')
+                elif v == 2:
+                    metas.append(b'<meta http-equiv="Content-Type" '
+                                 b'content="text/html; charset=ISO-8859-1">')
+                elif v == 3:
+                    metas.append(b"<meta charset='windows-1251'>")
+                if v != 0:
+                    metas.append(b'<meta charset="KOI8-R">')
+                body = bom + ws + open_tag + b"".join(metas) + b"</head>"
+            elif t == 1:
+                body = bom + ws + b'<?XML version="1.0"?><r/>'
+            elif t == 2:
+                body = ws + (b'{"a": %d}' % k if k % 2 == 0
+                             else b" [%d, 1]" % k)
+            elif t == 3:
+                body = b"%%PDF-1.%d junk <html>" % (k % 8)
+            elif t == 4:
+                body = b"\x89PNG\r\n\x1a\nIHDR\x00\x00"
+            elif t == 5:
+                body = (b"GIF87a" if k % 2 == 0 else b"GIF89a") + b"\x01"
+            elif t == 6:
+                body = b"\xff\xd8\xff\xe0\x00\x10JFIF"
+            elif t == 7:
+                body = b"\x1f\x8b\x08<html>"
+            elif t == 8:
+                body = b"PK\x03\x04\x14\x00"
+            elif t == 9:
+                body = b"doc %d with a late {brace" % k
+            else:
+                body = b"BIN\x00%d" % k
+            bodies.append(body)
+        return pd.DataFrame({
+            "doc_id": ks, "html": pd.Series(bodies, dtype=object)})
+
+    return sniff_pages(docs.map_batches(gen, batch_format="pandas"))
+
+
+SQL_CONTENT_SNIFF = """
+SELECT doc_id, CAST(doc_id % 11 AS BIGINT) AS type_id,
+       CAST(CASE WHEN doc_id % 11 = 0 THEN
+                 CASE WHEN doc_id % 5 = 0 THEN 1 ELSE doc_id % 4 END
+            ELSE -1 END AS BIGINT) AS charset_id
+FROM documents
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -7553,6 +7631,7 @@ def catalog():
         "sitemap_entries": q_sitemap_entries,
         "meta_extract": q_meta_extract,
         "http_cache_plan": q_http_cache_plan,
+        "content_sniff": q_content_sniff,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -7749,6 +7828,7 @@ def sql_catalog():
         "sitemap_entries": SQL_SITEMAP_ENTRIES,
         "meta_extract": SQL_META_EXTRACT,
         "http_cache_plan": SQL_HTTP_CACHE_PLAN,
+        "content_sniff": SQL_CONTENT_SNIFF,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

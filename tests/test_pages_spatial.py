@@ -817,3 +817,27 @@ def test_cache_plan_rfc9111_semantics():
         "Age : 40", "Age: 99")) == (1, 100, 40, d0 + 60)
     # no calendars at all
     assert pages.cache_plan("HTTP/1.1 200 OK\nX: 1\n\n") == (1, 0, 0, 0)
+
+
+def test_sniff_content_rule_order():
+    """pages.sniff_content: magic beats tags, BOM beats meta charset,
+    first charset declaration wins, NUL forces binary."""
+    from ophois_ray import pages
+
+    assert pages.sniff_content(b"%PDF-1.7 <html>") == (pages.SNIFF_PDF, -1)
+    assert pages.sniff_content(b"\x1f\x8b\x08<html>") == (pages.SNIFF_GZIP, -1)
+    assert pages.sniff_content(
+        b'\xef\xbb\xbf \n<HTML><meta charset="iso-8859-1">') == (
+        pages.SNIFF_HTML, 1)  # BOM wins
+    assert pages.sniff_content(
+        b'<html><meta name="viewport" content="w">'
+        b"<meta charset='windows-1251'><meta charset=\"KOI8-R\">") == (
+        pages.SNIFF_HTML, 3)  # first declaration wins, decoy loses
+    assert pages.sniff_content(b"  <!DOCTYPE HTML>x") == (pages.SNIFF_HTML, 0)
+    assert pages.sniff_content(b'<html><meta charset="EBCDIC-XX">') == (
+        pages.SNIFF_HTML, 4)  # unknown charset bucket
+    assert pages.sniff_content(b" <?xml ?>") == (pages.SNIFF_XML, -1)
+    assert pages.sniff_content(b'\t[{"a":1}]') == (pages.SNIFF_JSON, -1)
+    assert pages.sniff_content(b"text with late { and <html>") == (
+        pages.SNIFF_PLAIN, -1)
+    assert pages.sniff_content(b"x\x00y") == (pages.SNIFF_BINARY, -1)

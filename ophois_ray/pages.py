@@ -1242,3 +1242,44 @@ def sniff_pages(ds, *, body_col: str = "html", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ------------------------------------------------------- frontier schedule
+
+
+def frontier_schedule(ds, *, host_col: str = "host_id",
+                      url_col: str = "url_id", prio_col: str = "prio",
+                      k: int = 3, t0: int = 1_700_000_000,
+                      delay_mod: int = 7):
+    """Politeness-aware crawl-frontier schedule: per host, the top-``k``
+    candidate urls by (priority desc, url asc — a total order, so the
+    schedule is deterministic) get fetch slots spaced by the host's
+    crawl delay (``host % delay_mod + 1`` seconds, the robots
+    crawl-delay stand-in): slot i fetches at ``t0 + i * delay``.
+
+    One int-keyed grouped shuffle over the narrow (host, url, prio)
+    columns (joins.grouped_apply — hosts are complete within a bucket,
+    so the per-host ranks are exact); inside the bucket the ranking is
+    one lexsort + run-length slot numbering, no per-host Python loop.
+    Output (host_col, url_col, slot, fetch_ts)."""
+    from .joins import grouped_apply
+
+    def sched(df: pd.DataFrame) -> pd.DataFrame:
+        host = df[host_col].to_numpy(np.int64)
+        url = df[url_col].to_numpy(np.int64)
+        prio = df[prio_col].to_numpy(np.int64)
+        order = np.lexsort((url, -prio, host))
+        host, url = host[order], url[order]
+        n = len(host)
+        starts = np.r_[0, np.flatnonzero(host[1:] != host[:-1]) + 1]
+        lens = np.diff(np.r_[starts, n])
+        slot = np.arange(n) - np.repeat(starts, lens)
+        keep = slot < k
+        slot = slot[keep].astype(np.int64)
+        hk = host[keep]
+        return pd.DataFrame({
+            host_col: hk, url_col: url[keep], "slot": slot,
+            "fetch_ts": t0 + slot * (hk % delay_mod + 1),
+        })
+
+    return grouped_apply(ds, host_col, sched)

@@ -981,6 +981,44 @@ FROM documents
 """
 
 
+def q_frontier_schedule(sf_dir: str):
+    """HASH-CHECKED politeness crawl-frontier scheduling
+    (pages.frontier_schedule): every doc is a frontier candidate on
+    host doc_id % 101 with a two-round multiplicative priority (one
+    Lehmer round is affine — the datagen invariant), per-host top-3 by
+    (priority desc, url asc) spaced by the host's crawl delay. The SQL
+    mirror is a REAL window query (row_number over partition), so rank
+    ties, the slot arithmetic and the delay spacing are all checked
+    against genuine SQL semantics, not constructed values."""
+    from .pages import frontier_schedule
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "host_id": k % 101,
+            "url_id": k,
+            "prio": ((k + 1) * 8191 % 1009) * 8191 % 1009,
+        })
+
+    return frontier_schedule(docs.map_batches(gen, batch_format="pandas"))
+
+
+SQL_FRONTIER_SCHEDULE = """
+WITH f AS (SELECT doc_id AS url_id, doc_id % 101 AS host_id,
+                  ((doc_id + 1) * 8191 % 1009) * 8191 % 1009 AS prio
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY host_id
+                                   ORDER BY prio DESC, url_id ASC) - 1
+             AS slot
+      FROM f)
+SELECT host_id, url_id, CAST(slot AS BIGINT) AS slot,
+       CAST(1700000000 + slot * (host_id % 7 + 1) AS BIGINT) AS fetch_ts
+FROM r WHERE slot < 3
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -7632,6 +7670,7 @@ def catalog():
         "meta_extract": q_meta_extract,
         "http_cache_plan": q_http_cache_plan,
         "content_sniff": q_content_sniff,
+        "frontier_schedule": q_frontier_schedule,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -7829,6 +7868,7 @@ def sql_catalog():
         "meta_extract": SQL_META_EXTRACT,
         "http_cache_plan": SQL_HTTP_CACHE_PLAN,
         "content_sniff": SQL_CONTENT_SNIFF,
+        "frontier_schedule": SQL_FRONTIER_SCHEDULE,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

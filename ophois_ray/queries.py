@@ -1019,6 +1019,100 @@ FROM r WHERE slot < 3
 """
 
 
+def q_trace_od_matrix(sf_dir: str):
+    """HASH-CHECKED origin-destination trip matrix (spatial.od_matrix —
+    the mobility rollup over the events stream): locations are a
+    two-round multiplicative permutation of event_id into 1024 grid
+    cells, trips split on >8h gaps per user (ts-ordered, event_id
+    tiebreak). The SQL mirror is REAL window SQL (lag + running sum of
+    trip starts + first/last per trip), so the gap rule, the tiebreak
+    and the OD aggregation are checked against genuine SQL semantics."""
+    from .spatial import od_matrix
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_id": eid,
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "t": df["ts"].to_numpy("datetime64[us]").astype(np.int64),
+            "loc": ((eid + 1) * 8191 % 1_000_003) * 8191 % 1_000_003 % 1024,
+        })
+
+    return od_matrix(ev.map_batches(gen, batch_format="pandas"))
+
+
+SQL_TRACE_OD_MATRIX = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+                  ((event_id + 1) * 8191 % 1000003) * 8191
+                      % 1000003 % 1024 AS loc
+           FROM events),
+m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > 28800000000
+                     THEN 1 ELSE 0 END AS new_trip
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+tr AS (SELECT *, sum(new_trip) OVER (PARTITION BY user_id
+                                     ORDER BY t, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS trip
+       FROM m),
+od AS (SELECT user_id, trip,
+              first(loc ORDER BY t, event_id) AS o_loc,
+              last(loc ORDER BY t, event_id) AS d_loc
+       FROM tr GROUP BY user_id, trip)
+SELECT CAST(o_loc AS BIGINT) AS o_loc, CAST(d_loc AS BIGINT) AS d_loc,
+       CAST(count(*) AS BIGINT) AS n_trips
+FROM od GROUP BY o_loc, d_loc
+"""
+
+
+def q_trace_staypoints(sf_dir: str):
+    """HASH-CHECKED stay-point detection (spatial.staypoints): every
+    doc is a 9-point trace of three planted segments whose lengths
+    cycle (k+s) % 3 + 2 — segment centers 1000 grid units apart (any
+    cross-segment window breaks instantly), within-segment jitter <= 4
+    (inside the Chebyshev radius 10), points 60 s apart, min_dur 120 s,
+    so a segment is a stay-point iff it has >= 3 points. The engine
+    runs the real anchor-window scan on the shuffled points; the SQL
+    mirror CONSTRUCTS (trace_id, anchor_idx, n_points, dur) from the
+    same arithmetic — a wrong window rule, anchor advance or duration
+    off-by-one flips an integer and fails the hash."""
+    from .spatial import staypoints
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["doc_id"].to_numpy(np.int64)
+        k = np.repeat(ks, 9)
+        i = np.tile(np.arange(9, dtype=np.int64), len(ks))
+        len0 = k % 3 + 2
+        len1 = (k + 1) % 3 + 2
+        seg = np.where(i < len0, 0, np.where(i < len0 + len1, 1, 2))
+        return pd.DataFrame({
+            "trace_id": k,
+            "t": i * 60,
+            "x": seg * 1000 + (k * 7 + i * 13) % 5,
+            "y": seg * 1000 + (k * 11 + i * 17) % 5,
+        })
+
+    return staypoints(docs.map_batches(gen, batch_format="pandas"))
+
+
+SQL_TRACE_STAYPOINTS = """
+WITH d AS (SELECT doc_id AS k FROM documents),
+s AS (SELECT k, unnest(range(0, 3)) AS s FROM d),
+c AS (SELECT k, s, (k + s) % 3 + 2 AS len,
+             CASE WHEN s = 0 THEN 0
+                  WHEN s = 1 THEN k % 3 + 2
+                  ELSE k % 3 + (k + 1) % 3 + 4 END AS anchor
+      FROM s)
+SELECT k AS trace_id, CAST(anchor AS BIGINT) AS anchor_idx,
+       CAST(len AS BIGINT) AS n_points,
+       CAST((len - 1) * 60 AS BIGINT) AS dur
+FROM c WHERE len >= 3
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -7671,6 +7765,8 @@ def catalog():
         "http_cache_plan": q_http_cache_plan,
         "content_sniff": q_content_sniff,
         "frontier_schedule": q_frontier_schedule,
+        "trace_od_matrix": q_trace_od_matrix,
+        "trace_staypoints": q_trace_staypoints,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -7869,6 +7965,8 @@ def sql_catalog():
         "http_cache_plan": SQL_HTTP_CACHE_PLAN,
         "content_sniff": SQL_CONTENT_SNIFF,
         "frontier_schedule": SQL_FRONTIER_SCHEDULE,
+        "trace_od_matrix": SQL_TRACE_OD_MATRIX,
+        "trace_staypoints": SQL_TRACE_STAYPOINTS,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

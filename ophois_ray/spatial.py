@@ -826,3 +826,113 @@ def compact_cells(ds, cell_col: str = "cell", *, bucket_res: int = 2,
     fine = comp.map_batches(fine_only, batch_format="pandas")
     return fine.union(ray.data.from_pandas(
         pd.DataFrame({cell_col: final_coarse})))
+
+
+# ----------------------------------------------------------------- OD matrix
+
+
+def od_matrix(ds, *, user_col: str = "user_id", ts_col: str = "t",
+              loc_col: str = "loc", id_col: str = "event_id",
+              gap_us: int = 28_800_000_000):
+    """Origin-destination trip matrix from event streams (the classic
+    mobility rollup): per user (ordered by ts, id-tiebroken), a new
+    trip starts when the gap to the previous event exceeds ``gap_us``;
+    each trip contributes one (origin loc, destination loc) pair, and
+    the matrix counts trips per OD pair.
+
+    Shape: ONE int-keyed grouped shuffle on the user column (users are
+    complete within a bucket, so trip segmentation is exact), trip
+    extraction fully vectorized (lexsort + run boundaries), per-bucket
+    OD-count partials, exact driver merge — the OD key domain is
+    bounded by loc_cells**2 (the tiny-domain rule), never by the event
+    count, so the merge holds at 100 TB of events. Returns a pandas
+    DataFrame (o_loc, d_loc, n_trips)."""
+    from .joins import grouped_apply
+
+    def trips(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "o_loc": pd.Series(dtype=np.int64),
+            "d_loc": pd.Series(dtype=np.int64),
+            "n_trips": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        user = df[user_col].to_numpy(np.int64)
+        t = df[ts_col].to_numpy(np.int64)
+        eid = df[id_col].to_numpy(np.int64)
+        loc = df[loc_col].to_numpy(np.int64)
+        order = np.lexsort((eid, t, user))
+        user, t, loc = user[order], t[order], loc[order]
+        n = len(user)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (user[1:] != user[:-1]) | (t[1:] - t[:-1] > gap_us)
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:] - 1, n - 1]
+        vc = (pd.DataFrame({"o_loc": loc[starts], "d_loc": loc[ends]})
+              .value_counts(["o_loc", "d_loc"]).reset_index(name="n_trips"))
+        return vc.astype(np.int64)
+
+    parts = list(grouped_apply(ds, user_col, trips)
+                 .iter_batches(batch_format="pandas", batch_size=None))
+    if not parts:
+        return pd.DataFrame({
+            "o_loc": pd.Series(dtype=np.int64),
+            "d_loc": pd.Series(dtype=np.int64),
+            "n_trips": pd.Series(dtype=np.int64)})
+    out = (pd.concat(parts, ignore_index=True)
+           .groupby(["o_loc", "d_loc"], as_index=False)["n_trips"].sum())
+    return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------- staypoints
+
+
+def staypoints(ds, *, trace_col: str = "trace_id", t_col: str = "t",
+               x_col: str = "x", y_col: str = "y",
+               radius: int = 10, min_dur: int = 120):
+    """Stay-point detection over integer-grid trajectories (the
+    classic anchor-window scan, Li et al. 2008): scanning each trace in
+    time order, grow a window from anchor i while every point stays
+    within Chebyshev ``radius`` of the ANCHOR (the first violation at
+    j+1 ends it); if the window spans >= ``min_dur`` time units it is a
+    stay-point (scan resumes after it), else the anchor advances one
+    point. Integer-exact by construction.
+
+    Shape: one int-keyed grouped shuffle on the trace id (traces are
+    complete per bucket), then a linear per-trace scan — the window
+    test is a vectorized slice comparison, only the anchor advance is
+    sequential (the algorithm is inherently a scan; per-trace work is
+    independent, so the stage parallelizes across traces). Returns a
+    Dataset (trace_col, anchor_idx, n_points, dur)."""
+    from .joins import grouped_apply
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        tr0 = df[trace_col].to_numpy(np.int64)
+        order = np.lexsort((df[t_col].to_numpy(np.int64), tr0))
+        tr = tr0[order]
+        t = df[t_col].to_numpy(np.int64)[order]
+        x = df[x_col].to_numpy(np.int64)[order]
+        y = df[y_col].to_numpy(np.int64)[order]
+        n = len(tr)
+        starts = np.r_[0, np.flatnonzero(tr[1:] != tr[:-1]) + 1]
+        ends = np.r_[starts[1:], n] if n else np.array([], np.int64)
+        o_tr, o_a, o_n, o_d = [], [], [], []
+        for s, e in zip(starts, ends):
+            i = s
+            while i < e:
+                off = np.maximum(np.abs(x[i:e] - x[i]),
+                                 np.abs(y[i:e] - y[i]))
+                out = np.flatnonzero(off > radius)
+                j = (i + out[0] - 1) if len(out) else (e - 1)
+                if t[j] - t[i] >= min_dur:
+                    o_tr.append(tr[s]); o_a.append(i - s)
+                    o_n.append(j - i + 1); o_d.append(t[j] - t[i])
+                    i = j + 1
+                else:
+                    i += 1
+        return pd.DataFrame({
+            trace_col: np.array(o_tr, np.int64),
+            "anchor_idx": np.array(o_a, np.int64),
+            "n_points": np.array(o_n, np.int64),
+            "dur": np.array(o_d, np.int64)})
+
+    return grouped_apply(ds, trace_col, scan)

@@ -841,3 +841,68 @@ def test_sniff_content_rule_order():
     assert pages.sniff_content(b"text with late { and <html>") == (
         pages.SNIFF_PLAIN, -1)
     assert pages.sniff_content(b"x\x00y") == (pages.SNIFF_BINARY, -1)
+
+
+def test_staypoints_anchor_window_semantics(ray_session):
+    """spatial.staypoints: the window is measured from the ANCHOR (a
+    drifting trace whose consecutive steps are all inside the radius
+    still breaks when it leaves the anchor's disk), a too-short window
+    advances the anchor by ONE (not past the window), and the scan
+    resumes after an emitted stay."""
+    import ray
+
+    from ophois_ray.spatial import staypoints
+
+    def run(rows):
+        df = pd.DataFrame(rows, columns=["trace_id", "t", "x", "y"])
+        out = staypoints(ray.data.from_pandas(df), radius=10, min_dur=120)
+        pdf = out.to_pandas()
+        if not len(pdf):  # 0-row to_pandas drops columns (CLAUDE.md)
+            return pdf
+        return (pdf.sort_values(["trace_id", "anchor_idx"])
+                .reset_index(drop=True))
+
+    # drift: steps of 6 stay within 10 of each other but point 3 (x=12)
+    # leaves the anchor's disk -> stay covers exactly points 0..2
+    got = run([(1, 0, 0, 0), (1, 60, 6, 0), (1, 120, 9, 0),
+               (1, 180, 12, 0)])
+    assert got.to_dict("records") == [
+        {"trace_id": 1, "anchor_idx": 0, "n_points": 3, "dur": 120}]
+
+    # sliding chain 0,8,16,24: every 2-point window is under min_dur,
+    # anchor advances one at a time, no stay is ever emitted
+    assert len(run([(2, 0, 0, 0), (2, 60, 8, 0), (2, 120, 16, 0),
+                    (2, 180, 24, 0)])) == 0
+
+    # after a stay the scan resumes AT the breaking point, which can
+    # anchor a second stay
+    got = run([(3, 0, 0, 0), (3, 60, 1, 0), (3, 120, 2, 0),
+               (3, 180, 100, 0), (3, 240, 101, 0), (3, 300, 102, 0)])
+    assert got.to_dict("records") == [
+        {"trace_id": 3, "anchor_idx": 0, "n_points": 3, "dur": 120},
+        {"trace_id": 3, "anchor_idx": 3, "n_points": 3, "dur": 120}]
+
+
+def test_od_matrix_gap_and_tiebreak(ray_session):
+    """spatial.od_matrix: trips split strictly-greater-than the gap, a
+    single-event trip has origin == destination, equal timestamps are
+    ordered by event id."""
+    import ray
+
+    from ophois_ray.spatial import od_matrix
+
+    rows = [
+        # user 1: two events 100 apart (gap <= 100 -> one trip 5->7)
+        (1, 1, 0, 5), (2, 1, 100, 7),
+        # user 1: third event far later -> its own trip 9->9
+        (3, 1, 1000, 9),
+        # user 2: equal ts, event_id tiebreak decides o=4, d=6
+        (5, 2, 50, 6), (4, 2, 50, 4),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "t", "loc"])
+    got = od_matrix(ray.data.from_pandas(df), gap_us=100)
+    got = got.sort_values(["o_loc", "d_loc"]).reset_index(drop=True)
+    assert got.to_dict("records") == [
+        {"o_loc": 4, "d_loc": 6, "n_trips": 1},
+        {"o_loc": 5, "d_loc": 7, "n_trips": 1},
+        {"o_loc": 9, "d_loc": 9, "n_trips": 1}]

@@ -300,3 +300,47 @@ def morton_interleave(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
         return v
 
     return (spread(ix) << 1) | spread(iy)
+
+
+def quadkey(tx: np.ndarray, ty: np.ndarray, order: int) -> np.ndarray:
+    """Bing-style quadkey strings for integer tile coordinates at a
+    fixed zoom ``order``: digit i (most-significant first) is
+    ``((tx >> i) & 1) + 2 * ((ty >> i) & 1)`` — the base-4 reading of
+    the interleaved bits, so a quadkey PREFIX addresses the ancestor
+    tile (the property tile pyramids key on). Vectorized: one digit
+    array per level, assembled with ``order`` chained string concats
+    (no per-row Python)."""
+    tx = np.asarray(tx, dtype=np.int64)
+    ty = np.asarray(ty, dtype=np.int64)
+    out = np.full(len(tx), "", dtype=object)
+    for i in range(order - 1, -1, -1):
+        digit = ((tx >> i) & 1) + 2 * ((ty >> i) & 1)
+        out = np.char.add(out.astype(str), digit.astype(str)).astype(object)
+    return out
+
+
+def hilbert_d(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """Hilbert-curve distance of integer grid points at 2^order x
+    2^order (the locality-preserving alternative to the Morton/z-order
+    sink key: neighbours on the curve are always neighbours in space,
+    which z-order violates at quadrant seams). Standard rotate-and-
+    accumulate kernel, vectorized over the whole column, ``order``
+    iterations."""
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros(len(x), dtype=np.int64)
+    s = np.int64(1 << (order - 1))
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate the sub-quadrant: when ry == 0, flip (if rx) then swap
+        flip = (ry == 0) & (rx == 1)
+        x = np.where(flip, s - 1 - x, x)
+        y = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x2 = np.where(swap, y, x)
+        y2 = np.where(swap, x, y)
+        x, y = x2, y2
+        s >>= 1
+    return d

@@ -1113,6 +1113,89 @@ FROM c WHERE len >= 3
 """
 
 
+def q_cell_quadkey(sf_dir: str):
+    """HASH-CHECKED Bing-style quadkey addressing (cells.quadkey): tile
+    coords are two independent two-round multiplicative permutations of
+    doc_id into a 256x256 grid (order 8); the SQL mirror rebuilds every
+    digit with genuine bit arithmetic ((tx >> i) & 1) + 2*((ty >> i) & 1)
+    concatenated most-significant-first, so the bit interleave, digit
+    order and string assembly are all checked."""
+    from .cells import quadkey
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(np.int64)
+        tx = ((k + 1) * 8191 % 1_000_003) * 8191 % 1_000_003 % 256
+        ty = ((k + 3) * 8191 % 1_000_003) * 8191 % 1_000_003 % 256
+        return pd.DataFrame({
+            "doc_id": k, "tile_x": tx, "tile_y": ty,
+            "quadkey": pd.Series(quadkey(tx, ty, 8), dtype=object)})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def _sql_cell_quadkey() -> str:
+    digits = " || ".join(
+        "CAST(((tx >> %d) & 1) + 2 * ((ty >> %d) & 1) AS VARCHAR)" % (i, i)
+        for i in range(7, -1, -1))
+    return """
+WITH d AS (SELECT doc_id AS k FROM documents),
+t AS (SELECT k,
+             ((k + 1) * 8191 % 1000003) * 8191 % 1000003 % 256 AS tx,
+             ((k + 3) * 8191 % 1000003) * 8191 % 1000003 % 256 AS ty
+      FROM d)
+SELECT k AS doc_id, CAST(tx AS BIGINT) AS tile_x,
+       CAST(ty AS BIGINT) AS tile_y, {DIGITS} AS quadkey
+FROM t
+""".replace("{DIGITS}", digits)
+
+
+def q_hilbert_index(sf_dir: str):
+    """HASH-CHECKED Hilbert-curve indexing (cells.hilbert_d — the
+    locality-preserving alternative to the repo's Morton/z-order sink
+    key): same permuted 256x256 tile coords as the quadkey query; the
+    SQL mirror executes the rotate-and-accumulate kernel for real as
+    eight unrolled CTE steps (bit tests, xor, quadrant flip+swap), so
+    the engine's vectorized kernel is checked against an independent
+    SQL implementation of the algorithm, not constructed values."""
+    from .cells import hilbert_d
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(np.int64)
+        tx = ((k + 1) * 8191 % 1_000_003) * 8191 % 1_000_003 % 256
+        ty = ((k + 3) * 8191 % 1_000_003) * 8191 % 1_000_003 % 256
+        return pd.DataFrame({
+            "doc_id": k, "hilbert": hilbert_d(tx, ty, 8)})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def _sql_hilbert_index() -> str:
+    sql = ["WITH d AS (SELECT doc_id AS k FROM documents),",
+           "s8 AS (SELECT k,",
+           "  ((k + 1) * 8191 % 1000003) * 8191 % 1000003 % 256 AS x,",
+           "  ((k + 3) * 8191 % 1000003) * 8191 % 1000003 % 256 AS y,",
+           "  CAST(0 AS BIGINT) AS d FROM d)"]
+    for step, s in enumerate([128, 64, 32, 16, 8, 4, 2, 1]):
+        prev, cur = "s%d" % (8 - step), "s%d" % (7 - step)
+        rx = "(CASE WHEN (x & %d) > 0 THEN 1 ELSE 0 END)" % s
+        ry = "(CASE WHEN (y & %d) > 0 THEN 1 ELSE 0 END)" % s
+        sql.append(
+            ", %s AS (SELECT k, d + %d * xor(3 * %s, %s) AS d,\n"
+            "  CASE WHEN (y & %d) > 0 THEN x\n"
+            "       ELSE CASE WHEN (x & %d) > 0 THEN %d - y ELSE y END\n"
+            "  END AS x,\n"
+            "  CASE WHEN (y & %d) > 0 THEN y\n"
+            "       ELSE CASE WHEN (x & %d) > 0 THEN %d - x ELSE x END\n"
+            "  END AS y FROM %s)"
+            % (cur, s * s, rx, ry, s, s, s - 1, s, s, s - 1, prev))
+    sql.append("SELECT k AS doc_id, CAST(d AS BIGINT) AS hilbert FROM s0")
+    return "\n".join(sql)
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -7767,6 +7850,8 @@ def catalog():
         "frontier_schedule": q_frontier_schedule,
         "trace_od_matrix": q_trace_od_matrix,
         "trace_staypoints": q_trace_staypoints,
+        "cell_quadkey": q_cell_quadkey,
+        "hilbert_index": q_hilbert_index,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -7967,6 +8052,8 @@ def sql_catalog():
         "frontier_schedule": SQL_FRONTIER_SCHEDULE,
         "trace_od_matrix": SQL_TRACE_OD_MATRIX,
         "trace_staypoints": SQL_TRACE_STAYPOINTS,
+        "cell_quadkey": _sql_cell_quadkey(),
+        "hilbert_index": _sql_hilbert_index(),
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

@@ -581,3 +581,80 @@ def segment_crossing_join(segs, polys, *, id_col: str = "seg_id"):
         })
 
     return segs.map_batches(fn, batch_format="pandas")
+
+
+# -------------------------------------------------------------- cell regions
+
+
+def cell_regions(cells_ds, *, x_col: str = "x", y_col: str = "y",
+                 width: int = 4096, broadcast_cap: int | None = None):
+    """Dissolve occupied grid cells into 4-connected regions (the
+    raster equivalent of polygon dissolve): cells are keyed
+    ``y * width + x`` (caller guarantees ``x + 1 < width`` so east
+    neighbours never wrap), adjacency edges are discovered by
+    semi-joining each cell's east/north neighbour key against the
+    occupied set (one bucketed hash join — no all-pairs), and regions
+    are resolved through the repo's connected-components ladder
+    (broadcast kernel under the cap, distributed labelprop above).
+
+    Output per region: (region_id = smallest member cell id, n_cells,
+    perimeter) with ``perimeter = 4 * n_cells - 2 * adjacent_pairs``
+    (each interior pair hides two unit edges) — integer-exact.
+    """
+    from .components import connected_components_auto
+    from .joins import grouped_apply, hash_join
+
+    def cid(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(np.int64)
+        y = df[y_col].to_numpy(np.int64)
+        return pd.DataFrame({"id": y * width + x})
+
+    nodes = cells_ds.map_batches(cid, batch_format="pandas").materialize()
+
+    def shifted(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["id"].to_numpy(np.int64)
+        return pd.DataFrame({"u": np.concatenate([i, i]),
+                             "v": np.concatenate([i + 1, i + width])})
+
+    def as_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": df["id"].to_numpy(np.int64)})
+
+    edges = hash_join(
+        nodes.map_batches(shifted, batch_format="pandas"),
+        nodes.map_batches(as_key, batch_format="pandas"),
+        "v", how="inner").materialize()
+
+    labels = connected_components_auto(
+        nodes, edges, broadcast_cap=broadcast_cap).materialize()
+
+    def count_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("comp", as_index=False).size()
+        g.columns = ["comp", "n_cells"]
+        return g.astype(np.int64)
+
+    n_per = grouped_apply(labels, "comp", count_nodes)
+
+    def as_u(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": df["u"].to_numpy(np.int64)})
+
+    edge_comp = hash_join(
+        edges.map_batches(as_u, batch_format="pandas"), labels,
+        "id", how="inner")
+
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("comp", as_index=False).size()
+        g.columns = ["comp", "pairs"]
+        return g.astype(np.int64)
+
+    pairs = grouped_apply(edge_comp, "comp", count_pairs)
+    joined = hash_join(n_per, pairs, "comp", how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_cells"].to_numpy(np.int64)
+        p = df["pairs"].fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "region_id": df["comp"].to_numpy(np.int64),
+            "n_cells": n,
+            "perimeter": 4 * n - 2 * p})
+
+    return joined.map_batches(finish, batch_format="pandas")

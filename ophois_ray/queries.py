@@ -1196,6 +1196,49 @@ def _sql_hilbert_index() -> str:
     return "\n".join(sql)
 
 
+def q_cell_regions(sf_dir: str):
+    """HASH-CHECKED raster region dissolve (polygons.cell_regions):
+    every doc plants a w x h rectangle of occupied cells (w = k%3+1,
+    h = k%4+1) on its own 20-cell-spaced grid slot, so regions are
+    disjoint by construction and each doc yields exactly one region
+    with n_cells = w*h and perimeter = 2*(w+h). The engine sees only
+    the shuffled cell bag — neighbour discovery (hash semi-join), the
+    CC ladder and the 4n-2*pairs perimeter identity all have to be
+    right for the constructed mirror to match."""
+    from .polygons import cell_regions
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["doc_id"].to_numpy(np.int64)
+        w = ks % 3 + 1
+        h = ks % 4 + 1
+        reps = (w * h).astype(np.int64)
+        k = np.repeat(ks, reps)
+        wk = np.repeat(w, reps)
+        # per-doc cell index 0..w*h-1 -> (i % w, i // w) offsets
+        i = np.concatenate([np.arange(r) for r in reps]) if len(reps) \
+            else np.array([], np.int64)
+        return pd.DataFrame({
+            "x": (k % 100) * 20 + i % wk,
+            "y": (k // 100 % 100) * 20 + i // wk,
+        })
+
+    return cell_regions(docs.map_batches(gen, batch_format="pandas"))
+
+
+SQL_CELL_REGIONS = """
+WITH d AS (SELECT doc_id AS k FROM documents),
+r AS (SELECT k, (k % 100) * 20 AS ox, (k // 100 % 100) * 20 AS oy,
+             k % 3 + 1 AS w, k % 4 + 1 AS h
+      FROM d)
+SELECT CAST(oy * 4096 + ox AS BIGINT) AS region_id,
+       CAST(w * h AS BIGINT) AS n_cells,
+       CAST(2 * (w + h) AS BIGINT) AS perimeter
+FROM r
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -7852,6 +7895,7 @@ def catalog():
         "trace_staypoints": q_trace_staypoints,
         "cell_quadkey": q_cell_quadkey,
         "hilbert_index": q_hilbert_index,
+        "cell_regions": q_cell_regions,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -8054,6 +8098,7 @@ def sql_catalog():
         "trace_staypoints": SQL_TRACE_STAYPOINTS,
         "cell_quadkey": _sql_cell_quadkey(),
         "hilbert_index": _sql_hilbert_index(),
+        "cell_regions": SQL_CELL_REGIONS,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

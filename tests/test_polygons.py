@@ -146,3 +146,21 @@ def test_polygonize_no_diagonal_adjacency():
         pd.DataFrame({"cell": cell, "n": np.array([5, 5], np.int64)}), 1
     )
     assert out["region"].nunique() == 2
+
+
+def test_cell_regions_l_shape_and_diagonal(ray_session):
+    """polygons.cell_regions: an L-shaped polyomino dissolves into one
+    region with the 4n-2*pairs perimeter; diagonal contact does NOT
+    connect (4-connectivity)."""
+    import ray
+
+    from ophois_ray.polygons import cell_regions
+
+    # L-shape: (0,0),(1,0),(0,1),(0,2)  n=4, pairs=3 -> perimeter 10
+    # diagonal singleton at (2,1) touches (1,0) only at a corner
+    df = pd.DataFrame({"x": [0, 1, 0, 0, 2], "y": [0, 0, 1, 2, 1]})
+    got = (cell_regions(ray.data.from_pandas(df), width=16)
+           .to_pandas().sort_values("region_id").reset_index(drop=True))
+    assert got.to_dict("records") == [
+        {"region_id": 0, "n_cells": 4, "perimeter": 10},
+        {"region_id": 18, "n_cells": 1, "perimeter": 4}]

@@ -658,3 +658,71 @@ def cell_regions(cells_ds, *, x_col: str = "x", y_col: str = "y",
             "perimeter": 4 * n - 2 * p})
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+# -------------------------------------------------------------- convex hulls
+
+
+def _hull_half(pts: np.ndarray) -> list:
+    """One monotone-chain half over lexicographically sorted integer
+    points; STRICT turns only (cross <= 0 pops), so collinear boundary
+    points are never hull vertices."""
+    out: list = []
+    for p in pts:
+        while len(out) >= 2:
+            ox, oy = out[-2]
+            ax, ay = out[-1]
+            if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                out.pop()
+            else:
+                break
+        out.append((int(p[0]), int(p[1])))
+    return out
+
+
+def convex_hull_stats(x: np.ndarray, y: np.ndarray):
+    """Convex hull of one integer point set (Andrew monotone chain,
+    exact integer cross products): returns (n_hull, area2) — the hull
+    vertex count under the strict-turn convention (collinear points on
+    an edge do NOT count) and TWICE the enclosed area (shoelace sum,
+    integer-exact). Degenerate sets (all points collinear) report the
+    2 extreme points and area 0; a single point reports (1, 0)."""
+    pts = np.unique(np.stack([np.asarray(x, np.int64),
+                              np.asarray(y, np.int64)], axis=1), axis=0)
+    if len(pts) == 1:
+        return 1, 0
+    lower = _hull_half(pts)
+    upper = _hull_half(pts[::-1])
+    if len(lower) == 2 and len(upper) == 2 and len(
+            {tuple(p) for p in np.concatenate([lower, upper])}) == 2:
+        return 2, 0  # all collinear
+    hull = lower[:-1] + upper[:-1]
+    a2 = 0
+    for (x0, y0), (x1, y1) in zip(hull, hull[1:] + hull[:1]):
+        a2 += x0 * y1 - x1 * y0
+    return len(hull), abs(a2)
+
+
+def convex_hulls(ds, *, group_col: str = "group_id",
+                 x_col: str = "x", y_col: str = "y"):
+    """Per-group convex hulls: one int-keyed grouped shuffle (groups
+    complete per bucket), then the exact integer monotone chain per
+    group — per-group work is independent, so the stage parallelizes
+    across groups; the chain itself is the algorithm's sequential
+    scan. Output (group_col, n_hull, area2)."""
+    from .joins import grouped_apply
+
+    def hulls(df: pd.DataFrame) -> pd.DataFrame:
+        gids, ns, areas = [], [], []
+        for gid, g in df.groupby(group_col, sort=False):
+            n, a2 = convex_hull_stats(g[x_col].to_numpy(np.int64),
+                                      g[y_col].to_numpy(np.int64))
+            gids.append(gid)
+            ns.append(n)
+            areas.append(a2)
+        return pd.DataFrame({
+            group_col: np.array(gids, np.int64),
+            "n_hull": np.array(ns, np.int64),
+            "area2": np.array(areas, np.int64)})
+
+    return grouped_apply(ds, group_col, hulls)

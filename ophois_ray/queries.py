@@ -1239,6 +1239,44 @@ FROM r
 """
 
 
+def q_convex_hulls(sf_dir: str):
+    """HASH-CHECKED per-group convex hulls (polygons.convex_hulls):
+    every doc is a point set whose hull is a planted w x h rectangle
+    (w = k%5+2, h = k%7+2) salted with a collinear boundary point at
+    (1, 0) — which must NOT count as a hull vertex under the
+    strict-turn convention — and an arithmetic interior point. The
+    engine runs the real monotone chain on the shuffled points; the
+    mirror CONSTRUCTS (group_id, n_hull = 4, area2 = 2*w*h): a chain
+    that keeps collinear points or mis-signs a cross product flips
+    n_hull and fails the hash."""
+    from .polygons import convex_hulls
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["doc_id"].to_numpy(np.int64)
+        w = ks % 5 + 2
+        h = ks % 7 + 2
+        ix = 1 + ks % (w - 1)
+        iy = 1 + ks % (h - 1)
+        zero = np.zeros(len(ks), np.int64)
+        one = np.ones(len(ks), np.int64)
+        return pd.DataFrame({
+            "group_id": np.tile(ks, 6),
+            "x": np.concatenate([zero, w, zero, w, one, ix]),
+            "y": np.concatenate([zero, zero, h, h, zero, iy]),
+        })
+
+    return convex_hulls(docs.map_batches(gen, batch_format="pandas"))
+
+
+SQL_CONVEX_HULLS = """
+SELECT doc_id AS group_id, CAST(4 AS BIGINT) AS n_hull,
+       CAST(2 * (doc_id % 5 + 2) * (doc_id % 7 + 2) AS BIGINT) AS area2
+FROM documents
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -7896,6 +7934,7 @@ def catalog():
         "cell_quadkey": q_cell_quadkey,
         "hilbert_index": q_hilbert_index,
         "cell_regions": q_cell_regions,
+        "convex_hulls": q_convex_hulls,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -8099,6 +8138,7 @@ def sql_catalog():
         "cell_quadkey": _sql_cell_quadkey(),
         "hilbert_index": _sql_hilbert_index(),
         "cell_regions": SQL_CELL_REGIONS,
+        "convex_hulls": SQL_CONVEX_HULLS,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

@@ -164,3 +164,21 @@ def test_cell_regions_l_shape_and_diagonal(ray_session):
     assert got.to_dict("records") == [
         {"region_id": 0, "n_cells": 4, "perimeter": 10},
         {"region_id": 18, "n_cells": 1, "perimeter": 4}]
+
+
+def test_convex_hull_strict_turn_convention():
+    """polygons.convex_hull_stats: collinear points on SLANTED hull
+    edges are excluded too; duplicates collapse; shoelace is exact."""
+    import numpy as np
+
+    from ophois_ray.polygons import convex_hull_stats
+
+    # triangle (0,0),(4,0),(2,2) with midpoints of both slanted edges
+    assert convex_hull_stats(
+        np.array([0, 4, 2, 1, 3]), np.array([0, 0, 2, 1, 1])) == (3, 8)
+    # duplicated corner points collapse before the chain runs
+    assert convex_hull_stats(
+        np.array([0, 0, 2, 2, 0]), np.array([0, 0, 0, 2, 2])) == (4, 8)
+    # vertical collinear set
+    assert convex_hull_stats(
+        np.array([1, 1, 1]), np.array([0, 5, 9])) == (2, 0)

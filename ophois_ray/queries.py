@@ -1277,6 +1277,55 @@ FROM documents
 """
 
 
+def q_interval_coverage(sf_dir: str):
+    """HASH-CHECKED sweep-line interval analytics
+    (windows.interval_coverage): every doc contributes one half-open
+    integer interval (permuted start, length k%50+1) to group k%97;
+    per group the union coverage, max overlap depth and count are
+    computed by the vectorized sweep. The SQL mirror runs a REAL
+    sweep in SQL — +1/-1 events, GROUP BY (g, pos) pre-aggregation,
+    running-sum depth, lead() segment lengths — so the engine's
+    equal-position delta aggregation and depth accounting are checked
+    against genuine SQL semantics."""
+    from .windows import interval_coverage
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(np.int64)
+        s = ((k + 1) * 8191 % 1_000_003) * 8191 % 1_000_003 % 10000
+        return pd.DataFrame({"g": k % 97, "s": s, "e": s + k % 50 + 1})
+
+    return interval_coverage(docs.map_batches(gen, batch_format="pandas"))
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv0 AS (SELECT doc_id % 97 AS g,
+                    ((doc_id + 1) * 8191 % 1000003) * 8191
+                        % 1000003 % 10000 AS s,
+                    doc_id % 50 + 1 AS len
+             FROM documents),
+iv AS (SELECT g, s, s + len AS e FROM iv0),
+ev AS (SELECT g, s AS pos, 1 AS d FROM iv
+       UNION ALL SELECT g, e, -1 FROM iv),
+ag AS (SELECT g, pos, sum(d) AS dd FROM ev GROUP BY g, pos),
+sw AS (SELECT g, pos,
+              sum(dd) OVER (PARTITION BY g ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS depth,
+              lead(pos) OVER (PARTITION BY g ORDER BY pos) AS nxt
+       FROM ag),
+cv AS (SELECT g, sum(CASE WHEN depth > 0 THEN nxt - pos ELSE 0 END)
+                 AS covered,
+              max(depth) AS max_depth
+       FROM sw GROUP BY g),
+cnt AS (SELECT g, count(*) AS n FROM iv GROUP BY g)
+SELECT cv.g AS g, CAST(cnt.n AS BIGINT) AS n_intervals,
+       CAST(cv.covered AS BIGINT) AS covered,
+       CAST(cv.max_depth AS BIGINT) AS max_depth
+FROM cv JOIN cnt ON cv.g = cnt.g
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -7935,6 +7984,7 @@ def catalog():
         "hilbert_index": q_hilbert_index,
         "cell_regions": q_cell_regions,
         "convex_hulls": q_convex_hulls,
+        "interval_coverage": q_interval_coverage,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -8139,6 +8189,7 @@ def sql_catalog():
         "hilbert_index": _sql_hilbert_index(),
         "cell_regions": SQL_CELL_REGIONS,
         "convex_hulls": SQL_CONVEX_HULLS,
+        "interval_coverage": SQL_INTERVAL_COVERAGE,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

@@ -193,3 +193,51 @@ def watermark_late_counts(ds, *, us_col: str = "us",
         return g
 
     return grouped_apply(parts, ["win", "late"], merge, num_buckets=8)
+
+
+def interval_coverage(ds, *, group_col: str = "g", start_col: str = "s",
+                      end_col: str = "e"):
+    """Per-group sweep-line interval analytics: union coverage length,
+    maximum overlap depth and interval count over half-open [s, e)
+    integer intervals (the crawl-window / availability-range rollup).
+
+    One int-keyed grouped shuffle (groups complete per bucket), then a
+    fully vectorized sweep across the WHOLE bucket: +1/-1 boundary
+    deltas are pre-aggregated per (group, position) — matching SQL's
+    GROUP BY before the running sum, so equal-position opens/closes
+    never create transient depths — and the running cumsum needs no
+    per-group reset because each group's deltas sum to zero. Output
+    (group_col, n_intervals, covered, max_depth)."""
+    from .joins import grouped_apply
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[group_col].to_numpy(np.int64)
+        s = df[start_col].to_numpy(np.int64)
+        e = df[end_col].to_numpy(np.int64)
+        g2 = np.concatenate([g, g])
+        pos = np.concatenate([s, e])
+        d = np.concatenate([np.ones(len(s), np.int64),
+                            -np.ones(len(e), np.int64)])
+        # aggregate deltas per (group, position), sorted by construction
+        uniq, inv = np.unique(np.stack([g2, pos], axis=1),
+                              axis=0, return_inverse=True)
+        dd = np.bincount(inv, weights=d).astype(np.int64)
+        ug, up = uniq[:, 0], uniq[:, 1]
+        depth = np.cumsum(dd)  # resets at group starts: deltas sum to 0
+        same = np.zeros(len(ug), dtype=bool)
+        same[:-1] = ug[1:] == ug[:-1]
+        seg = np.zeros(len(up), np.int64)
+        seg[:-1] = np.where(same[:-1], up[1:] - up[:-1], 0)
+        starts = np.r_[0, np.flatnonzero(~same[:-1]) + 1]
+        lens = np.diff(np.r_[starts, len(ug)])
+        covered = np.add.reduceat(np.where(depth > 0, seg, 0), starts)
+        max_depth = np.maximum.reduceat(depth, starts)
+        counts = pd.Series(g).value_counts().sort_index()
+        out = pd.DataFrame({
+            group_col: ug[starts],
+            "covered": covered.astype(np.int64),
+            "max_depth": max_depth.astype(np.int64)})
+        out["n_intervals"] = counts.reindex(out[group_col]).to_numpy(np.int64)
+        return out[[group_col, "n_intervals", "covered", "max_depth"]]
+
+    return grouped_apply(ds, group_col, sweep)

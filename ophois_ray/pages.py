@@ -1283,3 +1283,73 @@ def frontier_schedule(ds, *, host_col: str = "host_id",
         })
 
     return grouped_apply(ds, host_col, sched)
+
+
+# ----------------------------------------------------- hreflang clustering
+
+
+def hreflang_clusters(pages, *, id_col: str = "page_id",
+                      url_col: str = "url", html_col: str = "html",
+                      broadcast_cap: int | None = None):
+    """Cluster pages into hreflang language groups (the i18n dedup
+    unit: one cluster = one document in many languages):
+
+    1. extract every ``rel=alternate hreflang`` href per page
+       (comments stripped FIRST — a commented-out alternate must not
+       merge two clusters),
+    2. resolve href -> target page id with a bucketed hash join on the
+       url STRING against the pages' own (url, id) mapping — dangling
+       alternates (targets the crawl never fetched) drop out in the
+       join,
+    3. run the connected-components ladder over the alternate edges;
+       the cluster id is the smallest member page id.
+
+    Output (id_col, cluster_id). One string-key join + the CC
+    exchange; html never leaves the fused extract stage."""
+    from .components import connected_components_auto
+    from .joins import hash_join
+
+    def alt_edges(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hrefs = [], []
+        for pid, h in zip(df[id_col].to_numpy(np.int64),
+                          df[html_col].to_numpy(object)):
+            s = h.decode("utf-8") if isinstance(h, (bytes, bytearray)) \
+                else str(h)
+            s = _COMMENT_RE.sub(" ", s)
+            for tag in _LINK_TAG_RE.findall(s):
+                if (_attr(tag, "rel").lower() == "alternate"
+                        and _attr(tag, "hreflang")):
+                    ids.append(pid)
+                    hrefs.append(_attr(tag, "href"))
+        return pd.DataFrame({
+            "u": np.array(ids, np.int64),
+            "href": pd.Series(hrefs, dtype=object)})
+
+    def url_map(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "href": df[url_col].astype(object),
+            "v": df[id_col].to_numpy(np.int64)})
+
+    alt = pages.map_batches(alt_edges, batch_format="pandas")
+    resolved = hash_join(
+        alt, pages.map_batches(url_map, batch_format="pandas"),
+        "href", how="inner")
+
+    def as_uv(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["u"].to_numpy(np.int64),
+                             "v": df["v"].to_numpy(np.int64)})
+
+    def as_id(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": df[id_col].to_numpy(np.int64)})
+
+    labels = connected_components_auto(
+        pages.map_batches(as_id, batch_format="pandas"),
+        resolved.map_batches(as_uv, batch_format="pandas"),
+        broadcast_cap=broadcast_cap)
+
+    def out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df["id"].to_numpy(np.int64),
+            "cluster_id": df["comp"].to_numpy(np.int64)})
+
+    return labels.map_batches(out, batch_format="pandas")

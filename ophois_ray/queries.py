@@ -1326,6 +1326,59 @@ FROM cv JOIN cnt ON cv.g = cnt.g
 """
 
 
+def q_hreflang_clusters(sf_dir: str):
+    """HASH-CHECKED hreflang language clustering
+    (pages.hreflang_clusters): pages k form chains inside 5-doc groups
+    (each page alternate-links its successor's URL), salted with a
+    commented-out alternate into the NEXT group (merging on it
+    corrupts every cluster id), a dangling alternate to a never-
+    crawled URL (must drop in the join), a canonical decoy and a
+    hreflang-less alternate (both ignored). The engine extracts for
+    real, joins on url strings and runs the CC ladder; the mirror is
+    real SQL — min(doc_id) over the group partition."""
+    from .pages import hreflang_clusters
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["doc_id"].to_numpy(np.int64)
+        urls, htmls = [], []
+        for k in ks:
+            k = int(k)
+            urls.append("https://d%d.example/l%d" % (k // 5, k % 5))
+            parts = ["<html><head>",
+                     '<!-- <link rel="alternate" hreflang="xx" '
+                     'href="https://d%d.example/l0"> -->' % (k // 5 + 1),
+                     '<link rel="stylesheet" href="/s.css">',
+                     '<link rel="canonical" '
+                     'href="https://d%d.example/l%d">' % (k // 5, k % 5),
+                     '<link rel="alternate" '
+                     'href="https://d%d.example/feed">' % (k // 5)]
+            if k % 5 < 4:
+                parts.append(
+                    '<link rel="alternate" hreflang="l%d" '
+                    'href="https://d%d.example/l%d">'
+                    % ((k + 1) % 5, (k + 1) // 5, (k + 1) % 5))
+            parts.append('<link rel="alternate" hreflang="zz" '
+                         'href="https://nowhere.example/x%d">' % k)
+            parts.append("</head></html>")
+            htmls.append("".join(parts))
+        return pd.DataFrame({
+            "page_id": ks,
+            "url": pd.Series(urls, dtype=object),
+            "html": pd.Series(htmls, dtype=object)})
+
+    return hreflang_clusters(docs.map_batches(gen, batch_format="pandas"))
+
+
+SQL_HREFLANG_CLUSTERS = """
+SELECT doc_id AS page_id,
+       CAST(min(doc_id) OVER (PARTITION BY doc_id // 5) AS BIGINT)
+           AS cluster_id
+FROM documents
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -7985,6 +8038,7 @@ def catalog():
         "cell_regions": q_cell_regions,
         "convex_hulls": q_convex_hulls,
         "interval_coverage": q_interval_coverage,
+        "hreflang_clusters": q_hreflang_clusters,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -8190,6 +8244,7 @@ def sql_catalog():
         "cell_regions": SQL_CELL_REGIONS,
         "convex_hulls": SQL_CONVEX_HULLS,
         "interval_coverage": SQL_INTERVAL_COVERAGE,
+        "hreflang_clusters": SQL_HREFLANG_CLUSTERS,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

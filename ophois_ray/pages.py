@@ -1353,3 +1353,66 @@ def hreflang_clusters(pages, *, id_col: str = "page_id",
             "cluster_id": df["comp"].to_numpy(np.int64)})
 
     return labels.map_batches(out, batch_format="pandas")
+
+
+# ------------------------------------------------------------ url features
+
+
+def url_feature_row(u: str):
+    """Lexical features of one URL (the spam/quality signal set),
+    parsed by the fixed authority/path/query grammar:
+
+    - authority = after ``scheme://`` up to the first ``/ ? #``;
+      userinfo (up to the first ``@``) is stripped; a ``:port`` suffix
+      sets ``has_port``.
+    - ``host_labels`` = dot-separated label count; ``n_digits_host`` =
+      ASCII digits in the host; ``tld_id`` maps the last label
+      com/org/net -> 0/1/2, anything else 3.
+    - ``path_depth`` counts NON-EMPTY ``/`` segments before the first
+      ``? #`` (a trailing slash adds none).
+    - ``n_params`` counts non-empty ``&`` parts of the query BEFORE
+      any ``#`` — a ``?`` inside the fragment is not a query."""
+    rest = u.split("://", 1)[1] if "://" in u else u
+    for i, ch in enumerate(rest):
+        if ch in "/?#":
+            authority, tail = rest[:i], rest[i:]
+            break
+    else:
+        authority, tail = rest, ""
+    if "@" in authority:
+        authority = authority.split("@", 1)[1]
+    has_port = 0
+    host = authority
+    if ":" in authority:
+        host, port = authority.split(":", 1)
+        has_port = int(port != "")
+    labels = host.split(".")
+    tld = labels[-1].lower() if labels else ""
+    tld_id = {"com": 0, "org": 1, "net": 2}.get(tld, 3)
+    frag_split = tail.split("#", 1)[0]
+    if "?" in frag_split:
+        path, query = frag_split.split("?", 1)
+    else:
+        path, query = frag_split, ""
+    path_depth = sum(1 for seg in path.split("/") if seg)
+    n_params = sum(1 for p in query.split("&") if p)
+    return (len(labels), sum(c.isdigit() for c in host), has_port,
+            path_depth, n_params, tld_id)
+
+
+def url_features(ds, *, url_col: str = "url", id_col: str = "doc_id"):
+    """Distributed URL feature extraction: fused stateless task, zero
+    shuffle. Output (id_col, host_labels, n_digits_host, has_port,
+    path_depth, n_params, tld_id) — all int64."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [url_feature_row(str(u))
+                for u in df[url_col].to_numpy(object)]
+        arr = np.array(rows, dtype=np.int64).reshape(len(rows), 6)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "host_labels": arr[:, 0], "n_digits_host": arr[:, 1],
+            "has_port": arr[:, 2], "path_depth": arr[:, 3],
+            "n_params": arr[:, 4], "tld_id": arr[:, 5]})
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -1379,6 +1379,62 @@ FROM documents
 """
 
 
+def q_url_features(sf_dir: str):
+    """HASH-CHECKED URL lexical features (pages.url_features — the
+    spam-signal set): URLs are assembled from doc_id arithmetic with
+    the parser junk drawer — userinfo to strip, explicit ports,
+    optional www label, digit-bearing host labels, trailing slashes
+    that must not count as a path segment, doubled && separators
+    yielding empty params, and a fragment carrying a FAKE ?query that
+    must not count. The SQL mirror CONSTRUCTS every feature from the
+    same arithmetic."""
+    from .pages import url_features
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["doc_id"].to_numpy(np.int64)
+        tlds = ["com", "org", "net", "io"]
+        urls = []
+        for k in ks:
+            k = int(k)
+            host = ("www%d.site%d.%s" % (k % 10, k % 100, tlds[k // 4 % 4])
+                    if k % 3 == 0 else
+                    "site%d.%s" % (k % 100, tlds[k // 4 % 4]))
+            user = "u:p@" if k % 7 == 0 else ""
+            port = ":8080" if k % 5 == 0 else ""
+            path = "".join("/p%d" % i for i in range(k % 4))
+            if k % 2 == 0:
+                path += "/"
+            sep = "&&" if k % 6 == 0 else "&"
+            query = sep.join("a%d=%d" % (i, k) for i in range(k % 3))
+            frag = "#frag?fake=1" if k % 2 == 0 else ""
+            urls.append("https://%s%s%s%s%s%s%s" % (
+                user, host, port, path,
+                "?" + query if query else "", frag, ""))
+        return pd.DataFrame({"doc_id": ks,
+                             "url": pd.Series(urls, dtype=object)})
+
+    return url_features(docs.map_batches(gen, batch_format="pandas"))
+
+
+SQL_URL_FEATURES = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT)
+           AS host_labels,
+       CAST(CASE WHEN doc_id % 3 = 0
+                 THEN 1 + length(CAST(doc_id % 100 AS VARCHAR))
+                 ELSE length(CAST(doc_id % 100 AS VARCHAR)) END AS BIGINT)
+           AS n_digits_host,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS has_port,
+       CAST(doc_id % 4 AS BIGINT) AS path_depth,
+       CAST(doc_id % 3 AS BIGINT) AS n_params,
+       CAST(doc_id // 4 % 4 AS BIGINT) AS tld_id
+FROM documents
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -8039,6 +8095,7 @@ def catalog():
         "convex_hulls": q_convex_hulls,
         "interval_coverage": q_interval_coverage,
         "hreflang_clusters": q_hreflang_clusters,
+        "url_features": q_url_features,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -8245,6 +8302,7 @@ def sql_catalog():
         "convex_hulls": SQL_CONVEX_HULLS,
         "interval_coverage": SQL_INTERVAL_COVERAGE,
         "hreflang_clusters": SQL_HREFLANG_CLUSTERS,
+        "url_features": SQL_URL_FEATURES,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

@@ -1416,3 +1416,73 @@ def url_features(ds, *, url_col: str = "url", id_col: str = "doc_id"):
             "n_params": arr[:, 4], "tld_id": arr[:, 5]})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ------------------------------------------------------------ table stats
+
+
+_HTML_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_TABLE_TAG_RE = re.compile(r"<(/?)(table|tr|td|th)((?:\s[^>]*)?)>", re.I)
+_COLSPAN_RE = re.compile(r"colspan\s*=\s*\"?(\d+)", re.I)
+
+
+def table_stats_row(html: str):
+    """Stack-machine table parser for one document.
+
+    Comments are stripped FIRST (a commented-out table must not
+    count); then a single pass over table/tr/td/th tags maintains a
+    stack of open tables so that rows and cells of a NESTED table are
+    attributed to the inner table, never to the enclosing row.  A
+    ``colspan=N`` attribute widens the row by N while counting one
+    cell.  Tags are case-insensitive; tr/td outside any open table
+    are stray markup and ignored.
+
+    Returns (n_tables, max_depth, n_rows, n_cells, max_cols).
+    """
+    n_tables = max_depth = n_rows = n_cells = max_cols = 0
+    stack: list[int] = []  # per open table: current row width
+    for m in _TABLE_TAG_RE.finditer(_HTML_COMMENT_RE.sub("", html)):
+        close, tag, attrs = m.group(1), m.group(2).lower(), m.group(3)
+        if tag == "table":
+            if not close:
+                stack.append(0)
+                if len(stack) > max_depth:
+                    max_depth = len(stack)
+            elif stack:
+                w = stack.pop()
+                if w > max_cols:
+                    max_cols = w
+                n_tables += 1
+        elif not stack:
+            continue  # stray row/cell outside any table
+        elif tag == "tr":
+            if not close:
+                n_rows += 1
+            w = stack[-1]
+            if w > max_cols:
+                max_cols = w
+            stack[-1] = 0
+        elif not close:  # td / th open
+            n_cells += 1
+            cm = _COLSPAN_RE.search(attrs)
+            stack[-1] += int(cm.group(1)) if cm else 1
+    return (n_tables, max_depth, n_rows, n_cells, max_cols)
+
+
+def table_stats(ds, *, html_col: str = "html", id_col: str = "doc_id"):
+    """Distributed per-document HTML table statistics: fused stateless
+    task, zero shuffle (the parser state lives entirely inside one
+    document).  Output (id_col, n_tables, max_depth, n_rows, n_cells,
+    max_cols) — all int64."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [table_stats_row(str(h))
+                for h in df[html_col].to_numpy(object)]
+        arr = np.array(rows, dtype=np.int64).reshape(len(rows), 5)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "n_tables": arr[:, 0], "max_depth": arr[:, 1],
+            "n_rows": arr[:, 2], "n_cells": arr[:, 3],
+            "max_cols": arr[:, 4]})
+
+    return ds.map_batches(fn, batch_format="pandas")

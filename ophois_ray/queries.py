@@ -1435,6 +1435,87 @@ FROM documents
 """
 
 
+def q_table_stats(sf_dir: str):
+    """HASH-CHECKED HTML table statistics (pages.table_stats — a real
+    stack-machine parser): each doc gets doc_id%3 tables of
+    arithmetic-determined shape, with the parser traps laid on — a
+    commented-out ghost table that must NOT count, a nested table in
+    the first cell (rows/cells attributed to the INNER table),
+    colspan=2 widening the first row, uppercase tag spellings, a th
+    header row, and stray <br/> noise.  The SQL mirror CONSTRUCTS all
+    five statistics from the same doc_id arithmetic — any mis-parse
+    (comment not stripped, nested rows double-counted, colspan missed,
+    case-sensitive tag match) fails the hash."""
+    from .pages import table_stats
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["doc_id"].to_numpy(np.int64)
+        htmls = []
+        for k in ks:
+            k = int(k)
+            t = k % 3
+            nested = k % 5 == 0 and t >= 1
+            cs2 = k % 4 == 0
+            parts = ["<p>doc %d</p>" % k,
+                     "<!-- <table><tr><td>ghost</td></tr></table> -->"]
+            for i in range(t):
+                r = 1 + (k + i) % 3
+                c = 1 + (k + 2 * i) % 4
+                rows_html = []
+                for j in range(r):
+                    cells = []
+                    for x in range(c):
+                        tag = "th" if (k % 2 == 1 and j == 0) else "td"
+                        attr = (' colspan="2"'
+                                if cs2 and j == 0 and x == 0 else "")
+                        inner = "c%d" % x
+                        if nested and i == 0 and j == 0 and x == 0:
+                            inner = ('<table class="in"><tr><td>a</td>'
+                                     "<td>b</td></tr></table>")
+                        cells.append("<%s%s>%s</%s>"
+                                     % (tag, attr, inner, tag))
+                    rows_html.append("<tr>" + "".join(cells) + "</tr>")
+                tb = ('<table id="t%d">' % i) + "".join(rows_html) \
+                    + "</table>"
+                if k % 7 == 0:
+                    tb = tb.upper()
+                parts.append(tb)
+            htmls.append("".join(parts) + "<br/>")
+        return pd.DataFrame({"doc_id": ks,
+                             "html": pd.Series(htmls, dtype=object)})
+
+    return table_stats(docs.map_batches(gen, batch_format="pandas"))
+
+
+SQL_TABLE_STATS = """
+WITH f AS (
+  SELECT doc_id,
+         doc_id % 3 AS t,
+         1 + doc_id % 3 AS r0, 1 + doc_id % 4 AS c0,
+         1 + (doc_id + 1) % 3 AS r1, 1 + (doc_id + 2) % 4 AS c1,
+         CASE WHEN doc_id % 5 = 0 AND doc_id % 3 >= 1
+              THEN 1 ELSE 0 END AS nested,
+         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS cs
+  FROM documents)
+SELECT doc_id,
+       CAST(t + nested AS BIGINT) AS n_tables,
+       CAST(CASE WHEN t = 0 THEN 0 ELSE 1 + nested END AS BIGINT)
+           AS max_depth,
+       CAST(CASE WHEN t = 0 THEN 0 WHEN t = 1 THEN r0
+                 ELSE r0 + r1 END + nested AS BIGINT) AS n_rows,
+       CAST(CASE WHEN t = 0 THEN 0 WHEN t = 1 THEN r0 * c0
+                 ELSE r0 * c0 + r1 * c1 END + 2 * nested AS BIGINT)
+           AS n_cells,
+       CAST(CASE WHEN t = 0 THEN 0
+                 WHEN t = 1 THEN GREATEST(c0 + cs, 2 * nested)
+                 ELSE GREATEST(c0 + cs, c1 + cs, 2 * nested)
+            END AS BIGINT) AS max_cols
+FROM f
+"""
+
+
 _MM_T = 4          # trace length
 _MM_E = 24         # edge universe size
 _MM_LAM = "0.25"   # transition weight (exact binary fraction)
@@ -8096,6 +8177,7 @@ def catalog():
         "interval_coverage": q_interval_coverage,
         "hreflang_clusters": q_hreflang_clusters,
         "url_features": q_url_features,
+        "table_stats": q_table_stats,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_gopher_rules": q_doc_gopher_rules,
         "part_sssp": q_part_sssp,
@@ -8303,6 +8385,7 @@ def sql_catalog():
         "interval_coverage": SQL_INTERVAL_COVERAGE,
         "hreflang_clusters": SQL_HREFLANG_CLUSTERS,
         "url_features": SQL_URL_FEATURES,
+        "table_stats": SQL_TABLE_STATS,
         "semdedup": SQL_SEMDEDUP,
         "pq_adc": SQL_PQ_ADC,
         "embed_kmeans": _sql_embed_kmeans(),

@@ -726,3 +726,83 @@ def convex_hulls(ds, *, group_col: str = "group_id",
             "area2": np.array(areas, np.int64)})
 
     return grouped_apply(ds, group_col, hulls)
+
+
+# ------------------------------------------------------ convex clipping
+
+
+def sutherland_hodgman(subject, clip):
+    """Clip `subject` (vertex list, any winding) by CONVEX `clip`
+    (CCW vertex list) — the classic half-plane-at-a-time pipeline.
+    Points exactly on a clip edge count as inside, so shared borders
+    survive with zero-area slivers at worst (they cancel in the
+    shoelace).  Returns the clipped vertex list (possibly empty)."""
+    out = list(subject)
+    n = len(clip)
+    for i in range(n):
+        if not out:
+            break
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % n]
+        ex, ey = bx - ax, by - ay
+        inp, out = out, []
+        m = len(inp)
+        for j in range(m):
+            cx, cy = inp[j]
+            dx, dy = inp[(j + 1) % m]
+            sc = ex * (cy - ay) - ey * (cx - ax)
+            sd = ex * (dy - ay) - ey * (dx - ax)
+            if sd >= 0.0:
+                if sc < 0.0:
+                    t = sc / (sc - sd)
+                    out.append((cx + t * (dx - cx), cy + t * (dy - cy)))
+                out.append((dx, dy))
+            elif sc >= 0.0:
+                t = sc / (sc - sd)
+                out.append((cx + t * (dx - cx), cy + t * (dy - cy)))
+    return out
+
+
+def _shoelace2(verts) -> float:
+    a = 0.0
+    m = len(verts)
+    for j in range(m):
+        x1, y1 = verts[j]
+        x2, y2 = verts[(j + 1) % m]
+        a += x1 * y2 - x2 * y1
+    return a
+
+
+def clip_area_stats(ds, *, subj_col: str = "subj", clip_col: str = "clip",
+                    id_col: str = "doc_id"):
+    """Distributed convex clipping: fused stateless task, zero shuffle.
+    Vertex columns are float64 little-endian byte buffers
+    (x0,y0,x1,y1,...) — bytes cells, never ragged ndarrays.  Output
+    (id_col, area2, inter_w, inter_h): doubled shoelace area of
+    subject∩clip and the intersection's bbox extents, rounded to
+    int64 (exact for integral inputs — float error is ~1 ulp, the
+    true values are integers)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        a2 = np.zeros(len(ids), np.int64)
+        iw = np.zeros(len(ids), np.int64)
+        ih = np.zeros(len(ids), np.int64)
+        subs = df[subj_col].to_numpy(object)
+        clps = df[clip_col].to_numpy(object)
+        for r in range(len(ids)):
+            s = np.frombuffer(subs[r], dtype="<f8").reshape(-1, 2)
+            c = np.frombuffer(clps[r], dtype="<f8").reshape(-1, 2)
+            verts = sutherland_hodgman(
+                [tuple(p) for p in s], [tuple(p) for p in c])
+            area2 = abs(_shoelace2(verts)) if verts else 0.0
+            a2[r] = round(area2)
+            if verts and a2[r] > 0:
+                xs = [p[0] for p in verts]
+                ys = [p[1] for p in verts]
+                iw[r] = round(max(xs) - min(xs))
+                ih[r] = round(max(ys) - min(ys))
+        return pd.DataFrame({id_col: ids, "area2": a2,
+                             "inter_w": iw, "inter_h": ih})
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -1326,6 +1326,76 @@ FROM cv JOIN cnt ON cv.g = cnt.g
 """
 
 
+def q_polygon_clip(sf_dir: str):
+    """HASH-CHECKED Sutherland-Hodgman convex clipping
+    (polygons.clip_area_stats): every doc clips an s x s subject
+    square (s = 10+k%7) by one of three convex windows chosen by
+    k%3 — a diamond strictly inside the square (all four diagonal
+    half-planes cut corners for real, expected area2 = 4d^2), a
+    partially-overlapping rectangle (expected = rect-intersection
+    arithmetic, including touching-edge zero-area degenerates at
+    a in {s,s+1,s+2}), or a disjoint rectangle (empty output). The
+    engine runs the real half-plane pipeline + shoelace on packed
+    float64 vertex buffers; the mirror CONSTRUCTS the integers —
+    any sign, winding or on-edge error flips a case and fails the
+    hash."""
+    from .polygons import clip_area_stats
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(np.int64)
+        n = len(k)
+        m = k % 3
+        s = (10 + k % 7).astype(np.float64)
+        z = np.zeros(n, np.float64)
+        subj = np.stack([z, z, s, z, s, s, z, s], axis=1)
+        # diamond (m==0): center c, half-diagonal d, CCW from +x tip
+        c = (5 + k % 3).astype(np.float64)
+        d = (2 + k % 2).astype(np.float64)
+        dia = np.stack([c + d, c, c, c + d, c - d, c, c, c - d], axis=1)
+        # rectangle (m==1 overlapping, m==2 shifted +100 = disjoint)
+        a = (k % (10 + k % 7 + 3) + np.where(m == 2, 100, 0)
+             ).astype(np.float64)
+        w = (3 + k % 9).astype(np.float64)
+        b = (k % (10 + k % 7 - 2)).astype(np.float64)
+        h = (4 + k % 6).astype(np.float64)
+        rect = np.stack([a, b, a + w, b, a + w, b + h, a, b + h], axis=1)
+        clip = np.where((m == 0)[:, None], dia, rect)
+        return pd.DataFrame({
+            "doc_id": k,
+            "subj": [r.tobytes() for r in subj],
+            "clip": [r.tobytes() for r in clip]})
+
+    return clip_area_stats(docs.map_batches(gen, batch_format="pandas"))
+
+
+SQL_POLYGON_CLIP = """
+WITH p AS (SELECT doc_id, doc_id % 3 AS m, 10 + doc_id % 7 AS s,
+                  2 + doc_id % 2 AS d,
+                  doc_id % (10 + doc_id % 7 + 3) AS a,
+                  3 + doc_id % 9 AS w,
+                  doc_id % (10 + doc_id % 7 - 2) AS b,
+                  4 + doc_id % 6 AS h
+           FROM documents),
+q AS (SELECT doc_id, m, d,
+             GREATEST(0, LEAST(s, a + w) - a) AS ow,
+             GREATEST(0, LEAST(s, b + h) - b) AS oh
+      FROM p)
+SELECT doc_id,
+       CAST(CASE WHEN m = 0 THEN 4 * d * d
+                 WHEN m = 1 THEN 2 * ow * oh
+                 ELSE 0 END AS BIGINT) AS area2,
+       CAST(CASE WHEN m = 0 THEN 2 * d
+                 WHEN m = 1 AND ow > 0 THEN ow
+                 ELSE 0 END AS BIGINT) AS inter_w,
+       CAST(CASE WHEN m = 0 THEN 2 * d
+                 WHEN m = 1 AND ow > 0 THEN oh
+                 ELSE 0 END AS BIGINT) AS inter_h
+FROM q
+"""
+
+
 def q_hreflang_clusters(sf_dir: str):
     """HASH-CHECKED hreflang language clustering
     (pages.hreflang_clusters): pages k form chains inside 5-doc groups
@@ -8175,6 +8245,7 @@ def catalog():
         "cell_regions": q_cell_regions,
         "convex_hulls": q_convex_hulls,
         "interval_coverage": q_interval_coverage,
+        "polygon_clip": q_polygon_clip,
         "hreflang_clusters": q_hreflang_clusters,
         "url_features": q_url_features,
         "table_stats": q_table_stats,
@@ -8383,6 +8454,7 @@ def sql_catalog():
         "cell_regions": SQL_CELL_REGIONS,
         "convex_hulls": SQL_CONVEX_HULLS,
         "interval_coverage": SQL_INTERVAL_COVERAGE,
+        "polygon_clip": SQL_POLYGON_CLIP,
         "hreflang_clusters": SQL_HREFLANG_CLUSTERS,
         "url_features": SQL_URL_FEATURES,
         "table_stats": SQL_TABLE_STATS,

@@ -182,3 +182,59 @@ def test_convex_hull_strict_turn_convention():
     # vertical collinear set
     assert convex_hull_stats(
         np.array([1, 1, 1]), np.array([0, 5, 9])) == (2, 0)
+
+
+def test_sutherland_hodgman_analytic_cases():
+    """polygons.sutherland_hodgman on NON-rectangular analytics: a
+    diamond window cutting all four corners of a square, a triangle
+    subject, full containment both ways, and CW subject winding
+    (clip must still be CCW; subject winding only flips the shoelace
+    sign)."""
+    from ophois_ray.polygons import _shoelace2, sutherland_hodgman
+
+    sq = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    dia = [(9, 5), (5, 9), (1, 5), (5, 1)]  # half-diag 4, area2=64
+    assert abs(_shoelace2(sutherland_hodgman(sq, dia))) == 64.0
+    # subject fully inside the window -> subject survives verbatim
+    assert abs(_shoelace2(sutherland_hodgman(
+        [(4, 4), (6, 4), (5, 6)], dia))) == 4.0
+    # big diamond window centred on the square: corners at distance 15
+    # cut nothing -> square survives
+    big = [(20, 5), (5, 20), (-10, 5), (5, -10)]
+    assert abs(_shoelace2(sutherland_hodgman(sq, big))) == 200.0
+    # triangle half-covered by the right half-plane window x>=5:
+    # triangle (0,0),(10,0),(0,10) clipped by square [5,15]^2 ->
+    # right corner triangle (5,0),(10,0),(5,5), area2 = 25
+    win = [(5, 0), (15, 0), (15, 15), (5, 15)]
+    assert abs(_shoelace2(sutherland_hodgman(
+        [(0, 0), (10, 0), (0, 10)], win))) == 25.0
+    # CW subject: same magnitude
+    assert abs(_shoelace2(sutherland_hodgman(
+        [(0, 0), (0, 10), (10, 0)], win))) == 25.0
+    # disjoint -> empty
+    assert sutherland_hodgman(sq, [(100, 0), (110, 0), (110, 10), (100, 10)]) == []
+
+
+def test_clip_area_stats_matches_scalar(ray_session):
+    """polygons.clip_area_stats over packed byte buffers matches the
+    scalar kernel + analytic expectations row-for-row."""
+    import ray
+
+    from ophois_ray.polygons import clip_area_stats
+
+    sq = np.array([0, 0, 10, 0, 10, 10, 0, 10], np.float64)
+    dia = np.array([9, 5, 5, 9, 1, 5, 5, 1], np.float64)
+    touch = np.array([10, 0, 13, 0, 13, 10, 10, 10], np.float64)
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], np.int64),
+        "subj": [sq.tobytes()] * 3,
+        "clip": [dia.tobytes(), touch.tobytes(),
+                 np.array([50, 50, 60, 50, 60, 60, 50, 60],
+                          np.float64).tobytes()],
+    })
+    got = (clip_area_stats(ray.data.from_pandas(df))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.to_dict("records") == [
+        {"doc_id": 1, "area2": 64, "inter_w": 8, "inter_h": 8},
+        {"doc_id": 2, "area2": 0, "inter_w": 0, "inter_h": 0},
+        {"doc_id": 3, "area2": 0, "inter_w": 0, "inter_h": 0}]

@@ -1484,3 +1484,163 @@ def sssp_rounds(edges, *, seed_mod: int = 97, rounds: int = 4,
     return ray.data.from_pandas(pd.DataFrame(
         {"node": nodes[keep], "dist": dist[keep]}
     ))
+
+
+# ------------------------------------------------------------------- HITS
+
+
+def _hits_arc_degrees(arcs, col: str, num_buckets: int) -> "pd.DataFrame":
+    """Per-batch (node, count) partials over one arc endpoint, merged on
+    the driver — bounded by n_nodes, same cap the broadcast path needs."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(col, as_index=False).size()
+        return pd.DataFrame({"node": g[col].to_numpy(np.int64),
+                             "c": g["size"].to_numpy(np.int64)})
+
+    parts = [b for b in arcs.map_batches(partial, batch_format="pandas")
+             .iter_batches(batch_format="pandas", batch_size=None)]
+    if not parts:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "c": pd.Series(dtype=np.int64)})
+    g = pd.concat(parts, ignore_index=True).groupby(
+        "node", as_index=False)["c"].sum()
+    g["c"] = g["c"].astype(np.int64)
+    return g
+
+
+def hits_int(arcs, *, iters: int = 2, scale: int = 1 << 20,
+             broadcast_cap: int = DEFAULT_BROADCAST_CAP,
+             num_buckets: int = 64):
+    """Integer-exact HITS (hubs & authorities) over a DIRECTED arc
+    table ``(src, dst)`` int64. Classic HITS L2-normalizes each round
+    (block-order-dependent float sums); this formulation rescales by
+    the round MAX instead — max of int64 sums is exact and order-free:
+
+        a'(v) = sum_{u->v} h(u);   a(v) = (a'(v) * scale) // max a'
+        h'(u) = sum_{u->v} a(v);   h(u) = (h'(u) * scale) // max h'
+
+    with h0 = scale everywhere. Every round is a pure int64 function
+    of the graph, so a fixed-``iters`` run is bit-reproducible across
+    layouts and SQL-mirrorable with unrolled join-aggregate CTEs.
+    Overflow bound: a' <= max_indeg * scale, so the rescale product
+    needs max_deg * scale^2 < 2^63 — the default 2^20 scale is safe to
+    max degree 2^22 (guarded below).
+
+    Scale shape mirrors :func:`pagerank_int`: under ``broadcast_cap``
+    the score vector ships once per half-round as a BroadcastIndex and
+    each half-round is ONE streaming pass over the arcs (per-batch
+    (node, sum) partials, driver merge bounded by n_nodes); above the
+    cap scores live as a co-partitioned Dataset and each half-round is
+    a bucketed hash-join + grouped sum (no O(n) driver state) — the
+    round max is a per-block max partial either way. Forced-cap
+    path-equality pytest pins both bit-identical. Returns pandas
+    (node, auth, hub) sorted by node.
+    """
+    import ray
+
+    from .joins import BroadcastIndex
+
+    arcs = arcs.materialize()
+    indeg = _hits_arc_degrees(arcs, "dst", num_buckets)
+    outdeg = _hits_arc_degrees(arcs, "src", num_buckets)
+    nodes = np.union1d(indeg["node"].to_numpy(np.int64),
+                       outdeg["node"].to_numpy(np.int64))
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "auth": pd.Series(dtype=np.int64),
+                             "hub": pd.Series(dtype=np.int64)})
+    max_deg = max(int(indeg["c"].max()) if len(indeg) else 0,
+                  int(outdeg["c"].max()) if len(outdeg) else 0)
+    if max_deg * scale * scale >= (1 << 63):
+        raise ValueError(f"scale {scale} overflows at max degree {max_deg}")
+
+    if n <= broadcast_cap:
+        hub = np.full(n, scale, dtype=np.int64)
+        auth = np.zeros(n, dtype=np.int64)
+
+        def half_round(vec: np.ndarray, src_col: str, dst_col: str) -> np.ndarray:
+            idx = BroadcastIndex(nodes, {"x": vec})
+            ref = ray.put(idx)
+
+            def partial(df: pd.DataFrame) -> pd.DataFrame:
+                ix = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+                x = ix.lookup(df[src_col].to_numpy(np.int64), "x")
+                g = pd.DataFrame({"node": df[dst_col].to_numpy(np.int64),
+                                  "s": x})
+                g = g.groupby("node", as_index=False)["s"].sum()
+                g["s"] = g["s"].astype(np.int64)
+                return g
+
+            parts = [b for b in arcs.map_batches(partial, batch_format="pandas")
+                     .iter_batches(batch_format="pandas", batch_size=None)]
+            out = np.zeros(n, dtype=np.int64)
+            if parts:
+                agg = pd.concat(parts, ignore_index=True).groupby(
+                    "node", as_index=False)["s"].sum()
+                pos = np.searchsorted(nodes, agg["node"].to_numpy(np.int64))
+                out[pos] = agg["s"].to_numpy(np.int64)
+            m = int(out.max())
+            if m > 0:
+                out = (out * scale) // m
+            return out
+
+        for _ in range(iters):
+            auth = half_round(hub, "src", "dst")
+            hub = half_round(auth, "dst", "src")
+        return pd.DataFrame({"node": nodes, "auth": auth, "hub": hub})
+
+    # ---- co-partitioned path: scores live as a Dataset -------------
+    nodes_ds = ray.data.from_pandas(pd.DataFrame({"node": nodes})).materialize()
+
+    def sum_s(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["s"].sum()
+        g["s"] = g["s"].astype(np.int64)
+        return g
+
+    def half_round_ds(scores, src_col: str, dst_col: str):
+        per_arc = hash_join(
+            arcs.map_batches(
+                lambda df, s=src_col, d=dst_col: pd.DataFrame({
+                    "node": df[s].to_numpy(np.int64),
+                    "__dst": df[d].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            scores, on="node", num_buckets=num_buckets)
+        sums = grouped_apply(
+            per_arc.map_batches(
+                lambda df: pd.DataFrame({
+                    "node": df["__dst"].to_numpy(np.int64),
+                    "s": df["x"].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            "node", sum_s, num_buckets=num_buckets, drop_partial=sum_s)
+        sums = sums.materialize()
+        parts = [b["m"] for b in sums.map_batches(
+            lambda df: pd.DataFrame({"m": [np.int64(df["s"].max()) if len(df) else np.int64(0)]}),
+            batch_format="pandas").iter_batches(batch_format="pandas",
+                                                batch_size=None)]
+        m = int(max((int(p.max()) for p in parts if len(p)), default=0))
+        out = hash_join(nodes_ds, sums, on="node", how="left",
+                        num_buckets=num_buckets)
+        return out.map_batches(
+            lambda df, mm=m: pd.DataFrame({
+                "node": df["node"].to_numpy(np.int64),
+                "x": ((df["s"].fillna(0).astype(np.int64).to_numpy(np.int64)
+                       * scale) // mm) if mm > 0
+                else np.zeros(len(df), np.int64)}),
+            batch_format="pandas",
+        ).repartition(max(1, num_buckets // 8)).materialize()
+
+    hub_ds = nodes_ds.map_batches(
+        lambda df: df.assign(x=np.int64(scale)), batch_format="pandas")
+    auth_ds = None
+    for _ in range(iters):
+        auth_ds = half_round_ds(hub_ds, "src", "dst")
+        hub_ds = half_round_ds(auth_ds, "dst", "src")
+    a = pd.concat([b for b in auth_ds.iter_batches(batch_format="pandas",
+                                                   batch_size=None)],
+                  ignore_index=True).rename(columns={"x": "auth"})
+    h = pd.concat([b for b in hub_ds.iter_batches(batch_format="pandas",
+                                                  batch_size=None)],
+                  ignore_index=True).rename(columns={"x": "hub"})
+    out = a.merge(h, on="node").sort_values("node", ignore_index=True)
+    return out[["node", "auth", "hub"]]

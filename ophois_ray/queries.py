@@ -5981,6 +5981,67 @@ def _sql_part_pagerank() -> str:
     return _sql_pagerank_over(_SQL_CHAIN_EDGES)
 
 
+def q_part_hits(sf_dir: str):
+    """HASH-CHECKED integer-exact HITS (graphops.hits_int, 2 rounds,
+    scale 2^20) over the DIRECTED part-chain graph (u -> v as emitted:
+    each chain step points at the next-larger part id). Max-rescale
+    replaces the L2 normalization so every round is a pure int64
+    function of the graph — bit-reproducible across layouts and
+    mirrorable by unrolled join-aggregate-max CTEs. Full (node, auth,
+    hub) table, driver-checked exactly."""
+    from .graphops import hits_int
+
+    edges = _chain_edges(sf_dir)
+    arcs = edges.map_batches(
+        lambda df: pd.DataFrame({"src": df["u"].to_numpy(np.int64),
+                                 "dst": df["v"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    return hits_int(arcs, iters=2)
+
+
+#: one unrolled hits_int half-round as SQL: sum the previous vector
+#: over {src|dst}, rescale by the round max (engine: int64 sums then
+#: (s * scale) // max — keep the expression order identical)
+_SQL_HITS_HALF = """
+, {o}p AS (
+  SELECT a.{grp} AS node, SUM({prev}.x) AS s
+  FROM arcs a JOIN {prev} ON {prev}.node = a.{look} GROUP BY a.{grp}
+), {o}m AS (SELECT MAX(s) AS m FROM {o}p),
+{o} AS (
+  SELECT n.node,
+         CASE WHEN m.m > 0 THEN (COALESCE(p.s, 0) * {S}) // m.m
+              ELSE 0 END AS x
+  FROM nodes n CROSS JOIN {o}m m LEFT JOIN {o}p p ON p.node = n.node
+)"""
+
+
+def _sql_hits_over(edges_cte: str, *, iters: int = 2) -> str:
+    S = 1 << 20
+    halves = []
+    prev = "h0"
+    for i in range(1, iters + 1):
+        halves.append(_SQL_HITS_HALF.format(
+            o=f"a{i}", prev=prev, grp="dst", look="src", S=S))
+        halves.append(_SQL_HITS_HALF.format(
+            o=f"h{i}", prev=f"a{i}", grp="src", look="dst", S=S))
+        prev = f"h{i}"
+    return f"""
+WITH {edges_cte},
+arcs AS (SELECT u AS src, v AS dst FROM edges),
+nodes AS (SELECT src AS node FROM arcs UNION SELECT dst FROM arcs),
+h0 AS (SELECT node, CAST({S} AS BIGINT) AS x FROM nodes)
+{"".join(halves)}
+SELECT n.node, CAST(a{iters}.x AS BIGINT) AS auth,
+       CAST(h{iters}.x AS BIGINT) AS hub
+FROM nodes n JOIN a{iters} ON a{iters}.node = n.node
+JOIN h{iters} ON h{iters}.node = n.node
+"""
+
+
+def _sql_part_hits() -> str:
+    return _sql_hits_over(_SQL_CHAIN_EDGES)
+
+
 def q_part_fuzzy_pairs(sf_dir: str):
     """Record linkage by edit distance (dedup.fuzzy_pairs): ALL
     part-name pairs within 2 edits — distinct-name dedup, then a
@@ -8207,6 +8268,7 @@ def catalog():
         "cms_tokens": q_cms_tokens,
         "bloom_tokens": q_bloom_tokens,
         "part_pagerank": q_part_pagerank,
+        "part_hits": q_part_hits,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "doc_token_count_bpe": q_doc_token_count_bpe,
         "corpus_curation": q_corpus_curation,
@@ -8427,6 +8489,7 @@ def sql_catalog():
         "cms_tokens": _sql_cms_tokens(),
         "bloom_tokens": _sql_bloom_tokens(),
         "part_pagerank": _sql_part_pagerank(),
+        "part_hits": _sql_part_hits(),
         "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
         "doc_token_count_bpe": _sql_doc_token_count_bpe(),
         "corpus_curation": SQL_CORPUS_CURATION,

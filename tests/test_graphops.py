@@ -495,3 +495,58 @@ def test_cc_broadcast_path_equals_labelprop(ray_session):
     got = dict(zip(fast["id"], fast["comp"]))
     assert got[500] == 500 and got[501] == 501
     assert fast["comp"].nunique() > 2
+
+
+def _ref_hits(arcs, iters, scale):
+    """Sequential oracle for graphops.hits_int."""
+    nodes = sorted({a for a, _ in arcs} | {b for _, b in arcs})
+    h = {n: scale for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(iters):
+        a = {n: 0 for n in nodes}
+        for s, d in arcs:
+            a[d] += h[s]
+        m = max(a.values())
+        if m > 0:
+            a = {n: (v * scale) // m for n, v in a.items()}
+        h = {n: 0 for n in nodes}
+        for s, d in arcs:
+            h[s] += a[d]
+        m = max(h.values())
+        if m > 0:
+            h = {n: (v * scale) // m for n, v in h.items()}
+    return pd.DataFrame({"node": nodes,
+                         "auth": [a[n] for n in nodes],
+                         "hub": [h[n] for n in nodes]}).astype(np.int64)
+
+
+def test_hits_int_matches_oracle_and_paths_agree(ray_session):
+    """graphops.hits_int: broadcast path == sequential oracle ==
+    forced-cap co-partitioned path, bit-for-bit (int64 max-rescale
+    arithmetic is layout-free)."""
+    import ray
+
+    from ophois_ray.graphops import hits_int
+
+    rng = np.random.default_rng(7)
+    arcs = sorted({(int(a), int(b)) for a, b in
+                   zip(rng.integers(0, 40, 300), rng.integers(0, 40, 300))
+                   if a != b})
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"src": np.array([a for a, _ in arcs], np.int64),
+         "dst": np.array([b for _, b in arcs], np.int64)})).repartition(7)
+    exp = _ref_hits(arcs, 2, 1 << 20)
+    got_b = hits_int(ds, iters=2).reset_index(drop=True)
+    got_c = hits_int(ds, iters=2, broadcast_cap=0,
+                     num_buckets=8).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b.astype(np.int64), exp)
+    pd.testing.assert_frame_equal(got_c.astype(np.int64), exp)
+    # a pure hub (source-only node) has auth 0; a pure authority
+    # (sink-only) has hub 0
+    star = [(1, 9), (2, 9), (3, 9)]
+    sds = ray.data.from_pandas(pd.DataFrame(
+        {"src": np.array([a for a, _ in star], np.int64),
+         "dst": np.array([b for _, b in star], np.int64)}))
+    g = hits_int(sds, iters=2).set_index("node")
+    assert g.loc[9, "auth"] == 1 << 20 and g.loc[9, "hub"] == 0
+    assert g.loc[1, "hub"] == 1 << 20 and g.loc[1, "auth"] == 0

@@ -6042,6 +6042,38 @@ def _sql_part_hits() -> str:
     return _sql_hits_over(_SQL_CHAIN_EDGES)
 
 
+def q_part_link_pred(sf_dir: str):
+    """HASH-CHECKED common-neighbor / integer Adamic-Adar link
+    prediction (graphops.link_prediction) over the part-chain graph:
+    every non-adjacent pair with >= 1 shared neighbor scored by shared
+    count and sum of floor-scaled inverse neighbor degree (2^20 //
+    deg). Wedge enumeration is one center-bucket shuffle; adjacency
+    exclusion rides the pair merge. Driver-checked bit-for-bit against
+    the SQL wedge self-join."""
+    from .graphops import link_prediction
+
+    edges = _chain_edges(sf_dir)
+    return link_prediction(edges)
+
+
+SQL_PART_LINK_PRED = f"""
+WITH {_SQL_CHAIN_EDGES},
+arcs AS (SELECT u AS src, v AS dst FROM edges
+         UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS d
+        FROM arcs GROUP BY dst),
+wedge AS (SELECT a1.dst AS w, a1.src AS u, a2.src AS v
+          FROM arcs a1 JOIN arcs a2
+          ON a1.dst = a2.dst AND a1.src < a2.src),
+sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+              CAST(SUM({1 << 20} // d.d) AS BIGINT) AS aa
+       FROM wedge JOIN deg d ON d.node = wedge.w GROUP BY u, v)
+SELECT sc.u, sc.v, sc.cn, sc.aa
+FROM sc LEFT JOIN edges e ON e.u = sc.u AND e.v = sc.v
+WHERE e.u IS NULL
+"""
+
+
 def q_part_fuzzy_pairs(sf_dir: str):
     """Record linkage by edit distance (dedup.fuzzy_pairs): ALL
     part-name pairs within 2 edits — distinct-name dedup, then a
@@ -8269,6 +8301,7 @@ def catalog():
         "bloom_tokens": q_bloom_tokens,
         "part_pagerank": q_part_pagerank,
         "part_hits": q_part_hits,
+        "part_link_pred": q_part_link_pred,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "doc_token_count_bpe": q_doc_token_count_bpe,
         "corpus_curation": q_corpus_curation,
@@ -8490,6 +8523,7 @@ def sql_catalog():
         "bloom_tokens": _sql_bloom_tokens(),
         "part_pagerank": _sql_part_pagerank(),
         "part_hits": _sql_part_hits(),
+        "part_link_pred": SQL_PART_LINK_PRED,
         "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
         "doc_token_count_bpe": _sql_doc_token_count_bpe(),
         "corpus_curation": SQL_CORPUS_CURATION,

@@ -550,3 +550,39 @@ def test_hits_int_matches_oracle_and_paths_agree(ray_session):
     g = hits_int(sds, iters=2).set_index("node")
     assert g.loc[9, "auth"] == 1 << 20 and g.loc[9, "hub"] == 0
     assert g.loc[1, "hub"] == 1 << 20 and g.loc[1, "auth"] == 0
+
+
+def test_link_prediction_matches_scalar_oracle(ray_session):
+    """graphops.link_prediction == brute-force common-neighbor /
+    floor-scaled Adamic-Adar over non-adjacent pairs, bit-for-bit."""
+    import itertools
+
+    import ray
+
+    from ophois_ray.graphops import link_prediction
+
+    rng = np.random.default_rng(11)
+    edges = sorted({(min(a, b), max(a, b)) for a, b in
+                    zip(rng.integers(0, 30, 120), rng.integers(0, 30, 120))
+                    if a != b})
+    S = 1 << 20
+    nbr: dict = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    eset = set(edges)
+    rows = []
+    for u, v in itertools.combinations(sorted(nbr), 2):
+        if (u, v) in eset:
+            continue
+        common = nbr[u] & nbr[v]
+        if common:
+            rows.append((u, v, len(common),
+                         sum(S // len(nbr[w]) for w in common)))
+    exp = pd.DataFrame(rows, columns=["u", "v", "cn", "aa"]).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"u": np.array([a for a, _ in edges], np.int64),
+         "v": np.array([b for _, b in edges], np.int64)})).repartition(5)
+    got = (link_prediction(ds, num_buckets=8).to_pandas()
+           .sort_values(["u", "v"], ignore_index=True).astype(np.int64))
+    pd.testing.assert_frame_equal(got, exp)

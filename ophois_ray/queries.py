@@ -3139,6 +3139,62 @@ def q_knn_pages_snap(sf_dir: str):
 # ------------------------------------------- round-2 breadth additions
 
 
+def q_events_funnel(sf_dir: str):
+    """HASH-CHECKED ordered conversion funnel (windows.funnel_counts):
+    view -> click -> purchase per user, each step anchored at the min
+    timestamp strictly after the previous anchor and within 7 days of
+    the first — strict-> on integer microseconds keeps every anchor a
+    well-defined min with no tie-break. (step, users, sum_lag_us),
+    integer-exact, one user-bucket shuffle; SQL mirror is a stack of
+    join-filter-min CTEs."""
+    from .windows import funnel_counts
+
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["event_type"].isin(["view", "click", "purchase"])
+        df = df[keep]
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(object),
+            "us": us.to_numpy()})
+
+    return funnel_counts(ev.map_batches(to_us, batch_format="pandas"),
+                         ["view", "click", "purchase"])
+
+
+SQL_EVENTS_FUNNEL = """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS us
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+a1 AS (SELECT user_id, MIN(us) AS a1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+a2 AS (SELECT e.user_id, MIN(e.us) AS a2
+       FROM e JOIN a1 ON a1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.us > a1.a1
+         AND e.us - a1.a1 <= 604800000000
+       GROUP BY e.user_id),
+a3 AS (SELECT e.user_id, MIN(e.us) AS a3
+       FROM e JOIN a2 ON a2.user_id = e.user_id
+              JOIN a1 ON a1.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.us > a2.a2
+         AND e.us - a1.a1 <= 604800000000
+       GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS users,
+       CAST(0 AS BIGINT) AS sum_lag_us FROM a1
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT),
+       CAST(COALESCE(SUM(a2.a2 - a1.a1), 0) AS BIGINT)
+FROM a2 JOIN a1 ON a1.user_id = a2.user_id
+UNION ALL
+SELECT 3, CAST(count(*) AS BIGINT),
+       CAST(COALESCE(SUM(a3.a3 - a1.a1), 0) AS BIGINT)
+FROM a3 JOIN a1 ON a1.user_id = a3.user_id
+"""
+
+
 def q_events_sessionize(sf_dir: str):
     """Streaming-window sessionization (the weblog/training-data shape of
     X4): per-user sessions split at >30 min idle gaps, one hash-bucket
@@ -8406,6 +8462,7 @@ def catalog():
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id_counts": q_lang_id_counts,
         "events_sessionize": q_events_sessionize,
+        "events_funnel": q_events_funnel,
         "events_funnel_pairs": q_events_funnel_pairs,
         "events_trend_state": q_events_trend_state,
         "events_top_paths": q_events_top_paths,
@@ -8463,6 +8520,7 @@ def sql_catalog():
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "lang_id_counts": _sql_lang_id_counts(),
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_funnel": SQL_EVENTS_FUNNEL,
         "events_funnel_pairs": SQL_EVENTS_FUNNEL_PAIRS,
         "events_trend_state": SQL_EVENTS_TREND_STATE,
         "events_top_paths": SQL_EVENTS_TOP_PATHS,

@@ -241,3 +241,69 @@ def interval_coverage(ds, *, group_col: str = "g", start_col: str = "s",
         return out[[group_col, "n_intervals", "covered", "max_depth"]]
 
     return grouped_apply(ds, group_col, sweep)
+
+
+def funnel_counts(ds, steps, *, user_col: str = "user_id",
+                  type_col: str = "event_type", us_col: str = "us",
+                  window_us: int = 7 * 86_400_000_000,
+                  num_buckets: int = 32) -> pd.DataFrame:
+    """Ordered conversion funnel: per user, step 1 anchors at the MIN
+    timestamp of ``steps[0]``; step k anchors at the MIN timestamp of
+    ``steps[k-1]`` STRICTLY AFTER the step-(k-1) anchor, and (for
+    k >= 2) within ``window_us`` of the step-1 anchor. Strict-> on the
+    integer microsecond column alone keeps every anchor a well-defined
+    min — no tie-break column needed, so the SQL mirror is a stack of
+    join-filter-min CTEs.
+
+    Returns the tiny (step, users, sum_lag_us) frame: completer count
+    per step and the exact int64 sum of (anchor_k - anchor_1) lags
+    (integer sums — order-free, mergeable).
+
+    Scale shape: one user-bucket shuffle of the pruned (user, type, us)
+    rows; each bucket computes per-user anchors with vectorized
+    groupby-mins and emits ONE partial row per step; the driver merge
+    sums len(steps) rows per bucket. The raw event table never
+    re-shuffles and nothing user-sized leaves the buckets."""
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cur = (df[df[type_col] == steps[0]]
+               .groupby(user_col, as_index=False)[us_col].min()
+               .rename(columns={us_col: "a"}))
+        out_steps = [1]
+        out_users = [np.int64(len(cur))]
+        out_lag = [np.int64(0)]
+        first = cur.rename(columns={"a": "a1"})
+        for k, st in enumerate(steps[1:], start=2):
+            ev = df[df[type_col] == st].merge(cur, on=user_col)
+            ev = ev[ev[us_col] > ev["a"]]
+            ev = ev.merge(first, on=user_col)
+            ev = ev[ev[us_col] - ev["a1"] <= window_us]
+            nxt = (ev.groupby(user_col, as_index=False)[us_col].min()
+                   .rename(columns={us_col: "a"}))
+            m = nxt.merge(first, on=user_col)
+            lag = m["a"] - m["a1"]
+            out_steps.append(k)
+            out_users.append(np.int64(len(nxt)))
+            out_lag.append(np.int64(lag.sum()) if len(nxt) else np.int64(0))
+            cur = nxt
+        return pd.DataFrame({"step": np.array(out_steps, np.int64),
+                             "users": np.array(out_users, np.int64),
+                             "sum_lag_us": np.array(out_lag, np.int64)})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("step", as_index=False).agg(
+            users=("users", "sum"), sum_lag_us=("sum_lag_us", "sum"))
+        g["users"] = g["users"].astype(np.int64)
+        g["sum_lag_us"] = g["sum_lag_us"].astype(np.int64)
+        return g
+
+    parts = grouped_apply(ds, user_col, bucket, num_buckets=num_buckets)
+    out = parts.to_pandas()
+    if not len(out):     # 0-row Ray datasets drop their schema
+        return pd.DataFrame({"step": pd.Series(dtype=np.int64),
+                             "users": pd.Series(dtype=np.int64),
+                             "sum_lag_us": pd.Series(dtype=np.int64)})
+    return (merge(out).sort_values("step", ignore_index=True)
+            [["step", "users", "sum_lag_us"]])

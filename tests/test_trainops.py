@@ -3655,3 +3655,36 @@ def test_warc_roundtrip_offsets_and_framing():
     bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n"
     with pytest.raises(warc.WarcFormatError, match="Content-Length"):
         list(warc.iter_warc(bad))
+
+
+def test_funnel_counts_hand_semantics():
+    """windows.funnel_counts: strict-after anchoring, 7-day window vs
+    the FIRST anchor, per-user mins; completers counted per step."""
+    from ophois_ray.windows import funnel_counts
+
+    D = 86_400_000_000  # one day in us
+    rows = [
+        # user 1: clean view(d0) -> click(d1) -> purchase(d2)
+        (1, "view", 0), (1, "click", D), (1, "purchase", 2 * D),
+        # user 2: click BEFORE the first view never counts; the later
+        # click does; purchase exactly AT the click ts is NOT strictly
+        # after -> step 3 not completed
+        (2, "click", 0), (2, "view", D), (2, "click", 3 * D),
+        (2, "purchase", 3 * D),
+        # user 3: purchase outside the 7-day window from the view
+        (3, "view", 0), (3, "click", D), (3, "purchase", 9 * D),
+        # user 4: view only
+        (4, "view", 5),
+        # user 5: no view at all -> never enters
+        (5, "click", 0), (5, "purchase", D),
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"user_id": np.array([r[0] for r in rows], np.int64),
+         "event_type": [r[1] for r in rows],
+         "us": np.array([r[2] for r in rows], np.int64)})).repartition(3)
+    got = funnel_counts(ds, ["view", "click", "purchase"], num_buckets=4)
+    # step1: users 1-4; step2: 1,2,3 (lags D, 2D, D); step3: only 1 (2D)
+    assert got.to_dict("records") == [
+        {"step": 1, "users": 4, "sum_lag_us": 0},
+        {"step": 2, "users": 3, "sum_lag_us": 4 * D},
+        {"step": 3, "users": 1, "sum_lag_us": 2 * D}]

@@ -6112,6 +6112,43 @@ def q_part_link_pred(sf_dir: str):
     return link_prediction(edges)
 
 
+def q_part_rendezvous(sf_dir: str):
+    """HASH-CHECKED rendezvous (HRW) shard-growth audit
+    (sampling.rendezvous_stability): every part key assigned under 9
+    and 10 shards by argmax of the xor-mixed two-round weight; per new
+    shard (n, moved). The fleet-scale property under test: only keys
+    whose 10th-shard weight is the new global max move (~1/10) — pure
+    per-row arithmetic, zero shuffle, no ring state. SQL mirror ranks
+    the identical weight expression with a window."""
+    from .sampling import rendezvous_stability
+
+    part = _t(sf_dir, "part", columns=["p_partkey"])
+    return rendezvous_stability(part, "p_partkey", 9)
+
+
+SQL_PART_RENDEZVOUS = """
+WITH k AS (SELECT p_partkey AS key FROM part),
+s AS (SELECT CAST(range AS BIGINT) AS s FROM range(10)),
+h AS (SELECT key, s,
+        (xor((CAST(key AS BIGINT) * 2654435761) % 2147483647,
+             (s * 1103515245) % 2147483647) * 2654435761) % 2147483647 AS h
+      FROM k CROSS JOIN s),
+w9 AS (SELECT key, s AS shard FROM
+        (SELECT key, s, row_number() OVER
+           (PARTITION BY key ORDER BY h DESC, s ASC) AS rn
+         FROM h WHERE s < 9) WHERE rn = 1),
+w10 AS (SELECT key, s AS shard FROM
+        (SELECT key, s, row_number() OVER
+           (PARTITION BY key ORDER BY h DESC, s ASC) AS rn
+         FROM h) WHERE rn = 1)
+SELECT w10.shard AS shard, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN w9.shard <> w10.shard THEN 1 ELSE 0 END)
+            AS BIGINT) AS moved
+FROM w10 JOIN w9 ON w9.key = w10.key
+GROUP BY w10.shard
+"""
+
+
 SQL_PART_LINK_PRED = f"""
 WITH {_SQL_CHAIN_EDGES},
 arcs AS (SELECT u AS src, v AS dst FROM edges
@@ -8358,6 +8395,7 @@ def catalog():
         "part_pagerank": q_part_pagerank,
         "part_hits": q_part_hits,
         "part_link_pred": q_part_link_pred,
+        "part_rendezvous": q_part_rendezvous,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "doc_token_count_bpe": q_doc_token_count_bpe,
         "corpus_curation": q_corpus_curation,
@@ -8582,6 +8620,7 @@ def sql_catalog():
         "part_pagerank": _sql_part_pagerank(),
         "part_hits": _sql_part_hits(),
         "part_link_pred": SQL_PART_LINK_PRED,
+        "part_rendezvous": SQL_PART_RENDEZVOUS,
         "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
         "doc_token_count_bpe": _sql_doc_token_count_bpe(),
         "corpus_curation": SQL_CORPUS_CURATION,

@@ -629,3 +629,58 @@ def sample_global(ds, key_col: str, n: int):
 
     return grouped_apply(ds, "__g", final, num_buckets=1,
                          drop_partial=partial)
+
+
+# --------------------------------------------------- rendezvous sharding
+
+_HRW_P = 2147483647           # 2^31 - 1 (prime)
+_HRW_C1 = 2654435761          # Knuth multiplicative constant
+_HRW_C2 = 1103515245
+
+
+def rendezvous_hash(keys: np.ndarray, shard: int) -> np.ndarray:
+    """HRW weight of ``shard`` for each int64 key: two multiplicative
+    rounds XOR-mixed in between — the xor breaks the affinity that a
+    pure Lehmer chain keeps (an affine h(k, s) makes the argmax a wrap
+    artifact), and every operand stays under 2^31 so the int64 products
+    are exact and the expression transliterates to SQL verbatim."""
+    a = (keys.astype(np.int64) * _HRW_C1) % _HRW_P
+    b = (np.int64(shard) * _HRW_C2) % _HRW_P
+    return ((a ^ b) * _HRW_C1) % _HRW_P
+
+
+def rendezvous_shard(keys: np.ndarray, n_shards: int) -> np.ndarray:
+    """Highest-random-weight (rendezvous) shard per key: argmax over
+    shards of :func:`rendezvous_hash`, ties to the SMALLEST shard id
+    (np.argmax first-max). The property that matters at fleet scale:
+    growing n -> n+1 moves ONLY keys whose new-shard weight is the new
+    global max (~1/(n+1) of them) — no consistent-hash ring state, no
+    remap table, pure arithmetic any task can evaluate locally."""
+    w = np.stack([rendezvous_hash(keys, s) for s in range(n_shards)], axis=1)
+    return np.argmax(w, axis=1).astype(np.int64)
+
+
+def rendezvous_stability(ds, key_col: str, n_shards: int):
+    """Shard-growth stability audit: assign every key under n_shards
+    and n_shards+1, report per-NEW-shard (shard, n, moved). Fused
+    zero-shuffle map (both assignments are per-row arithmetic) emitting
+    per-batch partial counts; the merge is over <= n_shards+1 rows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_col].to_numpy(np.int64)
+        old = rendezvous_shard(k, n_shards)
+        new = rendezvous_shard(k, n_shards + 1)
+        g = pd.DataFrame({"shard": new, "n": np.int64(1),
+                          "moved": (old != new).astype(np.int64)})
+        out = g.groupby("shard", as_index=False).agg(
+            n=("n", "sum"), moved=("moved", "sum"))
+        return out.astype(np.int64)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(parts):   # 0-row Ray datasets drop their schema
+        return pd.DataFrame({"shard": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64),
+                             "moved": pd.Series(dtype=np.int64)})
+    out = parts.groupby("shard", as_index=False).agg(
+        n=("n", "sum"), moved=("moved", "sum")).astype(np.int64)
+    return out.sort_values("shard", ignore_index=True)

@@ -207,3 +207,33 @@ def test_sample_global_matches_sequential_and_layout_independent():
         assert got["rk"].tolist() == seq["rk"].tolist()
         assert got["val"].tolist() == seq["val"].tolist()
         assert "__g" not in got.columns
+
+
+def test_rendezvous_minimal_disruption(ray_session):
+    """sampling.rendezvous_shard: keys spread over all shards, growth
+    n -> n+1 moves ONLY keys that land on the new shard (HRW minimal
+    disruption, exact by construction), at roughly 1/(n+1)."""
+    import ray
+
+    from ophois_ray.sampling import rendezvous_shard, rendezvous_stability
+
+    keys = np.arange(1, 20001, dtype=np.int64)
+    s9 = rendezvous_shard(keys, 9)
+    s10 = rendezvous_shard(keys, 10)
+    assert set(np.unique(s10)) == set(range(10))
+    moved = s9 != s10
+    # every moved key moved TO the new shard, never between old shards
+    assert (s10[moved] == 9).all()
+    frac = moved.mean()
+    assert 0.05 < frac < 0.15  # ~1/10
+    # balance: no shard under half or over double the fair share
+    counts = np.bincount(s10, minlength=10)
+    assert counts.min() > 1000 and counts.max() < 4000
+    # the distributed audit matches the local kernel
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(6)
+    got = rendezvous_stability(ds, "k", 9)
+    exp = (pd.DataFrame({"shard": s10, "n": 1, "moved": moved.astype(int)})
+           .groupby("shard", as_index=False).agg(n=("n", "sum"),
+                                                 moved=("moved", "sum"))
+           .astype(np.int64))
+    pd.testing.assert_frame_equal(got, exp)

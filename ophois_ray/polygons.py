@@ -806,3 +806,102 @@ def clip_area_stats(ds, *, subj_col: str = "subj", clip_col: str = "clip",
                              "inter_w": iw, "inter_h": ih})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# -------------------------------------------------- segment crossings
+
+
+def _ccw(px, py, qx, qy, rx, ry):
+    """Sign-carrying doubled orientation: >0 left turn, <0 right,
+    0 collinear. Pure int64 for integral inputs (coords < 2^31 are
+    exact — the SQL mirror writes the same expression)."""
+    return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+
+def segment_crossings(a_ds, b_ds, *, cell: int = 64,
+                      id_col: str = "seg_id", num_buckets: int = 64):
+    """Count PROPER crossings (strict interior intersection — touching
+    endpoints and collinear overlap excluded, so the predicate is four
+    exact integer cross products: d1*d2 < 0 AND d3*d4 < 0) between two
+    segment tables ``(seg_id, x1, y1, x2, y2)`` int64, per A-segment.
+
+    Scale shape — the planar-overlay join: each segment emits its bbox
+    covering cells at resolution ``cell`` (np.repeat explode, the 2-D
+    analog of the window covering explode); ONE cell-bucket shuffle
+    co-locates candidates; a pair is evaluated ONLY in the cell holding
+    the min corner of its bbox overlap (a unique cell both segments
+    cover), so no cross-cell pair dedup pass is needed; per-bucket
+    (seg_id, n) partials bound the final tiny merge. Coordinates must
+    be non-negative (floor vs trunc division parity with SQL mirrors).
+    Returns a Dataset (seg_id, n_cross) for A-segments with >= 1
+    crossing."""
+    from .joins import grouped_apply
+
+    def cover(df: pd.DataFrame, side: int) -> pd.DataFrame:
+        x1 = df["x1"].to_numpy(np.int64); y1 = df["y1"].to_numpy(np.int64)
+        x2 = df["x2"].to_numpy(np.int64); y2 = df["y2"].to_numpy(np.int64)
+        sid = df[id_col].to_numpy(np.int64)
+        cx1 = np.minimum(x1, x2) // cell; cx2 = np.maximum(x1, x2) // cell
+        cy1 = np.minimum(y1, y2) // cell; cy2 = np.maximum(y1, y2) // cell
+        nx = (cx2 - cx1 + 1); ny = (cy2 - cy1 + 1)
+        n = nx * ny
+        ridx = np.repeat(np.arange(len(df)), n)
+        # per-row local cell enumeration: k // ny gives the x step
+        k = np.arange(len(ridx)) - np.repeat(np.cumsum(n) - n, n)
+        gx = cx1[ridx] + k // ny[ridx]
+        gy = cy1[ridx] + k % ny[ridx]
+        return pd.DataFrame({
+            "ck": gx * np.int64(1 << 21) + gy,
+            "side": np.int64(side), "sid": sid[ridx],
+            "x1": x1[ridx], "y1": y1[ridx],
+            "x2": x2[ridx], "y2": y2[ridx]})
+
+    cells = (a_ds.map_batches(lambda df: cover(df, 0), batch_format="pandas")
+             .union(b_ds.map_batches(lambda df: cover(df, 1),
+                                     batch_format="pandas")))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for ck, g in df.groupby("ck", sort=False):
+            a = g[g["side"] == 0]
+            b = g[g["side"] == 1]
+            if not len(a) or not len(b):
+                continue
+            na, nb = len(a), len(b)
+            ia = np.repeat(np.arange(na), nb)
+            ib = np.tile(np.arange(nb), na)
+            ax1 = a["x1"].to_numpy(np.int64)[ia]; ay1 = a["y1"].to_numpy(np.int64)[ia]
+            ax2 = a["x2"].to_numpy(np.int64)[ia]; ay2 = a["y2"].to_numpy(np.int64)[ia]
+            bx1 = b["x1"].to_numpy(np.int64)[ib]; by1 = b["y1"].to_numpy(np.int64)[ib]
+            bx2 = b["x2"].to_numpy(np.int64)[ib]; by2 = b["y2"].to_numpy(np.int64)[ib]
+            # evaluate the pair only in its bbox-overlap min-corner cell
+            ox = np.maximum(np.minimum(ax1, ax2), np.minimum(bx1, bx2))
+            oy = np.maximum(np.minimum(ay1, ay2), np.minimum(by1, by2))
+            ckx = np.int64(ck) // (1 << 21); cky = np.int64(ck) % (1 << 21)
+            here = (ox // cell == ckx) & (oy // cell == cky)
+            d1 = _ccw(bx1, by1, bx2, by2, ax1, ay1)
+            d2 = _ccw(bx1, by1, bx2, by2, ax2, ay2)
+            d3 = _ccw(ax1, ay1, ax2, ay2, bx1, by1)
+            d4 = _ccw(ax1, ay1, ax2, ay2, bx2, by2)
+            hit = here & ((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0) \
+                & ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0)
+            if hit.any():
+                outs.append(pd.DataFrame(
+                    {"seg_id": a["sid"].to_numpy(np.int64)[ia][hit],
+                     "n": np.int64(1)}))
+        if not outs:
+            return pd.DataFrame({"seg_id": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        t = pd.concat(outs, ignore_index=True)
+        g = t.groupby("seg_id", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("seg_id", as_index=False)["n"].sum()
+        return pd.DataFrame({"seg_id": g["seg_id"].to_numpy(np.int64),
+                             "n_cross": g["n"].to_numpy(np.int64)})
+
+    parts = grouped_apply(cells, "ck", bucket, num_buckets=num_buckets)
+    return grouped_apply(parts, "seg_id", merge,
+                         num_buckets=max(8, num_buckets // 4))

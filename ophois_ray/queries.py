@@ -1396,6 +1396,62 @@ FROM q
 """
 
 
+def q_segment_crossings(sf_dir: str):
+    """HASH-CHECKED planar-overlay crossing counts
+    (polygons.segment_crossings): two 500-segment layers from two-round
+    doc_id arithmetic (spans <= 200, so each segment covers <= ~16
+    res-64 cells), proper-crossing counts per A-segment via the
+    cell-bucketed pair-once join. The SQL mirror is the BRUTE cross
+    join with the identical four-cross-product integer predicate — any
+    covering, pair-once or orientation slip fails the hash."""
+    from .polygons import segment_crossings
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def seg(df: pd.DataFrame, add: int, mult: int) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(np.int64)
+        h = ((k + add) * mult % 1_000_003) * mult % 1_000_003
+        x1 = 200 + h % 3800
+        y1 = 200 + (h // 7) % 3800
+        return pd.DataFrame({
+            "seg_id": k,
+            "x1": x1, "y1": y1,
+            "x2": x1 + ((h // 11) % 401 - 200),
+            "y2": y1 + ((h // 13) % 401 - 200)})
+
+    a = docs.map_batches(lambda df: seg(df, 1, 8191),
+                         batch_format="pandas")
+    b = docs.map_batches(lambda df: seg(df, 7, 12289),
+                         batch_format="pandas")
+    return segment_crossings(a, b)
+
+
+SQL_SEGMENT_CROSSINGS = """
+WITH d AS (SELECT doc_id AS k,
+                  ((doc_id + 1) * 8191 % 1000003) * 8191 % 1000003 AS h1,
+                  ((doc_id + 7) * 12289 % 1000003) * 12289 % 1000003 AS h2
+           FROM documents),
+sa AS (SELECT k AS seg_id,
+              200 + h1 % 3800 AS x1, 200 + (h1 // 7) % 3800 AS y1,
+              200 + h1 % 3800 + ((h1 // 11) % 401 - 200) AS x2,
+              200 + (h1 // 7) % 3800 + ((h1 // 13) % 401 - 200) AS y2
+       FROM d),
+sb AS (SELECT k AS seg_id,
+              200 + h2 % 3800 AS x1, 200 + (h2 // 7) % 3800 AS y1,
+              200 + h2 % 3800 + ((h2 // 11) % 401 - 200) AS x2,
+              200 + (h2 // 7) % 3800 + ((h2 // 13) % 401 - 200) AS y2
+       FROM d)
+SELECT a.seg_id AS seg_id, CAST(count(*) AS BIGINT) AS n_cross
+FROM sa a JOIN sb b ON
+  ((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))
+  * ((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0
+  AND
+  ((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))
+  * ((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0
+GROUP BY a.seg_id
+"""
+
+
 def q_hreflang_clusters(sf_dir: str):
     """HASH-CHECKED hreflang language clustering
     (pages.hreflang_clusters): pages k form chains inside 5-doc groups
@@ -8435,6 +8491,7 @@ def catalog():
         "convex_hulls": q_convex_hulls,
         "interval_coverage": q_interval_coverage,
         "polygon_clip": q_polygon_clip,
+        "segment_crossings": q_segment_crossings,
         "hreflang_clusters": q_hreflang_clusters,
         "url_features": q_url_features,
         "table_stats": q_table_stats,
@@ -8649,6 +8706,7 @@ def sql_catalog():
         "convex_hulls": SQL_CONVEX_HULLS,
         "interval_coverage": SQL_INTERVAL_COVERAGE,
         "polygon_clip": SQL_POLYGON_CLIP,
+        "segment_crossings": SQL_SEGMENT_CROSSINGS,
         "hreflang_clusters": SQL_HREFLANG_CLUSTERS,
         "url_features": SQL_URL_FEATURES,
         "table_stats": SQL_TABLE_STATS,

@@ -238,3 +238,44 @@ def test_clip_area_stats_matches_scalar(ray_session):
         {"doc_id": 1, "area2": 64, "inter_w": 8, "inter_h": 8},
         {"doc_id": 2, "area2": 0, "inter_w": 0, "inter_h": 0},
         {"doc_id": 3, "area2": 0, "inter_w": 0, "inter_h": 0}]
+
+
+def test_segment_crossings_matches_brute_force(ray_session):
+    """polygons.segment_crossings == brute-force strict-crossing count
+    over random integer segments, including cell-boundary cases (the
+    pair-once rule must not double- or zero-count pairs straddling
+    cells)."""
+    import ray
+
+    from ophois_ray.polygons import _ccw, segment_crossings
+
+    rng = np.random.default_rng(23)
+
+    def gen(n, seed_off):
+        r = np.random.default_rng(23 + seed_off)
+        x1 = r.integers(0, 1000, n); y1 = r.integers(0, 1000, n)
+        # spans up to ~200 so segments cross several 64-cells
+        x2 = x1 + r.integers(-200, 201, n); y2 = y1 + r.integers(-200, 201, n)
+        x2 = np.clip(x2, 0, 1200); y2 = np.clip(y2, 0, 1200)
+        return pd.DataFrame({"seg_id": np.arange(n, dtype=np.int64),
+                             "x1": x1.astype(np.int64), "y1": y1.astype(np.int64),
+                             "x2": x2.astype(np.int64), "y2": y2.astype(np.int64)})
+
+    A, B = gen(120, 0), gen(150, 1)
+    counts: dict = {}
+    for a in A.itertuples():
+        for b in B.itertuples():
+            d1 = _ccw(b.x1, b.y1, b.x2, b.y2, a.x1, a.y1)
+            d2 = _ccw(b.x1, b.y1, b.x2, b.y2, a.x2, a.y2)
+            d3 = _ccw(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1)
+            d4 = _ccw(a.x1, a.y1, a.x2, a.y2, b.x2, b.y2)
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                counts[a.seg_id] = counts.get(a.seg_id, 0) + 1
+    exp = (pd.DataFrame({"seg_id": list(counts), "n_cross": list(counts.values())})
+           .astype(np.int64).sort_values("seg_id", ignore_index=True))
+    got = (segment_crossings(ray.data.from_pandas(A).repartition(4),
+                             ray.data.from_pandas(B).repartition(5),
+                             num_buckets=16)
+           .to_pandas().sort_values("seg_id", ignore_index=True).astype(np.int64))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(exp) > 20  # the corpus actually exercises crossings

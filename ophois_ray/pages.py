@@ -1486,3 +1486,38 @@ def table_stats(ds, *, html_col: str = "html", id_col: str = "doc_id"):
             "max_cols": arr[:, 4]})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------- URL templates
+
+
+def url_templates(ds, *, url_col: str = "url", num_buckets: int = 16):
+    """URL pattern mining: collapse every digit run to ``N`` (the
+    classic path-template heuristic for spotting calendar traps,
+    session ids and infinite spaces in a crawl frontier) and count
+    pages per template.
+
+    RE2 on both sides: the collapse is Arrow's RE2
+    ``replace_substring_regex`` and the SQL mirror is DuckDB's RE2
+    ``regexp_replace(..., 'g')`` — identical semantics by construction.
+    Per-batch value_counts partials bound the one string-key exchange
+    (joins.grouped_apply — never groupby(str).aggregate); returns a
+    Dataset (template, n)."""
+    import pyarrow.compute as pc
+
+    from .joins import grouped_apply
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        t = pc.replace_substring_regex(batch[url_col], pattern=r"[0-9]+",
+                                       replacement="N")
+        vc = t.value_counts()
+        return pa.table({"template": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("template", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_apply(parts, "template", merge, num_buckets=num_buckets)

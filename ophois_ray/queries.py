@@ -1396,6 +1396,110 @@ FROM q
 """
 
 
+def q_orientation_hist(sf_dir: str):
+    """HASH-CHECKED street-grid orientation histogram
+    (spatial.orientation_histogram): the segment-crossings A layer
+    bucketed per res-256 cell by integer OCTANT — trig-free bearing
+    analysis whose np.select condition ladder and the SQL CASE share
+    the exact order, so half-open 45-degree boundaries and axis cases
+    are pinned by the hash."""
+    from .spatial import orientation_histogram
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(np.int64)
+        h = ((k + 1) * 8191 % 1_000_003) * 8191 % 1_000_003
+        x1 = 200 + h % 3800
+        y1 = 200 + (h // 7) % 3800
+        return pd.DataFrame({
+            "x1": x1, "y1": y1,
+            "x2": x1 + ((h // 11) % 401 - 200),
+            "y2": y1 + ((h // 13) % 401 - 200)})
+
+    return orientation_histogram(docs.map_batches(gen, batch_format="pandas"))
+
+
+SQL_ORIENTATION_HIST = """
+WITH d AS (SELECT ((doc_id + 1) * 8191 % 1000003) * 8191 % 1000003 AS h
+           FROM documents),
+s AS (SELECT 200 + h % 3800 AS x1, 200 + (h // 7) % 3800 AS y1,
+             (h // 11) % 401 - 200 AS dx, (h // 13) % 401 - 200 AS dy
+      FROM d),
+o AS (SELECT (x1 + x1 + dx) // 512 AS cx, (y1 + y1 + dy) // 512 AS cy,
+             CASE
+               WHEN dx > 0 AND dy >= 0 AND dx > dy THEN 0
+               WHEN dx > 0 AND dy > 0 AND dy >= dx THEN 1
+               WHEN dx <= 0 AND dy > 0 AND dy > -dx THEN 2
+               WHEN dx < 0 AND dy > 0 AND -dx >= dy THEN 3
+               WHEN dx < 0 AND dy <= 0 AND -dx > -dy THEN 4
+               WHEN dx <= 0 AND dy < 0 AND -dy >= -dx THEN 5
+               WHEN dx > 0 AND dy < 0 AND -dy > dx THEN 6
+               ELSE 7
+             END AS oct
+      FROM s WHERE NOT (dx = 0 AND dy = 0))
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(oct AS BIGINT) AS oct, CAST(count(*) AS BIGINT) AS n
+FROM o GROUP BY cx, cy, oct
+"""
+
+
+def q_url_templates(sf_dir: str):
+    """HASH-CHECKED URL template mining (pages.url_templates): four
+    structural URL shapes assembled from doc_id arithmetic — digit
+    runs inside host labels, path segments, mixed digit-letter slugs
+    (item12a34 -> itemNaN) and query values — collapsed by the REAL
+    Arrow RE2 digit-run replace and counted per template. The SQL
+    mirror builds the SAME strings and runs DuckDB's RE2
+    regexp_replace — RE2 on both sides, so any kernel or grouping
+    slip fails the hash."""
+    from .pages import url_templates
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["doc_id"].to_numpy(np.int64)
+        urls = []
+        for k in ks:
+            k = int(k)
+            host = "https://site%d.example" % (k % 50)
+            m = k % 4
+            if m == 0:
+                u = "%s/cat%d/item%d" % (host, k % 7, k)
+            elif m == 1:
+                u = "%s/cat%d/item%d/reviews" % (host, k % 7, k)
+            elif m == 2:
+                u = "%s/blog/%d/%d-post%da%d" % (host, k % 12, k, k % 5, k)
+            else:
+                u = "%s/u/user%d?tab=%d" % (host, k, k % 3)
+            urls.append(u)
+        return pd.DataFrame({"url": pd.Series(urls, dtype=object)})
+
+    return url_templates(docs.map_batches(gen, batch_format="pandas"))
+
+
+SQL_URL_TEMPLATES = """
+WITH u AS (SELECT
+    'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example' ||
+    CASE doc_id % 4
+      WHEN 0 THEN '/cat' || CAST(doc_id % 7 AS VARCHAR)
+                  || '/item' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/cat' || CAST(doc_id % 7 AS VARCHAR)
+                  || '/item' || CAST(doc_id AS VARCHAR) || '/reviews'
+      WHEN 2 THEN '/blog/' || CAST(doc_id % 12 AS VARCHAR) || '/'
+                  || CAST(doc_id AS VARCHAR) || '-post'
+                  || CAST(doc_id % 5 AS VARCHAR) || 'a'
+                  || CAST(doc_id AS VARCHAR)
+      ELSE '/u/user' || CAST(doc_id AS VARCHAR) || '?tab='
+                  || CAST(doc_id % 3 AS VARCHAR)
+    END AS url
+  FROM documents)
+SELECT regexp_replace(url, '[0-9]+', 'N', 'g') AS template,
+       CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY template
+"""
+
+
 def q_segment_crossings(sf_dir: str):
     """HASH-CHECKED planar-overlay crossing counts
     (polygons.segment_crossings): two 500-segment layers from two-round
@@ -8492,6 +8596,8 @@ def catalog():
         "interval_coverage": q_interval_coverage,
         "polygon_clip": q_polygon_clip,
         "segment_crossings": q_segment_crossings,
+        "url_templates": q_url_templates,
+        "orientation_hist": q_orientation_hist,
         "hreflang_clusters": q_hreflang_clusters,
         "url_features": q_url_features,
         "table_stats": q_table_stats,
@@ -8707,6 +8813,8 @@ def sql_catalog():
         "interval_coverage": SQL_INTERVAL_COVERAGE,
         "polygon_clip": SQL_POLYGON_CLIP,
         "segment_crossings": SQL_SEGMENT_CROSSINGS,
+        "url_templates": SQL_URL_TEMPLATES,
+        "orientation_hist": SQL_ORIENTATION_HIST,
         "hreflang_clusters": SQL_HREFLANG_CLUSTERS,
         "url_features": SQL_URL_FEATURES,
         "table_stats": SQL_TABLE_STATS,

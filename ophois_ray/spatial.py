@@ -936,3 +936,59 @@ def staypoints(ds, *, trace_col: str = "trace_id", t_col: str = "t",
             "dur": np.array(o_d, np.int64)})
 
     return grouped_apply(ds, trace_col, scan)
+
+
+# ------------------------------------------------- orientation histogram
+
+
+def orientation_histogram(ds, *, cell: int = 256, num_buckets: int = 32):
+    """Street-grid orientation analysis (the Boeing-style bearing
+    histogram, integer-exact): per grid cell, count segments by
+    OCTANT. Octants come from pure integer comparisons of
+    (dx, dy) = (x2-x1, y2-y1) — no trig, so engine and SQL mirror are
+    identical by construction (np.select and CASE share the SAME
+    condition order; half-open 45-degree boundaries):
+
+      0: dx>0,  dy>=0, dx>dy      4: dx<0,  dy<=0, -dx>-dy
+      1: dx>0,  dy>0,  dy>=dx     5: dx<=0, dy<0,  -dy>=-dx
+      2: dx<=0, dy>0,  dy>-dx     6: dx>0,  dy<0,  -dy>dx
+      3: dx<0,  dy>0,  -dx>=dy    7: else  (dx>0,  dy<0,  dx>=-dy)
+
+    Zero-length segments are dropped on both sides. Cell = doubled
+    midpoint // (2*cell) (integer, non-negative coords required).
+    Per-batch (cx, cy, oct, n) partials bound the single int-key
+    merge shuffle. Returns a Dataset (cx, cy, oct, n)."""
+    from .joins import grouped_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x1 = df["x1"].to_numpy(np.int64); y1 = df["y1"].to_numpy(np.int64)
+        x2 = df["x2"].to_numpy(np.int64); y2 = df["y2"].to_numpy(np.int64)
+        dx = x2 - x1; dy = y2 - y1
+        keep = (dx != 0) | (dy != 0)
+        x1, y1, x2, y2, dx, dy = (a[keep] for a in (x1, y1, x2, y2, dx, dy))
+        conds = [
+            (dx > 0) & (dy >= 0) & (dx > dy),
+            (dx > 0) & (dy > 0) & (dy >= dx),
+            (dx <= 0) & (dy > 0) & (dy > -dx),
+            (dx < 0) & (dy > 0) & (-dx >= dy),
+            (dx < 0) & (dy <= 0) & (-dx > -dy),
+            (dx <= 0) & (dy < 0) & (-dy >= -dx),
+            (dx > 0) & (dy < 0) & (-dy > dx),
+        ]
+        o = np.select(conds, np.arange(7, dtype=np.int64),
+                      default=np.int64(7))
+        g = pd.DataFrame({"cx": (x1 + x2) // (2 * cell),
+                          "cy": (y1 + y2) // (2 * cell),
+                          "oct": o, "n": np.int64(1)})
+        out = g.groupby(["cx", "cy", "oct"], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cx", "cy", "oct"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return grouped_apply(parts, ["cx", "cy", "oct"], merge,
+                         num_buckets=num_buckets)

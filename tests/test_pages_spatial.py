@@ -906,3 +906,38 @@ def test_od_matrix_gap_and_tiebreak(ray_session):
         {"o_loc": 4, "d_loc": 6, "n_trips": 1},
         {"o_loc": 5, "d_loc": 7, "n_trips": 1},
         {"o_loc": 9, "d_loc": 9, "n_trips": 1}]
+
+
+def test_orientation_histogram_octants_and_boundaries(ray_session):
+    """spatial.orientation_histogram: all 8 compass octants land in
+    their bin; 45-degree and axis boundaries follow the documented
+    half-open convention; zero-length segments drop."""
+    import ray
+
+    from ophois_ray.spatial import orientation_histogram
+
+    # vectors (dx, dy) -> expected octant, all anchored at (1000, 1000)
+    cases = [
+        ((10, 3), 0), ((10, 0), 0),          # E, axis-E
+        ((10, 10), 1), ((3, 10), 1),         # 45 goes up, NE
+        ((0, 10), 2), ((-3, 10), 2),         # axis-N, NW-ish
+        ((-10, 10), 3), ((-10, 3), 3),       # 135 incl, W-ish
+        ((-10, 0), 4), ((-10, -3), 4),       # axis-W, SW-ish
+        ((-10, -10), 5), ((0, -10), 5),      # 225 incl, axis-S
+        ((-3, -10), 5), ((3, -10), 6),       # S..SE
+        ((10, -10), 7), ((10, -3), 7),       # 315 incl, SE..E
+        ((0, 0), None),                      # degenerate drops
+    ]
+    df = pd.DataFrame({
+        "x1": np.int64(1000), "y1": np.int64(1000),
+        "x2": np.array([1000 + d[0][0] for d in cases], np.int64),
+        "y2": np.array([1000 + d[0][1] for d in cases], np.int64)})
+    got = (orientation_histogram(ray.data.from_pandas(df), cell=256,
+                                 num_buckets=4)
+           .to_pandas().sort_values("oct", ignore_index=True))
+    exp_counts: dict = {}
+    for _, o in cases:
+        if o is not None:
+            exp_counts[o] = exp_counts.get(o, 0) + 1
+    assert got["cx"].unique().tolist() == [3] and got["cy"].unique().tolist() == [3]
+    assert dict(zip(got["oct"], got["n"])) == exp_counts

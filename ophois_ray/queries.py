@@ -3355,6 +3355,66 @@ FROM a3 JOIN a1 ON a1.user_id = a3.user_id
 """
 
 
+def q_events_transitions(sf_dir: str):
+    """HASH-CHECKED event-type Markov transition counts: per user the
+    (ts, event_id)-ordered bigram of event types (the behavioral
+    transition matrix training features come from). One user-bucket
+    shuffle, vectorized shift-compare per bucket, per-bucket partials
+    over the tiny 5x5 type domain; SQL mirror is lead() over the same
+    window order."""
+    from .joins import grouped_apply
+
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                       "event_type"])
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "us": us.to_numpy(),
+            "event_type": df["event_type"].to_numpy(object)})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["event_type"].to_numpy(object)
+        if len(df) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        same = uid[1:] == uid[:-1]
+        g = pd.DataFrame({"a": t[:-1][same], "b": t[1:][same],
+                          "n": np.int64(1)})
+        out = g.groupby(["a", "b"], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = grouped_apply(ev.map_batches(to_us, batch_format="pandas"),
+                          "user_id", bucket, num_buckets=32)
+    out = parts.to_pandas()
+    if not len(out):
+        return pd.DataFrame({"a": pd.Series(dtype=object),
+                             "b": pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64)})
+    g = out.groupby(["a", "b"], as_index=False)["n"].sum()
+    g["n"] = g["n"].astype(np.int64)
+    return g.sort_values(["a", "b"], ignore_index=True)
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS us
+           FROM events),
+p AS (SELECT event_type AS a,
+             lead(event_type) OVER
+               (PARTITION BY user_id ORDER BY us, event_id) AS b
+      FROM e)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE b IS NOT NULL GROUP BY a, b
+"""
+
+
 def q_events_sessionize(sf_dir: str):
     """Streaming-window sessionization (the weblog/training-data shape of
     X4): per-user sessions split at >30 min idle gaps, one hash-bucket
@@ -8664,6 +8724,7 @@ def catalog():
         "lang_id_counts": q_lang_id_counts,
         "events_sessionize": q_events_sessionize,
         "events_funnel": q_events_funnel,
+        "events_transitions": q_events_transitions,
         "events_funnel_pairs": q_events_funnel_pairs,
         "events_trend_state": q_events_trend_state,
         "events_top_paths": q_events_top_paths,
@@ -8722,6 +8783,7 @@ def sql_catalog():
         "lang_id_counts": _sql_lang_id_counts(),
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_funnel": SQL_EVENTS_FUNNEL,
+        "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_funnel_pairs": SQL_EVENTS_FUNNEL_PAIRS,
         "events_trend_state": SQL_EVENTS_TREND_STATE,
         "events_top_paths": SQL_EVENTS_TOP_PATHS,

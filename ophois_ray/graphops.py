@@ -1744,3 +1744,94 @@ def link_prediction(edges, *, scale: int = 1 << 20, min_common: int = 1,
 
     return grouped_apply(cand.union(tagged), ["u", "v"], merge,
                          num_buckets=max(8, num_buckets // 4))
+
+
+# ------------------------------------------------------- assortativity
+
+
+def degree_assortativity_stats(edges, *,
+                               broadcast_cap: int = DEFAULT_BROADCAST_CAP,
+                               num_buckets: int = 64) -> pd.DataFrame:
+    """Degree-assortativity SUFFICIENT STATISTICS over a canonical
+    undirected edge table (int64 ``u < v``): for every ARC (both
+    orientations, the standard symmetrization) with endpoint degrees
+    (du, dv), the one-row int64 frame
+
+        (m, s_uv, s_u, s_v, s_uu, s_vv)
+
+    from which Pearson degree-degree r derives exactly downstream
+    ((m*s_uv - s_u*s_v) / sqrt((m*s_uu - s_u^2)*(m*s_vv - s_v^2))) —
+    the register-table trick applied to graph mixing: the distributed
+    output is pure integer sums, order-free and SQL-mirrorable.
+
+    Scale shape: degrees broadcast under ``broadcast_cap`` (one fused
+    pass over the edges, per-batch partial sums); above the cap two
+    bucketed hash-joins attach du/dv and the same partials merge —
+    forced-cap pytest pins the paths bit-equal."""
+    import ray
+
+    from .joins import BroadcastIndex
+
+    cols = ["m", "s_uv", "s_u", "s_v", "s_uu", "s_vv"]
+
+    def arc_stats(du: np.ndarray, dv: np.ndarray) -> pd.DataFrame:
+        # both orientations: (du,dv) and (dv,du)
+        a = np.concatenate([du, dv]); b = np.concatenate([dv, du])
+        return pd.DataFrame({
+            "m": [np.int64(len(a))], "s_uv": [np.int64((a * b).sum())],
+            "s_u": [np.int64(a.sum())], "s_v": [np.int64(b.sum())],
+            "s_uu": [np.int64((a * a).sum())],
+            "s_vv": [np.int64((b * b).sum())]})
+
+    edges = edges.materialize()
+    deg = None
+    if edges.count() <= broadcast_cap:
+        cand = _driver_merged_degrees(edges)
+        if len(cand) <= broadcast_cap:
+            deg = cand.sort_values("node", ignore_index=True)
+    if deg is not None:
+        idx = BroadcastIndex(deg["node"].to_numpy(np.int64),
+                             {"d": deg["deg"].to_numpy(np.int64)})
+        ref = ray.put(idx)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            ix = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            du = ix.lookup(df["u"].to_numpy(np.int64), "d")
+            dv = ix.lookup(df["v"].to_numpy(np.int64), "d")
+            return arc_stats(du, dv)
+
+        parts = edges.map_batches(partial, batch_format="pandas").to_pandas()
+    else:
+        # never collects the degree table: distributed (node, d) + two
+        # bucketed hash-joins attach endpoint degrees
+        arcs = edges.map_batches(
+            lambda df: pd.DataFrame({
+                "src": np.concatenate([df["u"].to_numpy(np.int64),
+                                       df["v"].to_numpy(np.int64)]),
+                "dst": np.concatenate([df["v"].to_numpy(np.int64),
+                                       df["u"].to_numpy(np.int64)])}),
+            batch_format="pandas")
+        deg_ds = _arc_degrees_ds(arcs, num_buckets=num_buckets).materialize()
+        j1 = hash_join(
+            edges, deg_ds.map_batches(
+                lambda df: pd.DataFrame({
+                    "u": df["node"].to_numpy(np.int64),
+                    "du": df["d"].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            on="u", num_buckets=num_buckets)
+        j2 = hash_join(
+            j1, deg_ds.map_batches(
+                lambda df: pd.DataFrame({
+                    "v": df["node"].to_numpy(np.int64),
+                    "dv": df["d"].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            on="v", num_buckets=num_buckets)
+        parts = j2.map_batches(
+            lambda df: arc_stats(df["du"].to_numpy(np.int64),
+                                 df["dv"].to_numpy(np.int64)),
+            batch_format="pandas").to_pandas()
+
+    if not len(parts):
+        return pd.DataFrame({c: [np.int64(0)] for c in cols})
+    out = parts[cols].sum()
+    return pd.DataFrame({c: [np.int64(out[c])] for c in cols})

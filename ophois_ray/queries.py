@@ -6332,6 +6332,36 @@ def q_part_link_pred(sf_dir: str):
     return link_prediction(edges)
 
 
+def q_part_assortativity(sf_dir: str):
+    """HASH-CHECKED degree-assortativity sufficient statistics
+    (graphops.degree_assortativity_stats) over the part-chain graph:
+    one int64 row (m, s_uv, s_u, s_v, s_uu, s_vv) over both arc
+    orientations — Pearson degree-degree r derives exactly downstream,
+    while the distributed output stays order-free integer sums."""
+    from .graphops import degree_assortativity_stats
+
+    return degree_assortativity_stats(_chain_edges(sf_dir))
+
+
+SQL_PART_ASSORTATIVITY = f"""
+WITH {_SQL_CHAIN_EDGES},
+arcs AS (SELECT u AS src, v AS dst FROM edges
+         UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM arcs GROUP BY src),
+j AS (SELECT d1.d AS du, d2.d AS dv
+      FROM arcs a JOIN deg d1 ON d1.node = a.src
+                  JOIN deg d2 ON d2.node = a.dst)
+SELECT CAST(count(*) AS BIGINT) AS m,
+       CAST(SUM(du * dv) AS BIGINT) AS s_uv,
+       CAST(SUM(du) AS BIGINT) AS s_u,
+       CAST(SUM(dv) AS BIGINT) AS s_v,
+       CAST(SUM(du * du) AS BIGINT) AS s_uu,
+       CAST(SUM(dv * dv) AS BIGINT) AS s_vv
+FROM j
+"""
+
+
 def q_part_rendezvous(sf_dir: str):
     """HASH-CHECKED rendezvous (HRW) shard-growth audit
     (sampling.rendezvous_stability): every part key assigned under 9
@@ -8616,6 +8646,7 @@ def catalog():
         "part_hits": q_part_hits,
         "part_link_pred": q_part_link_pred,
         "part_rendezvous": q_part_rendezvous,
+        "part_assortativity": q_part_assortativity,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "doc_token_count_bpe": q_doc_token_count_bpe,
         "corpus_curation": q_corpus_curation,
@@ -8846,6 +8877,7 @@ def sql_catalog():
         "part_hits": _sql_part_hits(),
         "part_link_pred": SQL_PART_LINK_PRED,
         "part_rendezvous": SQL_PART_RENDEZVOUS,
+        "part_assortativity": SQL_PART_ASSORTATIVITY,
         "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
         "doc_token_count_bpe": _sql_doc_token_count_bpe(),
         "corpus_curation": SQL_CORPUS_CURATION,

@@ -586,3 +586,42 @@ def test_link_prediction_matches_scalar_oracle(ray_session):
     got = (link_prediction(ds, num_buckets=8).to_pandas()
            .sort_values(["u", "v"], ignore_index=True).astype(np.int64))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_degree_assortativity_paths_and_oracle(ray_session):
+    """graphops.degree_assortativity_stats: broadcast path == scalar
+    sums == forced-cap join path; star graph is exactly disassortative
+    in the raw stats."""
+    import ray
+
+    from ophois_ray.graphops import degree_assortativity_stats
+
+    rng = np.random.default_rng(13)
+    edges = sorted({(min(a, b), max(a, b)) for a, b in
+                    zip(rng.integers(0, 25, 80), rng.integers(0, 25, 80))
+                    if a != b})
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    du = np.array([deg[a] for a, b in edges] + [deg[b] for a, b in edges],
+                  np.int64)
+    dv = np.array([deg[b] for a, b in edges] + [deg[a] for a, b in edges],
+                  np.int64)
+    exp = pd.DataFrame({"m": [len(du)], "s_uv": [(du * dv).sum()],
+                        "s_u": [du.sum()], "s_v": [dv.sum()],
+                        "s_uu": [(du * du).sum()],
+                        "s_vv": [(dv * dv).sum()]}).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"u": np.array([a for a, _ in edges], np.int64),
+         "v": np.array([b for _, b in edges], np.int64)})).repartition(4)
+    got_b = degree_assortativity_stats(ds)
+    got_j = degree_assortativity_stats(ds, broadcast_cap=0, num_buckets=8)
+    pd.testing.assert_frame_equal(got_b, exp)
+    pd.testing.assert_frame_equal(got_j, exp)
+    # star K1,4: every arc pairs degree 4 with degree 1
+    star = ray.data.from_pandas(pd.DataFrame(
+        {"u": np.zeros(4, np.int64), "v": np.arange(1, 5, dtype=np.int64)}))
+    s = degree_assortativity_stats(star)
+    assert s.loc[0, "m"] == 8 and s.loc[0, "s_uv"] == 8 * 4
+    assert s.loc[0, "s_uu"] == 4 * 16 + 4 * 1

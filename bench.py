@@ -161,6 +161,36 @@ BENCH_ROTATE = [
     "embed_kmeans",
     "embed_ivf_topk_int",
     "doc_dsir_weights",
+    # round-4 crawl / trajectory / geometry / graph additions
+    "robots_decisions",
+    "warc_records",
+    "redirect_chains",
+    "sitemap_entries",
+    "meta_extract",
+    "http_cache_plan",
+    "content_sniff",
+    "frontier_schedule",
+    "trace_od_matrix",
+    "trace_staypoints",
+    "cell_quadkey",
+    "hilbert_index",
+    "cell_regions",
+    "convex_hulls",
+    "interval_coverage",
+    "polygon_clip",
+    "segment_crossings",
+    "url_templates",
+    "orientation_hist",
+    "hreflang_clusters",
+    "url_features",
+    "table_stats",
+    "video_h264_cavlc_stats",
+    "part_hits",
+    "part_link_pred",
+    "part_rendezvous",
+    "part_assortativity",
+    "events_funnel",
+    "events_transitions",
 ]
 BENCH_ROTATE_K = 15
 

@@ -6332,6 +6332,44 @@ def q_part_link_pred(sf_dir: str):
     return link_prediction(edges)
 
 
+def q_doc_apportion(sf_dir: str):
+    """HASH-CHECKED largest-remainder (Hamilton) apportionment
+    (sampling.apportion_slots): 9973 sample slots split across (lang,
+    source) mixture cells proportional to doc counts — integer quotas
+    ``total*n//N`` plus +1 to the largest remainders (ties to the
+    smaller packed key), so slots sum to exactly 9973 with no float
+    weights. SQL mirror ranks remainders with a window."""
+    from .sampling import apportion_slots
+
+    docs = _t(sf_dir, "documents", columns=["lang", "source"])
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        cell = (df["lang"].astype(str) + "|" + df["source"].astype(str))
+        return pd.DataFrame({"cell": cell.to_numpy(object)})
+
+    return apportion_slots(docs.map_batches(pack, batch_format="pandas"),
+                           "cell", 9973)
+
+
+SQL_DOC_APPORTION = """
+WITH c AS (SELECT lang || '|' || source AS cell,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY cell),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+q AS (SELECT cell, n, (9973 * n) // t.nn AS quota,
+             (9973 * n) % t.nn AS rem
+      FROM c CROSS JOIN t),
+k AS (SELECT CAST(9973 - SUM(quota) AS BIGINT) AS k FROM q),
+r AS (SELECT cell, n, quota,
+             row_number() OVER (ORDER BY rem DESC, cell ASC) AS rn
+      FROM q)
+SELECT r.cell AS cell, r.n AS n,
+       CAST(r.quota + CASE WHEN r.rn <= k.k THEN 1 ELSE 0 END
+            AS BIGINT) AS slots
+FROM r CROSS JOIN k
+"""
+
+
 def q_part_assortativity(sf_dir: str):
     """HASH-CHECKED degree-assortativity sufficient statistics
     (graphops.degree_assortativity_stats) over the part-chain graph:
@@ -8608,8 +8646,16 @@ def catalog():
     # first, then 44 SQL-mirrored never-driver-checked queries plus
     # the 4 new ones (embed_kmeans, embed_ivf_topk_int,
     # doc_dsir_weights, doc_dict_tags). The previously-verified 50 and
-    # the no-oracle entries follow; rotate again next round to cover
-    # the remaining 30 (doc_dup_spans onward).
+    # the no-oracle entries follow. ROUND-5 ROTATION TODO: assuming
+    # CORRECTNESS_r04 greens the current positions 1-50, the
+    # still-never-driver-checked set = everything from doc_dup_spans
+    # onward in this dict (OLAP/set ops, tiling/CDC, H.264 stats,
+    # geospatial P-slice block, the crawl-stack block robots_decisions
+    # .. table_stats, and the round-4 additions polygon_clip,
+    # segment_crossings, url_templates, orientation_hist, part_hits,
+    # part_link_pred, part_rendezvous, part_assortativity,
+    # events_funnel, events_transitions) — move ~50 of those into
+    # positions 1-50 next round and demote the r04-verified block.
     return {
         "graph_simplify_stats": q_graph_simplify_stats,
         "graph_discretize_stats": q_graph_discretize_stats,
@@ -8647,6 +8693,7 @@ def catalog():
         "part_link_pred": q_part_link_pred,
         "part_rendezvous": q_part_rendezvous,
         "part_assortativity": q_part_assortativity,
+        "doc_apportion": q_doc_apportion,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "doc_token_count_bpe": q_doc_token_count_bpe,
         "corpus_curation": q_corpus_curation,
@@ -8878,6 +8925,7 @@ def sql_catalog():
         "part_link_pred": SQL_PART_LINK_PRED,
         "part_rendezvous": SQL_PART_RENDEZVOUS,
         "part_assortativity": SQL_PART_ASSORTATIVITY,
+        "doc_apportion": SQL_DOC_APPORTION,
         "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
         "doc_token_count_bpe": _sql_doc_token_count_bpe(),
         "corpus_curation": SQL_CORPUS_CURATION,

@@ -684,3 +684,58 @@ def rendezvous_stability(ds, key_col: str, n_shards: int):
     out = parts.groupby("shard", as_index=False).agg(
         n=("n", "sum"), moved=("moved", "sum")).astype(np.int64)
     return out.sort_values("shard", ignore_index=True)
+
+
+# ------------------------------------------------- slot apportionment
+
+
+def apportion_slots(ds, group_col: str, total: int, *,
+                    num_buckets: int = 16) -> pd.DataFrame:
+    """Largest-remainder (Hamilton) apportionment of ``total`` sample
+    slots proportional to group row counts — the integer-exact way to
+    turn a mixture spec into per-source budgets (no float weights, no
+    rounding drift: slots always sum to exactly ``total``).
+
+        quota_g  = total * n_g // N
+        leftover = total - sum(quota)  ->  +1 to the ``leftover``
+        groups with the largest remainder total * n_g % N
+        (ties to the smaller group key)
+
+    Scale shape: per-batch (group, n) partial counts bound the one
+    int-key exchange; the apportionment itself runs on the group table
+    (tiny by definition — it IS the mixture spec). Returns pandas
+    (group, n, slots)."""
+    from .joins import grouped_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, as_index=False).size()
+        return pd.DataFrame({group_col: g[group_col],
+                             "n": g["size"].astype(np.int64)})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    counts = grouped_apply(ds.map_batches(partial, batch_format="pandas"),
+                           group_col, merge,
+                           num_buckets=num_buckets).to_pandas()
+    if not len(counts):
+        return pd.DataFrame({group_col: pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64),
+                             "slots": pd.Series(dtype=np.int64)})
+    counts = counts.sort_values(group_col, ignore_index=True)
+    n = counts["n"].to_numpy(np.int64)
+    N = int(n.sum())
+    quota = (total * n) // N
+    rem = (total * n) % N
+    k = int(total - quota.sum())
+    slots = quota.copy()
+    if k > 0:
+        # rank by (remainder desc, group asc): the table is already
+        # group-sorted, so a STABLE sort on -rem keeps group order for
+        # ties (and works for string group keys, unlike lexsort)
+        order = np.argsort(-rem, kind="stable")
+        slots[order[:k]] += 1
+    return pd.DataFrame({group_col: counts[group_col], "n": n,
+                         "slots": slots})

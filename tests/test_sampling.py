@@ -237,3 +237,30 @@ def test_rendezvous_minimal_disruption(ray_session):
                                                  moved=("moved", "sum"))
            .astype(np.int64))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_apportion_slots_sums_exact_with_ties(ray_session):
+    """sampling.apportion_slots: slots always sum to total; remainder
+    ties break to the smaller group key; zero-remainder case adds
+    nothing."""
+    import ray
+
+    from ophois_ray.sampling import apportion_slots
+
+    # groups 1,2,3 with counts 1,1,2 and total 10: quotas 2,2,5,
+    # remainders 2,2,0 -> one leftover goes to group 1 (tie 1 vs 2)
+    df = pd.DataFrame({"g": np.array([1, 2, 3, 3], np.int64)})
+    got = apportion_slots(ray.data.from_pandas(df), "g", 10, num_buckets=4)
+    assert got.to_dict("records") == [
+        {"g": 1, "n": 1, "slots": 3},
+        {"g": 2, "n": 1, "slots": 2},
+        {"g": 3, "n": 2, "slots": 5}]
+    # exact division: no +1 anywhere
+    df2 = pd.DataFrame({"g": np.repeat(np.arange(4, dtype=np.int64), 5)})
+    got2 = apportion_slots(ray.data.from_pandas(df2).repartition(3), "g", 40)
+    assert got2["slots"].tolist() == [10, 10, 10, 10]
+    # random weights: sum invariant
+    rng = np.random.default_rng(3)
+    df3 = pd.DataFrame({"g": rng.integers(0, 17, 500).astype(np.int64)})
+    got3 = apportion_slots(ray.data.from_pandas(df3).repartition(7), "g", 9973)
+    assert int(got3["slots"].sum()) == 9973

@@ -191,6 +191,8 @@ BENCH_ROTATE = [
     "part_assortativity",
     "events_funnel",
     "events_transitions",
+    "doc_apportion",
+    "cust_rfm",
 ]
 BENCH_ROTATE_K = 15
 

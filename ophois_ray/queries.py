@@ -6332,6 +6332,88 @@ def q_part_link_pred(sf_dir: str):
     return link_prediction(edges)
 
 
+def q_cust_rfm(sf_dir: str):
+    """HASH-CHECKED RFM segmentation: per customer the semigroup
+    triple (last order day MAX, order count, floor-cents revenue SUM)
+    pre-aggregates per batch before ONE customer-bucket shuffle, then
+    buckets to (recency 90-day steps capped 6, frequency capped 8,
+    monetary 100k-cent steps capped 9) and rolls up segment
+    populations — nothing customer-sized leaves the buckets. The
+    recency anchor is the DATASET's own max order day (max partials,
+    exact), so the divided operand is non-negative by construction
+    (floor vs trunc parity) at any sf. floor(price*100) quantization
+    is identically rounded in numpy and DuckDB (the q6 precedent)."""
+    from .joins import grouped_apply
+
+    ords = _t(sf_dir, "orders",
+              columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    day_parts = ords.map_batches(
+        lambda df: pd.DataFrame({"d": [np.int64(
+            (pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+             .astype("int64").to_numpy() // 86_400_000_000).max()
+        )]}) if len(df) else pd.DataFrame({"d": pd.Series(dtype=np.int64)}),
+        batch_format="pandas").to_pandas()
+    ANCHOR_DAY = int(day_parts["d"].max())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = (pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+              .astype("int64").to_numpy())
+        g = pd.DataFrame({
+            "c": df["o_custkey"].to_numpy(np.int64),
+            "n": np.int64(1),
+            "cents": np.floor(
+                df["o_totalprice"].to_numpy(np.float64) * 100
+            ).astype(np.int64),
+            "last": us // 86_400_000_000})
+        out = g.groupby("c", as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"), last=("last", "max"))
+        return out.astype(np.int64)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c", as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"), last=("last", "max"))
+        r = np.minimum((ANCHOR_DAY - g["last"].to_numpy(np.int64)) // 90,
+                       6)
+        f = np.minimum(g["n"].to_numpy(np.int64), 8)
+        m = np.minimum(g["cents"].to_numpy(np.int64) // 10_000_000, 9)
+        seg = pd.DataFrame({"r": r, "f": f, "m": m, "n_cust": np.int64(1)})
+        out = seg.groupby(["r", "f", "m"], as_index=False)["n_cust"].sum()
+        return out.astype(np.int64)
+
+    parts = grouped_apply(ords.map_batches(partial, batch_format="pandas"),
+                          "c", bucket, num_buckets=32,
+                          drop_partial=lambda df: df.groupby(
+                              "c", as_index=False).agg(
+                              n=("n", "sum"), cents=("cents", "sum"),
+                              last=("last", "max")).astype(np.int64))
+    out = parts.to_pandas()
+    if not len(out):
+        return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                             for c in ["r", "f", "m", "n_cust"]})
+    g = out.groupby(["r", "f", "m"], as_index=False)["n_cust"].sum()
+    return g.astype(np.int64).sort_values(["r", "f", "m"],
+                                          ignore_index=True)
+
+
+SQL_CUST_RFM = """
+WITH p AS (SELECT o_custkey AS c, CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents,
+                  MAX(CAST(epoch_us(o_orderdate) AS BIGINT)
+                      // 86400000000) AS last
+           FROM orders GROUP BY o_custkey),
+a AS (SELECT MAX(last) AS anchor FROM p),
+b AS (SELECT LEAST((a.anchor - last) // 90, 6) AS r,
+             LEAST(n, 8) AS f,
+             LEAST(cents // 10000000, 9) AS m
+      FROM p CROSS JOIN a)
+SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+       CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_cust
+FROM b GROUP BY r, f, m
+"""
+
+
 def q_doc_apportion(sf_dir: str):
     """HASH-CHECKED largest-remainder (Hamilton) apportionment
     (sampling.apportion_slots): 9973 sample slots split across (lang,
@@ -8694,6 +8776,7 @@ def catalog():
         "part_rendezvous": q_part_rendezvous,
         "part_assortativity": q_part_assortativity,
         "doc_apportion": q_doc_apportion,
+        "cust_rfm": q_cust_rfm,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "doc_token_count_bpe": q_doc_token_count_bpe,
         "corpus_curation": q_corpus_curation,
@@ -8926,6 +9009,7 @@ def sql_catalog():
         "part_rendezvous": SQL_PART_RENDEZVOUS,
         "part_assortativity": SQL_PART_ASSORTATIVITY,
         "doc_apportion": SQL_DOC_APPORTION,
+        "cust_rfm": SQL_CUST_RFM,
         "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
         "doc_token_count_bpe": _sql_doc_token_count_bpe(),
         "corpus_curation": SQL_CORPUS_CURATION,

@@ -445,3 +445,44 @@ def range_join(
         .groupby("__bucket")
         .map_groups(join_bucket, batch_format="pandas")
     )
+
+
+def stab_lookup(ds, value_col: str, intervals: "pd.DataFrame", *,
+                lo_col: str = "lo", hi_col: str = "hi",
+                id_col: str = "iv_id", out_col: str = "iv_id",
+                miss: int = -1):
+    """Broadcast interval STABBING lookup — the IP-geolocation /
+    static-range-table shape: every row's ``value_col`` is mapped to
+    the id of the DISJOINT half-open interval [lo, hi) containing it
+    (``miss`` when none). Unlike :func:`range_join` (two distributed
+    sides, one bucket exchange), the interval table here is small and
+    static by assumption, so it ships ONCE as sorted numpy arrays
+    (ray.put) and the probe is a fused zero-shuffle searchsorted per
+    batch — the right 100-TB plan whenever the range table fits a
+    worker (geo ranges, rate tiers, time zones).
+
+    Intervals must be disjoint; they are sorted by lo here and the
+    containment check after searchsorted rejects gap hits."""
+    import ray
+
+    iv = intervals.sort_values(lo_col, ignore_index=True)
+    lo = np.ascontiguousarray(iv[lo_col].to_numpy(np.int64))
+    hi = np.ascontiguousarray(iv[hi_col].to_numpy(np.int64))
+    ids = np.ascontiguousarray(iv[id_col].to_numpy(np.int64))
+    if (lo[1:] < hi[:-1]).any():
+        raise ValueError("stab_lookup intervals overlap")
+    ref = ray.put((lo, hi, ids))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        lo_, hi_, ids_ = t
+        v = df[value_col].to_numpy(np.int64)
+        pos = np.searchsorted(lo_, v, side="right") - 1
+        ok = pos >= 0
+        safe = np.where(ok, pos, 0)
+        ok &= v < hi_[safe]
+        df = df.copy()
+        df[out_col] = np.where(ok, ids_[safe], np.int64(miss))
+        return df
+
+    return ds.map_batches(probe, batch_format="pandas")

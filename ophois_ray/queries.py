@@ -6414,6 +6414,58 @@ FROM b GROUP BY r, f, m
 """
 
 
+def q_doc_stab_tiers(sf_dir: str):
+    """HASH-CHECKED broadcast interval-stabbing lookup
+    (joins.stab_lookup — the IP-geolocation shape): doc values from
+    two-round arithmetic stabbed into a 64-tier gappy half-open range
+    table shipped ONCE via ray.put (fused zero-shuffle searchsorted,
+    vs range_join's bucket exchange); per-tier counts with gap misses
+    as tier -1. SQL mirror is the LEFT non-equi join."""
+    from .joins import stab_lookup
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+    iv = pd.DataFrame({
+        "lo": np.arange(64, dtype=np.int64) * 1000,
+        "hi": np.arange(64, dtype=np.int64) * 1000 + 700,
+        "iv_id": np.arange(64, dtype=np.int64)})
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "v": ((k + 3) * 8191 % 1_000_003) * 8191 % 1_000_003 % 64000})
+
+    looked = stab_lookup(docs.map_batches(gen, batch_format="pandas"),
+                         "v", iv)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("iv_id", as_index=False).size()
+        return pd.DataFrame({"iv_id": g["iv_id"].to_numpy(np.int64),
+                             "n": g["size"].to_numpy(np.int64)})
+
+    parts = looked.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"iv_id": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64)})
+    g = parts.groupby("iv_id", as_index=False)["n"].sum()
+    g["n"] = g["n"].astype(np.int64)
+    return g.sort_values("iv_id", ignore_index=True)
+
+
+SQL_DOC_STAB_TIERS = """
+WITH v AS (SELECT ((doc_id + 3) * 8191 % 1000003) * 8191
+                  % 1000003 % 64000 AS v
+           FROM documents),
+iv AS (SELECT CAST(range AS BIGINT) AS iv_id,
+              CAST(range * 1000 AS BIGINT) AS lo,
+              CAST(range * 1000 + 700 AS BIGINT) AS hi
+       FROM range(64)),
+j AS (SELECT COALESCE(iv.iv_id, -1) AS iv_id
+      FROM v LEFT JOIN iv ON v.v >= iv.lo AND v.v < iv.hi)
+SELECT CAST(iv_id AS BIGINT) AS iv_id, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY iv_id
+"""
+
+
 def q_doc_apportion(sf_dir: str):
     """HASH-CHECKED largest-remainder (Hamilton) apportionment
     (sampling.apportion_slots): 9973 sample slots split across (lang,
@@ -8777,6 +8829,7 @@ def catalog():
         "part_assortativity": q_part_assortativity,
         "doc_apportion": q_doc_apportion,
         "cust_rfm": q_cust_rfm,
+        "doc_stab_tiers": q_doc_stab_tiers,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "doc_token_count_bpe": q_doc_token_count_bpe,
         "corpus_curation": q_corpus_curation,
@@ -9010,6 +9063,7 @@ def sql_catalog():
         "part_assortativity": SQL_PART_ASSORTATIVITY,
         "doc_apportion": SQL_DOC_APPORTION,
         "cust_rfm": SQL_CUST_RFM,
+        "doc_stab_tiers": SQL_DOC_STAB_TIERS,
         "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
         "doc_token_count_bpe": _sql_doc_token_count_bpe(),
         "corpus_curation": SQL_CORPUS_CURATION,

@@ -264,3 +264,24 @@ def test_apportion_slots_sums_exact_with_ties(ray_session):
     df3 = pd.DataFrame({"g": rng.integers(0, 17, 500).astype(np.int64)})
     got3 = apportion_slots(ray.data.from_pandas(df3).repartition(7), "g", 9973)
     assert int(got3["slots"].sum()) == 9973
+
+
+def test_stab_lookup_gaps_edges_and_overlap_guard(ray_session):
+    """joins.stab_lookup: half-open [lo, hi) membership, gap values
+    miss, below-first-lo misses, overlap raises."""
+    import ray
+
+    from ophois_ray.joins import stab_lookup
+
+    iv = pd.DataFrame({"lo": np.array([10, 30], np.int64),
+                       "hi": np.array([20, 40], np.int64),
+                       "iv_id": np.array([7, 8], np.int64)})
+    df = pd.DataFrame({"v": np.array([5, 10, 19, 20, 25, 30, 39, 40],
+                                     np.int64)})
+    got = (stab_lookup(ray.data.from_pandas(df), "v", iv)
+           .to_pandas().sort_values("v", ignore_index=True))
+    assert got["iv_id"].tolist() == [-1, 7, 7, -1, -1, 8, 8, -1]
+    with pytest.raises(ValueError):
+        stab_lookup(ray.data.from_pandas(df), "v",
+                    pd.DataFrame({"lo": [10, 15], "hi": [20, 25],
+                                  "iv_id": [1, 2]}))

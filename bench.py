@@ -193,6 +193,7 @@ BENCH_ROTATE = [
     "events_transitions",
     "doc_apportion",
     "cust_rfm",
+    "doc_stab_tiers",
 ]
 BENCH_ROTATE_K = 15
 

@@ -194,6 +194,7 @@ BENCH_ROTATE = [
     "doc_apportion",
     "cust_rfm",
     "doc_stab_tiers",
+    "part_cocitation",
 ]
 BENCH_ROTATE_K = 15
 

@@ -6534,6 +6534,34 @@ FROM j
 """
 
 
+def q_part_cocitation(sf_dir: str):
+    """HASH-CHECKED bibliographic co-citation (dedup.shared_key_pairs
+    re-targeted at the web-graph shape): pairs of chain sources
+    pointing at the SAME target with the exact shared-target count —
+    the posting-list pair counting engine (one key shuffle, per-key
+    complete source sets, hot-key cap far above this corpus's
+    degrees). SQL mirror is the arcs self-join."""
+    from .dedup import shared_key_pairs
+
+    edges = _chain_edges(sf_dir)
+    arcs = edges.map_batches(
+        lambda df: pd.DataFrame({"src": df["u"].to_numpy(np.int64),
+                                 "dst": df["v"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    return shared_key_pairs(arcs, id_col="src", key_col="dst",
+                            min_shared=1, bucket_cap=100_000)
+
+
+SQL_PART_COCITATION = f"""
+WITH {_SQL_CHAIN_EDGES},
+arcs AS (SELECT u AS src, v AS dst FROM edges)
+SELECT a1.src AS id_a, a2.src AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM arcs a1 JOIN arcs a2 ON a1.dst = a2.dst AND a1.src < a2.src
+GROUP BY id_a, id_b
+"""
+
+
 def q_part_rendezvous(sf_dir: str):
     """HASH-CHECKED rendezvous (HRW) shard-growth audit
     (sampling.rendezvous_stability): every part key assigned under 9
@@ -8826,6 +8854,7 @@ def catalog():
         "part_hits": q_part_hits,
         "part_link_pred": q_part_link_pred,
         "part_rendezvous": q_part_rendezvous,
+        "part_cocitation": q_part_cocitation,
         "part_assortativity": q_part_assortativity,
         "doc_apportion": q_doc_apportion,
         "cust_rfm": q_cust_rfm,
@@ -9060,6 +9089,7 @@ def sql_catalog():
         "part_hits": _sql_part_hits(),
         "part_link_pred": SQL_PART_LINK_PRED,
         "part_rendezvous": SQL_PART_RENDEZVOUS,
+        "part_cocitation": SQL_PART_COCITATION,
         "part_assortativity": SQL_PART_ASSORTATIVITY,
         "doc_apportion": SQL_DOC_APPORTION,
         "cust_rfm": SQL_CUST_RFM,

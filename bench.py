@@ -195,6 +195,7 @@ BENCH_ROTATE = [
     "cust_rfm",
     "doc_stab_tiers",
     "part_cocitation",
+    "part_degree_loghist",
 ]
 BENCH_ROTATE_K = 15
 

@@ -6534,6 +6534,57 @@ FROM j
 """
 
 
+def q_part_degree_loghist(sf_dir: str):
+    """HASH-CHECKED log2-bucketed degree histogram (the power-law tail
+    audit) over the co-purchase graph: bucket = bit_length(degree),
+    computed EXACTLY on both sides without float log — numpy frexp's
+    exponent (exact for int64 < 2^53) == DuckDB length(bin(d)).
+    Distributed shape: arc (node, 1) partials -> one int-key degree
+    merge -> per-bucket count partials -> tiny driver merge."""
+    from .graphops import _arc_degrees_ds
+
+    edges = _copurchase_edges(sf_dir)
+    arcs = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "src": np.concatenate([df["u"].to_numpy(np.int64),
+                                   df["v"].to_numpy(np.int64)]),
+            "dst": np.concatenate([df["v"].to_numpy(np.int64),
+                                   df["u"].to_numpy(np.int64)])}),
+        batch_format="pandas")
+    deg_ds = _arc_degrees_ds(arcs, num_buckets=32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.frexp(df["d"].to_numpy(np.int64).astype(np.float64))[1]
+        g = pd.DataFrame({"bucket": b.astype(np.int64),
+                          "n_nodes": np.int64(1)})
+        out = g.groupby("bucket", as_index=False)["n_nodes"].sum()
+        return out.astype(np.int64)
+
+    parts = deg_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"bucket": pd.Series(dtype=np.int64),
+                             "n_nodes": pd.Series(dtype=np.int64)})
+    g = parts.groupby("bucket", as_index=False)["n_nodes"].sum()
+    return g.astype(np.int64).sort_values("bucket", ignore_index=True)
+
+
+SQL_PART_DEGREE_LOGHIST = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), arc AS (
+  SELECT u AS src FROM e UNION ALL SELECT v FROM e
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM arc GROUP BY src
+)
+SELECT CAST(length(bin(d)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY bucket
+"""
+
+
 def q_part_cocitation(sf_dir: str):
     """HASH-CHECKED bibliographic co-citation (dedup.shared_key_pairs
     re-targeted at the web-graph shape): pairs of chain sources
@@ -8855,6 +8906,7 @@ def catalog():
         "part_link_pred": q_part_link_pred,
         "part_rendezvous": q_part_rendezvous,
         "part_cocitation": q_part_cocitation,
+        "part_degree_loghist": q_part_degree_loghist,
         "part_assortativity": q_part_assortativity,
         "doc_apportion": q_doc_apportion,
         "cust_rfm": q_cust_rfm,
@@ -9090,6 +9142,7 @@ def sql_catalog():
         "part_link_pred": SQL_PART_LINK_PRED,
         "part_rendezvous": SQL_PART_RENDEZVOUS,
         "part_cocitation": SQL_PART_COCITATION,
+        "part_degree_loghist": SQL_PART_DEGREE_LOGHIST,
         "part_assortativity": SQL_PART_ASSORTATIVITY,
         "doc_apportion": SQL_DOC_APPORTION,
         "cust_rfm": SQL_CUST_RFM,

@@ -149,3 +149,75 @@ def test_pii_scrub_is_a_fixpoint(text):
         scrubbed = _re.sub(pat, mask, scrubbed)
     for _, pat, _mask in PII_PATTERNS:
         assert _re.search(pat, scrubbed) is None
+
+
+@given(st.lists(st.tuples(st.integers(0, 100), st.integers(0, 100)),
+                min_size=3, max_size=8),
+       st.integers(0, 80), st.integers(0, 80),
+       st.integers(1, 40), st.integers(1, 40))
+@settings(max_examples=200, deadline=None)
+def test_sutherland_hodgman_rect_window_properties(pts, cx, cy, w, h):
+    """Clipping any SIMPLE polygon (S-H's contract — generated points
+    are deduped and angularly sorted into a star-shaped ring) by a
+    rectangle window: |area| never exceeds the window area or the
+    subject's bbox area, and a window containing the subject's bbox
+    leaves the shoelace magnitude unchanged."""
+    import math
+
+    from ophois_ray.polygons import _shoelace2, sutherland_hodgman
+
+    pts = sorted(set(pts))
+    if len(pts) < 3:
+        return
+    mx = sum(p[0] for p in pts) / len(pts)
+    my = sum(p[1] for p in pts) / len(pts)
+    pts = sorted(pts, key=lambda p: math.atan2(p[1] - my, p[0] - mx))
+    win = [(cx, cy), (cx + w, cy), (cx + w, cy + h), (cx, cy + h)]
+    out = sutherland_hodgman(pts, win)
+    a = abs(_shoelace2(out)) if out else 0.0
+    assert a <= 2 * w * h + 1e-6
+    xs = [p[0] for p in pts]; ys = [p[1] for p in pts]
+    bbox2 = 2 * (max(xs) - min(xs)) * (max(ys) - min(ys))
+    assert a <= bbox2 + 1e-6
+    big = [(-1, -1), (101, -1), (101, 101), (-1, 101)]
+    assert abs(abs(_shoelace2(sutherland_hodgman(pts, big)))
+               - abs(_shoelace2(pts))) < 1e-6
+
+
+@given(st.lists(st.integers(0, (1 << 40)), min_size=1, max_size=300,
+                unique=True),
+       st.integers(1, 12))
+@settings(max_examples=100, deadline=None)
+def test_rendezvous_minimal_disruption_property(keys, n):
+    """HRW invariant for ANY key set and shard count: growing n -> n+1
+    only ever moves keys TO the new shard."""
+    from ophois_ray.sampling import rendezvous_shard
+
+    k = np.array(keys, dtype=np.int64)
+    a = rendezvous_shard(k, n)
+    b = rendezvous_shard(k, n + 1)
+    moved = a != b
+    assert (b[moved] == n).all()
+    assert (a < n).all() and (b <= n).all()
+
+
+@given(st.lists(st.integers(0, 16), min_size=1, max_size=200),
+       st.integers(1, 5000))
+@settings(max_examples=100, deadline=None)
+def test_apportion_remainder_invariants(groups, total):
+    """Hamilton apportionment: slots sum to total and each group gets
+    floor or ceil of its exact proportional share."""
+    import pandas as pd
+
+    counts = pd.Series(groups).value_counts().sort_index()
+    n = counts.to_numpy(np.int64)
+    N = int(n.sum())
+    quota = (total * n) // N
+    rem = (total * n) % N
+    k = int(total - quota.sum())
+    slots = quota.copy()
+    if k > 0:
+        order = np.argsort(-rem, kind="stable")
+        slots[order[:k]] += 1
+    assert slots.sum() == total
+    assert ((slots == quota) | (slots == quota + 1)).all()

@@ -8853,23 +8853,91 @@ def q_audio_fingerprint_neardup(sf_dir: str):
 
 
 def catalog():
-    # Ordered so the driver's 50-query verification window (catalog
-    # positions 1-50) covers entries with no green row in
-    # CORRECTNESS_r01-r03: the two new hash-checkable graph fixpoints
-    # first, then 44 SQL-mirrored never-driver-checked queries plus
-    # the 4 new ones (embed_kmeans, embed_ivf_topk_int,
-    # doc_dsir_weights, doc_dict_tags). The previously-verified 50 and
-    # the no-oracle entries follow. ROUND-5 ROTATION TODO: assuming
-    # CORRECTNESS_r04 greens the current positions 1-50, the
-    # still-never-driver-checked set = everything from doc_dup_spans
-    # onward in this dict (OLAP/set ops, tiling/CDC, H.264 stats,
-    # geospatial P-slice block, the crawl-stack block robots_decisions
-    # .. table_stats, and the round-4 additions polygon_clip,
-    # segment_crossings, url_templates, orientation_hist, part_hits,
-    # part_link_pred, part_rendezvous, part_assortativity,
-    # events_funnel, events_transitions) — move ~50 of those into
-    # positions 1-50 next round and demote the r04-verified block.
+    # Round-5 rotation (the final one): positions 1-50 are 50 of the 60
+    # SQL-mirrored queries with no green row anywhere in
+    # CORRECTNESS_r01-r04 — the tiling/CDC block, the crawl stack, the
+    # H.264 stats mirrors, the geospatial P-slice block, the OLAP/
+    # set-ops block and events_funnel. With r01-r04's 98 cumulative
+    # greens this puts 148 distinct queries through the driver's
+    # rows+schema+hash compare. Ten near-duplicates of an in-window
+    # sibling were left out for lack of slots (video_h264_cavlc_stats,
+    # events_unpivot_counts, users_click_and_purchase, doc_len_ntile,
+    # events_transitions, cell_quadkey, content_sniff,
+    # hreflang_clusters, doc_len_mad, trace_od_matrix) — they follow
+    # at positions 51-60 and stay covered by the local dtype-strict
+    # DuckDB compare in tests/test_driver_contract.py, as do the nine
+    # no_oracle entries at positions 61-69 and the already-verified
+    # remainder.
     return {
+        "tile_pyramid": q_tile_pyramid,
+        "zorder_stats": q_zorder_stats,
+        "snapshot_diff": q_snapshot_diff,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_sample_global": q_doc_sample_global,
+        "events_watermark_late": q_events_watermark_late,
+        "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
+        "crawl_refresh": q_crawl_refresh,
+        "video_h264_stats": q_video_h264_stats,
+        "video_h264_p_stats": q_video_h264_p_stats,
+        "cell_compact": q_cell_compact,
+        "trace_map_match": q_trace_map_match,
+        "polyline_simplify": q_polyline_simplify,
+        "robots_decisions": q_robots_decisions,
+        "warc_records": q_warc_records,
+        "redirect_chains": q_redirect_chains,
+        "sitemap_entries": q_sitemap_entries,
+        "meta_extract": q_meta_extract,
+        "http_cache_plan": q_http_cache_plan,
+        "frontier_schedule": q_frontier_schedule,
+        "trace_staypoints": q_trace_staypoints,
+        "hilbert_index": q_hilbert_index,
+        "cell_regions": q_cell_regions,
+        "convex_hulls": q_convex_hulls,
+        "interval_coverage": q_interval_coverage,
+        "polygon_clip": q_polygon_clip,
+        "segment_crossings": q_segment_crossings,
+        "url_templates": q_url_templates,
+        "orientation_hist": q_orientation_hist,
+        "url_features": q_url_features,
+        "table_stats": q_table_stats,
+        "doc_dup_spans": q_doc_dup_spans,
+        "doc_gopher_rules": q_doc_gopher_rules,
+        "part_sssp": q_part_sssp,
+        "corpus_report": q_corpus_report,
+        "events_props_json": q_events_props_json,
+        "url_normalize": q_url_normalize,
+        "doc_above_lang_mean": q_doc_above_lang_mean,
+        "orders_profile": q_orders_profile,
+        "doc_rank_global": q_doc_rank_global,
+        "events_retention": q_events_retention,
+        "q6_revenue_cents": q_q6_revenue_cents,
+        "median_chars_by_lang": q_median_chars_by_lang,
+        "events_latest_per_user": q_events_latest_per_user,
+        "doc_topk_per_source": q_doc_topk_per_source,
+        "users_click_not_purchase": q_users_click_not_purchase,
+        "events_running_total": q_events_running_total,
+        "events_pivot_counts": q_events_pivot_counts,
+        "doc_kfold_counts": q_doc_kfold_counts,
+        "events_funnel": q_events_funnel,
+        "video_h264_cavlc_stats": q_video_h264_cavlc_stats,
+        "events_unpivot_counts": q_events_unpivot_counts,
+        "users_click_and_purchase": q_users_click_and_purchase,
+        "doc_len_ntile": q_doc_len_ntile,
+        "events_transitions": q_events_transitions,
+        "cell_quadkey": q_cell_quadkey,
+        "content_sniff": q_content_sniff,
+        "hreflang_clusters": q_hreflang_clusters,
+        "doc_len_mad": q_doc_len_mad,
+        "trace_od_matrix": q_trace_od_matrix,
+        "doc_compression_ratio": q_doc_compression_ratio,
+        "embed_pca_project": q_embed_pca_project,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        "doc_lang_classifier": q_doc_lang_classifier,
+        "image_phash_neardup": q_image_phash_neardup,
+        "video_phash_neardup": q_video_phash_neardup,
+        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
+        "embed_ivfpq_topk": q_embed_ivfpq_topk,
         "graph_simplify_stats": q_graph_simplify_stats,
         "graph_discretize_stats": q_graph_discretize_stats,
         "doc_sample_per_lang": q_doc_sample_per_lang,
@@ -8920,73 +8988,6 @@ def catalog():
         "embed_ivf_topk_int": q_embed_ivf_topk_int,
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_dict_tags": q_doc_dict_tags,
-        "tile_pyramid": q_tile_pyramid,
-        "zorder_stats": q_zorder_stats,
-        "snapshot_diff": q_snapshot_diff,
-        "doc_paragraph_dedup": q_doc_paragraph_dedup,
-        "doc_sample_global": q_doc_sample_global,
-        "events_watermark_late": q_events_watermark_late,
-        "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
-        "crawl_refresh": q_crawl_refresh,
-        "video_h264_stats": q_video_h264_stats,
-        "video_h264_cavlc_stats": q_video_h264_cavlc_stats,
-        "video_h264_p_stats": q_video_h264_p_stats,
-        "cell_compact": q_cell_compact,
-        "trace_map_match": q_trace_map_match,
-        "polyline_simplify": q_polyline_simplify,
-        "robots_decisions": q_robots_decisions,
-        "warc_records": q_warc_records,
-        "redirect_chains": q_redirect_chains,
-        "sitemap_entries": q_sitemap_entries,
-        "meta_extract": q_meta_extract,
-        "http_cache_plan": q_http_cache_plan,
-        "content_sniff": q_content_sniff,
-        "frontier_schedule": q_frontier_schedule,
-        "trace_od_matrix": q_trace_od_matrix,
-        "trace_staypoints": q_trace_staypoints,
-        "cell_quadkey": q_cell_quadkey,
-        "hilbert_index": q_hilbert_index,
-        "cell_regions": q_cell_regions,
-        "convex_hulls": q_convex_hulls,
-        "interval_coverage": q_interval_coverage,
-        "polygon_clip": q_polygon_clip,
-        "segment_crossings": q_segment_crossings,
-        "url_templates": q_url_templates,
-        "orientation_hist": q_orientation_hist,
-        "hreflang_clusters": q_hreflang_clusters,
-        "url_features": q_url_features,
-        "table_stats": q_table_stats,
-        "doc_dup_spans": q_doc_dup_spans,
-        "doc_gopher_rules": q_doc_gopher_rules,
-        "part_sssp": q_part_sssp,
-        "corpus_report": q_corpus_report,
-        "events_props_json": q_events_props_json,
-        "url_normalize": q_url_normalize,
-        "doc_above_lang_mean": q_doc_above_lang_mean,
-        "orders_profile": q_orders_profile,
-        "doc_rank_global": q_doc_rank_global,
-        "doc_len_ntile": q_doc_len_ntile,
-        "events_retention": q_events_retention,
-        "q6_revenue_cents": q_q6_revenue_cents,
-        "median_chars_by_lang": q_median_chars_by_lang,
-        "events_latest_per_user": q_events_latest_per_user,
-        "doc_topk_per_source": q_doc_topk_per_source,
-        "users_click_not_purchase": q_users_click_not_purchase,
-        "events_running_total": q_events_running_total,
-        "events_pivot_counts": q_events_pivot_counts,
-        "users_click_and_purchase": q_users_click_and_purchase,
-        "events_unpivot_counts": q_events_unpivot_counts,
-        "doc_kfold_counts": q_doc_kfold_counts,
-        "doc_len_mad": q_doc_len_mad,
-        "doc_compression_ratio": q_doc_compression_ratio,
-        "embed_pca_project": q_embed_pca_project,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        "doc_lang_classifier": q_doc_lang_classifier,
-        "image_phash_neardup": q_image_phash_neardup,
-        "video_phash_neardup": q_video_phash_neardup,
-        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
-        "embed_ivfpq_topk": q_embed_ivfpq_topk,
         "edge_dedup": q_edge_dedup,
         "node_first_wins": q_node_first_wins,
         "degree_histogram": q_degree_histogram,
@@ -9018,8 +9019,6 @@ def catalog():
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id_counts": q_lang_id_counts,
         "events_sessionize": q_events_sessionize,
-        "events_funnel": q_events_funnel,
-        "events_transitions": q_events_transitions,
         "events_funnel_pairs": q_events_funnel_pairs,
         "events_trend_state": q_events_trend_state,
         "events_top_paths": q_events_top_paths,

@@ -477,6 +477,10 @@ def stab_lookup(ds, value_col: str, intervals: "pd.DataFrame", *,
         t = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         lo_, hi_, ids_ = t
         v = df[value_col].to_numpy(np.int64)
+        if len(lo_) == 0:       # empty table: all-miss, not hi_[0] OOB
+            df = df.copy()
+            df[out_col] = np.full(len(df), miss, dtype=np.int64)
+            return df
         pos = np.searchsorted(lo_, v, side="right") - 1
         ok = pos >= 0
         safe = np.where(ok, pos, 0)

@@ -832,7 +832,11 @@ def segment_crossings(a_ds, b_ds, *, cell: int = 64,
     the min corner of its bbox overlap (a unique cell both segments
     cover), so no cross-cell pair dedup pass is needed; per-bucket
     (seg_id, n) partials bound the final tiny merge. Coordinates must
-    be non-negative (floor vs trunc division parity with SQL mirrors).
+    be non-negative (floor vs trunc division parity with SQL mirrors)
+    and below ``cell * 2^21`` (~134M at cell=64): the cell key packs as
+    ``gx * 2^21 + gy``, so a gy >= 2^21 would corrupt the min-corner
+    decode and silently drop proper crossings — ``cover`` raises on
+    any out-of-range coordinate instead.
     Returns a Dataset (seg_id, n_cross) for A-segments with >= 1
     crossing."""
     from .joins import grouped_apply
@@ -843,6 +847,12 @@ def segment_crossings(a_ds, b_ds, *, cell: int = 64,
         sid = df[id_col].to_numpy(np.int64)
         cx1 = np.minimum(x1, x2) // cell; cx2 = np.maximum(x1, x2) // cell
         cy1 = np.minimum(y1, y2) // cell; cy2 = np.maximum(y1, y2) // cell
+        if len(df) and (max(cx2.max(), cy2.max()) >= (1 << 21)
+                        or min(cx1.min(), cy1.min()) < 0):
+            raise ValueError(
+                "segment_crossings: coordinates must lie in "
+                f"[0, {cell * (1 << 21)}) at cell={cell} — the packed "
+                "cell key gx*2^21+gy cannot represent this extent")
         nx = (cx2 - cx1 + 1); ny = (cy2 - cy1 + 1)
         n = nx * ny
         ridx = np.repeat(np.arange(len(df)), n)

@@ -1199,7 +1199,11 @@ def _sql_hilbert_index() -> str:
 def q_cell_regions(sf_dir: str):
     """HASH-CHECKED raster region dissolve (polygons.cell_regions):
     every doc plants a w x h rectangle of occupied cells (w = k%3+1,
-    h = k%4+1) on its own 20-cell-spaced grid slot, so regions are
+    h = k%4+1) on its own 20-cell-spaced grid slot (k % 100, k // 100)
+    — a bijection for EVERY doc_id (no modulus on the y axis, so slots
+    can never collide at larger scale factors; x stays <= 99*20+2,
+    inside cell_regions' width=4096 key stride, while y is unbounded
+    and exact in int64) — so regions are
     disjoint by construction and each doc yields exactly one region
     with n_cells = w*h and perimeter = 2*(w+h). The engine sees only
     the shuffled cell bag — neighbour discovery (hash semi-join), the
@@ -1221,7 +1225,7 @@ def q_cell_regions(sf_dir: str):
             else np.array([], np.int64)
         return pd.DataFrame({
             "x": (k % 100) * 20 + i % wk,
-            "y": (k // 100 % 100) * 20 + i // wk,
+            "y": (k // 100) * 20 + i // wk,
         })
 
     return cell_regions(docs.map_batches(gen, batch_format="pandas"))
@@ -1229,7 +1233,7 @@ def q_cell_regions(sf_dir: str):
 
 SQL_CELL_REGIONS = """
 WITH d AS (SELECT doc_id AS k FROM documents),
-r AS (SELECT k, (k % 100) * 20 AS ox, (k // 100 % 100) * 20 AS oy,
+r AS (SELECT k, (k % 100) * 20 AS ox, (k // 100) * 20 AS oy,
              k % 3 + 1 AS w, k % 4 + 1 AS h
       FROM d)
 SELECT CAST(oy * 4096 + ox AS BIGINT) AS region_id,
@@ -1636,7 +1640,10 @@ def q_url_features(sf_dir: str):
             path = "".join("/p%d" % i for i in range(k % 4))
             if k % 2 == 0:
                 path += "/"
-            sep = "&&" if k % 6 == 0 else "&"
+            # gate independent of k % 3 so two-param rows (k%3 == 2,
+            # e.g. k=11) really carry the doubled separator — a k%6
+            # gate implies k%3 == 0 = zero params = dead trap
+            sep = "&&" if k % 5 == 1 else "&"
             query = sep.join("a%d=%d" % (i, k) for i in range(k % 3))
             frag = "#frag?fake=1" if k % 2 == 0 else ""
             urls.append("https://%s%s%s%s%s%s%s" % (
@@ -2848,27 +2855,34 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 
 
 def q_price_quantiles_kll(sf_dir: str):
-    """Mergeable KLL quantile sketch (sketches.kll_sketch) over
-    l_extendedprice cents: decile readout from a <=k*log2(n/k)-row
-    sketch — the streaming percentile operator exact quantiles can't
-    give at 100 TB (they need a full sort). Deterministic compaction
-    (no rng), so the driver's rerun diff is stable; accuracy, merge
+    """Mergeable KLL quantile sketch over l_extendedprice cents:
+    decile readout from a <=k*log2(n/k)-row sketch — the streaming
+    percentile operator exact quantiles can't give at 100 TB (they
+    need a full sort). Runs the LAYOUT-INDEPENDENT two-stage tree
+    (sketches.kll_sketch_grouped with a single group): stage-1 cells
+    are keyed by value hash, never by block boundary, so the readout
+    is bit-identical under any repartition/block-size change — the
+    per-batch kll_sketch fast path was measured drifting when the
+    rows-only rerun shrank target_max_block_size. Accuracy, merge
     associativity and below-capacity exactness are pytest-pinned."""
     from . import sketches
 
     li = _t(sf_dir, "lineitem", columns=["l_extendedprice"])
 
     def cents(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
         return pd.DataFrame({
+            "g": np.zeros(n, dtype=np.int64),
             "cents": np.round(
                 df["l_extendedprice"].to_numpy(np.float64) * 100.0
-            ).astype(np.int64)
+            ).astype(np.int64),
         })
 
-    sk = sketches.kll_sketch(
-        li.map_batches(cents, batch_format="pandas"), "cents"
+    sk = sketches.kll_sketch_grouped(
+        li.map_batches(cents, batch_format="pandas"), "cents",
+        group_cols=["g"],
     ).to_pandas()
-    return sketches.kll_quantiles(sk, range(1, 10))
+    return sketches.kll_quantiles(sk[["level", "value"]], range(1, 10))
 
 
 def q_doc_fingerprint(sf_dir: str):
@@ -5281,10 +5295,14 @@ FROM b GROUP BY bin
 
 def q_embed_pca_project(sf_dir: str):
     """Distributed PCA (similarity.pca_train / pca_project): fit 4
-    components by one-pass Gram-moment accumulation over the embeddings
-    table, then project every vector in a fused broadcast map. Float
+    components by Gram-moment accumulation over the embeddings table,
+    then project every vector in a fused broadcast map. Float
     eigendecomposition — no SQL oracle (see no_oracle_reasons); gated
-    in pytest against direct numpy PCA and for layout invariance."""
+    in pytest against direct numpy PCA. The fit runs the
+    ``id_col`` layout-independent path, so the result is bit-identical
+    under ANY block layout — the driver's rerun diff (and the test
+    suite's shrunken-target_max_block_size rerun) can never see float
+    drift from moved block boundaries."""
     from . import similarity
 
     # reader-pruned + pinned: the table feeds two consumers (the fit's
@@ -5293,7 +5311,7 @@ def q_embed_pca_project(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     ).materialize()
-    comps, mean, _ = similarity.pca_train(emb, 4)
+    comps, mean, _ = similarity.pca_train(emb, 4, id_col="vec_id")
     return similarity.pca_project(emb, comps, mean)
 
 
@@ -6631,7 +6649,7 @@ SQL_PART_RENDEZVOUS = """
 WITH k AS (SELECT p_partkey AS key FROM part),
 s AS (SELECT CAST(range AS BIGINT) AS s FROM range(10)),
 h AS (SELECT key, s,
-        (xor((CAST(key AS BIGINT) * 2654435761) % 2147483647,
+        (xor((CAST(key AS BIGINT) % 2147483647 * 2654435761) % 2147483647,
              (s * 1103515245) % 2147483647) * 2654435761) % 2147483647 AS h
       FROM k CROSS JOIN s),
 w9 AS (SELECT key, s AS shard FROM
@@ -9218,8 +9236,11 @@ def no_oracle_reasons():
         "embed_pca_project": (
             "float eigendecomposition (np.linalg.eigh) is not "
             "SQL-expressible; gated in pytest against direct numpy PCA "
-            "on the materialized table, layout invariance under "
-            "repartition, and the projection identity"
+            "on the materialized table and the projection identity; "
+            "fit (id-bucketed canonical moments) and projection "
+            "(fixed-order d-axis accumulation) are BIT-identical under "
+            "any block layout — the rows-only rerun survives a "
+            "repartition/block-size shuffle"
         ),
         "price_quantiles_kll": (
             "the KLL compaction cascade is inherently procedural (an "
@@ -9227,7 +9248,9 @@ def no_oracle_reasons():
             "oracle a DIFFERENT operator; gated in pytest by "
             "below-capacity exactness vs numpy, an empirical rank-error "
             "bound at forced compaction, merge associativity, and rerun "
-            "determinism"
+            "determinism; runs the value-hash-celled "
+            "kll_sketch_grouped tree, so the readout is bit-identical "
+            "under any block layout"
         ),
         "events_gap_quantiles": (
             "per-group KLL sketches (same procedural compaction as "

@@ -642,9 +642,12 @@ def rendezvous_hash(keys: np.ndarray, shard: int) -> np.ndarray:
     """HRW weight of ``shard`` for each int64 key: two multiplicative
     rounds XOR-mixed in between — the xor breaks the affinity that a
     pure Lehmer chain keeps (an affine h(k, s) makes the argmax a wrap
-    artifact), and every operand stays under 2^31 so the int64 products
-    are exact and the expression transliterates to SQL verbatim."""
-    a = (keys.astype(np.int64) * _HRW_C1) % _HRW_P
+    artifact). Keys are reduced mod 2^31-1 BEFORE the first multiply,
+    so every product stays under 2^63 for the full int64 key domain
+    (a raw ``key * C1`` would silently wrap numpy int64 at keys >=
+    ~3.47e9 while the DuckDB mirror promotes to HUGEINT — divergent)
+    and the expression transliterates to SQL verbatim."""
+    a = (keys.astype(np.int64) % _HRW_P * _HRW_C1) % _HRW_P
     b = (np.int64(shard) * _HRW_C2) % _HRW_P
     return ((a ^ b) * _HRW_C1) % _HRW_P
 

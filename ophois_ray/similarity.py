@@ -430,33 +430,76 @@ def ivf_topk(ds, queries: np.ndarray, centroids: np.ndarray, *, k: int = 10,
 # ------------------------------------------------------------------- PCA
 
 
-def pca_train(ds, n_components: int, *, vec_col: str = "embedding"):
+def pca_train(ds, n_components: int, *, vec_col: str = "embedding",
+              id_col: str | None = None, num_buckets: int = 32):
     """Distributed PCA fit over an embedding column — the canonical
-    one-pass Gram accumulation: every batch contributes partial
-    ``(sum x, sum x x^T, n)`` moments (d and d x d — tiny next to the
-    data, shipped as packed buffers since ragged ndarrays cannot ride
-    pandas blocks), the driver merges them into the exact covariance
-    and runs ``eigh`` on the d x d matrix. The partial-sum merge is the
-    one float reduction, so last-ulp drift across block layouts is
-    possible — the pytest gate uses allclose, not bit equality. Sign
-    convention: each component is flipped so its largest-|coeff| entry
-    is positive. Returns ``(components [k, d], mean [d],
-    explained_var [k])``.
+    one-pass Gram accumulation: partial ``(sum x, sum x x^T, n)``
+    moments (d and d x d — tiny next to the data, shipped as packed
+    buffers since ragged ndarrays cannot ride pandas blocks) merge on
+    the driver into the exact covariance, and ``eigh`` runs on the
+    d x d matrix. Sign convention: each component is flipped so its
+    largest-|coeff| entry is positive. Returns ``(components [k, d],
+    mean [d], explained_var [k])``.
+
+    With ``id_col=None`` (the fast path) every BATCH contributes one
+    moment partial and the driver folds them in canonical sorted-blob
+    order — bit-identical across reruns on the same layout, but the
+    partials themselves depend on block boundaries, so refits across
+    different layouts drift by last-ulp. Pass ``id_col`` for the
+    LAYOUT-INDEPENDENT fit (same discipline as kll_sketch_grouped):
+    rows co-partition by ``id % num_buckets``, each bucket reduces its
+    FULL vector set in sorted-id order, and the driver folds the
+    <= num_buckets partials in bucket order — every float add is a
+    pure function of the data, never of the layout, so the fit is
+    bit-identical under any repartition/block-size change (the
+    driver's rerun-and-diff survives a layout shuffle). Costs one
+    bounded exchange of the vectors; ids must be unique int64.
     """
-    blobs = [
-        blob
-        for b in ds.map_batches(
-            lambda df: pd.DataFrame({"blob": [_pack_moments(df, vec_col)]}),
-            batch_format="pandas",
-        ).iter_batches(batch_format="pandas", batch_size=None)
-        for blob in b["blob"]
-    ]
-    # float partial sums: merge in a CANONICAL order (sorted blobs) so
-    # the fit is bit-identical across reruns despite nondeterministic
-    # batch arrival order
+    if id_col is not None:
+        from .joins import grouped_apply
+
+        def pack_rows(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df[id_col].to_numpy(np.int64)
+            return pd.DataFrame({
+                "__pb": ids % num_buckets,
+                "__id": ids,
+                "__v": pd.Series(
+                    [np.asarray(v, dtype=np.float64).tobytes()
+                     for v in df[vec_col]], dtype=object),
+            })
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values("__id", kind="stable")
+            m = np.stack([np.frombuffer(b, dtype=np.float64)
+                          for b in df["__v"]])
+            head = np.array([m.shape[1], len(m)], dtype=np.int64).tobytes()
+            blob = head + m.sum(axis=0).tobytes() \
+                + (m.T @ m).astype(np.float64).tobytes()
+            return pd.DataFrame({
+                "__pb": df["__pb"].to_numpy(np.int64)[:1], "blob": [blob]})
+
+        parts = grouped_apply(
+            ds.map_batches(pack_rows, batch_format="pandas"),
+            "__pb", per_bucket, num_buckets=min(num_buckets, 16),
+        ).to_pandas()
+        ordered = [b for _, b in
+                   sorted(zip(parts["__pb"].tolist(), parts["blob"].tolist()))]
+    else:
+        blobs = [
+            blob
+            for b in ds.map_batches(
+                lambda df: pd.DataFrame({"blob": [_pack_moments(df, vec_col)]}),
+                batch_format="pandas",
+            ).iter_batches(batch_format="pandas", batch_size=None)
+            for blob in b["blob"]
+        ]
+        # float partial sums: merge in a CANONICAL order (sorted blobs)
+        # so the fit is bit-identical across reruns despite
+        # nondeterministic batch arrival order
+        ordered = sorted(blobs)
     s = g = None
     n = 0
-    for blob in sorted(blobs):
+    for blob in ordered:
         bs, bg, bn = _unpack_moments(blob)
         s = bs if s is None else s + bs
         g = bg if g is None else g + bg
@@ -501,7 +544,14 @@ def pca_project(ds, components: np.ndarray, mean: np.ndarray, *,
                 vec_col: str = "embedding", id_col: str = "vec_id"):
     """Project every vector onto fitted components in one fused
     zero-shuffle map (broadcast the [k, d] matrix once). Returns a
-    Dataset ``(id, proj)`` with ``proj`` a length-k list column."""
+    Dataset ``(id, proj)`` with ``proj`` a length-k list column.
+
+    The projection accumulates over the d axis in a FIXED loop order
+    (vectorized across rows) instead of one BLAS matmul: dgemm blocks
+    by the batch's shape, so the same row's dot product drifts by
+    last-ulp when block boundaries move — this way each row's
+    projection is a pure function of that row and the fitted matrices,
+    bit-identical under any layout (the rows-only rerun gate)."""
     import ray
 
     cref = ray.put((np.ascontiguousarray(components),
@@ -510,7 +560,13 @@ def pca_project(ds, components: np.ndarray, mean: np.ndarray, *,
     def fn(df):
         comps, mu = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
         m = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
-        p = (m - mu) @ comps.T
+        c = m - mu
+        p = np.zeros((len(c), comps.shape[0]), dtype=np.float64)
+        for j in range(comps.shape[0]):
+            acc = np.zeros(len(c), dtype=np.float64)
+            for t in range(comps.shape[1]):
+                acc += c[:, t] * comps[j, t]
+            p[:, j] = acc
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(np.int64),
             "proj": [row.tolist() for row in p],

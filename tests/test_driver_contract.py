@@ -99,6 +99,23 @@ def test_rows_only_queries_run(name):
     b = normalize(res2) if len(res2) else res2
     if len(res):
         pd.testing.assert_frame_equal(a, b)
+    # determinism under a DIFFERENT block layout: the driver's
+    # rows-only check runs a query twice and diffs, and a float or
+    # order-sensitive partial merge can pass a same-layout rerun yet
+    # diverge when the block boundaries move. Shrink
+    # target_max_block_size so every map stage emits many more, smaller
+    # blocks and assert the result is still bit-identical.
+    import ray
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024
+    try:
+        res3 = to_pandas(entrymod.queries()[name](SF))
+    finally:
+        ctx.target_max_block_size = old
+    if len(res):
+        pd.testing.assert_frame_equal(a, normalize(res3))
 
 
 def test_entry_smoke():

@@ -941,3 +941,36 @@ def test_orientation_histogram_octants_and_boundaries(ray_session):
             exp_counts[o] = exp_counts.get(o, 0) + 1
     assert got["cx"].unique().tolist() == [3] and got["cy"].unique().tolist() == [3]
     assert dict(zip(got["oct"], got["n"])) == exp_counts
+
+
+def test_url_feature_row_doubled_separator_and_fragment_query():
+    """pages.url_feature_row: a doubled && yields an empty query part
+    that must NOT count as a param, and a ?query inside the fragment
+    is not a query (regression — the catalog's && trap used to be
+    gated on k%6==0, which implies zero params, so no fixture row ever
+    carried the doubled separator)."""
+    from ophois_ray.pages import url_feature_row
+
+    labels, digits, port, depth, n_params, tld = url_feature_row(
+        "https://site11.com/p0/?a0=11&&a1=11#frag?fake=1")
+    assert (labels, digits, port, depth, n_params, tld) == (2, 2, 0, 1, 2, 0)
+
+
+def test_build_graph_auto_ladder_parity(ray_session):
+    """pipelines.build_graph_auto: the under-cap driver parse and the
+    over-cap distributed build produce the IDENTICAL coord-attached
+    canonical edge table on the flagship city shards (same u/v pairs,
+    same coords), so the local_cap_bytes crossover is free to move
+    without changing flagship output."""
+    from ophois_ray import pipelines
+
+    osm_dir = pipelines._flagship_osm_dir()
+    local = pipelines.build_graph_auto(osm_dir)          # under cap
+    assert isinstance(local, pd.DataFrame)
+    dist = pipelines.build_graph_auto(osm_dir, local_cap_bytes=0)
+    assert not isinstance(dist, pd.DataFrame)            # Dataset rung
+    cols = ["u", "v", "u_lat", "u_lon", "v_lat", "v_lon"]
+    a = local[cols].sort_values(["u", "v"], ignore_index=True)
+    b = (dist.to_pandas()[cols]
+         .sort_values(["u", "v"], ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)

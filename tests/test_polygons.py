@@ -279,3 +279,35 @@ def test_segment_crossings_matches_brute_force(ray_session):
            .to_pandas().sort_values("seg_id", ignore_index=True).astype(np.int64))
     pd.testing.assert_frame_equal(got, exp)
     assert len(exp) > 20  # the corpus actually exercises crossings
+
+
+def test_segment_crossings_coordinate_bound_guard(ray_session):
+    """polygons.segment_crossings: coordinates at/above cell * 2^21
+    raise instead of silently corrupting the packed gx*2^21+gy cell
+    key (regression — an overflowing gy made the min-corner 'here'
+    test miss and dropped proper crossings)."""
+    import ray
+
+    from ophois_ray.polygons import segment_crossings
+
+    big = 64 * (1 << 21)  # first out-of-range coordinate at cell=64
+    A = pd.DataFrame({"seg_id": np.array([1], np.int64),
+                      "x1": np.array([0], np.int64),
+                      "y1": np.array([big], np.int64),
+                      "x2": np.array([10], np.int64),
+                      "y2": np.array([big], np.int64)})
+    B = pd.DataFrame({"seg_id": np.array([2], np.int64),
+                      "x1": np.array([5], np.int64),
+                      "y1": np.array([0], np.int64),
+                      "x2": np.array([5], np.int64),
+                      "y2": np.array([big], np.int64)})
+    with pytest.raises(ray.exceptions.RayTaskError):
+        segment_crossings(ray.data.from_pandas(A),
+                          ray.data.from_pandas(B)).to_pandas()
+    # in-range segments still work
+    A2 = A.assign(y1=np.int64(5), y2=np.int64(5))
+    B2 = B.assign(y2=np.int64(big - 1))
+    got = segment_crossings(ray.data.from_pandas(A2),
+                            ray.data.from_pandas(B2)).to_pandas()
+    assert got["seg_id"].tolist() == [1]
+    assert got["n_cross"].tolist() == [1]

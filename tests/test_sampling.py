@@ -285,3 +285,39 @@ def test_stab_lookup_gaps_edges_and_overlap_guard(ray_session):
         stab_lookup(ray.data.from_pandas(df), "v",
                     pd.DataFrame({"lo": [10, 15], "hi": [20, 25],
                                   "iv_id": [1, 2]}))
+
+
+def test_stab_lookup_empty_interval_table(ray_session):
+    """joins.stab_lookup on a ZERO-row interval table: every probe
+    misses (regression — searchsorted pos=-1 / safe=0 used to index
+    into the empty hi array and raise IndexError)."""
+    import ray
+
+    from ophois_ray.joins import stab_lookup
+
+    iv = pd.DataFrame({"lo": pd.Series(dtype=np.int64),
+                       "hi": pd.Series(dtype=np.int64),
+                       "iv_id": pd.Series(dtype=np.int64)})
+    df = pd.DataFrame({"v": np.array([0, 5, 123], np.int64)})
+    got = (stab_lookup(ray.data.from_pandas(df), "v", iv, miss=-9)
+           .to_pandas().sort_values("v", ignore_index=True))
+    assert got["iv_id"].tolist() == [-9, -9, -9]
+
+
+def test_rendezvous_hash_exact_over_full_int64_domain():
+    """sampling.rendezvous_hash: keys are reduced mod 2^31-1 BEFORE
+    the first multiply, so weights match unbounded python-int
+    arithmetic even for keys far beyond 2^31 (regression — the raw
+    key*C1 form wrapped int64 at keys >= ~3.47e9 while a HUGEINT SQL
+    mirror would not)."""
+    from ophois_ray.sampling import _HRW_C1, _HRW_C2, _HRW_P, \
+        rendezvous_hash
+
+    keys = np.array([0, 1, 2**31 - 2, 2**31, 3_470_000_000,
+                     2**53 + 17, 2**62 + 12345], dtype=np.int64)
+    for s in (0, 3, 9):
+        got = rendezvous_hash(keys, s)
+        b = s * _HRW_C2 % _HRW_P
+        exp = [((int(k) % _HRW_P * _HRW_C1 % _HRW_P) ^ b)
+               * _HRW_C1 % _HRW_P for k in keys]
+        assert got.tolist() == exp

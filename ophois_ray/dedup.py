@@ -690,10 +690,15 @@ def pairs_to_groups(verified, *, driver_pair_cap: int = 5_000_000):
     Group label = smallest member id.
 
     Pairs are tiny relative to the corpus (near-dup rate bound): below
-    ``driver_pair_cap`` they union-find on the driver; above it the
-    distributed hash-min label propagation (components.py) takes over —
-    both produce the identical min-id labels. Returns pandas
-    (id, group) for every member of a group of size >= 2."""
+    ``driver_pair_cap`` they union-find on the driver and a pandas
+    (id, group) frame comes back as a convenience; above the cap the
+    distributed components ladder (components.py) takes over and the
+    labels are returned as a Ray ``Dataset`` (id, group) WITHOUT ever
+    touching the driver — at 100 TB a realistic near-dup rate makes
+    the member table billions of rows, so the caller writes it out or
+    joins it downstream, distributed. Both paths produce the identical
+    min-id labels for every member of a group of size >= 2 (pinned by
+    the forced-cap parity test)."""
     n_pairs = verified.count()
     if n_pairs == 0:
         return pd.DataFrame(
@@ -738,8 +743,10 @@ def pairs_to_groups(verified, *, driver_pair_cap: int = 5_000_000):
         "id",
     )
     labels = connected_components_auto(nodes, edges, num_buckets=16)
-    out = labels.to_pandas().rename(columns={"comp": "group"})
-    return out.sort_values("id").reset_index(drop=True)
+    return labels.map_batches(
+        lambda df: df.rename(columns={"comp": "group"}),
+        batch_format="pandas",
+    )
 
 
 def minhash_near_dup_groups(
@@ -758,9 +765,11 @@ def minhash_near_dup_groups(
     """Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard
     verification -> connected duplicate groups (driver union-find under
     ``driver_pair_cap`` verified pairs, distributed label propagation
-    above it). Returns pandas (id, group) for every document in a
-    near-dup group of size >= 2 — the output is small by construction
-    even when the corpus is not.
+    above it). Yields (id, group) for every document in a near-dup
+    group of size >= 2 — pandas below ``driver_pair_cap`` (small
+    result, driver convenience), a Ray ``Dataset`` above it (the
+    100-TB regime: the group table itself is too big to collect; see
+    :func:`pairs_to_groups`).
 
     Verification is HYBRID: shingle-hash sets are always computed
     distributed (one map pass over the candidate docs); when the

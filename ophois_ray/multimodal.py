@@ -26,10 +26,14 @@ integer transform, DC Hadamard hierarchies, spec quantization, full
 CAVLC with the level-escape ladder); INTER — P slices with P_Skip runs
 and P_L0_16x16 macroblocks: quarter-pel luma / eighth-pel chroma
 motion compensation, median MV prediction, GOP coding via
-``encode_h264_cavlc(gop=N)``. Decoder == encoder-recon bit-exact.
+``encode_h264_cavlc(gop=N)``, and the IN-LOOP DEBLOCKING FILTER
+(spec 8.7: per-edge boundary strengths, alpha/beta/tC0 Tables
+8-16/8-17, strong + normal modes, luma and chroma) — opt-in at encode
+(``deblock=True``, signalled via disable_deblocking_filter_idc 0) and
+always honoured at decode, including foreign streams that never
+disable it. Decoder == encoder-recon bit-exact either way.
 Still honestly out of scope (raising ``MediaDecodeError``): B slices,
-sub-16x16 partitions, multi-reference, I_4x4, CABAC and the in-loop
-deblocking filter (emitted streams disable it, staying conformant);
+sub-16x16 partitions, multi-reference, I_4x4 and CABAC;
 swap in av for full-profile foreign streams, nothing else changes.
 
 Stages:
@@ -2064,6 +2068,28 @@ _H264_V = [(10, 16, 13), (11, 18, 14), (13, 20, 16),
 _H264_QPC = list(range(30)) + [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
                                36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39]
 
+# in-loop deblocking thresholds (spec Tables 8-16 / 8-17, indexed by
+# indexA/indexB = Clip3(0, 51, qPav + offset)); _H264_TC0 rows are
+# bS 1, 2, 3
+_H264_ALPHA = np.array(
+    [0] * 16 + [4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25,
+                28, 32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113,
+                127, 144, 162, 182, 203, 226, 255, 255], np.int64)
+_H264_BETA = np.array(
+    [0] * 16 + [2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9,
+                10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16,
+                17, 17, 18, 18], np.int64)
+_H264_TC0 = np.array([
+    [0] * 23 + [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4,
+                4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13],
+    [0] * 21 + [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3,
+                4, 4, 5, 5, 6, 7, 8, 8, 10, 11, 12, 13, 15, 17],
+    [0] * 17 + [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4,
+                4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20,
+                23, 25],
+], dtype=object)
+_H264_TC0 = np.stack([np.asarray(r, np.int64) for r in _H264_TC0])
+
 
 def _h264_qmat(tab):
     cls = [[0 if (r % 2 == 0 and c % 2 == 0) else
@@ -2765,11 +2791,12 @@ def _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y, nnz_c, qp,
 
 
 def _encode_h264_cavlc_frame(yp, cbp, crp, qp: int, fi: int,
-                             pcm_threshold: int):
+                             pcm_threshold: int, deblock: bool = False):
     """Encode one IDR frame's slice RBSP (Intra_16x16 + CAVLC, per-MB
-    I_PCM fallback); returns (rbsp bytes, recon Y, recon Cb, recon Cr).
-    Reconstruction is decoder-identical by construction — intra
-    prediction feeds on it."""
+    I_PCM fallback); returns (rbsp bytes, recon Y, recon Cb, recon Cr,
+    deblock metadata). Reconstruction is decoder-identical by
+    construction — intra prediction feeds on it (UNFILTERED: the
+    caller applies the loop filter only after the frame completes)."""
     h_mbs, w_mbs = yp.shape[0] // 16, yp.shape[1] // 16
     w = _H264BitWriter()
     w.ue(0)              # first_mb_in_slice
@@ -2780,41 +2807,58 @@ def _encode_h264_cavlc_frame(yp, cbp, crp, qp: int, fi: int,
     w.u(0, 1)            # no_output_of_prior_pics_flag
     w.u(0, 1)            # long_term_reference_flag
     w.se(qp - 26)        # slice_qp_delta
-    w.ue(1)              # disable_deblocking_filter_idc: off (conformant)
+    if deblock:
+        w.ue(0)          # disable_deblocking_filter_idc: filter ON
+        w.se(0)          # slice_alpha_c0_offset_div2
+        w.se(0)          # slice_beta_offset_div2
+    else:
+        w.ue(1)          # disable_deblocking_filter_idc: off (conformant)
     ry = np.zeros_like(yp)
     rcb = np.zeros_like(cbp)
     rcr = np.zeros_like(crp)
     nnz_y = np.zeros((4 * h_mbs, 4 * w_mbs), np.int64)
     nnz_c = {"cb": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64),
              "cr": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64)}
+    kind = np.ones((h_mbs, w_mbs), np.int64)
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
-            _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y,
-                            nnz_c, qp, mby, mbx, pcm_threshold)
+            mk = _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y,
+                                 nnz_c, qp, mby, mbx, pcm_threshold)
+            kind[mby, mbx] = 2 if mk == "pcm" else 1
     w.trailing()
-    return bytes(w.buf), ry, rcb, rcr
+    meta = {"kind": kind, "nnz_y": nnz_y,
+            "mvg": np.zeros((h_mbs, w_mbs, 2), np.int64),
+            "refg": np.full((h_mbs, w_mbs), -1, np.int64)}
+    return bytes(w.buf), ry, rcb, rcr, meta
 
 
 def encode_h264_cavlc(frames_u8, *, qp: int = 20, fps: int = 10,
                       pcm_threshold: int = 8 * 384, gop: int = 1,
-                      search_range: int = 8) -> bytes:
+                      search_range: int = 8,
+                      deblock: bool = False) -> bytes:
     """(n, h, w, 3) uint8 -> H.264 Annex B byte stream coded
     Intra_16x16 + CAVLC at constant ``qp`` (0..51) with per-MB I_PCM
     fallback when the entropy payload exceeds ``pcm_threshold`` bits
     (default = raw 4:2:0 sample size). ``gop`` > 1 codes every gop-th
     frame as IDR and the rest as P frames (P_Skip / P_L0_16x16,
     quarter-pel motion search over +-``search_range`` full pels, intra
-    fallback per MB). Even frame dims required."""
+    fallback per MB). ``deblock=True`` turns the in-loop deblocking
+    filter ON (spec 8.7, signalled with disable_deblocking_filter_idc
+    0): references and output are the filtered pictures, intra
+    prediction stays unfiltered, and ``decode_h264`` reproduces the
+    filtered recon bit-exactly. Default off keeps streams and goldens
+    byte-identical to earlier rounds. Even frame dims required."""
     raw, _ = _encode_h264_cavlc_with_recon(
         frames_u8, qp=qp, fps=fps, pcm_threshold=pcm_threshold,
-        gop=gop, search_range=search_range)
+        gop=gop, search_range=search_range, deblock=deblock)
     return raw
 
 
 def _encode_h264_cavlc_with_recon(frames_u8, *, qp: int = 20,
                                   fps: int = 10,
                                   pcm_threshold: int = 8 * 384,
-                                  gop: int = 1, search_range: int = 8):
+                                  gop: int = 1, search_range: int = 8,
+                                  deblock: bool = False):
     """encode_h264_cavlc + the encoder's own reconstruction as float32
     RGB frames (what a conforming decoder must reproduce bit-exactly)."""
     frames_u8 = np.asarray(frames_u8, dtype=np.uint8)
@@ -2844,17 +2888,22 @@ def _encode_h264_cavlc_with_recon(frames_u8, *, qp: int = 20,
         crp = np.pad(cr, ((0, (ph - h) // 2), (0, (pw - wdt) // 2)),
                      mode="edge")
         if fi % gop == 0:
-            rbsp, ry, rcb, rcr = _encode_h264_cavlc_frame(
-                yp, cbp, crp, qp, n_idr, pcm_threshold)
+            rbsp, ry, rcb, rcr, meta = _encode_h264_cavlc_frame(
+                yp, cbp, crp, qp, n_idr, pcm_threshold, deblock)
             out += _H264_START + b"\x65" + _ebsp_escape(rbsp)
             n_idr += 1
             fnum = 1
         else:
-            rbsp, ry, rcb, rcr = _encode_h264_p_frame(
+            rbsp, ry, rcb, rcr, meta = _encode_h264_p_frame(
                 yp, cbp, crp, prev, qp, fnum, pcm_threshold,
-                search_range)
+                search_range, deblock)
             out += _H264_START + b"\x41" + _ebsp_escape(rbsp)
             fnum = (fnum + 1) % 16
+        if deblock:
+            _h264_deblock_frame(
+                ry, rcb, rcr, meta["kind"],
+                np.full(meta["kind"].shape, qp, np.int64),
+                meta["mvg"], meta["refg"], meta["nnz_y"])
         prev = (ry, rcb, rcr)
         recon.append(_yuv420_to_rgb(
             ry[:h, :wdt], rcb[:(h + 1) // 2, :(wdt + 1) // 2],
@@ -3134,6 +3183,198 @@ def _dec_mb_pskip(yp, cpl, mby, mbx, ref_planes, refg, mvg):
             np.clip(pch[k], 0, 255).astype(np.uint8)
 
 
+# ------------------------------------------- in-loop deblocking (8.7)
+
+
+def _deblock_gather(plane, mby, mbx, e, vertical, half, depth):
+    """(p, q) sample matrices for one edge: row i of each is the i-th
+    line across the edge, columns 0..depth-1 are p0..p_{depth-1} /
+    q0..q_{depth-1} (spec orientation: p walks away from the edge)."""
+    sz = 16 >> half
+    if vertical:
+        x = sz * mbx + e
+        y0 = sz * mby
+        seg = plane[y0:y0 + sz, x - depth:x + depth].astype(np.int64)
+        return seg[:, :depth][:, ::-1], seg[:, depth:]
+    y = sz * mby + e
+    x0 = sz * mbx
+    seg = plane[y - depth:y + depth, x0:x0 + sz].astype(np.int64)
+    return seg[:depth][::-1].T, seg[depth:].T
+
+
+def _deblock_scatter(plane, mby, mbx, e, vertical, half, p, q):
+    sz = 16 >> half
+    depth = p.shape[1]
+    both = np.concatenate([p[:, ::-1], q], axis=1)
+    if vertical:
+        x = sz * mbx + e
+        y0 = sz * mby
+        plane[y0:y0 + sz, x - depth:x + depth] = both.astype(plane.dtype)
+    else:
+        y = sz * mby + e
+        x0 = sz * mbx
+        plane[y - depth:y + depth, x0:x0 + sz] = \
+            both.T.astype(plane.dtype)
+
+
+def _deblock_luma_edge(plane, mby, mbx, e, vertical, bs, idx_a, idx_b):
+    """Filter one 16-sample luma edge in place (spec 8.7.2.3/8.7.2.4);
+    ``bs`` holds the four per-4x4-pair boundary strengths."""
+    alpha = int(_H264_ALPHA[idx_a])
+    beta = int(_H264_BETA[idx_b])
+    if alpha == 0 or not bs.any():
+        return
+    p, q = _deblock_gather(plane, mby, mbx, e, vertical, 0, 4)
+    bS = np.repeat(bs, 4)
+    p0, p1, p2, p3 = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    q0, q1, q2, q3 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    filt = (bS > 0) & (np.abs(p0 - q0) < alpha) \
+        & (np.abs(p1 - p0) < beta) & (np.abs(q1 - q0) < beta)
+    if not filt.any():
+        return
+    ap = np.abs(p2 - p0) < beta
+    aq = np.abs(q2 - q0) < beta
+    np0, np1, np2 = p0.copy(), p1.copy(), p2.copy()
+    nq0, nq1, nq2 = q0.copy(), q1.copy(), q2.copy()
+    strong = filt & (bS == 4)
+    if strong.any():
+        small = np.abs(p0 - q0) < (alpha >> 2) + 2
+        sp = strong & ap & small
+        np0 = np.where(
+            sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+            np.where(strong, (2 * p1 + p0 + q1 + 2) >> 2, np0))
+        np1 = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, np1)
+        np2 = np.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3,
+                       np2)
+        sq = strong & aq & small
+        nq0 = np.where(
+            sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+            np.where(strong, (2 * q1 + q0 + p1 + 2) >> 2, nq0))
+        nq1 = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, nq1)
+        nq2 = np.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3,
+                       nq2)
+    normal = filt & (bS < 4)
+    if normal.any():
+        tc0 = _H264_TC0[np.clip(bS, 1, 3) - 1, idx_a]
+        tc = tc0 + ap + aq
+        delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3,
+                        -tc, tc)
+        np0 = np.where(normal, np.clip(p0 + delta, 0, 255), np0)
+        nq0 = np.where(normal, np.clip(q0 - delta, 0, 255), nq0)
+        dp1 = np.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1,
+                      -tc0, tc0)
+        np1 = np.where(normal & ap, p1 + dp1, np1)
+        dq1 = np.clip((q2 + ((q0 + p0 + 1) >> 1) - 2 * q1) >> 1,
+                      -tc0, tc0)
+        nq1 = np.where(normal & aq, q1 + dq1, nq1)
+    p_out = np.stack([np0, np1, np2, p3], axis=1)
+    q_out = np.stack([nq0, nq1, nq2, q3], axis=1)
+    _deblock_scatter(plane, mby, mbx, e, vertical, 0, p_out, q_out)
+
+
+def _deblock_chroma_edge(plane, mby, mbx, e, vertical, bs, idx_a,
+                         idx_b):
+    """Filter one 8-sample chroma edge in place — only p0/q0 move;
+    ``bs`` is the luma-derived 4-vector (each entry covers 2 rows)."""
+    alpha = int(_H264_ALPHA[idx_a])
+    beta = int(_H264_BETA[idx_b])
+    if alpha == 0 or not bs.any():
+        return
+    p, q = _deblock_gather(plane, mby, mbx, e, vertical, 1, 2)
+    bS = np.repeat(bs, 2)
+    p0, p1 = p[:, 0], p[:, 1]
+    q0, q1 = q[:, 0], q[:, 1]
+    filt = (bS > 0) & (np.abs(p0 - q0) < alpha) \
+        & (np.abs(p1 - p0) < beta) & (np.abs(q1 - q0) < beta)
+    if not filt.any():
+        return
+    np0, nq0 = p0.copy(), q0.copy()
+    strong = filt & (bS == 4)
+    np0 = np.where(strong, (2 * p1 + p0 + q1 + 2) >> 2, np0)
+    nq0 = np.where(strong, (2 * q1 + q0 + p1 + 2) >> 2, nq0)
+    normal = filt & (bS < 4)
+    if normal.any():
+        tc = _H264_TC0[np.clip(bS, 1, 3) - 1, idx_a] + 1
+        delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3,
+                        -tc, tc)
+        np0 = np.where(normal, np.clip(p0 + delta, 0, 255), np0)
+        nq0 = np.where(normal, np.clip(q0 - delta, 0, 255), nq0)
+    p_out = np.stack([np0, p1], axis=1)
+    q_out = np.stack([nq0, q1], axis=1)
+    _deblock_scatter(plane, mby, mbx, e, vertical, 1, p_out, q_out)
+
+
+def _h264_deblock_frame(yp, cbl, crl, kind, qpg, mvg, refg, nnz_y, *,
+                        off_a: int = 0, off_b: int = 0,
+                        cq_off: int = 0):
+    """In-loop deblocking filter over one reconstructed picture
+    (spec 8.7, frame macroblocks, single slice): per MB in raster
+    order, the four vertical luma edges left-to-right then the four
+    horizontal edges top-to-bottom (already-filtered neighbour samples
+    feed later edges, in place), chroma edges 0/4 alongside. Boundary
+    strength per 4x4 pair: 4 at intra MB edges, 3 on other intra
+    edges, 2 when either side's 4x4 block has coefficients, 1 on a
+    reference or >= 1-pel MV difference, else 0 (this codec's inter
+    MBs are single-reference 16x16, so MB-internal inter edges are
+    coded-or-nothing). ``kind`` is 0 inter / 1 Intra_16x16 / 2 I_PCM;
+    I_PCM macroblocks filter with QP 0 per 8.7.2. Intra prediction
+    reads the UNFILTERED planes, so both codecs run this only after a
+    frame completes; the filtered picture is the reference and the
+    output."""
+    h_mbs, w_mbs = kind.shape
+    qy = np.where(kind == 2, 0, qpg).astype(np.int64)
+    qc = np.asarray(_H264_QPC, np.int64)[np.clip(qy + cq_off, 0, 51)]
+    intra = kind > 0
+
+    def edge_bs(mby, mbx, e, vertical):
+        bs = np.zeros(4, np.int64)
+        for g in range(4):
+            if vertical:
+                qby, qbx = 4 * mby + g, (16 * mbx + e) // 4
+                pby, pbx = qby, qbx - 1
+            else:
+                qby, qbx = (16 * mby + e) // 4, 4 * mbx + g
+                pby, pbx = qby - 1, qbx
+            pmb = (pby // 4, pbx // 4)
+            qmb = (qby // 4, qbx // 4)
+            if intra[pmb] or intra[qmb]:
+                bs[g] = 4 if e == 0 else 3
+            elif nnz_y[pby, pbx] or nnz_y[qby, qbx]:
+                bs[g] = 2
+            elif (refg[pmb] != refg[qmb]
+                  or abs(mvg[pmb][0] - mvg[qmb][0]) >= 4
+                  or abs(mvg[pmb][1] - mvg[qmb][1]) >= 4):
+                bs[g] = 1
+        return bs
+
+    for mby in range(h_mbs):
+        for mbx in range(w_mbs):
+            for vertical in (True, False):
+                for e in (0, 4, 8, 12):
+                    if e == 0 and (mbx == 0 if vertical else mby == 0):
+                        continue
+                    bs = edge_bs(mby, mbx, e, vertical)
+                    if not bs.any():
+                        continue
+                    if vertical:
+                        pmb = (mby, mbx - 1) if e == 0 else (mby, mbx)
+                    else:
+                        pmb = (mby - 1, mbx) if e == 0 else (mby, mbx)
+                    qpav = (int(qy[pmb]) + int(qy[mby, mbx]) + 1) >> 1
+                    ia = min(max(qpav + off_a, 0), 51)
+                    ib = min(max(qpav + off_b, 0), 51)
+                    _deblock_luma_edge(yp, mby, mbx, e, vertical, bs,
+                                       ia, ib)
+                    if e in (0, 8):
+                        qpavc = (int(qc[pmb]) + int(qc[mby, mbx])
+                                 + 1) >> 1
+                        ca = min(max(qpavc + off_a, 0), 51)
+                        cb = min(max(qpavc + off_b, 0), 51)
+                        for pl in (cbl, crl):
+                            _deblock_chroma_edge(pl, mby, mbx, e // 2,
+                                                 vertical, bs, ca, cb)
+
+
 def _search_mv16(ref_y, oy, mby, mbx, sr, skip_mv, mvp):
     """Deterministic motion search for one 16x16 luma block: exhaustive
     full-pel SAD over a +-sr window (vectorized sliding windows over a
@@ -3167,12 +3408,13 @@ def _search_mv16(ref_y, oy, mby, mbx, sr, skip_mv, mvp):
 
 def _encode_h264_p_frame(yp, cbp, crp, ref_planes, qp: int,
                          frame_num: int, pcm_threshold: int,
-                         search_range: int):
+                         search_range: int, deblock: bool = False):
     """Encode one P frame's slice RBSP (P_Skip / P_L0_16x16 with
     quarter-pel motion compensation; Intra_16x16/I_PCM fallback when
     intra predicts better); returns (rbsp, recon Y, recon Cb, recon
-    Cr). The recon is decoder-identical — inter prediction runs on the
-    previous frame's recon, intra on this frame's."""
+    Cr, deblock metadata). The recon is decoder-identical — inter
+    prediction runs on the previous frame's (filtered, when the loop
+    filter is on) recon, intra on this frame's unfiltered planes."""
     h_mbs, w_mbs = yp.shape[0] // 16, yp.shape[1] // 16
     w = _H264BitWriter()
     w.ue(0)              # first_mb_in_slice
@@ -3183,11 +3425,17 @@ def _encode_h264_p_frame(yp, cbp, crp, ref_planes, qp: int,
     w.u(0, 1)            # ref_pic_list_modification_flag_l0
     w.u(0, 1)            # adaptive_ref_pic_marking_mode_flag
     w.se(qp - 26)        # slice_qp_delta
-    w.ue(1)              # disable_deblocking_filter_idc: off (conformant)
+    if deblock:
+        w.ue(0)          # disable_deblocking_filter_idc: filter ON
+        w.se(0)          # slice_alpha_c0_offset_div2
+        w.se(0)          # slice_beta_offset_div2
+    else:
+        w.ue(1)          # disable_deblocking_filter_idc: off (conformant)
     ry = np.zeros_like(yp)
     rcb = np.zeros_like(cbp)
     rcr = np.zeros_like(crp)
     cpl = {"cb": rcb, "cr": rcr}
+    kind = np.zeros((h_mbs, w_mbs), np.int64)
     nnz_y = np.zeros((4 * h_mbs, 4 * w_mbs), np.int64)
     nnz_c = {"cb": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64),
              "cr": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64)}
@@ -3221,9 +3469,10 @@ def _encode_h264_p_frame(yp, cbp, crp, ref_planes, qp: int,
             if intra_sad < inter_sad:
                 w.ue(run)
                 run = 0
-                _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y,
-                                nnz_c, qp, mby, mbx, pcm_threshold,
-                                type_base=5)
+                mk = _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr,
+                                     nnz_y, nnz_c, qp, mby, mbx,
+                                     pcm_threshold, type_base=5)
+                kind[mby, mbx] = 2 if mk == "pcm" else 1
                 continue
             py, pch = _mc_pred_mb(ref_planes, mvx, mvy, mby, mbx)
             res = oy - py
@@ -3341,7 +3590,8 @@ def _encode_h264_p_frame(yp, cbp, crp, ref_planes, qp: int,
     if run:
         w.ue(run)
     w.trailing()
-    return bytes(w.buf), ry, rcb, rcr
+    meta = {"kind": kind, "nnz_y": nnz_y, "mvg": mvg, "refg": refg}
+    return bytes(w.buf), ry, rcb, rcr, meta
 
 
 def _dec_mb_intra16(r, mb_type, yp, cpl, nnz_y, nnz_c, qp, cq_off,
@@ -3478,11 +3728,13 @@ def decode_h264(raw: bytes, *, return_mb_types: bool = False):
     P_L0_16x16 macroblocks — quarter-pel luma / eighth-pel chroma
     motion compensation against the previous decoded picture, median MV
     prediction per 8.4.1.3, single reference — plus the same intra
-    macroblocks as fallback (mb_type 5..30). B/SP/SI slices, sub-16x16
-    partitions, multiple reference pictures, I_4x4, CABAC and the
-    in-loop deblocking filter raise MediaDecodeError naming the missing
-    tool (streams must disable deblocking explicitly; all-I_PCM
-    pictures are exempt — QP-0 edges never filter). Returns
+    macroblocks as fallback (mb_type 5..30). The in-loop deblocking
+    filter (8.7) is applied whenever the stream does not disable it
+    (idc 0/2, slice alpha/beta offsets honoured), after each picture
+    completes — filtered pictures are the references and the output.
+    B/SP/SI slices, sub-16x16 partitions, multiple reference pictures,
+    I_4x4 and CABAC raise MediaDecodeError naming the missing
+    tool. Returns
     ``(frames float32 [0,1], usec_per_frame)``; with
     ``return_mb_types`` a third element lists each slice's mb_type
     sequence (P_Skip macroblocks appear as -1)."""
@@ -3543,12 +3795,16 @@ def decode_h264(raw: bytes, *, return_mb_types: bool = False):
                     raise MediaDecodeError("adaptive ref pic marking not supported")
             qp = pps["pic_init_qp"] + r.se()
             needs_deblock = True
+            off_a = off_b = 0
             if pps["deblock_control"]:
+                # idc 1 disables; 0 filters everything; 2 filters all
+                # but slice boundaries — identical here (one slice per
+                # picture)
                 if r.ue() == 1:          # disable_deblocking_filter_idc
                     needs_deblock = False
                 else:
-                    r.se()               # slice_alpha_c0_offset_div2
-                    r.se()               # slice_beta_offset_div2
+                    off_a = 2 * r.se()   # slice_alpha_c0_offset_div2
+                    off_b = 2 * r.se()   # slice_beta_offset_div2
             cq_off = pps["chroma_qp_offset"]
             w_mbs, h_mbs = sps["w_mbs"], sps["h_mbs"]
             yp = np.zeros((16 * h_mbs, 16 * w_mbs), dtype=np.uint8)
@@ -3559,28 +3815,23 @@ def decode_h264(raw: bytes, *, return_mb_types: bool = False):
                      "cr": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64)}
             cpl = {"cb": cbpl, "cr": crpl}
             mb_types = []
+            kind = np.zeros((h_mbs, w_mbs), np.int64)
+            qpg = np.zeros((h_mbs, w_mbs), np.int64)
+            refg = np.full((h_mbs, w_mbs), -1, np.int64)
+            mvg = np.zeros((h_mbs, w_mbs, 2), np.int64)
             if not p_slice:
                 for mb in range(w_mbs * h_mbs):
                     mby, mbx = divmod(mb, w_mbs)
                     mb_type = r.ue()
                     mb_types.append(mb_type)
-                    if needs_deblock and mb_type != 25:
-                        raise MediaDecodeError(
-                            "in-loop deblocking filter not implemented — "
-                            "the stream does not disable it (all-I_PCM "
-                            "streams are exempt: QP-0 edges never filter)")
+                    kind[mby, mbx] = 2 if mb_type == 25 else 1
                     qp = _dec_mb_intra16(r, mb_type, yp, cpl, nnz_y,
                                          nnz_c, qp, cq_off, mby, mbx)
+                    qpg[mby, mbx] = qp
             else:
                 if ref is None:
                     raise MediaDecodeError(
                         "P slice without a decoded reference picture")
-                if needs_deblock:
-                    raise MediaDecodeError(
-                        "in-loop deblocking filter not implemented — "
-                        "the P-slice stream does not disable it")
-                refg = np.full((h_mbs, w_mbs), -1, np.int64)
-                mvg = np.zeros((h_mbs, w_mbs, 2), np.int64)
                 total = w_mbs * h_mbs
                 mb = 0
                 while mb < total:
@@ -3591,6 +3842,7 @@ def decode_h264(raw: bytes, *, return_mb_types: bool = False):
                         mby, mbx = divmod(mb, w_mbs)
                         _dec_mb_pskip(yp, cpl, mby, mbx, ref, refg, mvg)
                         mb_types.append(-1)
+                        qpg[mby, mbx] = qp
                         mb += 1
                     if mb == total:
                         break
@@ -3601,10 +3853,13 @@ def decode_h264(raw: bytes, *, return_mb_types: bool = False):
                         qp = _dec_mb_inter16(r, yp, cpl, nnz_y, nnz_c,
                                              qp, cq_off, mby, mbx, ref,
                                              refg, mvg)
+                        qpg[mby, mbx] = qp
                     elif mb_type >= 5:
                         qp = _dec_mb_intra16(r, mb_type - 5, yp, cpl,
                                              nnz_y, nnz_c, qp, cq_off,
                                              mby, mbx)
+                        kind[mby, mbx] = 2 if mb_type == 30 else 1
+                        qpg[mby, mbx] = qp
                     else:
                         raise MediaDecodeError(
                             f"P mb_type {mb_type}: only P_L0_16x16, "
@@ -3612,6 +3867,10 @@ def decode_h264(raw: bytes, *, return_mb_types: bool = False):
                             "implemented (16x8/8x16/8x8 partitions "
                             "need the sub-macroblock coder)")
                     mb += 1
+            if needs_deblock:
+                _h264_deblock_frame(yp, cbpl, crpl, kind, qpg, mvg,
+                                    refg, nnz_y, off_a=off_a,
+                                    off_b=off_b, cq_off=cq_off)
             ref = (yp, cbpl, crpl)
             h, w = sps["h"], sps["w"]
             mb_types_out.append(mb_types)

@@ -75,11 +75,15 @@ def test_minhash_detects_planted_near_dups(docs):
     )
     # forced pair cap: the grouping fallback (connected_components_auto
     # over the verified pair graph) must produce identical groups to
-    # the driver union-find
+    # the driver union-find — and come back as a DATASET: above the
+    # cap the member table is too big to collect, so the library must
+    # never to_pandas() the labels on that path
     groups_p = dedup.minhash_near_dup_groups(ds, threshold=0.7, driver_pair_cap=0)
+    assert isinstance(groups_p, ray.data.Dataset)
     pd.testing.assert_frame_equal(
         groups.sort_values("id").reset_index(drop=True),
-        groups_p.sort_values("id").reset_index(drop=True),
+        groups_p.to_pandas().astype(np.int64)
+        .sort_values("id").reset_index(drop=True),
     )
 
 
@@ -2471,10 +2475,12 @@ def test_h264_p_decoder_rejects_missing_tools():
 
 
 def test_h264_deblocking_contract():
-    """Streams that do not disable the in-loop filter are rejected for
-    any non-I_PCM macroblock (we do not implement deblocking) but
-    decode when every macroblock is I_PCM — QP-0 edges never filter,
-    so the no-filter output is conformant either way."""
+    """Streams that do not disable the in-loop filter (old-style PPS
+    without deblocking_filter_control_present_flag) now DECODE with
+    the 8.7 filter applied. For this fixture the filter is provably a
+    no-op on both crafted slices — the I_PCM picture filters at QP 0
+    (alpha 0) and the DC-flat Intra_16x16 picture has p0 == q0 on
+    every edge — so both must decode and match the flat input."""
     frames = np.full((1, 16, 16, 3), 90, np.uint8)
     # old-style PPS: deblocking_filter_control_present_flag = 0
     w = multimodal._H264BitWriter()
@@ -2525,9 +2531,67 @@ def test_h264_deblocking_contract():
     dec, _ = multimodal.decode_h264(
         start + sps + start + old_pps + start + islice(True))
     assert dec.shape == (1, 16, 16, 3)
-    with pytest.raises(multimodal.MediaDecodeError, match="deblocking"):
-        multimodal.decode_h264(
-            start + sps + start + old_pps + start + islice(False))
+    dec2, _ = multimodal.decode_h264(
+        start + sps + start + old_pps + start + islice(False))
+    assert dec2.shape == (1, 16, 16, 3)
+    # DC-flat picture: the undisabled filter must not change a thing
+    u8 = (dec2 * 255).round().astype(np.uint8)
+    assert (u8 == u8[0, 0, 0]).all()
+
+
+def test_h264_deblock_roundtrip_and_quality():
+    """In-loop deblocking (spec 8.7): encode with deblock=True signals
+    disable_deblocking_filter_idc 0 and the decoder reproduces the
+    encoder's FILTERED recon bit-exactly across intra and GOP streams;
+    the filter genuinely changes pixels vs the off path, improves
+    smooth-content MSE at high qp (the blocking-artifact regime), and
+    the default-off stream stays byte-identical to the on stream for
+    all-IDR coding (only the recon differs — the filter is out of the
+    intra prediction loop)."""
+    rng = np.random.default_rng(11)
+    n, h, w = 5, 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.zeros((n, h, w, 3), np.uint8)
+    for f in range(n):
+        for c in range(3):
+            base[f, :, :, c] = ((xx * 2 + yy * 3 + 30 * c + 5 * f)
+                                % 256)
+        bx = 8 + 6 * f
+        base[f, 10:26, bx:bx + 16] = rng.integers(
+            0, 256, (16, 16, 3), dtype=np.uint8)
+    for gop in (1, 3):
+        for qp in (20, 32, 44):
+            raw_on, recon_on = multimodal._encode_h264_cavlc_with_recon(
+                base, qp=qp, gop=gop, deblock=True)
+            dec_on, _ = multimodal.decode_h264(raw_on)
+            np.testing.assert_array_equal(dec_on, recon_on)
+            raw_off, recon_off = \
+                multimodal._encode_h264_cavlc_with_recon(
+                    base, qp=qp, gop=gop, deblock=False)
+            dec_off, _ = multimodal.decode_h264(raw_off)
+            np.testing.assert_array_equal(dec_off, recon_off)
+            assert not np.array_equal(dec_on, dec_off), (gop, qp)
+            # the two streams differ (signalling at least); for
+            # IDR-only coding the residual payload is identical since
+            # the filter never feeds intra prediction
+            assert raw_on != raw_off
+            if gop == 1:
+                assert len(raw_on) == len(raw_off)
+    # blocking-artifact regime: the filter must IMPROVE smooth content
+    smooth = np.zeros((2, 48, 64, 3), np.uint8)
+    for f in range(2):
+        for c in range(3):
+            smooth[f, :, :, c] = np.clip(
+                (xx * 1.3 + yy * 1.7) / 2 + 40 * c + 2 * f, 0,
+                255).astype(np.uint8)
+    for qp in (36, 44):
+        mse = {}
+        for db in (False, True):
+            _, recon = multimodal._encode_h264_cavlc_with_recon(
+                smooth, qp=qp, gop=1, deblock=db)
+            mse[db] = float(((recon.astype(np.float64) * 255
+                              - smooth) ** 2).mean())
+        assert mse[True] < mse[False], (qp, mse)
 
 
 def test_mp4_mjpeg_roundtrip_and_demux():

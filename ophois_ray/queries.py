@@ -8111,6 +8111,216 @@ FROM f GROUP BY k
 """
 
 
+def q_video_h264_deblock_stats(sf_dir: str):
+    """HASH-CHECKED in-loop deblocking oracle (multimodal 8.7 filter):
+    per sampled doc a two-picture stream is HAND-CRAFTED from doc_id
+    arithmetic with the library's own bit writer — an all-I_PCM IDR
+    carrying an exact sawtooth pattern (the lossless reference), then
+    a P slice of [P_L0 mv 0 | P_L0 mv 4*s1 | I_PCM shifted s2 |
+    P_L0 mv 0] macroblocks, cbp 0 throughout, deblocking signalled ON
+    (idc 0). Every pre-filter pixel of picture 1 is therefore exact
+    closed-form: integer-MV motion compensation copies the PCM
+    reference and the mid-frame I_PCM block is written verbatim. The
+    decoder must then run the REAL filter: edge 0 (x=16) is a bS=1
+    NORMAL filter at full slice qp (tc0 clipping, ap/aq taps,
+    |p1-p0|<beta gates — all exercised across qp in {20,28,36,44} and
+    sawtooth periods m in {4,8,16,32}), edges 1-2 (x=32/48) are bS=4
+    intra-MB-edge STRONG filters at qPav=(qp+1)>>1 with the I_PCM
+    side at QP 0 (alpha 0 at qp<=28 — the no-op rows are part of the
+    oracle too). The SQL mirror is an INDEPENDENT transcription of
+    the spec equations (alpha/beta/tC0 constants re-derived from
+    Tables 8-16/8-17, not read from the code): per (doc, edge, row)
+    it reconstructs p3..q3 from the pattern arithmetic, applies the
+    same strong/normal CASE ladder and aggregates six per-edge column
+    sums — any filter bug (wrong table entry, wrong clip, wrong bS,
+    wrong edge order, a filtered sample leaking into a neighbour
+    column) fails the driver hash."""
+    from . import multimodal as mm
+
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def craft(k: int) -> bytes:
+        qp = [20, 28, 36, 44][k % 4]
+        m = [4, 8, 16, 32][k // 4 % 4]
+        base = 80 + k % 40
+        s1 = 1 + (k % 2)
+        s2 = -1 - (k // 2 % 2)
+        xx, yy = np.meshgrid(np.arange(64), np.arange(16))
+        pat = lambda xs: (base + ((xs * 5 + yy * 3) % m)).astype(np.uint8)
+        ref = pat(xx)
+        start = b"\x00\x00\x00\x01"
+        out = start + b"\x67" + mm._ebsp_escape(
+            mm._h264_sps_rbsp(4, 1, 0, 0, 10))
+        out += start + b"\x68" + mm._ebsp_escape(mm._h264_pps_rbsp())
+        w = mm._H264BitWriter()
+        w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+        w.u(0, 1); w.u(0, 1); w.se(qp - 26)
+        w.ue(0); w.se(0); w.se(0)        # deblocking ON, offsets 0
+        flat = np.full((8, 8), 128, np.uint8).tobytes()
+        for mbx in range(4):
+            w.ue(25); w.align_zero()
+            w.raw_bytes(ref[:, 16 * mbx:16 * mbx + 16].tobytes())
+            w.raw_bytes(flat); w.raw_bytes(flat)
+        w.trailing()
+        out += start + b"\x65" + mm._ebsp_escape(bytes(w.buf))
+        w = mm._H264BitWriter()
+        w.ue(0); w.ue(5); w.ue(0); w.u(1, 4)
+        w.u(0, 1); w.u(0, 1); w.u(0, 1)
+        w.se(qp - 26)
+        w.ue(0); w.se(0); w.se(0)
+        refg = np.full((1, 4), -1, np.int64)
+        mvg = np.zeros((1, 4, 2), np.int64)
+        mvs = {0: (0, 0), 1: (4 * s1, 0), 3: (0, 0)}
+        for mbx in range(4):
+            if mbx == 2:
+                w.ue(0)
+                w.ue(30); w.align_zero()   # I_PCM inside the P slice
+                w.raw_bytes(pat(xx + s2)[:, 32:48].tobytes())
+                w.raw_bytes(flat); w.raw_bytes(flat)
+                continue
+            mvx, mvy = mvs[mbx]
+            mvp = mm._h264_mvp16(refg, mvg, 0, mbx)
+            w.ue(0)
+            w.ue(0)
+            w.se(mvx - mvp[0]); w.se(mvy - mvp[1])
+            w.ue(mm._CBP_INTER_ENC[0])
+            refg[0, mbx] = 0
+            mvg[0, mbx] = (mvx, mvy)
+        w.trailing()
+        out += start + b"\x41" + mm._ebsp_escape(bytes(w.buf))
+        return out
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        d = d[d % 3 == 1]
+        ks, js = [], []
+        sums = [[] for _ in range(6)]
+        for k in d:
+            k = int(k)
+            dec, _ = mm.decode_h264(craft(k))
+            luma1 = np.round(dec[1][..., 0] * 255.0).astype(np.int64)
+            for j, xe in enumerate((16, 32, 48)):
+                ks.append(k)
+                js.append(j)
+                for c in range(6):
+                    sums[c].append(int(luma1[:, xe - 3 + c].sum()))
+        names = ["s_p2", "s_p1", "s_p0", "s_q0", "s_q1", "s_q2"]
+        out = {"doc_id": np.array(ks, np.int64),
+               "edge": np.array(js, np.int64)}
+        for n, v in zip(names, sums):
+            out[n] = np.array(v, np.int64)
+        return pd.DataFrame(out)
+
+    return docs.map_batches(rows, batch_format="pandas")
+
+
+SQL_VIDEO_H264_DEBLOCK_STATS = """
+WITH d AS (SELECT doc_id AS k FROM documents WHERE doc_id % 3 = 1),
+p AS (SELECT k,
+        CASE k % 4 WHEN 0 THEN 20 WHEN 1 THEN 28
+                   WHEN 2 THEN 36 ELSE 44 END AS qp,
+        CASE (k // 4) % 4 WHEN 0 THEN 4 WHEN 1 THEN 8
+                          WHEN 2 THEN 16 ELSE 32 END AS m,
+        80 + k % 40 AS base,
+        1 + k % 2 AS s1,
+        -1 - ((k // 2) % 2) AS s2
+      FROM d),
+-- spec Tables 8-16/8-17 at the indices this fixture reaches:
+-- indexA = qp for the bS-1 edge; indexA = (qp+1)//2 (I_PCM side QP 0)
+-- for the bS-4 edges
+t AS (SELECT p.*,
+        CASE qp WHEN 20 THEN 7 WHEN 28 THEN 20
+                WHEN 36 THEN 50 ELSE 127 END AS a1,
+        CASE qp WHEN 20 THEN 3 WHEN 28 THEN 7
+                WHEN 36 THEN 11 ELSE 15 END AS b1,
+        CASE qp WHEN 20 THEN 0 WHEN 28 THEN 1
+                WHEN 36 THEN 2 ELSE 6 END AS tc0,
+        CASE qp WHEN 20 THEN 0 WHEN 28 THEN 0
+                WHEN 36 THEN 5 ELSE 9 END AS a4,
+        CASE qp WHEN 20 THEN 0 WHEN 28 THEN 0
+                WHEN 36 THEN 2 ELSE 3 END AS b4
+      FROM p),
+e AS (SELECT t.*, CAST(range AS BIGINT) AS j
+      FROM t CROSS JOIN range(3)),
+g AS (SELECT e.*,
+        16 * (j + 1) AS xe,
+        CASE j WHEN 0 THEN 0 WHEN 1 THEN s1 ELSE s2 END AS sl,
+        CASE j WHEN 0 THEN s1 WHEN 1 THEN s2 ELSE 0 END AS sr,
+        CASE WHEN j = 0 THEN a1 ELSE a4 END AS aa,
+        CASE WHEN j = 0 THEN b1 ELSE b4 END AS bb
+      FROM e),
+r AS (SELECT g.*, CAST(range AS BIGINT) AS y
+      FROM g CROSS JOIN range(16)),
+s AS (SELECT k, j, y, aa, bb, tc0,
+        base + ((xe - 1 + sl) * 5 + y * 3) % m AS p0,
+        base + ((xe - 2 + sl) * 5 + y * 3) % m AS p1,
+        base + ((xe - 3 + sl) * 5 + y * 3) % m AS p2,
+        base + ((xe - 4 + sl) * 5 + y * 3) % m AS p3,
+        base + ((xe + 0 + sr) * 5 + y * 3) % m AS q0,
+        base + ((xe + 1 + sr) * 5 + y * 3) % m AS q1,
+        base + ((xe + 2 + sr) * 5 + y * 3) % m AS q2,
+        base + ((xe + 3 + sr) * 5 + y * 3) % m AS q3
+      FROM r),
+c AS (SELECT s.*,
+        (abs(p0 - q0) < aa AND abs(p1 - p0) < bb
+         AND abs(q1 - q0) < bb) AS filt,
+        (abs(p2 - p0) < bb) AS ap,
+        (abs(q2 - q0) < bb) AS aq,
+        (abs(p0 - q0) < (aa // 4) + 2) AS small,
+        tc0 + (CASE WHEN abs(p2 - p0) < bb THEN 1 ELSE 0 END)
+            + (CASE WHEN abs(q2 - q0) < bb THEN 1 ELSE 0 END) AS tc
+      FROM s),
+-- normal-filter delta: arithmetic >>3 of a possibly-negative value =
+-- floor; keep operands positive for DuckDB's truncating //
+n AS (SELECT c.*,
+        GREATEST(-tc, LEAST(tc,
+          ((q0 - p0) * 4 + (p1 - q1) + 4 + 2048) // 8 - 256)) AS dlt,
+        GREATEST(-tc0, LEAST(tc0,
+          (p2 + (p0 + q0 + 1) // 2 - 2 * p1 + 1024) // 2 - 512)) AS dp1,
+        GREATEST(-tc0, LEAST(tc0,
+          (q2 + (q0 + p0 + 1) // 2 - 2 * q1 + 1024) // 2 - 512)) AS dq1
+      FROM c),
+f AS (SELECT k, j,
+        CASE WHEN j >= 1 AND filt AND ap AND small
+               THEN (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) // 8
+             ELSE p2 END AS np2,
+        CASE WHEN j = 0 AND filt AND ap THEN p1 + dp1
+             WHEN j >= 1 AND filt AND ap AND small
+               THEN (p2 + p1 + p0 + q0 + 2) // 4
+             ELSE p1 END AS np1,
+        CASE WHEN j = 0 AND filt
+               THEN LEAST(255, GREATEST(0, p0 + dlt))
+             WHEN j >= 1 AND filt AND ap AND small
+               THEN (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) // 8
+             WHEN j >= 1 AND filt
+               THEN (2 * p1 + p0 + q1 + 2) // 4
+             ELSE p0 END AS np0,
+        CASE WHEN j = 0 AND filt
+               THEN LEAST(255, GREATEST(0, q0 - dlt))
+             WHEN j >= 1 AND filt AND aq AND small
+               THEN (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) // 8
+             WHEN j >= 1 AND filt
+               THEN (2 * q1 + q0 + p1 + 2) // 4
+             ELSE q0 END AS nq0,
+        CASE WHEN j = 0 AND filt AND aq THEN q1 + dq1
+             WHEN j >= 1 AND filt AND aq AND small
+               THEN (q2 + q1 + q0 + p0 + 2) // 4
+             ELSE q1 END AS nq1,
+        CASE WHEN j >= 1 AND filt AND aq AND small
+               THEN (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) // 8
+             ELSE q2 END AS nq2
+      FROM n)
+SELECT k AS doc_id, j AS edge,
+       CAST(sum(np2) AS BIGINT) AS s_p2,
+       CAST(sum(np1) AS BIGINT) AS s_p1,
+       CAST(sum(np0) AS BIGINT) AS s_p0,
+       CAST(sum(nq0) AS BIGINT) AS s_q0,
+       CAST(sum(nq1) AS BIGINT) AS s_q1,
+       CAST(sum(nq2) AS BIGINT) AS s_q2
+FROM f GROUP BY k, j
+"""
+
+
 def q_video_phash_neardup(sf_dir: str):
     """Video near-dup via temporally-pooled perceptual hashing: a
     deterministic MJPEG-AVI corpus is synthesized per doc (leader =
@@ -9063,6 +9273,10 @@ def catalog():
         "graph_simplify": q_graph_simplify,
         "graph_discretize": q_graph_discretize,
         "knn_pages_snap": q_knn_pages_snap,
+        # round-5 addition — appended at the tail so the driver's
+        # 1-50 rotation window stays exactly the planned set; locally
+        # dtype-strict-verified like every other SQL-mirrored entry
+        "video_h264_deblock_stats": q_video_h264_deblock_stats,
     }
 
 
@@ -9173,6 +9387,7 @@ def sql_catalog():
         "video_h264_stats": SQL_VIDEO_H264_STATS,
         "video_h264_cavlc_stats": SQL_VIDEO_H264_CAVLC_STATS,
         "video_h264_p_stats": SQL_VIDEO_H264_P_STATS,
+        "video_h264_deblock_stats": SQL_VIDEO_H264_DEBLOCK_STATS,
         "cell_compact": _sql_cell_compact(),
         "trace_map_match": _sql_trace_map_match(),
         "polyline_simplify": _sql_polyline_simplify(),

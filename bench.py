@@ -66,6 +66,7 @@ BENCH_ROTATE = [
     "trace_map_match",
     "polyline_simplify",
     "video_h264_p_stats",
+    "video_h264_deblock_stats",
     "cell_assign",
     "nn_snap_planar",
     "haversine_km_hist",

@@ -2539,6 +2539,136 @@ def test_h264_deblocking_contract():
     assert (u8 == u8[0, 0, 0]).all()
 
 
+def test_h264_deblock_edge_kernels_match_scalar_spec():
+    """Fuzz the vectorized luma/chroma edge filters against a direct
+    scalar transcription of spec 8.7.2.3/8.7.2.4 (per-line ints, no
+    numpy) over random samples, boundary strengths and the full
+    qp-index range — any vectorization slip (mask precedence, clip
+    order, >> on negatives) diverges somewhere in 400 random edges."""
+    rng = np.random.default_rng(23)
+
+    def scalar_luma(p, q, bS, ia, ib):
+        A = int(multimodal._H264_ALPHA[ia])
+        B = int(multimodal._H264_BETA[ib])
+        p0, p1, p2, p3 = (int(v) for v in p)
+        q0, q1, q2, q3 = (int(v) for v in q)
+        if bS == 0 or not (abs(p0 - q0) < A and abs(p1 - p0) < B
+                           and abs(q1 - q0) < B):
+            return [p0, p1, p2], [q0, q1, q2]
+        ap = abs(p2 - p0) < B
+        aq = abs(q2 - q0) < B
+        if bS == 4:
+            small = abs(p0 - q0) < (A >> 2) + 2
+            if ap and small:
+                np_ = [(p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                       (p2 + p1 + p0 + q0 + 2) >> 2,
+                       (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3]
+            else:
+                np_ = [(2 * p1 + p0 + q1 + 2) >> 2, p1, p2]
+            if aq and small:
+                nq_ = [(q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                       (q2 + q1 + q0 + p0 + 2) >> 2,
+                       (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3]
+            else:
+                nq_ = [(2 * q1 + q0 + p1 + 2) >> 2, q1, q2]
+            return np_, nq_
+        t0 = int(multimodal._H264_TC0[bS - 1, ia])
+        tc = t0 + ap + aq
+        d = max(-tc, min(tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3))
+        np_ = [max(0, min(255, p0 + d)), p1, p2]
+        nq_ = [max(0, min(255, q0 - d)), q1, q2]
+        if ap:
+            np_[1] = p1 + max(-t0, min(t0, (p2 + ((p0 + q0 + 1) >> 1)
+                                            - 2 * p1) >> 1))
+        if aq:
+            nq_[1] = q1 + max(-t0, min(t0, (q2 + ((q0 + p0 + 1) >> 1)
+                                            - 2 * q1) >> 1))
+        return np_, nq_
+
+    def scalar_chroma(p, q, bS, ia, ib):
+        A = int(multimodal._H264_ALPHA[ia])
+        B = int(multimodal._H264_BETA[ib])
+        p0, p1 = int(p[0]), int(p[1])
+        q0, q1 = int(q[0]), int(q[1])
+        if bS == 0 or not (abs(p0 - q0) < A and abs(p1 - p0) < B
+                           and abs(q1 - q0) < B):
+            return p0, q0
+        if bS == 4:
+            return ((2 * p1 + p0 + q1 + 2) >> 2,
+                    (2 * q1 + q0 + p1 + 2) >> 2)
+        tc = int(multimodal._H264_TC0[bS - 1, ia]) + 1
+        d = max(-tc, min(tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3))
+        return max(0, min(255, p0 + d)), max(0, min(255, q0 - d))
+
+    for trial in range(400):
+        ia = int(rng.integers(0, 52))
+        ib = int(rng.integers(0, 52))
+        bs = rng.integers(0, 5, size=4).astype(np.int64)
+        # random plane, filter the MB-1 left edge (vertical) and top
+        # edge (horizontal) of a 2x2-MB plane so gather/scatter paths
+        # both run
+        plane = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+        for vertical in (True, False):
+            pl = plane.copy()
+            multimodal._deblock_luma_edge(pl, 1 if not vertical else 0,
+                                          1 if vertical else 0, 0,
+                                          vertical, bs, ia, ib)
+            # scalar reference per line
+            exp = plane.copy().astype(np.int64)
+            for line in range(16):
+                g = int(line // 4)
+                if vertical:
+                    y, x = line, 16
+                    p = [exp[y, x - 1 - i] for i in range(4)]
+                    q = [plane[y, x + i].astype(np.int64)
+                         for i in range(4)]
+                else:
+                    y, x = 16, line
+                    p = [exp[y - 1 - i, x] for i in range(4)]
+                    q = [plane[y + i, x].astype(np.int64)
+                         for i in range(4)]
+                np_, nq_ = scalar_luma(p, q, int(bs[g]), ia, ib)
+                for i in range(3):
+                    if vertical:
+                        exp[y, x - 1 - i] = np_[i]
+                        exp[y, x + i] = nq_[i]
+                    else:
+                        exp[y - 1 - i, x] = np_[i]
+                        exp[y + i, x] = nq_[i]
+            np.testing.assert_array_equal(
+                pl.astype(np.int64), exp, err_msg=f"luma {trial} "
+                f"v={vertical} ia={ia} ib={ib} bs={bs}")
+        cplane = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        for vertical in (True, False):
+            cp = cplane.copy()
+            multimodal._deblock_chroma_edge(
+                cp, 1 if not vertical else 0, 1 if vertical else 0, 0,
+                vertical, bs, ia, ib)
+            exp = cplane.copy().astype(np.int64)
+            for line in range(8):
+                g = int(line // 2)
+                if vertical:
+                    y, x = line, 8
+                    p = [exp[y, x - 1 - i] for i in range(2)]
+                    q = [cplane[y, x + i].astype(np.int64)
+                         for i in range(2)]
+                else:
+                    y, x = 8, line
+                    p = [exp[y - 1 - i, x] for i in range(2)]
+                    q = [cplane[y + i, x].astype(np.int64)
+                         for i in range(2)]
+                np0, nq0 = scalar_chroma(p, q, int(bs[g]), ia, ib)
+                if vertical:
+                    exp[y, x - 1] = np0
+                    exp[y, x] = nq0
+                else:
+                    exp[y - 1, x] = np0
+                    exp[y, x] = nq0
+            np.testing.assert_array_equal(
+                cp.astype(np.int64), exp, err_msg=f"chroma {trial} "
+                f"v={vertical} ia={ia} ib={ib} bs={bs}")
+
+
 def test_h264_deblock_roundtrip_and_quality():
     """In-loop deblocking (spec 8.7): encode with deblock=True signals
     disable_deblocking_filter_idc 0 and the decoder reproduces the

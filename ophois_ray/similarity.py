@@ -447,13 +447,18 @@ def pca_train(ds, n_components: int, *, vec_col: str = "embedding",
     partials themselves depend on block boundaries, so refits across
     different layouts drift by last-ulp. Pass ``id_col`` for the
     LAYOUT-INDEPENDENT fit (same discipline as kll_sketch_grouped):
-    rows co-partition by ``id % num_buckets``, each bucket reduces its
-    FULL vector set in sorted-id order, and the driver folds the
-    <= num_buckets partials in bucket order — every float add is a
-    pure function of the data, never of the layout, so the fit is
-    bit-identical under any repartition/block-size change (the
-    driver's rerun-and-diff survives a layout shuffle). Costs one
-    bounded exchange of the vectors; ids must be unique int64.
+    rows co-partition by ``id % num_buckets``, each id-bucket reduces
+    its FULL vector set in sorted-id order (one blob per id-bucket —
+    a task holds at most a shuffle-bucket of rows, so size
+    ``num_buckets`` to ~rows/2M at fleet scale and the per-task heap
+    stays bounded), and the driver folds the <= num_buckets moment
+    blobs in bucket order — every float add is a pure function of the
+    data, never of the layout, so the fit is bit-identical under any
+    repartition/block-size change (the driver's rerun-and-diff
+    survives a layout shuffle). Costs one exchange of the vectors —
+    the inherent price of bit-reproducibility; keep the id-less fast
+    path when last-ulp layout drift is acceptable. Ids must be unique
+    int64.
     """
     if id_col is not None:
         from .joins import grouped_apply
@@ -469,18 +474,23 @@ def pca_train(ds, n_components: int, *, vec_col: str = "embedding",
             })
 
         def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.sort_values("__id", kind="stable")
-            m = np.stack([np.frombuffer(b, dtype=np.float64)
-                          for b in df["__v"]])
-            head = np.array([m.shape[1], len(m)], dtype=np.int64).tobytes()
-            blob = head + m.sum(axis=0).tobytes() \
-                + (m.T @ m).astype(np.float64).tobytes()
+            pbs, blobs = [], []
+            for pb, g in df.groupby("__pb", sort=True):
+                g = g.sort_values("__id", kind="stable")
+                m = np.stack([np.frombuffer(b, dtype=np.float64)
+                              for b in g["__v"]])
+                head = np.array([m.shape[1], len(m)],
+                                dtype=np.int64).tobytes()
+                blobs.append(head + m.sum(axis=0).tobytes()
+                             + (m.T @ m).astype(np.float64).tobytes())
+                pbs.append(int(pb))
             return pd.DataFrame({
-                "__pb": df["__pb"].to_numpy(np.int64)[:1], "blob": [blob]})
+                "__pb": np.array(pbs, np.int64),
+                "blob": pd.Series(blobs, dtype=object)})
 
         parts = grouped_apply(
             ds.map_batches(pack_rows, batch_format="pandas"),
-            "__pb", per_bucket, num_buckets=min(num_buckets, 16),
+            "__pb", per_bucket, num_buckets=min(num_buckets, 64),
         ).to_pandas()
         ordered = [b for _, b in
                    sorted(zip(parts["__pb"].tolist(), parts["blob"].tolist()))]

@@ -600,9 +600,19 @@ def cell_regions(cells_ds, *, x_col: str = "x", y_col: str = "y",
     Output per region: (region_id = smallest member cell id, n_cells,
     perimeter) with ``perimeter = 4 * n_cells - 2 * adjacent_pairs``
     (each interior pair hides two unit edges) — integer-exact.
+
+    Hybrid ladder (house pattern): under ``broadcast_cap`` occupied
+    cells the int64 cell ids ship once to the driver and the whole
+    dissolve (sorted-membership neighbour probe, ``_min_label_cc``
+    fixpoint, bincount stats) runs as one vectorized kernel — the
+    distributed path's hash-join + two grouped_apply barriers cost
+    ~5 s of parallelism-INDEPENDENT time at any size (measured sf0.01
+    == sf0.1), which dominates whenever the key column fits a heap.
+    Above the cap the bucketed joins + components ladder take over;
+    a forced-cap pytest pins both paths row-identical.
     """
-    from .components import connected_components_auto
-    from .joins import grouped_apply, hash_join
+    from .components import _min_label_cc, connected_components_auto
+    from .joins import DEFAULT_BROADCAST_CAP, grouped_apply, hash_join
 
     def cid(df: pd.DataFrame) -> pd.DataFrame:
         x = df[x_col].to_numpy(np.int64)
@@ -610,6 +620,41 @@ def cell_regions(cells_ds, *, x_col: str = "x", y_col: str = "y",
         return pd.DataFrame({"id": y * width + x})
 
     nodes = cells_ds.map_batches(cid, batch_format="pandas").materialize()
+
+    cap = DEFAULT_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+    if nodes.count() <= cap:
+        import ray
+
+        id_parts = [b["id"] for b in nodes.iter_batches(
+            batch_format="numpy", batch_size=None)]
+        ids = np.unique(np.concatenate(id_parts)) if id_parts \
+            else np.empty(0, np.int64)
+        n = len(ids)
+        ius, ivs = [], []
+        for step in (1, width):          # east / north neighbours
+            pos = np.searchsorted(ids, ids + step)
+            has = (pos < n)
+            safe = np.minimum(pos, max(n - 1, 0))
+            if n:
+                has &= ids[safe] == ids + step
+            ius.append(np.nonzero(has)[0])
+            ivs.append(pos[has])
+        iu = np.concatenate(ius) if ius else np.empty(0, np.int64)
+        iv = np.concatenate(ivs) if ivs else np.empty(0, np.int64)
+        lab = _min_label_cc(ids, iu, iv)
+        n_per = np.bincount(lab, minlength=n)
+        pairs = np.bincount(lab[iu], minlength=n)
+        roots = np.nonzero(n_per)[0]
+        out = pd.DataFrame({
+            "region_id": ids[roots],
+            "n_cells": n_per[roots].astype(np.int64),
+            "perimeter": (4 * n_per[roots] - 2 * pairs[roots])
+            .astype(np.int64)})
+        import pyarrow as pa
+
+        # via Arrow: a 0-row from_pandas dataset drops its schema
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(out, preserve_index=False))
 
     def shifted(df: pd.DataFrame) -> pd.DataFrame:
         i = df["id"].to_numpy(np.int64)

@@ -311,3 +311,27 @@ def test_segment_crossings_coordinate_bound_guard(ray_session):
                             ray.data.from_pandas(B2)).to_pandas()
     assert got["seg_id"].tolist() == [1]
     assert got["n_cross"].tolist() == [1]
+
+
+def test_cell_regions_ladder_parity(ray_session):
+    """polygons.cell_regions: the under-cap driver kernel and the
+    forced-over-cap distributed dissolve (broadcast_cap=0, which also
+    forces the labelprop rung inside connected_components_auto) return
+    identical (region_id, n_cells, perimeter) rows on a random cell
+    soup with touching, diagonal and isolated regions."""
+    import ray
+
+    from ophois_ray.polygons import cell_regions
+
+    rng = np.random.default_rng(5)
+    pts = np.unique(rng.integers(0, 22, size=(300, 2)), axis=0)
+    df = pd.DataFrame({"x": pts[:, 0].astype(np.int64),
+                       "y": pts[:, 1].astype(np.int64)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    fast = (cell_regions(ds, width=64).to_pandas()
+            .sort_values("region_id", ignore_index=True))
+    slow = (cell_regions(ds, width=64, broadcast_cap=0).to_pandas()
+            .astype(np.int64)
+            .sort_values("region_id", ignore_index=True))
+    pd.testing.assert_frame_equal(fast.astype(np.int64), slow)
+    assert fast["n_cells"].sum() == len(df)

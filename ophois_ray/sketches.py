@@ -484,7 +484,12 @@ def kll_sketch_grouped(ds, col: str, *, group_cols, k: int = KLL_K,
     result is identical across layouts and reruns — per-batch partials
     were measured drifting under Ray's nondeterministic batch
     coalescing. Stage 1 ships raw values once (any exact-multiset
-    partial must); stage 2 moves only sketch rows. Returns a Dataset of
+    partial must); stage 2 moves only sketch rows. At fleet scale a
+    stage-1 task holds one shuffle bucket of raw (group, value) rows,
+    so size ``num_buckets`` to ~rows/2M to bound the per-task heap —
+    the exchange itself is the inherent price of layout-independent
+    exactness (the per-batch ``kll_sketch`` stays the cheap choice
+    when same-layout determinism suffices). Returns a Dataset of
     (group_cols..., level, value) sketch rows; read out with
     :func:`kll_quantiles` per group slice."""
     from .joins import grouped_apply, stable_hash

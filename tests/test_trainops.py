@@ -3882,3 +3882,137 @@ def test_funnel_counts_hand_semantics():
         {"step": 1, "users": 4, "sum_lag_us": 0},
         {"step": 2, "users": 3, "sum_lag_us": 4 * D},
         {"step": 3, "users": 1, "sum_lag_us": 2 * D}]
+
+
+def test_h264_deblock_slice_offsets_end_to_end():
+    """Nonzero slice_alpha_c0_offset_div2 / slice_beta_offset_div2
+    must shift indexA/indexB through the whole decode path: the same
+    hand-crafted PCM-reference + P_L0 stream as the deblock oracle
+    query, but with offsets (-2, +4), decoded and compared against a
+    scalar closed form evaluated at the shifted indices. At qp 20 the
+    bS-1 edge sits right at the alpha knee (indexA 18 vs 20), so a
+    decoder that drops or mis-signs the offsets changes the sums."""
+    mm = multimodal
+    off_a_div2, off_b_div2 = -1, 2            # offsets -2 and +4
+
+    def craft(k):
+        qp = [20, 28, 36, 44][k % 4]
+        m = [4, 8, 16, 32][k // 4 % 4]
+        base = 80 + k % 40
+        s1 = 1 + (k % 2)
+        s2 = -1 - (k // 2 % 2)
+        xx, yy = np.meshgrid(np.arange(64), np.arange(16))
+        pat = lambda xs: (base + ((xs * 5 + yy * 3) % m)).astype(np.uint8)
+        ref = pat(xx)
+        start = b"\x00\x00\x00\x01"
+        out = start + b"\x67" + mm._ebsp_escape(
+            mm._h264_sps_rbsp(4, 1, 0, 0, 10))
+        out += start + b"\x68" + mm._ebsp_escape(mm._h264_pps_rbsp())
+        w = mm._H264BitWriter()
+        w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+        w.u(0, 1); w.u(0, 1); w.se(qp - 26)
+        w.ue(0); w.se(off_a_div2); w.se(off_b_div2)
+        flat = np.full((8, 8), 128, np.uint8).tobytes()
+        for mbx in range(4):
+            w.ue(25); w.align_zero()
+            w.raw_bytes(ref[:, 16 * mbx:16 * mbx + 16].tobytes())
+            w.raw_bytes(flat); w.raw_bytes(flat)
+        w.trailing()
+        out += start + b"\x65" + mm._ebsp_escape(bytes(w.buf))
+        w = mm._H264BitWriter()
+        w.ue(0); w.ue(5); w.ue(0); w.u(1, 4)
+        w.u(0, 1); w.u(0, 1); w.u(0, 1)
+        w.se(qp - 26)
+        w.ue(0); w.se(off_a_div2); w.se(off_b_div2)
+        refg = np.full((1, 4), -1, np.int64)
+        mvg = np.zeros((1, 4, 2), np.int64)
+        mvs = {0: (0, 0), 1: (4 * s1, 0), 3: (0, 0)}
+        for mbx in range(4):
+            if mbx == 2:
+                w.ue(0); w.ue(30); w.align_zero()
+                w.raw_bytes(pat(xx + s2)[:, 32:48].tobytes())
+                w.raw_bytes(flat); w.raw_bytes(flat)
+                continue
+            mvx, mvy = mvs[mbx]
+            mvp = mm._h264_mvp16(refg, mvg, 0, mbx)
+            w.ue(0); w.ue(0)
+            w.se(mvx - mvp[0]); w.se(mvy - mvp[1])
+            w.ue(mm._CBP_INTER_ENC[0])
+            refg[0, mbx] = 0; mvg[0, mbx] = (mvx, mvy)
+        w.trailing()
+        out += start + b"\x41" + mm._ebsp_escape(bytes(w.buf))
+        return out, qp, m, base, s1, s2
+
+    def closed(k):
+        _, qp, m, base, s1, s2 = craft(k)
+        pv = lambda x, y: base + ((x * 5 + y * 3) % m)
+        shifts = {0: 0, 1: s1, 2: s2, 3: 0}
+        rows = []
+        for j, xe in enumerate((16, 32, 48)):
+            sL, sR = shifts[j], shifts[j + 1]
+            bs4 = j >= 1
+            qpav = ((qp + 1) >> 1) if bs4 else qp
+            ia = min(max(qpav + 2 * off_a_div2, 0), 51)
+            ib = min(max(qpav + 2 * off_b_div2, 0), 51)
+            A = int(mm._H264_ALPHA[ia])
+            B = int(mm._H264_BETA[ib])
+            T = int(mm._H264_TC0[0, ia])
+            sums = [0] * 6
+            for y in range(16):
+                p = [pv(xe - 1 - i + sL, y) for i in range(4)]
+                q = [pv(xe + i + sR, y) for i in range(4)]
+                p0, p1, p2, p3 = p
+                q0, q1, q2, q3 = q
+                np_, nq_ = [p0, p1, p2], [q0, q1, q2]
+                filt = (abs(p0 - q0) < A and abs(p1 - p0) < B
+                        and abs(q1 - q0) < B)
+                if filt:
+                    ap = abs(p2 - p0) < B
+                    aq = abs(q2 - q0) < B
+                    if bs4:
+                        small = abs(p0 - q0) < (A >> 2) + 2
+                        if ap and small:
+                            np_ = [(p2 + 2*p1 + 2*p0 + 2*q0 + q1 + 4) >> 3,
+                                   (p2 + p1 + p0 + q0 + 2) >> 2,
+                                   (2*p3 + 3*p2 + p1 + p0 + q0 + 4) >> 3]
+                        else:
+                            np_ = [(2*p1 + p0 + q1 + 2) >> 2, p1, p2]
+                        if aq and small:
+                            nq_ = [(q2 + 2*q1 + 2*q0 + 2*p0 + p1 + 4) >> 3,
+                                   (q2 + q1 + q0 + p0 + 2) >> 2,
+                                   (2*q3 + 3*q2 + q1 + q0 + p0 + 4) >> 3]
+                        else:
+                            nq_ = [(2*q1 + q0 + p1 + 2) >> 2, q1, q2]
+                    else:
+                        tc = T + ap + aq
+                        d = max(-tc, min(tc,
+                                ((q0 - p0) * 4 + (p1 - q1) + 4) >> 3))
+                        np_[0] = max(0, min(255, p0 + d))
+                        nq_[0] = max(0, min(255, q0 - d))
+                        if ap:
+                            np_[1] = p1 + max(-T, min(T,
+                                (p2 + ((p0 + q0 + 1) >> 1) - 2*p1) >> 1))
+                        if aq:
+                            nq_[1] = q1 + max(-T, min(T,
+                                (q2 + ((q0 + p0 + 1) >> 1) - 2*q1) >> 1))
+                sums[0] += np_[2]; sums[1] += np_[1]; sums[2] += np_[0]
+                sums[3] += nq_[0]; sums[4] += nq_[1]; sums[5] += nq_[2]
+            rows.append((j, *sums))
+        return rows
+
+    changed = False
+    for k in range(32):
+        raw, qp, *_ = craft(k)
+        dec, _ = mm.decode_h264(raw)
+        luma1 = np.round(dec[1][..., 0] * 255.0).astype(np.int64)
+        got = [(j, *[int(luma1[:, xe - 3 + c].sum()) for c in range(6)])
+               for j, xe in enumerate((16, 32, 48))]
+        assert got == closed(k), (k, qp)
+        # the offsets must actually move at least one doc's output vs
+        # the zero-offset closed form (alpha knee at qp 20)
+        if qp == 20:
+            ia0 = 20
+            if int(mm._H264_ALPHA[min(max(20 + 2*off_a_div2, 0), 51)]) \
+               != int(mm._H264_ALPHA[ia0]):
+                changed = True
+    assert changed

@@ -21,9 +21,13 @@ no-decode container scan) — dispatched by ``decode_video`` into the
 codec (``encode_h264_cavlc`` / ``decode_h264``): Annex B NAL syntax,
 Exp-Golomb SPS/PPS/slice headers, emulation prevention, VUI timing,
 explicit deblocking-off signalling; INTRA — I_PCM (``encode_h264_ipcm``,
-lossless in YUV) and the compressed Intra_16x16 + CAVLC path (4x4
+lossless in YUV), the compressed Intra_16x16 + CAVLC path (4x4
 integer transform, DC Hadamard hierarchies, spec quantization, full
-CAVLC with the level-escape ladder); INTER — P slices with P_Skip runs
+CAVLC with the level-escape ladder) AND Intra_4x4 (all nine 8.3.1.2
+directional predictors, prev/rem mode coding against the
+min(left,above) predictor, Table 9-4 Intra cbp, decode-order
+top-right availability — opt-in ``intra4x4=True``, lambda-priced
+per-MB choice vs I16); INTER — P slices with P_Skip runs
 and P_L0_16x16 macroblocks: quarter-pel luma / eighth-pel chroma
 motion compensation, median MV prediction, GOP coding via
 ``encode_h264_cavlc(gop=N)``, and the IN-LOOP DEBLOCKING FILTER
@@ -33,7 +37,7 @@ motion compensation, median MV prediction, GOP coding via
 always honoured at decode, including foreign streams that never
 disable it. Decoder == encoder-recon bit-exact either way.
 Still honestly out of scope (raising ``MediaDecodeError``): B slices,
-sub-16x16 partitions, multi-reference, I_4x4 and CABAC;
+sub-16x16 INTER partitions, multi-reference and CABAC;
 swap in av for full-profile foreign streams, nothing else changes.
 
 Stages:
@@ -2575,6 +2579,171 @@ def _pred_chroma(mode: int, top, left, tl):
     return np.clip((a + b * (xx - 3) + c * (yy - 3) + 16) >> 5, 0, 255)
 
 
+# Table 9-4, Intra_4x4 column (coded_block_pattern me() mapping)
+_CBP_INTRA = [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43,
+              45, 46, 16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42,
+              44, 1, 2, 4, 8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33,
+              34, 36, 40, 38, 41]
+_CBP_INTRA_ENC = {v: i for i, v in enumerate(_CBP_INTRA)}
+
+
+def _pred_i4(mode: int, t8, l4, tl):
+    """One Intra_4x4 luma predictor (spec 8.3.1.2.1-8.3.1.2.9).
+
+    ``t8`` = p[0..7, -1] (top + top-right, the caller substitutes
+    p[3,-1] into x=4..7 when top-right is unavailable), ``l4`` =
+    p[-1, 0..3], ``tl`` = p[-1, -1]; any of them None when
+    unavailable — the caller only requests modes whose required
+    neighbours exist (a conformant stream never codes others).
+    Returns the 4x4 int64 prediction."""
+    pr = np.empty((4, 4), np.int64)
+    T = lambda i: tl if i == -1 else int(t8[i])
+    L = lambda i: tl if i == -1 else int(l4[i])
+    if mode == 0:                          # Vertical
+        pr[:] = np.asarray(t8[:4], np.int64)[None, :]
+    elif mode == 1:                        # Horizontal
+        pr[:] = np.asarray(l4, np.int64)[:, None]
+    elif mode == 2:                        # DC
+        if t8 is not None and l4 is not None:
+            pr[:] = (int(np.sum(t8[:4])) + int(np.sum(l4)) + 4) >> 3
+        elif t8 is not None:
+            pr[:] = (int(np.sum(t8[:4])) + 2) >> 2
+        elif l4 is not None:
+            pr[:] = (int(np.sum(l4)) + 2) >> 2
+        else:
+            pr[:] = 128
+    elif mode == 3:                        # Diagonal-Down-Left
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    pr[y, x] = (T(6) + 3 * T(7) + 2) >> 2
+                else:
+                    pr[y, x] = (T(x + y) + 2 * T(x + y + 1)
+                                + T(x + y + 2) + 2) >> 2
+    elif mode == 4:                        # Diagonal-Down-Right
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    pr[y, x] = (T(x - y - 2) + 2 * T(x - y - 1)
+                                + T(x - y) + 2) >> 2
+                elif x < y:
+                    pr[y, x] = (L(y - x - 2) + 2 * L(y - x - 1)
+                                + L(y - x) + 2) >> 2
+                else:
+                    pr[y, x] = (T(0) + 2 * tl + L(0) + 2) >> 2
+    elif mode == 5:                        # Vertical-Right
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    pr[y, x] = (T(x - (y >> 1) - 1)
+                                + T(x - (y >> 1)) + 1) >> 1
+                elif z >= 0:
+                    pr[y, x] = (T(x - (y >> 1) - 2)
+                                + 2 * T(x - (y >> 1) - 1)
+                                + T(x - (y >> 1)) + 2) >> 2
+                elif z == -1:
+                    pr[y, x] = (L(0) + 2 * tl + T(0) + 2) >> 2
+                else:
+                    pr[y, x] = (L(y - 2 * x - 1)
+                                + 2 * L(y - 2 * x - 2)
+                                + L(y - 2 * x - 3) + 2) >> 2
+    elif mode == 6:                        # Horizontal-Down
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    pr[y, x] = (L(y - (x >> 1) - 1)
+                                + L(y - (x >> 1)) + 1) >> 1
+                elif z >= 0:
+                    pr[y, x] = (L(y - (x >> 1) - 2)
+                                + 2 * L(y - (x >> 1) - 1)
+                                + L(y - (x >> 1)) + 2) >> 2
+                elif z == -1:
+                    pr[y, x] = (L(0) + 2 * tl + T(0) + 2) >> 2
+                else:
+                    pr[y, x] = (T(x - 2 * y - 1)
+                                + 2 * T(x - 2 * y - 2)
+                                + T(x - 2 * y - 3) + 2) >> 2
+    elif mode == 7:                        # Vertical-Left
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    pr[y, x] = (T(i) + T(i + 1) + 1) >> 1
+                else:
+                    pr[y, x] = (T(i) + 2 * T(i + 1) + T(i + 2) + 2) >> 2
+    elif mode == 8:                        # Horizontal-Up
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z < 5 and z % 2 == 0:
+                    pr[y, x] = (L(y + (x >> 1))
+                                + L(y + (x >> 1) + 1) + 1) >> 1
+                elif z < 5:
+                    pr[y, x] = (L(y + (x >> 1))
+                                + 2 * L(y + (x >> 1) + 1)
+                                + L(y + (x >> 1) + 2) + 2) >> 2
+                elif z == 5:
+                    pr[y, x] = (L(2) + 3 * L(3) + 2) >> 2
+                else:
+                    pr[y, x] = L(3)
+    else:
+        raise MediaDecodeError(f"bad intra_4x4 pred mode {mode}")
+    return pr
+
+
+def _i4_neigh(yp, blk_done, by, bx):
+    """Neighbour samples + availability for the 4x4 luma block at
+    global block coords (by, bx): returns (t8, l4, tl) with None for
+    unavailable sides. Top-right samples come from the block above-
+    right only if it is ALREADY DECODED (``blk_done``, maintained in
+    raster/blkIdx order — exactly the spec's decode-order rule);
+    otherwise p[4..7,-1] substitute p[3,-1] (8.3.1.2)."""
+    y0, x0 = 4 * by, 4 * bx
+    n4w = yp.shape[1] // 4
+    t8 = None
+    if by > 0:
+        t4 = yp[y0 - 1, x0:x0 + 4].astype(np.int64)
+        if bx + 1 < n4w and blk_done[by - 1, bx + 1]:
+            tr = yp[y0 - 1, x0 + 4:x0 + 8].astype(np.int64)
+        else:
+            tr = np.full(4, int(t4[3]), np.int64)
+        t8 = np.concatenate([t4, tr])
+    l4 = yp[y0:y0 + 4, x0 - 1].astype(np.int64) if bx > 0 else None
+    tl = int(yp[y0 - 1, x0 - 1]) if (by > 0 and bx > 0) else None
+    return t8, l4, tl
+
+
+def _i4_legal_modes(t8, l4, tl):
+    """Modes whose required neighbours exist (V/DDL/VL need top,
+    H/HU need left, DDR/VR/HD need left+top+corner, DC always)."""
+    modes = [2]
+    if t8 is not None:
+        modes += [0, 3, 7]
+    if l4 is not None:
+        modes += [1, 8]
+    if t8 is not None and l4 is not None and tl is not None:
+        modes += [4, 5, 6]
+    return sorted(modes)
+
+
+def _i4_pred_mode(i4mode, by, bx):
+    """predIntra4x4PredMode (8.3.1.1): min of the left/above blocks'
+    modes, where a block outside the picture is unavailable (-> DC)
+    and a block in a non-Intra_4x4 macroblock counts as DC (grid
+    stores -1 for those)."""
+    a = int(i4mode[by, bx - 1]) if bx > 0 else -1
+    b = int(i4mode[by - 1, bx]) if by > 0 else -1
+    if bx > 0 and a < 0:
+        a = 2
+    if by > 0 and b < 0:
+        b = 2
+    if a < 0 or b < 0:
+        return 2
+    return min(a, b)
+
+
 def _nc_from(grid: np.ndarray, by: int, bx: int) -> int:
     """CAVLC nC from neighbouring blocks' TotalCoeff (spec 9.2.1);
     availability is picture-bounded (single slice per frame)."""
@@ -2790,11 +2959,260 @@ def _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y, nnz_c, qp,
     return "i16"
 
 
+def _enc_mb_intra4_build(yp, cbp, crp, ry, rcb, rcr, nnz_y, nnz_c,
+                         qp, mby, mbx, i4mode, blk_done, type_base):
+    """Build the Intra_4x4 candidate for one MB WITHOUT touching any
+    shared state: per-4x4 mode search with sequential reconstruction
+    feedback (each block predicts from already-reconstructed
+    neighbours, quantized residual included — decoder-identical),
+    chroma exactly as Intra_16x16, coded_block_pattern through the
+    Intra column of Table 9-4. Returns (ops, sad, rymb, chroma-recon,
+    modes, local nnz copies, local i4mode/blk_done copies) for the
+    caller to commit or discard."""
+    qpc = _H264_QPC[max(0, min(51, qp))]
+    nny = nnz_y.copy()
+    nnc = {k: nnz_c[k].copy() for k in ("cb", "cr")}
+    i4m = i4mode.copy()
+    done = blk_done.copy()
+    oy = yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16
+            ].astype(np.int64)
+    rymb = ry[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16
+              ].astype(np.int64)
+    # the recon plane region for this MB is rebuilt block by block;
+    # neighbour reads go through a scratch copy of the full plane so
+    # cross-MB samples are the real partial recon
+    plane = ry.copy()
+    sad = 0
+    modes = []
+    lv = np.zeros((4, 4, 4, 4), np.int64)
+    for br, bc in _BLK_ORDER:
+        by, bx = 4 * mby + br, 4 * mbx + bc
+        t8, l4, tl = _i4_neigh(plane, done, by, bx)
+        best = None
+        for md in _i4_legal_modes(t8, l4, tl):
+            pr = _pred_i4(md, t8, l4, tl)
+            s = int(np.abs(oy[4 * br:4 * br + 4, 4 * bc:4 * bc + 4]
+                           - pr).sum())
+            if best is None or s < best[0]:
+                best = (s, md, pr)
+        s, md, pr = best
+        sad += s
+        modes.append(md)
+        i4m[by, bx] = md
+        res = oy[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] - pr
+        W = _CF @ res @ _CF.T
+        q = _quant_ac(W[None, None], qp)[0, 0]
+        lv[br, bc] = q
+        d = _dequant_ac(q, qp)
+        rec = np.clip(pr + _inv4x4(d), 0, 255)
+        plane[4 * by:4 * by + 4, 4 * bx:4 * bx + 4] = \
+            rec.astype(plane.dtype)
+        rymb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = rec
+        done[by, bx] = True
+    cbp_luma = 0
+    for g8 in range(4):
+        if any(lv[br, bc].any() for br, bc in _BLK_ORDER[4 * g8:
+                                                        4 * g8 + 4]):
+            cbp_luma |= 1 << g8
+    # ---- chroma (identical to the Intra_16x16 coder)
+    och = {"cb": cbp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8
+                     ].astype(np.int64),
+           "cr": crp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8
+                     ].astype(np.int64)}
+    rpl = {"cb": rcb, "cr": rcr}
+    ctop = {k: (rpl[k][8 * mby - 1, 8 * mbx:8 * mbx + 8
+                       ].astype(np.int64) if mby > 0 else None)
+            for k in och}
+    cleft = {k: (rpl[k][8 * mby:8 * mby + 8, 8 * mbx - 1
+                        ].astype(np.int64) if mbx > 0 else None)
+             for k in och}
+    ctl = {k: (int(rpl[k][8 * mby - 1, 8 * mbx - 1])
+               if (mby > 0 and mbx > 0) else None) for k in och}
+    cmodes = [0] + ([1] if mbx > 0 else []) + \
+        ([2] if mby > 0 else []) + \
+        ([3] if (mby > 0 and mbx > 0) else [])
+    cbest = None
+    for md in cmodes:
+        s = sum(int(np.abs(och[k] - _pred_chroma(
+            md, ctop[k], cleft[k], ctl[k])).sum()) for k in och)
+        if cbest is None or s < cbest[0]:
+            cbest = (s, md)
+    cmode = cbest[1]
+    cpred = {k: _pred_chroma(cmode, ctop[k], cleft[k], ctl[k])
+             for k in och}
+    cdc_lv, cac_lv = {}, {}
+    for k in och:
+        cres = och[k] - cpred[k]
+        Wk = np.empty((2, 2, 4, 4), np.int64)
+        for br in range(2):
+            for bc in range(2):
+                Wk[br, bc] = _CF @ cres[4 * br:4 * br + 4,
+                                        4 * bc:4 * bc + 4] @ _CF.T
+        cdc_lv[k] = _quant_dc(_H2 @ Wk[:, :, 0, 0] @ _H2, qpc)
+        ak = _quant_ac(Wk, qpc)
+        ak[:, :, 0, 0] = 0
+        cac_lv[k] = ak
+    ac_any = any(cac_lv[k].any() for k in och)
+    dc_any = any(cdc_lv[k].any() for k in och)
+    cbp_chroma = 2 if ac_any else (1 if dc_any else 0)
+    mb_cbp = cbp_luma | (cbp_chroma << 4)
+    # ---- bit recording
+    mb = _H264Ops()
+    mb.ue(type_base + 0)         # mb_type: I_4x4 (I) / 5 + 0 (P)
+    for (br, bc), md in zip(_BLK_ORDER, modes):
+        by, bx = 4 * mby + br, 4 * mbx + bc
+        # the left/above neighbours of any block precede it in
+        # _BLK_ORDER, so the fully-populated grid reads identically
+        # to the decoder's progressive one
+        pm = _i4_pred_mode(i4m, by, bx)
+        if md == pm:
+            mb.u(1, 1)           # prev_intra4x4_pred_mode_flag
+        else:
+            mb.u(0, 1)
+            mb.u(md if md < pm else md - 1, 3)
+    mb.ue(cmode)
+    mb.ue(_CBP_INTRA_ENC[mb_cbp])
+    if mb_cbp:
+        mb.se(0)                 # mb_qp_delta
+    for g8 in range(4):
+        if cbp_luma & (1 << g8):
+            for br, bc in _BLK_ORDER[4 * g8:4 * g8 + 4]:
+                gy, gx = 4 * mby + br, 4 * mbx + bc
+                nny[gy, gx] = _cavlc_encode_block(
+                    mb, _h264_scan16(lv[br, bc]),
+                    _nc_from(nny, gy, gx), 16)
+        else:
+            for br, bc in _BLK_ORDER[4 * g8:4 * g8 + 4]:
+                nny[4 * mby + br, 4 * mbx + bc] = 0
+    if cbp_chroma:
+        for k in ("cb", "cr"):
+            c = cdc_lv[k]
+            _cavlc_encode_block(
+                mb, np.array([c[0, 0], c[0, 1], c[1, 0],
+                              c[1, 1]], np.int64), -1, 4)
+    if cbp_chroma == 2:
+        for k in ("cb", "cr"):
+            for br in range(2):
+                for bc in range(2):
+                    gy, gx = 2 * mby + br, 2 * mbx + bc
+                    nnc[k][gy, gx] = _cavlc_encode_block(
+                        mb, _h264_scan_ac(cac_lv[k][br, bc]),
+                        _nc_from(nnc[k], gy, gx), 15)
+    else:
+        for k in ("cb", "cr"):
+            nnc[k][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+    # chroma recon
+    crec = {}
+    for k in och:
+        dcc = (_dequant_chroma_dc(cdc_lv[k], qpc) if cbp_chroma
+               else np.zeros((2, 2), np.int64))
+        rcmb = np.empty((8, 8), np.int64)
+        for br in range(2):
+            for bc in range(2):
+                d = (_dequant_ac(cac_lv[k][br, bc], qpc)
+                     if cbp_chroma == 2 else np.zeros((4, 4),
+                                                      np.int64))
+                d[0, 0] = dcc[br, bc]
+                rcmb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                    cpred[k][4 * br:4 * br + 4,
+                             4 * bc:4 * bc + 4] + _inv4x4(d)
+        crec[k] = np.clip(rcmb, 0, 255)
+    return mb, sad, rymb, crec, nny, nnc, i4m, done
+
+
+def _enc_mb_intra(w, yp, cbp, crp, ry, rcb, rcr, nnz_y, nnz_c, qp,
+                  mby, mbx, pcm_threshold, type_base=0, i4state=None):
+    """Intra macroblock dispatcher: with ``i4state`` (the encoder's
+    (i4mode, blk_done) grids) the Intra_4x4 candidate competes with
+    Intra_16x16 on prediction SAD — smaller wins, ties to I16 — and
+    the winner still falls back to I_PCM past ``pcm_threshold``
+    bits. Without it (default) the coder is exactly the historical
+    Intra_16x16/I_PCM pair, so existing streams stay byte-identical.
+    Returns "i4", "i16" or "pcm"."""
+    if i4state is None:
+        return _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y,
+                               nnz_c, qp, mby, mbx, pcm_threshold,
+                               type_base=type_base)
+    i4mode, blk_done = i4state
+
+    def mark_not_i4():
+        i4mode[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = -1
+        blk_done[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = True
+
+    # i16 prediction SAD (the same search _enc_mb_intra16 runs)
+    oy = yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16
+            ].astype(np.int64)
+    ltop = (ry[16 * mby - 1, 16 * mbx:16 * mbx + 16].astype(np.int64)
+            if mby > 0 else None)
+    lleft = (ry[16 * mby:16 * mby + 16, 16 * mbx - 1].astype(np.int64)
+             if mbx > 0 else None)
+    ltl = (int(ry[16 * mby - 1, 16 * mbx - 1])
+           if (mby > 0 and mbx > 0) else None)
+    lmodes = ([0] if ltop is not None else []) + \
+        ([1] if lleft is not None else []) + [2] + \
+        ([3] if ltl is not None else [])
+    sad16 = min(int(np.abs(oy - _pred_i16(md, ltop, lleft, ltl)).sum())
+                for md in sorted(lmodes))
+    cand = _enc_mb_intra4_build(yp, cbp, crp, ry, rcb, rcr, nnz_y,
+                                nnz_c, qp, mby, mbx, i4mode, blk_done,
+                                type_base)
+    mb, sad4, rymb, crec, nny, nnc, i4m, done = cand
+    # ~20 extra header bits (16 mode flags + longer cbp code) priced
+    # at the SAD-domain lambda sqrt(0.85 * 2^((qp-12)/3)) — without
+    # it the 16 local predictors win on SAD alone at every qp and
+    # high-qp streams GROW (mode bits dwarf the tiny residuals)
+    lam = int(20 * (0.85 * 2.0 ** ((qp - 12) / 3.0)) ** 0.5)
+    if sad4 + lam >= sad16:
+        mk = _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y,
+                             nnz_c, qp, mby, mbx, pcm_threshold,
+                             type_base=type_base)
+        mark_not_i4()
+        return mk
+    if mb.bits > pcm_threshold:
+        # I_PCM beats the I_4x4 payload: emit raw samples (same
+        # fallback as the Intra_16x16 coder)
+        nnz_y[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 16
+        for k in ("cb", "cr"):
+            nnz_c[k][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 16
+        w.ue(type_base + 25)
+        w.align_zero()
+        w.raw_bytes(yp[16 * mby:16 * mby + 16,
+                       16 * mbx:16 * mbx + 16].tobytes())
+        w.raw_bytes(cbp[8 * mby:8 * mby + 8,
+                        8 * mbx:8 * mbx + 8].tobytes())
+        w.raw_bytes(crp[8 * mby:8 * mby + 8,
+                        8 * mbx:8 * mbx + 8].tobytes())
+        ry[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+            yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16]
+        rcb[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+            cbp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8]
+        rcr[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+            crp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8]
+        mark_not_i4()
+        return "pcm"
+    # commit the I_4x4 candidate
+    mb.replay(w)
+    nnz_y[:] = nny
+    for k in ("cb", "cr"):
+        nnz_c[k][:] = nnc[k]
+    i4mode[:] = i4m
+    blk_done[:] = done
+    ry[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+        rymb.astype(ry.dtype)
+    rcb[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+        crec["cb"].astype(rcb.dtype)
+    rcr[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+        crec["cr"].astype(rcr.dtype)
+    return "i4"
+
+
 def _encode_h264_cavlc_frame(yp, cbp, crp, qp: int, fi: int,
-                             pcm_threshold: int, deblock: bool = False):
+                             pcm_threshold: int, deblock: bool = False,
+                             intra4x4: bool = False):
     """Encode one IDR frame's slice RBSP (Intra_16x16 + CAVLC, per-MB
-    I_PCM fallback); returns (rbsp bytes, recon Y, recon Cb, recon Cr,
-    deblock metadata). Reconstruction is decoder-identical by
+    I_PCM fallback; with ``intra4x4`` the I_4x4 coder competes per MB
+    on prediction SAD); returns (rbsp bytes, recon Y, recon Cb, recon
+    Cr, deblock metadata). Reconstruction is decoder-identical by
     construction — intra prediction feeds on it (UNFILTERED: the
     caller applies the loop filter only after the frame completes)."""
     h_mbs, w_mbs = yp.shape[0] // 16, yp.shape[1] // 16
@@ -2820,10 +3238,14 @@ def _encode_h264_cavlc_frame(yp, cbp, crp, qp: int, fi: int,
     nnz_c = {"cb": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64),
              "cr": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64)}
     kind = np.ones((h_mbs, w_mbs), np.int64)
+    i4state = (np.full((4 * h_mbs, 4 * w_mbs), -1, np.int64),
+               np.zeros((4 * h_mbs, 4 * w_mbs), bool)) \
+        if intra4x4 else None
     for mby in range(h_mbs):
         for mbx in range(w_mbs):
-            mk = _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr, nnz_y,
-                                 nnz_c, qp, mby, mbx, pcm_threshold)
+            mk = _enc_mb_intra(w, yp, cbp, crp, ry, rcb, rcr, nnz_y,
+                               nnz_c, qp, mby, mbx, pcm_threshold,
+                               i4state=i4state)
             kind[mby, mbx] = 2 if mk == "pcm" else 1
     w.trailing()
     meta = {"kind": kind, "nnz_y": nnz_y,
@@ -2835,7 +3257,8 @@ def _encode_h264_cavlc_frame(yp, cbp, crp, qp: int, fi: int,
 def encode_h264_cavlc(frames_u8, *, qp: int = 20, fps: int = 10,
                       pcm_threshold: int = 8 * 384, gop: int = 1,
                       search_range: int = 8,
-                      deblock: bool = False) -> bytes:
+                      deblock: bool = False,
+                      intra4x4: bool = False) -> bytes:
     """(n, h, w, 3) uint8 -> H.264 Annex B byte stream coded
     Intra_16x16 + CAVLC at constant ``qp`` (0..51) with per-MB I_PCM
     fallback when the entropy payload exceeds ``pcm_threshold`` bits
@@ -2850,7 +3273,8 @@ def encode_h264_cavlc(frames_u8, *, qp: int = 20, fps: int = 10,
     byte-identical to earlier rounds. Even frame dims required."""
     raw, _ = _encode_h264_cavlc_with_recon(
         frames_u8, qp=qp, fps=fps, pcm_threshold=pcm_threshold,
-        gop=gop, search_range=search_range, deblock=deblock)
+        gop=gop, search_range=search_range, deblock=deblock,
+        intra4x4=intra4x4)
     return raw
 
 
@@ -2858,7 +3282,8 @@ def _encode_h264_cavlc_with_recon(frames_u8, *, qp: int = 20,
                                   fps: int = 10,
                                   pcm_threshold: int = 8 * 384,
                                   gop: int = 1, search_range: int = 8,
-                                  deblock: bool = False):
+                                  deblock: bool = False,
+                                  intra4x4: bool = False):
     """encode_h264_cavlc + the encoder's own reconstruction as float32
     RGB frames (what a conforming decoder must reproduce bit-exactly)."""
     frames_u8 = np.asarray(frames_u8, dtype=np.uint8)
@@ -2889,14 +3314,15 @@ def _encode_h264_cavlc_with_recon(frames_u8, *, qp: int = 20,
                      mode="edge")
         if fi % gop == 0:
             rbsp, ry, rcb, rcr, meta = _encode_h264_cavlc_frame(
-                yp, cbp, crp, qp, n_idr, pcm_threshold, deblock)
+                yp, cbp, crp, qp, n_idr, pcm_threshold, deblock,
+                intra4x4)
             out += _H264_START + b"\x65" + _ebsp_escape(rbsp)
             n_idr += 1
             fnum = 1
         else:
             rbsp, ry, rcb, rcr, meta = _encode_h264_p_frame(
                 yp, cbp, crp, prev, qp, fnum, pcm_threshold,
-                search_range, deblock)
+                search_range, deblock, intra4x4)
             out += _H264_START + b"\x41" + _ebsp_escape(rbsp)
             fnum = (fnum + 1) % 16
         if deblock:
@@ -3408,7 +3834,8 @@ def _search_mv16(ref_y, oy, mby, mbx, sr, skip_mv, mvp):
 
 def _encode_h264_p_frame(yp, cbp, crp, ref_planes, qp: int,
                          frame_num: int, pcm_threshold: int,
-                         search_range: int, deblock: bool = False):
+                         search_range: int, deblock: bool = False,
+                         intra4x4: bool = False):
     """Encode one P frame's slice RBSP (P_Skip / P_L0_16x16 with
     quarter-pel motion compensation; Intra_16x16/I_PCM fallback when
     intra predicts better); returns (rbsp, recon Y, recon Cb, recon
@@ -3436,6 +3863,14 @@ def _encode_h264_p_frame(yp, cbp, crp, ref_planes, qp: int,
     rcr = np.zeros_like(crp)
     cpl = {"cb": rcb, "cr": rcr}
     kind = np.zeros((h_mbs, w_mbs), np.int64)
+    i4state = (np.full((4 * h_mbs, 4 * w_mbs), -1, np.int64),
+               np.zeros((4 * h_mbs, 4 * w_mbs), bool)) \
+        if intra4x4 else None
+
+    def mark_not_i4(mby, mbx):
+        if i4state is not None:
+            i4state[0][4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = -1
+            i4state[1][4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = True
     nnz_y = np.zeros((4 * h_mbs, 4 * w_mbs), np.int64)
     nnz_c = {"cb": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64),
              "cr": np.zeros((2 * h_mbs, 2 * w_mbs), np.int64)}
@@ -3469,9 +3904,10 @@ def _encode_h264_p_frame(yp, cbp, crp, ref_planes, qp: int,
             if intra_sad < inter_sad:
                 w.ue(run)
                 run = 0
-                mk = _enc_mb_intra16(w, yp, cbp, crp, ry, rcb, rcr,
-                                     nnz_y, nnz_c, qp, mby, mbx,
-                                     pcm_threshold, type_base=5)
+                mk = _enc_mb_intra(w, yp, cbp, crp, ry, rcb, rcr,
+                                   nnz_y, nnz_c, qp, mby, mbx,
+                                   pcm_threshold, type_base=5,
+                                   i4state=i4state)
                 kind[mby, mbx] = 2 if mk == "pcm" else 1
                 continue
             py, pch = _mc_pred_mb(ref_planes, mvx, mvy, mby, mbx)
@@ -3512,6 +3948,7 @@ def _encode_h264_p_frame(yp, cbp, crp, ref_planes, qp: int,
                 run += 1
                 refg[mby, mbx] = 0
                 mvg[mby, mbx] = (mvx, mvy)
+                mark_not_i4(mby, mbx)
                 ry[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
                     py.astype(yp.dtype)
                 for k, rp in (("cb", rcb), ("cr", rcr)):
@@ -3563,6 +4000,7 @@ def _encode_h264_p_frame(yp, cbp, crp, ref_planes, qp: int,
             mb.replay(w)
             refg[mby, mbx] = 0
             mvg[mby, mbx] = (mvx, mvy)
+            mark_not_i4(mby, mbx)
             # ---- decoder-identical reconstruction
             rymb = np.empty((16, 16), np.int64)
             for br in range(4):
@@ -3592,6 +4030,115 @@ def _encode_h264_p_frame(yp, cbp, crp, ref_planes, qp: int,
     w.trailing()
     meta = {"kind": kind, "nnz_y": nnz_y, "mvg": mvg, "refg": refg}
     return bytes(w.buf), ry, rcb, rcr, meta
+
+
+def _dec_mb_intra4(r, yp, cpl, nnz_y, nnz_c, qp, cq_off, mby, mbx,
+                   i4mode, blk_done):
+    """Decode ONE Intra_4x4 macroblock (mb_type 0 in I slices, 5 in P
+    slices): sixteen prev/rem-coded prediction modes against the
+    min(left, above) predictor (8.3.1.1), intra_chroma_pred_mode,
+    coded_block_pattern through Table 9-4's Intra column, 16-coeff
+    CAVLC luma residual blocks, chroma exactly as Intra_16x16, then
+    sequential per-block reconstruction in _BLK_ORDER with the
+    decoded-block top-right availability rule. Returns the updated
+    slice QP."""
+    modes = []
+    for br, bc in _BLK_ORDER:
+        by, bx = 4 * mby + br, 4 * mbx + bc
+        pm = _i4_pred_mode(i4mode, by, bx)
+        if r.u(1):               # prev_intra4x4_pred_mode_flag
+            md = pm
+        else:
+            rem = r.u(3)
+            md = rem if rem < pm else rem + 1
+        i4mode[by, bx] = md
+        modes.append(md)
+    cmode = r.ue()
+    if cmode > 3:
+        raise MediaDecodeError("bad intra_chroma_pred_mode")
+    code = r.ue()
+    if code > 47:
+        raise MediaDecodeError("bad coded_block_pattern")
+    mb_cbp = _CBP_INTRA[code]
+    cbp_luma, cbp_chroma = mb_cbp & 15, mb_cbp >> 4
+    if mb_cbp:
+        qp = (qp + r.se() + 52) % 52     # mb_qp_delta, spec wrap
+    qpc = _H264_QPC[max(0, min(51, qp + cq_off))]
+    lv = np.zeros((4, 4, 4, 4), np.int64)
+    for g8 in range(4):
+        if cbp_luma & (1 << g8):
+            for br, bc in _BLK_ORDER[4 * g8:4 * g8 + 4]:
+                gy, gx = 4 * mby + br, 4 * mbx + bc
+                scan, tc = _cavlc_decode_block(
+                    r, _nc_from(nnz_y, gy, gx), 16)
+                nnz_y[gy, gx] = tc
+                lv[br, bc] = _h264_unscan16(scan)
+        else:
+            for br, bc in _BLK_ORDER[4 * g8:4 * g8 + 4]:
+                nnz_y[4 * mby + br, 4 * mbx + bc] = 0
+    cdc_lv = {k: np.zeros((2, 2), np.int64) for k in nnz_c}
+    if cbp_chroma:
+        for k in ("cb", "cr"):
+            scan, _ = _cavlc_decode_block(r, -1, 4)
+            cdc_lv[k] = np.array(
+                [[scan[0], scan[1]], [scan[2], scan[3]]], np.int64)
+    cac_lv = {k: np.zeros((2, 2, 4, 4), np.int64) for k in nnz_c}
+    if cbp_chroma == 2:
+        for k in ("cb", "cr"):
+            for br in range(2):
+                for bc in range(2):
+                    gy, gx = 2 * mby + br, 2 * mbx + bc
+                    scan, tc = _cavlc_decode_block(
+                        r, _nc_from(nnz_c[k], gy, gx), 15)
+                    nnz_c[k][gy, gx] = tc
+                    cac_lv[k][br, bc] = _h264_unscan_ac(scan)
+    else:
+        for k in ("cb", "cr"):
+            nnz_c[k][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+    # ---- sequential luma reconstruction
+    for (br, bc), md in zip(_BLK_ORDER, modes):
+        by, bx = 4 * mby + br, 4 * mbx + bc
+        t8, l4, tl = _i4_neigh(yp, blk_done, by, bx)
+        if (md in (0, 3, 7) and t8 is None) \
+                or (md in (1, 8) and l4 is None) \
+                or (md in (4, 5, 6) and (t8 is None or l4 is None
+                                         or tl is None)):
+            raise MediaDecodeError(
+                "intra_4x4 prediction from unavailable neighbours")
+        d = _dequant_ac(lv[br, bc], qp)
+        rec = np.clip(_pred_i4(md, t8, l4, tl) + _inv4x4(d), 0, 255)
+        yp[4 * by:4 * by + 4, 4 * bx:4 * bx + 4] = \
+            rec.astype(np.uint8)
+        blk_done[by, bx] = True
+    # ---- chroma (identical to the Intra_16x16 decoder)
+    if (cmode == 1 and mbx == 0) or (cmode == 2 and mby == 0) \
+            or (cmode == 3 and (mbx == 0 or mby == 0)):
+        raise MediaDecodeError(
+            "chroma prediction from unavailable neighbours")
+    for k in ("cb", "cr"):
+        rp = cpl[k]
+        ctop = (rp[8 * mby - 1, 8 * mbx:8 * mbx + 8
+                   ].astype(np.int64) if mby > 0 else None)
+        cleft = (rp[8 * mby:8 * mby + 8, 8 * mbx - 1
+                    ].astype(np.int64) if mbx > 0 else None)
+        ctl = (int(rp[8 * mby - 1, 8 * mbx - 1])
+               if (mby > 0 and mbx > 0) else None)
+        cpred = _pred_chroma(cmode, ctop, cleft, ctl)
+        dcc = (_dequant_chroma_dc(cdc_lv[k], qpc) if cbp_chroma
+               else np.zeros((2, 2), np.int64))
+        rcmb = np.empty((8, 8), np.int64)
+        for br in range(2):
+            for bc in range(2):
+                d = (_dequant_ac(cac_lv[k][br, bc], qpc)
+                     if cbp_chroma == 2 else np.zeros((4, 4),
+                                                      np.int64))
+                d[0, 0] = dcc[br, bc]
+                rcmb[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] = \
+                    cpred[4 * br:4 * br + 4, 4 * bc:4 * bc + 4] \
+                    + _inv4x4(d)
+        rp[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+            np.clip(rcmb, 0, 255).astype(np.uint8)
+    return qp
 
 
 def _dec_mb_intra16(r, mb_type, yp, cpl, nnz_y, nnz_c, qp, cq_off,
@@ -3723,18 +4270,19 @@ def _dec_mb_intra16(r, mb_type, yp, cpl, nnz_y, nnz_c, qp, cq_off,
 
 def decode_h264(raw: bytes, *, return_mb_types: bool = False):
     """REAL decode of the H.264 Annex B baseline subset: SPS/PPS, I/IDR
-    slices whose macroblocks are I_PCM (mb_type 25) or Intra_16x16 with
-    CAVLC residuals (1..24), and P slices with P_Skip runs and
-    P_L0_16x16 macroblocks — quarter-pel luma / eighth-pel chroma
-    motion compensation against the previous decoded picture, median MV
-    prediction per 8.4.1.3, single reference — plus the same intra
-    macroblocks as fallback (mb_type 5..30). The in-loop deblocking
-    filter (8.7) is applied whenever the stream does not disable it
-    (idc 0/2, slice alpha/beta offsets honoured), after each picture
-    completes — filtered pictures are the references and the output.
-    B/SP/SI slices, sub-16x16 partitions, multiple reference pictures,
-    I_4x4 and CABAC raise MediaDecodeError naming the missing
-    tool. Returns
+    slices whose macroblocks are I_PCM (mb_type 25), Intra_16x16 with
+    CAVLC residuals (1..24) or Intra_4x4 (mb_type 0 — nine directional
+    predictors, prev/rem mode coding, Table 9-4 Intra cbp), and P
+    slices with P_Skip runs and P_L0_16x16 macroblocks — quarter-pel
+    luma / eighth-pel chroma motion compensation against the previous
+    decoded picture, median MV prediction per 8.4.1.3, single
+    reference — plus the same intra macroblocks as fallback (mb_type
+    5..30). The in-loop deblocking filter (8.7) is applied whenever
+    the stream does not disable it (idc 0/2, slice alpha/beta offsets
+    honoured), after each picture completes — filtered pictures are
+    the references and the output. B/SP/SI slices, sub-16x16 inter
+    partitions, multiple reference pictures and CABAC raise
+    MediaDecodeError naming the missing tool. Returns
     ``(frames float32 [0,1], usec_per_frame)``; with
     ``return_mb_types`` a third element lists each slice's mb_type
     sequence (P_Skip macroblocks appear as -1)."""
@@ -3819,14 +4367,29 @@ def decode_h264(raw: bytes, *, return_mb_types: bool = False):
             qpg = np.zeros((h_mbs, w_mbs), np.int64)
             refg = np.full((h_mbs, w_mbs), -1, np.int64)
             mvg = np.zeros((h_mbs, w_mbs, 2), np.int64)
+            i4mode = np.full((4 * h_mbs, 4 * w_mbs), -1, np.int64)
+            blk_done = np.zeros((4 * h_mbs, 4 * w_mbs), bool)
+
+            def mark_not_i4(mby, mbx):
+                i4mode[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = -1
+                blk_done[4 * mby:4 * mby + 4,
+                         4 * mbx:4 * mbx + 4] = True
+
             if not p_slice:
                 for mb in range(w_mbs * h_mbs):
                     mby, mbx = divmod(mb, w_mbs)
                     mb_type = r.ue()
                     mb_types.append(mb_type)
                     kind[mby, mbx] = 2 if mb_type == 25 else 1
-                    qp = _dec_mb_intra16(r, mb_type, yp, cpl, nnz_y,
-                                         nnz_c, qp, cq_off, mby, mbx)
+                    if mb_type == 0:     # I_4x4
+                        qp = _dec_mb_intra4(r, yp, cpl, nnz_y, nnz_c,
+                                            qp, cq_off, mby, mbx,
+                                            i4mode, blk_done)
+                    else:
+                        qp = _dec_mb_intra16(r, mb_type, yp, cpl,
+                                             nnz_y, nnz_c, qp, cq_off,
+                                             mby, mbx)
+                        mark_not_i4(mby, mbx)
                     qpg[mby, mbx] = qp
             else:
                 if ref is None:
@@ -3843,6 +4406,7 @@ def decode_h264(raw: bytes, *, return_mb_types: bool = False):
                         _dec_mb_pskip(yp, cpl, mby, mbx, ref, refg, mvg)
                         mb_types.append(-1)
                         qpg[mby, mbx] = qp
+                        mark_not_i4(mby, mbx)
                         mb += 1
                     if mb == total:
                         break
@@ -3854,12 +4418,20 @@ def decode_h264(raw: bytes, *, return_mb_types: bool = False):
                                              qp, cq_off, mby, mbx, ref,
                                              refg, mvg)
                         qpg[mby, mbx] = qp
-                    elif mb_type >= 5:
+                        mark_not_i4(mby, mbx)
+                    elif mb_type == 5:   # I_4x4 inside a P slice
+                        qp = _dec_mb_intra4(r, yp, cpl, nnz_y, nnz_c,
+                                            qp, cq_off, mby, mbx,
+                                            i4mode, blk_done)
+                        kind[mby, mbx] = 1
+                        qpg[mby, mbx] = qp
+                    elif mb_type > 5:
                         qp = _dec_mb_intra16(r, mb_type - 5, yp, cpl,
                                              nnz_y, nnz_c, qp, cq_off,
                                              mby, mbx)
                         kind[mby, mbx] = 2 if mb_type == 30 else 1
                         qpg[mby, mbx] = qp
+                        mark_not_i4(mby, mbx)
                     else:
                         raise MediaDecodeError(
                             f"P mb_type {mb_type}: only P_L0_16x16, "

@@ -4096,3 +4096,42 @@ def test_h264_intra4x4_roundtrip_mixing_and_predictors():
         assert (multimodal._pred_i4(2, t8, l4, tl)
                 == (int(t8[:4].sum()) + int(l4.sum()) + 4) >> 3).all()
     assert (multimodal._pred_i4(2, None, None, None) == 128).all()
+
+
+def test_h264_randomized_roundtrip_fuzz():
+    """Randomized encode/decode roundtrips over mixed content (flat
+    patches, gradients, noise, hard edges), random qp/gop, with
+    intra4x4 and deblocking enabled — sweeps CAVLC nC contexts across
+    I_4x4 / Intra_16x16 / I_PCM / inter boundaries and every
+    predictor/filter branch the structured fixtures might miss.
+    Decoder must equal encoder recon bit-exactly every time."""
+    rng = np.random.default_rng(41)
+    for trial in range(12):
+        n = int(rng.integers(1, 4))
+        h, w = 32, 48
+        frames = np.zeros((n, h, w, 3), np.uint8)
+        for f in range(n):
+            kind = rng.integers(0, 4)
+            yy, xx = np.mgrid[0:h, 0:w]
+            if kind == 0:
+                img = rng.integers(0, 256, (h, w, 3))
+            elif kind == 1:
+                img = np.stack([(xx * int(rng.integers(1, 5))
+                                 + yy * int(rng.integers(1, 5))) % 256
+                                ] * 3, -1)
+            elif kind == 2:
+                img = np.full((h, w, 3), int(rng.integers(0, 256)))
+                img[8:24, 16:32] = rng.integers(0, 256, (16, 16, 3))
+            else:
+                img = np.where((xx < w // 2)[..., None],
+                               int(rng.integers(0, 128)),
+                               int(rng.integers(128, 256)))
+                img = np.broadcast_to(img, (h, w, 3))
+            frames[f] = img.astype(np.uint8)
+        qp = int(rng.integers(0, 52))
+        gop = int(rng.integers(1, 3))
+        raw, recon = multimodal._encode_h264_cavlc_with_recon(
+            frames, qp=qp, gop=gop, deblock=True, intra4x4=True)
+        dec, _ = multimodal.decode_h264(raw)
+        np.testing.assert_array_equal(dec, recon,
+                                      err_msg=f"trial {trial} qp {qp}")
